@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle partitioning strategies of the reference engine.
+  *
+  * Reference: `JuiceJob.java:3-6` (enum HASH/RANGE), dispatched in
+  * `MapleJuice.java:668-695` — hash = `abs(hash(file)) % taskNum`
+  * (668-679), range = sorted filename runs (680-693). Here they map to
+  * Spark's `HashPartitioner` / `RangePartitioner` via `repartition` /
+  * `repartitionByRange`; partitioning never changes declared results.
+  */
+sealed trait ShuffleOption
+object ShuffleOption {
+  case object Hash  extends ShuffleOption
+  case object Range extends ShuffleOption
+}
+
+/** The core MapleJuice dataflow surface re-expressed Spark-first.
+  *
+  * The reference runs user executables map-side ("maple",
+  * `MapleJuice.java:371-439`) and reduce-side ("juice",
+  * `MapleJuice.java:615-665`) over line-oriented `key,value` files, with
+  * the master materializing one intermediate file per key
+  * (`MapleJuice.java:250-276`). Spark subsumes the materialization with
+  * its in-engine shuffle; we keep the reference's *names and semantics*
+  * as thin wrappers so every reference workload (web-graph in-degree,
+  * Condorcet election, word count) is expressible 1:1, while Catalyst
+  * keeps whole-stage codegen for the columnar forms.
+  *
+  * Two API levels:
+  *   - columnar (`mapleCols`, `juiceAgg`): Catalyst expressions, fully
+  *     codegen'd — preferred; used by all declared queries.
+  *   - typed (`maple`, `juice`): arbitrary Scala closures, mirroring the
+  *     reference's arbitrary user executables (UDTF semantics: 0..n
+  *     outputs per input, `MapleJuice.java:410-412` / `wg_maple.py`).
+  *   - `pipeMaple` / `pipeJuice`: true external-executable fidelity via
+  *     `RDD.pipe`, the literal analog of the reference's subprocess exec
+  *     (`Utility.runCommand`, `Utility.java:175-190`).
+  */
+object MapleJuice {
+
+  /** Typed maple = flatMap (reference D1: 0..n `(k,v)` outputs per
+    * input record — a UDTF). `MapleJuice.java:371-439`. */
+  def maple[I, O: Encoder](ds: Dataset[I])(fn: I => IterableOnce[O]): Dataset[O] =
+    ds.flatMap(fn)
+
+  /** Columnar maple: projection/filter/generator expressed as Catalyst
+    * columns (codegen'd). Generators like `explode`/`posexplode` give
+    * the flatMap expansion shape of `win_maple1.py:9-22`. */
+  def mapleCols(df: DataFrame)(cols: Column*): DataFrame =
+    df.select(cols: _*)
+
+  /** Reference D4/D5: explicit re-partitioning between maple and juice.
+    * `MapleJuice.java:668-695`. Results must never depend on this —
+    * Spark guarantees that; the reference relied on it implicitly. */
+  def shuffle(df: DataFrame, opt: ShuffleOption, numPartitions: Int, keys: Column*): DataFrame =
+    opt match {
+      case ShuffleOption.Hash  => df.repartition(numPartitions, keys: _*)
+      case ShuffleOption.Range => df.repartitionByRange(numPartitions, keys: _*)
+    }
+
+  /** Typed juice = group-by-key + per-key reduction closure (reference
+    * D6: `juice_exe(key, fileOfValues)`, `MapleJuice.java:615-665`).
+    * `flatMapGroups` so a juice may emit 0..n results, matching the
+    * executable contract (stdout lines, `win_juice2.py:48-56`). */
+  def juice[I, K: Encoder, O: Encoder](ds: Dataset[I])(key: I => K)(
+      fn: (K, Iterator[I]) => IterableOnce[O])(implicit kv: Encoder[(K, I)]): Dataset[O] =
+    ds.groupByKey(key).flatMapGroups((k: K, it: Iterator[I]) => fn(k, it).iterator)
+
+  /** Columnar juice: group-by + aggregate expressions. Spark plans this
+    * as partial (map-side combine) + final `HashAggregateExec` — the
+    * combiner the reference only had in its Hadoop twin
+    * (`app/WebGraph.java:61`). Preferred at scale: shuffles only
+    * partial aggregates, not raw rows. */
+  def juiceAgg(df: DataFrame, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Reference D7 job chaining (`MapleJuice.java:1132-1136`): juice of
+    * stage N feeds maple of stage N+1. With lazy DataFrame lineage this
+    * is plain function composition — no SDFS round-trip in between. */
+  def chain(df: DataFrame, stages: (DataFrame => DataFrame)*): DataFrame =
+    stages.foldLeft(df)((acc, f) => f(acc))
+
+  /** External-executable compatibility shim: stream a partition's lines
+    * through a subprocess, one line in / 0..n lines out — the literal
+    * equivalent of the reference's `python3 exe` fork
+    * (`MapleJuice.java:410-412`, batching is Spark's concern). */
+  def pipeMaple(ds: Dataset[String], command: Seq[String]): Dataset[String] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    spark.createDataset(ds.rdd.pipe(command))
+  }
+
+  /** External juice: repartition by key so each key's values are
+    * contiguous within a partition, sort, then pipe `key,value` lines
+    * through the executable (reference `MapleJuice.java:645-649`). */
+  def pipeJuice(kv: Dataset[(String, String)], command: Seq[String], numPartitions: Int): Dataset[String] = {
+    val spark = kv.sparkSession
+    import spark.implicits._
+    val lines = kv.repartition(numPartitions, col("_1"))
+      .sortWithinPartitions("_1")
+      .map { case (k, v) => s"$k,$v" }
+    spark.createDataset(lines.rdd.pipe(command))
+  }
+}

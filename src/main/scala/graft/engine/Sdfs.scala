@@ -1,0 +1,64 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SDFS verb surface as a thin catalog/storage facade.
+  *
+  * The reference implements put/get/delete/ls/store/global as a
+  * replicated quorum file system (`SdfsServer.java:235-555`,
+  * listing verbs 181-232). Replication, quorum R/W, re-replication and
+  * failure detection (§1.4 of SURVEY.md) are platform concerns Spark's
+  * storage layer already provides — this facade deliberately carries
+  * only the *user-visible* verbs over `spark.read`/`df.write` and the
+  * Hadoop `FileSystem` API, rooted at a single namespace directory.
+  */
+final class Sdfs(spark: SparkSession, root: String) {
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = new Path(root).getFileSystem(hconf)
+  private def p(name: String): Path = new Path(root, name)
+
+  /** `put localfilename sdfsfilename` (`SdfsServer.java:235-376`). */
+  def put(localPath: String, name: String): Unit = {
+    fs.mkdirs(new Path(root))
+    fs.copyFromLocalFile(false, true, new Path(localPath), p(name))
+  }
+
+  /** Write a DataFrame as a named text/parquet dataset (sink S4/S8). */
+  def putDf(df: DataFrame, name: String, format: String = "parquet"): Unit =
+    df.write.mode("overwrite").format(format).save(p(name).toString)
+
+  /** `get sdfsfilename localfilename` (`SdfsServer.java:450-555`). */
+  def get(name: String, localPath: String): Unit =
+    fs.copyToLocalFile(false, p(name), new Path(localPath), true)
+
+  /** Read a named dataset back (source S1/S5). */
+  def read(name: String, format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(p(name).toString)
+
+  /** `delete sdfsfilename` (`SdfsServer.java:379-447`). */
+  def delete(name: String): Boolean = fs.delete(p(name), true)
+
+  /** `ls sdfsfilename` — where a file lives (`SdfsServer.java:181-192`).
+    * Replica locations collapse to the physical file listing here. */
+  def ls(name: String): Seq[String] =
+    if (!fs.exists(p(name))) Seq.empty
+    else fs.listStatus(p(name)).toSeq.map(_.getPath.toString)
+
+  /** `store` — files on this node (`SdfsServer.java:195-212`); single
+    * namespace in Spark, so same as `global`. */
+  def store(): Seq[String] = global()
+
+  /** `global` — all files in the namespace (`SdfsServer.java:215-232`). */
+  def global(): Seq[String] =
+    if (!fs.exists(new Path(root))) Seq.empty
+    else fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName).sorted
+}
+
+/** Session facade: entry point mirroring the reference's single
+  * node-process bundling membership+SDFS+MapleJuice (`main` in
+  * `MapleJuice.java:934-990`) — here just configuration + facades. */
+final class Grapefruit(val spark: SparkSession, sdfsRoot: String) {
+  val sdfs = new Sdfs(spark, sdfsRoot)
+  def table(dir: String, name: String): DataFrame = Tables(spark, dir, name)
+}
