@@ -3,8 +3,8 @@ package graft.ext
 import graft.queries.Q
 
 /** Extension query registry (LLM-data-pipeline operators): dedup,
-  * similarity search, text analysis, multimodal plumbing. Populated
-  * incrementally; see Dedup / TextAnalysis / Similarity / Multimodal. */
+  * similarity search, text analysis, multimodal plumbing. */
 object Ext {
-  def queries: Seq[Q] = Seq.empty
+  def queries: Seq[Q] =
+    Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries
 }

@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+import graft.engine.Tables
+import graft.functions.VecOps.{vec_dot, vec_norm2}
+import graft.queries.Q
+
+/** Similarity search + embedding near-dup over `embeddings`
+  * (64-dim float vectors).
+  *
+  * Cosine is computed with the codegen'd [[graft.functions.VecDot]]
+  * expression — a strict left-to-right fold, so the DuckDB oracles'
+  * sequential `list_reduce` computes the bit-identical double.
+  *
+  * Scale design:
+  *   - brute-force top-k keeps the small query side broadcast, scans
+  *     the corpus once, and avoids a global sort via per-query
+  *     windowed top-k (partial top-k per partition under AQE);
+  *   - the LSH path buckets vectors by 8 random-hyperplane sign bits
+  *     (deterministic literal planes) so candidate generation is an
+  *     equi-join on the bucket key — the pattern that survives 1000
+  *     executors; re-ranking is exact cosine within buckets only.
+  */
+object Similarity {
+
+  /** Deterministic ±1 hyperplanes: 8 planes × 64 dims, seed 42. */
+  val planes: Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(42)
+    Seq.fill(8)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(vec_norm2(col("e"))))
+
+  /** DuckDB: double-cast embedding + norm, as CTE body. */
+  private val duckEmb =
+    """SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |    (acc, x) -> acc + x)) AS nrm
+      |FROM embeddings""".stripMargin
+
+  /** DuckDB sequential dot of two double-list columns. */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  private def cosine(aE: Column, aN: Column, bE: Column, bN: Column): Column =
+    vec_dot(aE, bE) / (aN * bN)
+
+  /** Spark-side sign-bucket from the literal planes (codegen'd dots). */
+  private def bucketCol: Column = {
+    val bits = planes.map { p =>
+      // D suffix: plain 1.0 would parse as DECIMAL(2,1), not DOUBLE
+      val lit = p.map(d => s"${d}D").mkString("array(", ", ", ")")
+      when(vec_dot(col("e"), expr(lit)) > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  private def duckBucket: String =
+    planes.map { p =>
+      val lit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN ${duckDot("e", lit)} > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  val queries: Seq[Q] = Seq(
+
+    // ── embedding-cosine near-dup: same-label blocking + threshold ──
+    Q("q_dedup_embed",
+      (s, dir) => {
+        val v = emb(s, dir).select("vec_id", "label", "e", "nrm")
+        val a = v.as("a")
+        val b = v.as("b")
+        a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos",
+            cosine(col("a.e"), col("a.nrm"), col("b.e"), col("b.nrm")))
+          .filter(col("cos") >= 0.4)
+          .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
+          .orderBy("id1", "id2")
+      },
+      Some(
+        s"""WITH v AS ($duckEmb),
+           |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+           |  ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+           |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+           |SELECT id1, id2, cos FROM p WHERE cos >= 0.4
+           |ORDER BY id1, id2""".stripMargin)),
+
+    // ── brute-force cosine top-k (the exact baseline) ──
+    Q("q_ann_bruteforce",
+      (s, dir) => {
+        val v = emb(s, dir).select("vec_id", "e", "nrm")
+        val q = v.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+        val joined = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        joined.withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        s"""WITH v AS ($duckEmb),
+           |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 8),
+           |p AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  FROM v JOIN q ON v.vec_id <> q.query_id),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+           |    AS rnk FROM p)
+           |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 10
+           |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ── LSH-bucketed ANN (the scale path: equi-join on sign bucket) ──
+    Q("q_ann_lsh",
+      (s, dir) => {
+        val v = emb(s, dir).withColumn("bucket", bucketCol)
+          .select("vec_id", "e", "nrm", "bucket")
+        val q = v.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"),
+            col("nrm").as("qn"), col("bucket"))
+        val cand = v.join(q, Seq("bucket")).filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        cand.withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        s"""WITH v0 AS ($duckEmb),
+           |v AS (SELECT vec_id, e, nrm, $duckBucket AS bucket FROM v0),
+           |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket
+           |      FROM v WHERE vec_id < 64),
+           |p AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  FROM v JOIN q USING (bucket) WHERE v.vec_id <> q.query_id),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+           |    AS rnk FROM p)
+           |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin))
+  )
+}

@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.queries.Q
+
+/** Text-analysis operators: language-ID (n-gram profile scoring),
+  * quality scoring (length/stopword/punctuation ratios), token
+  * counting (whitespace + BPE-ish regex), and rolling-hash document
+  * fingerprinting.
+  *
+  * All per-document (embarrassingly parallel — no shuffle except the
+  * final deterministic orderBy), all pure Catalyst expressions, all
+  * arithmetic exact-integer or single-rounding double so the DuckDB
+  * oracle computes bit-identical values.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Occurrences of literal `pat` in `col` via the replace trick —
+    * identical semantics in Spark and DuckDB. */
+  private def occSql(c: String, pat: String): String =
+    s"(length($c) - length(replace($c, '$pat', ''))) / ${pat.length}"
+
+  /** Per-language character-bigram profiles for the heuristic n-gram
+    * language scorer (top function-word bigrams per language). */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("ch", "ei", "en", "de"),
+    "en" -> Seq("th", "he", "in", "er"),
+    "es" -> Seq("la", "os", "es", "ar"),
+    "fr" -> Seq("le", "re", "ou", "ai"),
+    "zh" -> Seq("sh", "ng", "zh", "ia"))
+
+  /** Small stopword list used by the quality score. */
+  val stopwords: Seq[String] = Seq("a", "the", "of", "to", "and", "in")
+
+  val queries: Seq[Q] = Seq(
+
+    // ── language ID: argmax of bigram-profile scores (first wins ties) ──
+    Q("q_text_langid",
+      (s, dir) => {
+        val scores = profiles.map { case (l, pats) =>
+          l -> pats.map(p => s"(${occSql("text", p)})").mkString(" + ")
+        }
+        // tie-break = first language in declared order with max score
+        val pred = scores.map { case (l, sc) =>
+          val geAll = scores.map(o => s"($sc) >= (${o._2})").mkString(" AND ")
+          s"WHEN $geAll THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE '??' END")
+        docs(s, dir)
+          .select(
+            col("doc_id") +: col("lang").as("actual") +:
+              scores.map { case (l, sc) => expr(sc).cast("double").as(s"score_$l") } :+
+              expr(pred).as("predicted"): _*)
+          .withColumn("hit", (col("predicted") === col("actual")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val scores = profiles.map { case (l, pats) =>
+          l -> pats.map(p => s"(${occSql("text", p)})").mkString(" + ")
+        }
+        val scoreCols = scores.map { case (l, sc) => s"CAST($sc AS DOUBLE) AS score_$l" }
+          .mkString(", ")
+        val pred = scores.map { case (l, sc) =>
+          val geAll = scores.map(o => s"($sc) >= (${o._2})").mkString(" AND ")
+          s"WHEN $geAll THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE '??' END")
+        s"""SELECT doc_id, lang AS actual, $scoreCols, $pred AS predicted,
+           |CAST($pred = lang AS INT) AS hit
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── quality score: length / stopword / punctuation heuristics ──
+    Q("q_text_quality",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("n_words", expr("size(ws)").cast("long"))
+          .withColumn("stop_cnt",
+            expr(s"size(filter(ws, w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")})))")
+              .cast("long"))
+          .withColumn("punct_cnt",
+            expr("length(text) - length(regexp_replace(text, '[.!?,;]', ''))").cast("long"))
+          .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_words"))
+          .withColumn("quality",
+            expr("CASE WHEN n_words >= 20 THEN 0.5 ELSE 0.0 END") +
+              col("stop_ratio") * 2.0 -
+              col("punct_cnt").cast("double") / col("n_chars"))
+          .select("doc_id", "n_words", "stop_cnt", "punct_cnt", "stop_ratio", "quality")
+          .orderBy("doc_id"),
+      Some {
+        val sw = stopwords.map("'" + _ + "'").mkString(",")
+        s"""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws,
+           |  CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS BIGINT)
+           |    AS punct_cnt
+           |  FROM documents),
+           |m AS (SELECT doc_id, n_chars, punct_cnt,
+           |  CAST(len(ws) AS BIGINT) AS n_words,
+           |  CAST(len(list_filter(ws, w -> w IN ($sw))) AS BIGINT) AS stop_cnt
+           |  FROM t)
+           |SELECT doc_id, n_words, stop_cnt, punct_cnt,
+           |  CAST(stop_cnt AS DOUBLE) / n_words AS stop_ratio,
+           |  (CASE WHEN n_words >= 20 THEN 0.5 ELSE 0.0 END
+           |    + CAST(stop_cnt AS DOUBLE) / n_words * 2.0
+           |    - CAST(punct_cnt AS DOUBLE) / n_chars) AS quality
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── token counting: whitespace tokens + BPE-ish regex pieces ──
+    Q("q_text_tokens",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("ws_tokens", expr("size(split(text, ' '))").cast("long"))
+          .withColumn("bpe_tokens",
+            expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long"))
+          .select("doc_id", "ws_tokens", "bpe_tokens")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             |  AS bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── rolling-hash document fingerprint (md5-seeded polynomial) ──
+    Q("q_text_fingerprint",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("fp",
+            expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> " +
+              "(acc * 1000003 + CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)) " +
+              "% 1000000007)"))
+          .select("doc_id", "fp")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+             |SELECT doc_id,
+             |list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ws,
+             |  w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)),
+             |  (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fp
+             |FROM t ORDER BY doc_id""".stripMargin))
+  )
+}

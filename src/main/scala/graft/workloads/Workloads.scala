@@ -1,0 +1,100 @@
+package graft.workloads
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.MapleJuice
+
+/** The reference's shipped analytics workloads, re-expressed through
+  * the engine surface with their original semantics (FIXTURES.md §A).
+  * These run under ScalaTest on tiny fixtures; the driver-checked
+  * equivalents over the parquet tables live in `graft.queries.Core`.
+  */
+object Workloads {
+
+  /** Web-graph in-degree count (reference `wg_maple.py` + `wg_juice.py`):
+    * edges `from,to` → keep `to` in [lo, hi] → count in-links per node.
+    * Maple = parse/filter/swap (P1-P3); juice = per-key count (A1). */
+  def webGraphInDegree(edges: Dataset[String], lo: Int, hi: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parsed = MapleJuice.maple(edges) { line =>
+      line.split(",") match {
+        // wg_maple.py:10-15 — skip blanks/malformed, emit (to, from)
+        case Array(from, to) if from.nonEmpty && to.trim.toIntOption.exists(t => t >= lo && t <= hi) =>
+          Some((to.trim, from.trim))
+        case _ => None
+      }
+    }
+    MapleJuice.juiceAgg(parsed.toDF("key", "value"),
+      Seq(col("key")), Seq(count(lit(1)).as("cnt")))
+      .orderBy(col("key").cast("int"))
+  }
+
+  /** Condorcet winner election, two chained MapleJuice jobs
+    * (`win_maple1.py`/`win_juice1.py` → `win_maple2.py`/`win_juice2.py`).
+    *
+    * Stage 1: per ballot `A,B,C` emit all ordered candidate pairs with
+    * canonical key `min#max` and bit 1 iff the first-listed wins
+    * (win_maple1.py:15-22); majority per pair → `(winner, loser)`
+    * (win_juice1.py:10-32).
+    * Stage 2: count dominations per candidate; a candidate dominating
+    * all n-1 others is the Condorcet winner, else all argmax
+    * co-winners tie (win_juice2.py:36-56). */
+  def condorcet(ballots: Dataset[String]): DataFrame = {
+    val spark = ballots.sparkSession
+    import spark.implicits._
+
+    // stage 1 maple: pairwise expansion (A3)
+    val pairs = MapleJuice.maple(ballots) { line =>
+      val cs = line.split(",").map(_.trim)
+      if (cs.length != 3 || cs.exists(_.isEmpty)) Iterator.empty
+      else for {
+        i <- cs.indices.iterator
+        j <- (i + 1) until cs.length
+      } yield {
+        val (a, b) = (cs(i), cs(j)) // a ranked above b on this ballot
+        val key = if (a < b) s"$a#$b" else s"$b#$a"
+        val firstWins = if (a < b) 1 else 0
+        (key, firstWins)
+      }
+    }
+
+    // stage 1 juice: majority vote per pair (A4)
+    val dominations = MapleJuice.juice(pairs)(_._1) { (key, votes) =>
+      var ones = 0; var total = 0
+      votes.foreach { v => total += 1; ones += v._2 }
+      val Array(x, y) = key.split("#")
+      // win_juice1.py:29 — strict majority of 1-bits means x beats y
+      if (ones * 2 > total) Iterator((x, y)) else Iterator((y, x))
+    }.toDF("winner", "loser")
+
+    val nCandidates = dominations.select("winner").union(
+      dominations.select("loser")).distinct().count()
+
+    // stage 2: domination count per candidate; threshold n-1 or argmax ties
+    val counts = MapleJuice.juiceAgg(dominations,
+      Seq(col("winner").as("candidate")), Seq(count(lit(1)).as("dominations")))
+    val condorcetW = counts.filter(col("dominations") === lit(nCandidates - 1))
+    val result =
+      if (condorcetW.limit(1).count() > 0)
+        condorcetW.withColumn("kind", lit("condorcet_winner"))
+      else {
+        val mx = counts.agg(max(col("dominations")).as("mx"))
+        counts.join(broadcast(mx), col("dominations") === col("mx"))
+          .select(col("candidate"), col("dominations"))
+          .withColumn("kind", lit("tie_argmax"))
+      }
+    result.orderBy("candidate")
+  }
+
+  /** Hadoop quick-start word count (HADOOP_INSTALL.md §Quick Start). */
+  def wordCount(lines: Dataset[String]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    MapleJuice.maple(lines)(l => l.split("\\s+").iterator.filter(_.nonEmpty))
+      .toDF("word")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSuite
+
+class MapleJuiceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("maple is flatMap: 0..n outputs per input") {
+    val ds = spark.createDataset(Seq("a,1", "bad", "b,2"))
+    val out = MapleJuice.maple(ds) { l =>
+      l.split(",") match {
+        case Array(k, v) => Some((k, v))
+        case _           => None
+      }
+    }.collect().toSet
+    assert(out == Set(("a", "1"), ("b", "2")))
+  }
+
+  test("juice groups all values of a key (reference juice contract)") {
+    val ds = spark.createDataset(Seq(("k1", 1), ("k2", 5), ("k1", 3)))
+    val out = MapleJuice.juice(ds)(_._1) { (k, it) =>
+      Iterator((k, it.map(_._2).sum))
+    }.collect().toMap
+    assert(out == Map("k1" -> 4, "k2" -> 5))
+  }
+
+  test("maple∘juice ≡ groupBy.sum on arbitrary KV sets (ScalaCheck)") {
+    val kvGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(-50, 50)))
+    val prop = Prop.forAll(kvGen) { kvs =>
+      val ds = spark.createDataset(kvs)
+      val viaEngine = MapleJuice.juice(ds)(_._1) { (k, it) =>
+        Iterator((k, it.map(_._2.toLong).sum))
+      }.collect().toMap
+      val viaSql = ds.toDF("k", "v").groupBy("k").agg(sum("v").as("s"))
+        .as[(String, Long)].collect().toMap
+      viaEngine == viaSql
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("hash and range shuffle produce identical aggregates (D4/D5)") {
+    val df = spark.range(1000).select(
+      (col("id") % 13).as("k"), col("id").as("v"))
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("k").agg(sum("v").as("s")).orderBy("k").collect().toSeq
+    val hash = agg(MapleJuice.shuffle(df, ShuffleOption.Hash, 7, col("k")))
+    val range = agg(MapleJuice.shuffle(df, ShuffleOption.Range, 7, col("k")))
+    val none = agg(df)
+    assert(hash == none && range == none)
+  }
+
+  test("chain composes stages lazily (D7)") {
+    val df = spark.range(100).select((col("id") % 10).as("k"))
+    val out = MapleJuice.chain(df,
+      d => d.groupBy("k").agg(count(lit(1)).as("c")),
+      d => d.groupBy("c").agg(count(lit(1)).as("n")))
+      .collect()
+    assert(out.length == 1 && out(0).getLong(1) == 10) // 10 keys × count 10
+  }
+
+  test("pipeMaple streams lines through an external executable (D1 fidelity)") {
+    val ds = spark.createDataset(Seq("x", "y", "z"))
+    val out = MapleJuice.pipeMaple(ds, Seq("cat")).collect().toSet
+    assert(out == Set("x", "y", "z"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+
+class SdfsSpec extends SparkSuite {
+
+  private def newSdfs(): (Sdfs, java.nio.file.Path) = {
+    val root = Files.createTempDirectory("graft-sdfs")
+    (new Sdfs(spark, root.toString), root)
+  }
+
+  test("put / get / ls / global / delete round-trip (S4-S7)") {
+    val (sdfs, root) = newSdfs()
+    val local = Files.createTempFile("graft", ".txt")
+    Files.writeString(local, "k1,v1\nk2,v2\n")
+
+    sdfs.put(local.toString, "data.txt")
+    assert(sdfs.global() == Seq("data.txt"))
+    assert(sdfs.ls("data.txt").nonEmpty)
+
+    val back = Files.createTempFile("graft-back", ".txt")
+    sdfs.get("data.txt", back.toString)
+    assert(Files.readString(back) == "k1,v1\nk2,v2\n")
+
+    assert(sdfs.delete("data.txt"))
+    assert(sdfs.global().isEmpty)
+  }
+
+  test("putDf / read round-trip for DataFrame sinks (S8)") {
+    import spark.implicits._
+    val (sdfs, _) = newSdfs()
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    sdfs.putDf(df, "kv")
+    val back = sdfs.read("kv").as[(String, Long)].collect().toMap
+    assert(back == Map("a" -> 1L, "b" -> 2L))
+  }
+}

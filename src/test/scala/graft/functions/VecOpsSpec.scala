@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.VecOps.{vec_dot, vec_norm2}
+
+class VecOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("vec_dot matches a sequential fold exactly (codegen path)") {
+    val a = Seq(1.5, -2.0, 3.25, 0.125)
+    val b = Seq(0.5, 4.0, -1.0, 8.0)
+    val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(vec_dot(col("a"), col("b")).as("d"))
+      .as[Double].head()
+    assert(got == expected) // bit-exact, not approx
+  }
+
+  test("vec_dot agrees with the interpreted HOF form on real embeddings") {
+    val df = graft.engine.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(
+        vec_norm2(col("e")).as("fast"),
+        expr("aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+          .as("slow"))
+    val rows = df.as[(Double, Double)].collect()
+    assert(rows.nonEmpty && rows.forall { case (f, s) => f == s })
+  }
+
+  test("vec_dot of mismatched lengths uses the shorter prefix") {
+    val got = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 10.0))).toDF("a", "b")
+      .select(vec_dot(col("a"), col("b")).as("d")).as[Double].head()
+    assert(got == 30.0)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.workloads
+
+import graft.SparkSuite
+
+/** Reference-fidelity tests (FIXTURES.md §A): original web-graph /
+  * ballot / word-count semantics over tiny in-memory fixtures. */
+class WorkloadsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("web-graph in-degree: filter range + swap + count (wg_maple/wg_juice)") {
+    val edges = spark.createDataset(Seq(
+      "1,2", "2,1", "7,3", "42,1", "", "malformed", "9,99"))
+    val out = Workloads.webGraphInDegree(edges, 1, 3)
+      .as[(String, Long)].collect().toMap
+    // in-range targets: 2←1; 1←2,42; 3←7; 99 filtered; blanks skipped
+    assert(out == Map("1" -> 2, "2" -> 1, "3" -> 1))
+  }
+
+  test("condorcet: clear winner dominates all others (win_juice2 threshold)") {
+    // A beats B and C on most ballots; B beats C.
+    val ballots = spark.createDataset(Seq(
+      "A,B,C", "A,C,B", "B,A,C", "A,B,C", "C,A,B"))
+    val rows = Workloads.condorcet(ballots).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("candidate") == "A")
+    assert(rows(0).getAs[String]("kind") == "condorcet_winner")
+  }
+
+  test("condorcet: cycle yields argmax co-winners (win_juice2 ties)") {
+    // rock-paper-scissors: A>B (2 of 3), B>C (2 of 3), C>A (2 of 3)
+    val ballots = spark.createDataset(Seq(
+      "A,B,C", "B,C,A", "C,A,B"))
+    val rows = Workloads.condorcet(ballots).collect()
+    assert(rows.map(_.getAs[String]("kind")).forall(_ == "tie_argmax"))
+    assert(rows.map(_.getAs[String]("candidate")).toSet == Set("A", "B", "C"))
+  }
+
+  test("word count (Hadoop quick-start shape)") {
+    val lines = spark.createDataset(Seq("the quick fox", "the  fox"))
+    val out = Workloads.wordCount(lines).as[(String, Long)].collect().toMap
+    assert(out == Map("the" -> 2, "quick" -> 1, "fox" -> 2))
+  }
+}
