@@ -1,8 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 import graft.engine.Tables
 import graft.queries.Q
@@ -18,36 +17,59 @@ import graft.queries.Q
   * Scale design: every candidate-generation step is an equi-join on a
   * deterministic bucket key (band signature / fingerprint / block key),
   * so at 100 TB each family is shuffle-on-key + per-bucket work — no
-  * quadratic cross join anywhere. Hash functions are md5-based so the
-  * DuckDB oracles compute bit-identical values.
+  * quadratic cross join anywhere. Per-token hashing is ONE md5 (the
+  * dominant interpreted cost), widened to k minhash functions by cheap
+  * linear permutations `(a*h + b) mod p` — the classic construction —
+  * and to simhash bits by bit extraction. All integer arithmetic, so
+  * the DuckDB oracles compute bit-identical values.
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles of `text` as a Column.
+  /** Mersenne prime 2^31-1: products a*h stay under 2^63. */
+  private val P = 2147483647L
+
+  /** Fixed (a, b) pairs for the k=8 linear minhash permutations. */
+  val perms: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (69069L, 362437L), (1664525L, 1013904223L),
+    (22695477L, 7777L), (134775813L, 1L), (214013L, 2531011L),
+    (16843009L, 826366247L), (1588635695L, 99991L))
+
+  val nBands = 4 // bands of r = 2 rows over the 8 minhashes
+
+  // ── shared building blocks (Spark SQL expr strings) ──
+
+  /** Distinct word-3-gram shingles from a precomputed `ws` array.
     * 31-word vocabulary makes unigrams degenerate (every doc shares
     * most words); 3-gram shingles discriminate near-dups cleanly. */
-  private val shinglesSql =
-    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
-      "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
-      "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2))))"
-  // DuckDB twin (1-based list indexing; range(1, n) = [1 .. n-1])
-  private val shinglesDuck =
+  private val gsSpark =
+    "array_distinct(transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+      "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"
+  private val gsDuck =
     "list_distinct(list_transform(range(1, greatest(len(ws) - 1, 2)), " +
       "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+
+  /** One 32-bit integer hash per element: first 8 hex chars of md5.
+    * Sorted so the codegen'd merge-walk intersect can be used; every
+    * consumer (min, band, intersect count) is order-insensitive. */
+  private val hsSpark =
+    s"array_sort(array_distinct(transform(gs, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))))"
+  private val hsDuck =
+    s"list_distinct(list_transform(gs, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT))"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** MinHash signature i: lexicographic min of md5("s<i>:" ++ shingle).
-    * String-min over hex digests == min-hash with independent hash
-    * fns; identical in Spark and DuckDB. */
-  private def mh(i: Int): String =
-    s"array_min(transform(gs, t -> md5(concat('s$i:', t)))) "
-  private def mhDuck(i: Int): String =
-    s"list_min(list_transform(gs, t -> md5('s$i:' || t)))"
+  /** documents → (doc_id, hs) with shingle-hash array, built once. */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("gs", expr(gsSpark))
+      .withColumn("hs", expr(hsSpark))
 
-  val nHashes = 8
-  val nBands = 4 // bands of r=2 rows
+  private val duckHashedShingles =
+    s"""tk AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, lang, n_chars, $gsDuck AS gs FROM tk),
+       |h AS (SELECT doc_id, lang, n_chars, $hsDuck AS hs FROM g)""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -64,14 +86,17 @@ object Dedup {
     // ── MinHash + LSH: candidate near-dup pairs via band-bucket equi-join ──
     Q("q_dedup_minhash",
       (s, dir) => {
-        val g = docs(s, dir).withColumn("gs", expr(shinglesSql))
-        val sig = g.select(
+        val sig = hashedShingles(s, dir).select(
           col("doc_id") +:
-            (0 until nHashes).map(i => expr(mh(i)).as(s"m$i")): _*)
+            perms.zipWithIndex.map { case ((a, b), i) =>
+              expr(s"array_min(transform(hs, h -> ($a * h + $b) % $P))").as(s"m$i")
+            }: _*)
         val bands = sig.select(
             col("doc_id"),
             posexplode(array((0 until nBands).map(b =>
-              md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))): _*)))
+              concat_ws("_",
+                col(s"m${2 * b}").cast("string"),
+                col(s"m${2 * b + 1}").cast("string"))): _*)))
           .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
         val a = bands.as("a")
         val b = bands.as("b")
@@ -83,11 +108,14 @@ object Dedup {
           .orderBy("id1", "id2")
       },
       Some {
-        val mhs = (0 until nHashes).map(i => s"${mhDuck(i)} AS m$i").mkString(", ")
-        val bandList = (0 until nBands).map(b => s"md5(m${2 * b} || m${2 * b + 1})").mkString(", ")
-        s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-           |g AS (SELECT doc_id, $shinglesDuck AS gs FROM tk),
-           |mh AS (SELECT doc_id, $mhs FROM g),
+        val mhs = perms.zipWithIndex.map { case ((a, b), i) =>
+          s"list_min(list_transform(hs, h -> ($a * h + $b) % $P)) AS m$i"
+        }.mkString(", ")
+        val bandList = (0 until nBands)
+          .map(b => s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR")
+          .mkString(", ")
+        s"""WITH $duckHashedShingles,
+           |mh AS (SELECT doc_id, $mhs FROM h),
            |bands AS (SELECT doc_id, unnest([$bandList]) AS sig,
            |          unnest(range($nBands)) AS band FROM mh)
            |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -97,18 +125,19 @@ object Dedup {
       }),
 
     // ── SimHash: 16-bit token-vote fingerprint, cluster by fingerprint ──
+    // One md5 per token; bit i of the fingerprint = sign of the sum of
+    // (2*bit_i(token_hash) - 1) votes.
     Q("q_dedup_simhash",
       (s, dir) => {
-        val bitExprs = (0 until 16).map { i =>
-          // hex digit i of md5(token): odd → +1 vote, even → -1
-          s"aggregate(ws, 0, (acc, t) -> acc + (CASE WHEN " +
-            s"(instr('0123456789abcdef', substr(md5(t), ${i + 1}, 1)) - 1) % 2 = 1 " +
-            s"THEN 1 ELSE -1 END))"
-        }
-        val fp = bitExprs.map(e => s"(CASE WHEN ($e) > 0 THEN '1' ELSE '0' END)")
-          .mkString("concat(", ", ", ")")
+        val fp = (0 until 16).map { i =>
+          s"(CASE WHEN aggregate(ht, 0, (acc, h) -> acc + " +
+            s"(CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+            s"THEN '1' ELSE '0' END)"
+        }.mkString("concat(", ", ", ")")
         docs(s, dir)
           .withColumn("ws", split(col("text"), " "))
+          .withColumn("ht",
+            expr("transform(ws, w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT))"))
           .withColumn("fp", expr(fp))
           .groupBy(col("fp"))
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
@@ -116,50 +145,49 @@ object Dedup {
           .orderBy("fp")
       },
       Some {
-        val bitExprs = (0 until 16).map { i =>
-          s"list_sum(list_transform(ws, t -> CASE WHEN " +
-            s"(strpos('0123456789abcdef', substr(md5(t), ${i + 1}, 1)) - 1) % 2 = 1 " +
-            s"THEN 1 ELSE -1 END))"
-        }
-        val fp = bitExprs.map(e => s"(CASE WHEN ($e) > 0 THEN '1' ELSE '0' END)")
-          .mkString(" || ")
+        val fp = (0 until 16).map { i =>
+          s"(CASE WHEN list_sum(list_transform(ht, h -> " +
+            s"CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+            s"THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-           |f AS (SELECT doc_id, $fp AS fp FROM t)
+           |ht AS (SELECT doc_id, list_transform(ws,
+           |  w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS ht FROM t),
+           |f AS (SELECT doc_id, $fp AS fp FROM ht)
            |SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
            |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
       }),
 
     // ── n-gram Jaccard: blocked pair join + exact set similarity ──
     // Blocking key (lang, n_chars div 100) keeps the join equi — lossy
-    // at block boundaries by design; candidate count stays linear-ish.
+    // at block boundaries by design. Intersection runs on the int
+    // shingle hashes, not strings.
     Q("q_dedup_ngram",
       (s, dir) => {
-        val g = docs(s, dir)
-          .withColumn("gs", expr(shinglesSql))
+        val g = hashedShingles(s, dir)
           .withColumn("blk", expr("n_chars div 100"))
-          .select(col("doc_id"), col("lang"), col("blk"), col("gs"))
+          .select(col("doc_id"), col("lang"), col("blk"), col("hs"))
         val a = g.as("a")
         val b = g.as("b")
         a.join(b,
             col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
               col("a.doc_id") < col("b.doc_id"))
           .withColumn("inter",
-            expr("size(array_intersect(a.gs, b.gs))"))
+            graft.functions.VecOps.sorted_intersect_count(col("a.hs"), col("b.hs")))
           .withColumn("jac",
             col("inter").cast("double") /
-              (expr("size(a.gs)") + expr("size(b.gs)") - col("inter")))
+              (expr("size(a.hs)") + expr("size(b.hs)") - col("inter")))
           .filter(col("jac") >= 0.8)
           .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"), col("jac"))
           .orderBy("id1", "id2")
       },
       Some(
-        s"""WITH tk AS (SELECT doc_id, lang, n_chars // 100 AS blk,
-           |            string_split(text, ' ') AS ws FROM documents),
-           |g AS (SELECT doc_id, lang, blk, $shinglesDuck AS gs FROM tk),
+        s"""WITH $duckHashedShingles,
+           |blk AS (SELECT doc_id, lang, n_chars // 100 AS blk, hs FROM h),
            |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-           |  len(list_filter(a.gs, x -> list_contains(b.gs, x))) AS inter,
-           |  len(a.gs) AS la, len(b.gs) AS lb
-           |  FROM g a JOIN g b
+           |  len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS inter,
+           |  len(a.hs) AS la, len(b.hs) AS lb
+           |  FROM blk a JOIN blk b
            |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
            |SELECT id1, id2, CAST(inter AS DOUBLE) / (la + lb - inter) AS jac
            |FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8

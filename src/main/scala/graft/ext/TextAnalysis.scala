@@ -41,37 +41,42 @@ object TextAnalysis {
   val queries: Seq[Q] = Seq(
 
     // ── language ID: argmax of bigram-profile scores (first wins ties) ──
+    // Scores are materialized once as columns; the argmax CASE only
+    // references them (the naive form re-evaluates every replace-chain
+    // per CASE branch — 25x the work).
     Q("q_text_langid",
       (s, dir) => {
-        val scores = profiles.map { case (l, pats) =>
-          l -> pats.map(p => s"(${occSql("text", p)})").mkString(" + ")
-        }
+        val langs = profiles.map(_._1)
         // tie-break = first language in declared order with max score
-        val pred = scores.map { case (l, sc) =>
-          val geAll = scores.map(o => s"($sc) >= (${o._2})").mkString(" AND ")
+        val pred = langs.map { l =>
+          val geAll = langs.map(o => s"score_$l >= score_$o").mkString(" AND ")
           s"WHEN $geAll THEN '$l'"
         }.mkString("CASE ", " ", " ELSE '??' END")
         docs(s, dir)
           .select(
             col("doc_id") +: col("lang").as("actual") +:
-              scores.map { case (l, sc) => expr(sc).cast("double").as(s"score_$l") } :+
-              expr(pred).as("predicted"): _*)
+              profiles.map { case (l, pats) =>
+                val sc = pats.map(p => s"(${occSql("text", p)})").mkString(" + ")
+                expr(sc).cast("double").as(s"score_$l")
+              }: _*)
+          .withColumn("predicted", expr(pred))
           .withColumn("hit", (col("predicted") === col("actual")).cast("int"))
           .orderBy("doc_id")
       },
       Some {
-        val scores = profiles.map { case (l, pats) =>
-          l -> pats.map(p => s"(${occSql("text", p)})").mkString(" + ")
-        }
-        val scoreCols = scores.map { case (l, sc) => s"CAST($sc AS DOUBLE) AS score_$l" }
-          .mkString(", ")
-        val pred = scores.map { case (l, sc) =>
-          val geAll = scores.map(o => s"($sc) >= (${o._2})").mkString(" AND ")
+        val langs = profiles.map(_._1)
+        val scoreCols = profiles.map { case (l, pats) =>
+          val sc = pats.map(p => s"(${occSql("text", p)})").mkString(" + ")
+          s"CAST($sc AS DOUBLE) AS score_$l"
+        }.mkString(", ")
+        val pred = langs.map { l =>
+          val geAll = langs.map(o => s"score_$l >= score_$o").mkString(" AND ")
           s"WHEN $geAll THEN '$l'"
         }.mkString("CASE ", " ", " ELSE '??' END")
-        s"""SELECT doc_id, lang AS actual, $scoreCols, $pred AS predicted,
-           |CAST($pred = lang AS INT) AS hit
-           |FROM documents ORDER BY doc_id""".stripMargin
+        s"""WITH sc AS (SELECT doc_id, lang AS actual, $scoreCols FROM documents)
+           |SELECT doc_id, actual, ${langs.map(l => s"score_$l").mkString(", ")},
+           |$pred AS predicted, CAST(($pred) = actual AS INT) AS hit
+           |FROM sc ORDER BY doc_id""".stripMargin
       }),
 
     // ── quality score: length / stopword / punctuation heuristics ──
@@ -126,14 +131,17 @@ object TextAnalysis {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ── rolling-hash document fingerprint (md5-seeded polynomial) ──
+    // Token hashes materialize once (transform), the fold is then pure
+    // integer arithmetic.
     Q("q_text_fingerprint",
       (s, dir) =>
         docs(s, dir)
           .withColumn("ws", split(col("text"), " "))
+          .withColumn("hw",
+            expr("transform(ws, w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT))"))
           .withColumn("fp",
-            expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> " +
-              "(acc * 1000003 + CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)) " +
-              "% 1000000007)"))
+            expr("aggregate(hw, CAST(0 AS BIGINT), (acc, x) -> " +
+              "(acc * 1000003 + x) % 1000000007)"))
           .select("doc_id", "fp")
           .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)

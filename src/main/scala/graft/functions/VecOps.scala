@@ -54,6 +54,55 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements between two SORTED arrays of distinct
+  * longs, as a codegen'd merge walk.
+  *
+  * Why custom: `size(array_intersect(a, b))` builds a hash set per
+  * row pair (interpreted, allocation-heavy) — at 100 TB the Jaccard
+  * verification step runs this per candidate pair, making it the
+  * dedup pipeline's hot path. A merge walk over pre-sorted int arrays
+  * is allocation-free and whole-stage-codegen'd. Callers sort once
+  * per document (`array_sort`), amortized over all its pairs.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $n++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecOps {
   /** Column API: dot product over array<double> columns. */
   def vec_dot(a: Column, b: Column): Column =
@@ -61,4 +110,9 @@ object VecOps {
 
   /** Squared L2 norm (dot with self). */
   def vec_norm2(a: Column): Column = vec_dot(a, a)
+
+  /** Intersection cardinality of two sorted distinct array<long>. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    GraftBridge.column(
+      SortedIntersectCount(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -91,10 +91,14 @@ object Core {
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ── D4: hash shuffle — explicit repartition must not change results ──
+    // Project to the two needed columns BEFORE the shuffle: never move
+    // full-width rows through a repartition you control.
     Q("q_hash_partition_agg",
       (s, dir) =>
         MapleJuice.juiceAgg(
-            MapleJuice.shuffle(t(s, dir, "lineitem"), ShuffleOption.Hash, 32, col("l_suppkey")),
+            MapleJuice.shuffle(
+              t(s, dir, "lineitem").select(col("l_suppkey"), col("l_extendedprice")),
+              ShuffleOption.Hash, 32, col("l_suppkey")),
             Seq(col("l_suppkey")),
             Seq(dsum(col("l_extendedprice"), 2, "sum_price"), count(lit(1)).as("cnt")))
           .orderBy("l_suppkey"),

@@ -29,6 +29,18 @@ class VecOpsSpec extends SparkSuite {
     assert(rows.nonEmpty && rows.forall { case (f, s) => f == s })
   }
 
+  test("sorted_intersect_count matches array_intersect semantics") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(4L), Seq(4L))).toDF("a", "b")
+    val got = df.select(
+      VecOps.sorted_intersect_count(col("a"), col("b")).as("fast"),
+      expr("CAST(size(array_intersect(a, b)) AS BIGINT)").as("ref"))
+      .as[(Long, Long)].collect()
+    assert(got.forall { case (f, r) => f == r }, got.toSeq.toString)
+  }
+
   test("vec_dot of mismatched lengths uses the shorter prefix") {
     val got = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 10.0))).toDF("a", "b")
       .select(vec_dot(col("a"), col("b")).as("d")).as[Double].head()
