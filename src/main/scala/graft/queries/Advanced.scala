@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.engine.Tables
+
+/** Capability-parity operators beyond the reference's own surface:
+  * exact count-distinct, rollup/grouping sets, pivot, as-of join,
+  * sessionization, exact percentiles. Each keeps the scale-safe shape
+  * (single keyed shuffle, broadcast dims, no driver loops).
+  */
+object Advanced {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+
+    // ── exact multi-column count-distinct (Expand-based) ──
+    Q("q_count_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+               countDistinct(col("l_partkey")).as("n_part"),
+               count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+             |count(DISTINCT l_partkey) AS n_part, count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ── rollup with grouping_id (SQL-standard bitmask both engines) ──
+    Q("q_rollup",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"), grouping_id().as("gid"))
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("r"),
+            coalesce(col("n_name"), lit("ALL")).as("n"),
+            col("gid").cast(LongType).as("gid"), col("n_cust"))
+          .orderBy("gid", "r", "n"),
+      Some("""SELECT coalesce(r_name, 'ALL') AS r, coalesce(n_name, 'ALL') AS n,
+             |CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid, count(*) AS n_cust
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name) ORDER BY gid, r, n""".stripMargin)),
+
+    // ── pivot (wide conditional aggregation) ──
+    Q("q_pivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+             |CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+             |CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // ── as-of join: latest order at-or-before each event's timestamp ──
+    // Scalable shape: tag + union + ONE keyed shuffle + running
+    // last_value — no per-row subquery, no range join. Ties on
+    // (customer, date) break by max o_orderkey, mirrored in the oracle.
+    Q("q_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          col("event_id"), col("user_id").as("k"), col("ts").as("t"),
+          lit(null).cast(LongType).as("okey"), lit(1).as("tag"))
+        val or = t(s, dir, "orders").select(
+          lit(null).cast(LongType).as("event_id"), col("o_custkey").as("k"),
+          col("o_orderdate").as("t"), col("o_orderkey").as("okey"), lit(0).as("tag"))
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("t"), col("tag"), col("okey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        or.unionByName(ev)
+          .withColumn("last_order", last(col("okey"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("k").as("user_id"), col("last_order"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |(SELECT o.o_orderkey FROM orders o
+             | WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+             | ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order
+             |FROM events e ORDER BY event_id""".stripMargin)),
+
+    // ── sessionization: 30-min-gap sessions per user (lag + cum-sum) ──
+    Q("q_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+              (unix_micros(col("ts")) - unix_micros(col("prev")) > 1800L * 1000000L), 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_s")).over(wRun))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+               min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts,
+             |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |y AS (SELECT user_id, event_id, ts,
+             |  CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+             |       THEN 1 ELSE 0 END AS new_s FROM x),
+             |z AS (SELECT user_id, ts,
+             |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM y)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+             |FROM z GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
+
+    // ── exact interpolated percentiles (R-7 / SQL-standard cont) ──
+    Q("q_percentile",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+               expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |quantile_cont(l_quantity, 0.5) AS med_qty,
+             |quantile_cont(l_quantity, 0.9) AS p90_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  )
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: the engine's event-time operators as
+  * streams. The reference has no streaming (SURVEY §2.11); this is
+  * part of the forward-looking extension surface. Batch queries
+  * (`q_event_window`, `q_sessionize`) define the semantics; these
+  * stream versions are tested for batch-equivalence on static input.
+  *
+  * Scale notes: watermark bounds state; the windowed agg shuffles
+  * partial aggregates only; session state is per-key and O(1) per
+  * event (`mapGroupsWithState`), the standard pattern for million-key
+  * session tracking on a real cluster.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over a directory of event parquet files
+    * (files appearing in the dir == arriving micro-batches). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1-day count/sum per event_type with a 1-hour watermark —
+    * the streaming twin of `q_event_window`. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class SessionOut(user_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Stateful sessionizer: 30-min inactivity gap closes a session —
+    * the streaming twin of `q_sessionize`, via `flatMapGroupsWithState`.
+    * Emits sessions as they close (a newer event beyond the gap).
+    *
+    * `evictWithTimeout = true` additionally registers a processing-time
+    * timeout so idle keys flush their last open session and free state
+    * — required for unbounded keyspaces in production, but it keeps
+    * the query permanently "live" (a micro-batch per trigger even with
+    * no data), so one-shot/AvailableNow runs should leave it off. */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Long = 30,
+      evictWithTimeout: Boolean = false): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, evs: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, s.n, s.start, s.end))
+      }
+      val sorted = evs.map(e => e.ts.getTime * 1000L).toArray.sorted
+      var closed = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { t =>
+        cur match {
+          case Some(s) if t - s.end <= gapUs =>
+            cur = Some(s.copy(end = t, n = s.n + 1))
+          case Some(s) =>
+            closed ::= SessionOut(userId, s.n, s.start, s.end)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        if (evictWithTimeout) state.setTimeoutDuration(gapMinutes * 60L * 1000L)
+      }
+      closed.reverseIterator
+    }
+
+    val timeoutConf =
+      if (evictWithTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
+  }
+}

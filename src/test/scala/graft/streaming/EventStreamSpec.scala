@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+import graft.engine.Tables
+
+class EventStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming daily counts == batch q_event_window counts") {
+    // stage the static events table as a "stream" directory
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.dailyCounts(EventStream.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("daily_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("daily_out")
+      .select(col("day"), col("event_type"), col("cnt"))
+      .as[(java.sql.Date, String, Long)].collect().toSet
+    val batch = Tables(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(java.sql.Date, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionizer closes sessions on gap (mapGroupsWithState)") {
+    import EventStream.SessionEvent
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: events at 0,10,20 min (one session), then 60,65 (second)
+    val evs = Seq(
+      SessionEvent(1L, ts(0)), SessionEvent(1L, ts(10)), SessionEvent(1L, ts(20)),
+      SessionEvent(1L, ts(60)), SessionEvent(1L, ts(65)),
+      SessionEvent(2L, ts(5)))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent](
+      spark)
+    input.addData(evs)
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(120000)
+      // first session of user 1 closes when the 60-min event arrives
+      val closed = spark.table("sessions_out")
+        .as[EventStream.SessionOut].collect()
+      assert(closed.exists(s => s.user_id == 1L && s.n_events == 3 &&
+        s.start_us == 0L && s.end_us == 20L * 60L * 1000000L))
+    } finally q.stop()
+  }
+}
