@@ -83,6 +83,23 @@ object MapleJuice {
   def chain(df: DataFrame, stages: (DataFrame => DataFrame)*): DataFrame =
     stages.foldLeft(df)((acc, f) => f(acc))
 
+  /** Skew-resistant equi join: replicate the (small) build side `salt`
+    * ways and scatter the probe side deterministically, so one hot key
+    * spreads over `salt` reducers instead of melting one executor.
+    * Results are identical to a plain equi join — salting is purely a
+    * partitioning concern (the reference's hash shuffle D4 had the same
+    * single-hot-bucket failure mode, unaddressed). AQE's skew-join
+    * handles sort-merge skew automatically; this helper is for the
+    * hash-partitioned aggregate/join shapes AQE can't rewrite. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: Column,
+      buildKey: Column, salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt > 0)
+    val p = probe.withColumn("__salt_p", pmod(hash(probeKey), lit(salt)))
+    val b = build.withColumn("__salt_b", explode(array((0 until salt).map(lit(_)): _*)))
+    p.join(b, probeKey === buildKey && col("__salt_p") === col("__salt_b"), joinType)
+      .drop("__salt_p", "__salt_b")
+  }
+
   /** External-executable compatibility shim: stream a partition's lines
     * through a subprocess, one line in / 0..n lines out — the literal
     * equivalent of the reference's `python3 exe` fork

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
-import graft.engine.Tables
+import graft.engine.{MapleJuice, Tables}
 
 /** Capability-parity operators beyond the reference's own surface:
   * exact count-distinct, rollup/grouping sets, pivot, as-of join,
@@ -123,6 +123,22 @@ object Advanced {
              |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
              |count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
              |FROM z GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
+
+    // ── salted join: skew-safe partitioning, result == plain join ──
+    Q("q_join_salted",
+      (s, dir) =>
+        MapleJuice.saltedJoin(
+            t(s, dir, "lineitem").select(col("l_suppkey"), col("l_extendedprice")),
+            t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey"), col("s_suppkey"), salt = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+               sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+          .orderBy("s_nationkey"),
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
     // ── exact interpolated percentiles (R-7 / SQL-standard cont) ──
     Q("q_percentile",
