@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{Grapefruit, MapleJuice, ShuffleOption}
+
+/** Command-line surface mirroring the reference's node CLI
+  * (`MapleJuice.java:996-1049`): storage verbs + maple/juice jobs over
+  * external executables.
+  *
+  * Usage: `graft.Cli <sdfsRoot> <command> [args...]`
+  *
+  *   put <localPath> <name>          — SdfsServer.java:235 (S4)
+  *   get <name> <localPath>          — SdfsServer.java:450 (S5)
+  *   delete <name>                   — SdfsServer.java:379 (S6)
+  *   ls <name> | store | global      — SdfsServer.java:181-232 (S7)
+  *   maple <exe> <numTasks> <sifPrefix> <srcDir> [exeArgs...]
+  *   juice <exe> <numTasks> <sifPrefix> <destName> <delete 0|1> <hash|range>
+  *
+  * Executables follow the Hadoop-streaming contract (stdin lines →
+  * stdout lines; juice sees `key,value` sorted by key). The
+  * reference's batch-argv / file-per-key conventions are subsumed by
+  * streaming + the in-engine shuffle; examples in `scripts/exes/`.
+  */
+object Cli {
+
+  def run(spark: SparkSession, root: String, cmd: Seq[String]): Unit = {
+    import spark.implicits._
+    val gf = new Grapefruit(spark, root)
+    cmd match {
+      case Seq("put", local, name)  => gf.sdfs.put(local, name); println(s"put $name")
+      case Seq("get", name, local)  => gf.sdfs.get(name, local); println(s"get $name -> $local")
+      case Seq("delete", name)      => println(s"deleted=${gf.sdfs.delete(name)}")
+      case Seq("ls", name)          => gf.sdfs.ls(name).foreach(println)
+      case Seq("store")             => gf.sdfs.store().foreach(println)
+      case Seq("global")            => gf.sdfs.global().foreach(println)
+
+      case "maple" +: exe +: n +: prefix +: srcDir +: exeArgs =>
+        val lines = spark.read.textFile(s"$root/$srcDir")
+        val out = MapleJuice.pipeMaple(
+          lines.repartition(n.toInt), Seq("python3", exe) ++ exeArgs)
+        out.write.mode("overwrite").text(s"$root/$prefix")
+        println(s"maple done -> $prefix")
+
+      case Seq("juice", exe, n, prefix, dest, del, shuffleOpt) =>
+        val opt = shuffleOpt match {
+          case "range" => ShuffleOption.Range
+          case _       => ShuffleOption.Hash
+        }
+        val kv = spark.read.textFile(s"$root/$prefix").map { l =>
+          val i = l.indexOf(',')
+          if (i < 0) (l, "") else (l.substring(0, i), l.substring(i + 1))
+        }
+        val out = MapleJuice.pipeJuice(kv, Seq("python3", exe), n.toInt, opt)
+        out.write.mode("overwrite").text(s"$root/$dest")
+        if (del == "1") gf.sdfs.delete(prefix)
+        println(s"juice done -> $dest")
+
+      case other =>
+        System.err.println(s"unknown command: ${other.mkString(" ")}")
+        System.err.println("commands: put get delete ls store global maple juice")
+        sys.exit(2)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Cli <sdfsRoot> <command> [args...]")
+      sys.exit(2)
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args(0), args.drop(1).toSeq)
+    finally spark.stop()
+  }
+}

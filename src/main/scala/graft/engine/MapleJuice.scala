@@ -110,15 +110,20 @@ object MapleJuice {
     spark.createDataset(ds.rdd.pipe(command))
   }
 
-  /** External juice: repartition by key so each key's values are
-    * contiguous within a partition, sort, then pipe `key,value` lines
-    * through the executable (reference `MapleJuice.java:645-649`). */
-  def pipeJuice(kv: Dataset[(String, String)], command: Seq[String], numPartitions: Int): Dataset[String] = {
+  /** External juice: partition by key (hash or range, D4/D5) so each
+    * key's values are contiguous within a partition, sort, then pipe
+    * `key,value` lines through the executable — the Hadoop-streaming
+    * reducer contract (reference `MapleJuice.java:645-649` gave the
+    * exe one file per key; the sorted stream subsumes it). */
+  def pipeJuice(kv: Dataset[(String, String)], command: Seq[String],
+      numPartitions: Int, opt: ShuffleOption = ShuffleOption.Hash): Dataset[String] = {
     val spark = kv.sparkSession
     import spark.implicits._
-    val lines = kv.repartition(numPartitions, col("_1"))
-      .sortWithinPartitions("_1")
-      .map { case (k, v) => s"$k,$v" }
+    val parted = opt match {
+      case ShuffleOption.Hash  => kv.repartition(numPartitions, col("_1"))
+      case ShuffleOption.Range => kv.repartitionByRange(numPartitions, col("_1"))
+    }
+    val lines = parted.sortWithinPartitions("_1").map { case (k, v) => s"$k,$v" }
     spark.createDataset(lines.rdd.pipe(command))
   }
 }

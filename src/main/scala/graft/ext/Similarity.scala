@@ -122,6 +122,66 @@ object Similarity {
            |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 10
            |ORDER BY query_id, rnk""".stripMargin)),
 
+    // ── IVF ANN: coarse-quantize to cells, probe nprobe nearest cells ──
+    // Centroids here are a deterministic stand-in (vec_id < 16) for a
+    // trained codebook — the *plumbing* (assignment via broadcast
+    // centroid join + argmax window, candidate gen via cell equi-join,
+    // exact re-rank) is the IVF shape that scales: the corpus is
+    // scanned once for assignment, and queries touch only their probed
+    // cells' partitions.
+    Q("q_ann_ivf",
+      (s, dir) => {
+        val v = emb(s, dir).select("vec_id", "e", "nrm")
+        val c = v.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+        // all (vector, centroid) similarities — broadcast the codebook
+        val sims = v.join(broadcast(c))
+          .withColumn("ccos", cosine(col("e"), col("nrm"), col("ce"), col("cn")))
+          .select("vec_id", "cid", "ccos")
+        val byCos = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid"))
+        val ranked = sims.withColumn("crn", row_number().over(byCos))
+        val assign = ranked.filter(col("crn") === 1).select(col("vec_id"), col("cid"))
+        // queries probe their 2 nearest cells
+        val probes = ranked.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+          .filter(col("crn") <= 2)
+          .select(col("vec_id").as("query_id"), col("cid"))
+        val q = v.select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+        val cand = assign.join(probes, "cid")
+          .filter(col("vec_id") =!= col("query_id"))
+          .join(v, "vec_id").join(q, "query_id")
+          .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        cand.withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        s"""WITH v AS ($duckEmb),
+           |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+           |sims AS (SELECT v.vec_id, c.cid,
+           |  ${duckDot("e", "ce")} / (nrm * cn) AS ccos FROM v CROSS JOIN c),
+           |ranked AS (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+           |  FROM sims),
+           |assign AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
+           |probes AS (SELECT vec_id AS query_id, cid FROM ranked
+           |           WHERE vec_id >= 100 AND vec_id < 108 AND crn <= 2),
+           |cand AS (SELECT p.query_id, a.vec_id FROM assign a JOIN probes p USING (cid)
+           |         WHERE a.vec_id <> p.query_id),
+           |scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
+           |  ${duckDot("qv.e", "nv.e")} / (qv.nrm * nv.nrm) AS cos
+           |  FROM cand
+           |  JOIN v qv ON qv.vec_id = cand.query_id
+           |  JOIN v nv ON nv.vec_id = cand.vec_id),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+           |    AS rnk FROM scored)
+           |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin)),
+
     // ── LSH-bucketed ANN (the scale path: equi-join on sign bucket) ──
     Q("q_ann_lsh",
       (s, dir) => {

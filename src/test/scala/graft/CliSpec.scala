@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+
+class CliSpec extends SparkSuite {
+
+  test("CLI put → maple → juice → get pipeline with external executables") {
+    val root = Files.createTempDirectory("graft-cli").toString
+    val edges = Files.createTempFile("edges", ".txt")
+    Files.writeString(edges, "1,2\n2,1\n7,3\n42,1\n9,99\nbad\n\n5,2\n")
+    val exeDir = new java.io.File("scripts/exes").getAbsolutePath
+
+    Cli.run(spark, root, Seq("put", edges.toString, "graph/edges.txt"))
+    Cli.run(spark, root,
+      Seq("maple", s"$exeDir/wg_maple.py", "4", "wg-int", "graph", "1", "3"))
+    Cli.run(spark, root,
+      Seq("juice", s"$exeDir/wg_juice.py", "4", "wg-int", "wg-out", "1", "hash"))
+
+    val result = spark.read.textFile(s"$root/wg-out").collect().sorted.toSeq
+    assert(result == Seq("1,2", "2,2", "3,1"))
+    // deleteInput=1 removed the intermediates
+    val gf = new graft.engine.Grapefruit(spark, root)
+    assert(gf.sdfs.global() == Seq("graph", "wg-out"))
+  }
+
+  test("juice range shuffle yields the same result as hash") {
+    val root = Files.createTempDirectory("graft-cli-r").toString
+    val edges = Files.createTempFile("edges2", ".txt")
+    Files.writeString(edges, "1,2\n2,1\n7,3\n42,1\n")
+    val exeDir = new java.io.File("scripts/exes").getAbsolutePath
+    Cli.run(spark, root, Seq("put", edges.toString, "g/e.txt"))
+    Cli.run(spark, root, Seq("maple", s"$exeDir/wg_maple.py", "2", "i", "g", "1", "3"))
+    Cli.run(spark, root, Seq("juice", s"$exeDir/wg_juice.py", "2", "i", "o", "0", "range"))
+    val result = spark.read.textFile(s"$root/o").collect().sorted.toSeq
+    assert(result == Seq("1,2", "2,1", "3,1"))
+  }
+}
