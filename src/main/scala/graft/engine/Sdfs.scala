@@ -61,4 +61,9 @@ final class Sdfs(spark: SparkSession, root: String) {
 final class Grapefruit(val spark: SparkSession, sdfsRoot: String) {
   val sdfs = new Sdfs(spark, sdfsRoot)
   def table(dir: String, name: String): DataFrame = Tables(spark, dir, name)
+
+  /** Register every driver test table under `dir` as a temp view, so
+    * the whole engine surface is reachable from `spark.sql(...)`. */
+  def registerTables(dir: String): Unit =
+    Tables.all.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
 }

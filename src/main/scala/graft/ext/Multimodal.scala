@@ -50,6 +50,14 @@ object Multimodal {
     }
   }
 
+  /** Real multimodal ingestion path: a directory of opaque media files
+    * as rows (path, modificationTime, length, content: binary) via
+    * Spark's binaryFile source — at 100 TB the listing parallelizes
+    * and payloads stay distributed; pair with [[extractFeatures]]. */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+
   /** Build an assets table from `documents` (text bytes stand in for
     * media payloads; modality assigned round-robin). */
   def assets(spark: SparkSession, dir: String): Dataset[Asset] = {

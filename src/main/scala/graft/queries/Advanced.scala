@@ -124,6 +124,50 @@ object Advanced {
              |count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
              |FROM z GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
 
+    // ── full outer join with unmatched rows on BOTH sides ──
+    Q("q_join_outer",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("user_id") >= 100)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        val c = t(s, dir, "customer").filter(col("c_custkey") < 120)
+          .select(col("c_custkey"))
+        e.join(c, col("user_id") === col("c_custkey"), "full_outer")
+          .select(
+            coalesce(col("user_id"), col("c_custkey")).as("k"),
+            col("n_events"),
+            when(col("user_id").isNotNull && col("c_custkey").isNotNull, "both")
+              .when(col("user_id").isNotNull, "events_only")
+              .otherwise("customer_only").as("side"))
+          .orderBy("k")
+      },
+      Some("""SELECT coalesce(e.user_id, c.c_custkey) AS k, e.n_events,
+             |CASE WHEN e.user_id IS NOT NULL AND c.c_custkey IS NOT NULL THEN 'both'
+             |     WHEN e.user_id IS NOT NULL THEN 'events_only'
+             |     ELSE 'customer_only' END AS side
+             |FROM (SELECT user_id, count(*) AS n_events FROM events
+             |      WHERE user_id >= 100 GROUP BY user_id) e
+             |FULL JOIN (SELECT c_custkey FROM customer WHERE c_custkey < 120) c
+             |  ON e.user_id = c.c_custkey
+             |ORDER BY k""".stripMargin)),
+
+    // ── cube: all grouping-set combinations ──
+    Q("q_cube",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("gid").cast(LongType).as("gid"), col("cnt"))
+          .orderBy("gid", "rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |coalesce(l_linestatus, 'ALL') AS ls,
+             |CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |count(*) AS cnt
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY gid, rf, ls""".stripMargin)),
+
     // ── salted join: skew-safe partitioning, result == plain join ──
     Q("q_join_salted",
       (s, dir) =>

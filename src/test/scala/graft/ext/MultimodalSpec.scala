@@ -17,6 +17,17 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("binaryFile source ingests an opaque media directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    java.nio.file.Files.write(dir.resolve("a.img"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(dir.resolve("b.img"), Array[Byte](9, 8, 7))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), Array[Byte](0))
+    val df = Multimodal.readBinaryDir(spark, dir.toString, "*.img")
+    val rows = df.select("path", "length").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(3L, 4L))
+  }
+
   test("stub decoder is deterministic and batch-shape independent") {
     val payload = "hello graft".getBytes("UTF-8")
     val f1 = Multimodal.StubDecoder.decode(payload)
