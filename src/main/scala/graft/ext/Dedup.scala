@@ -37,24 +37,31 @@ object Dedup {
   val nBands = 4 // bands of r = 2 rows over the 8 minhashes
 
   // ── shared building blocks (Spark SQL expr strings) ──
+  //
+  // Token hashing: ONE md5 per word (`hw`), then each word-3-gram
+  // shingle hash is the integer combination hw[i]*961 + hw[i+1]*31 +
+  // hw[i+2] — no shingle strings are ever built and no per-shingle
+  // md5 runs. Values stay < 2^43 (hw < 2^32), so the arithmetic is
+  // exact in both engines. 31-word vocabulary makes unigrams
+  // degenerate (every doc shares most words); 3-gram shingles
+  // discriminate near-dups cleanly. Sorted + distinct so the
+  // codegen'd merge-walk intersect applies; min/band consumers are
+  // order-insensitive.
 
-  /** Distinct word-3-gram shingles from a precomputed `ws` array.
-    * 31-word vocabulary makes unigrams degenerate (every doc shares
-    * most words); 3-gram shingles discriminate near-dups cleanly. */
-  private val gsSpark =
-    "array_distinct(transform(sequence(1, greatest(size(ws) - 2, 1)), " +
-      "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"
-  private val gsDuck =
-    "list_distinct(list_transform(range(1, greatest(len(ws) - 1, 2)), " +
-      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+  private val hwSpark =
+    "transform(split(text, ' '), w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT))"
+  private val hwDuck =
+    "list_transform(string_split(text, ' '), w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)"
 
-  /** One 32-bit integer hash per element: first 8 hex chars of md5.
-    * Sorted so the codegen'd merge-walk intersect can be used; every
-    * consumer (min, band, intersect count) is order-insensitive. */
   private val hsSpark =
-    s"array_sort(array_distinct(transform(gs, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))))"
+    "array_sort(array_distinct(CASE WHEN size(hw) >= 3 THEN " +
+      "transform(sequence(1, size(hw) - 2), " +
+      "i -> element_at(hw, i) * 961 + element_at(hw, i + 1) * 31 + element_at(hw, i + 2)) " +
+      "ELSE hw END))"
   private val hsDuck =
-    s"list_distinct(list_transform(gs, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT))"
+    "list_sort(list_distinct(CASE WHEN len(hw) >= 3 THEN " +
+      "list_transform(range(1, len(hw) - 1), " +
+      "i -> hw[i] * 961 + hw[i+1] * 31 + hw[i+2]) ELSE hw END))"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -62,14 +69,12 @@ object Dedup {
   /** documents → (doc_id, hs) with shingle-hash array, built once. */
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("gs", expr(gsSpark))
+      .withColumn("hw", expr(hwSpark))
       .withColumn("hs", expr(hsSpark))
 
   private val duckHashedShingles =
-    s"""tk AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws FROM documents),
-       |g AS (SELECT doc_id, lang, n_chars, $gsDuck AS gs FROM tk),
-       |h AS (SELECT doc_id, lang, n_chars, $hsDuck AS hs FROM g)""".stripMargin
+    s"""tk AS (SELECT doc_id, lang, n_chars, $hwDuck AS hw FROM documents),
+       |h AS (SELECT doc_id, lang, n_chars, $hsDuck AS hs FROM tk)""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -89,7 +94,8 @@ object Dedup {
         val sig = hashedShingles(s, dir).select(
           col("doc_id") +:
             perms.zipWithIndex.map { case ((a, b), i) =>
-              expr(s"array_min(transform(hs, h -> ($a * h + $b) % $P))").as(s"m$i")
+              // reduce h below 2^31 first: a * h must stay under 2^63
+              expr(s"array_min(transform(hs, h -> ($a * (h % $P) + $b) % $P))").as(s"m$i")
             }: _*)
         val bands = sig.select(
             col("doc_id"),
@@ -109,7 +115,7 @@ object Dedup {
       },
       Some {
         val mhs = perms.zipWithIndex.map { case ((a, b), i) =>
-          s"list_min(list_transform(hs, h -> ($a * h + $b) % $P)) AS m$i"
+          s"list_min(list_transform(hs, h -> ($a * (h % $P) + $b) % $P)) AS m$i"
         }.mkString(", ")
         val bandList = (0 until nBands)
           .map(b => s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR")

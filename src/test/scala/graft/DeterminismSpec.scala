@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Declared-query output must never depend on physical execution
+  * choices — the property the reference implicitly relied on (its D4
+  * hash bucketing leaked into file layout but not results) and the one
+  * that makes 1000-executor runs reproducible. */
+class DeterminismSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectAll(s: SparkSession, name: String): Seq[String] =
+    SparkEntry.queries(name)(s, dir).collect().map(_.toString).toSeq
+
+  test("representative queries are invariant to shuffle partition count") {
+    val names = Seq("q_groupby_sum", "q_dedup_minhash", "q_asof_join",
+      "q_window_rank", "q_ann_lsh", "q_chain")
+    val base = names.map(n => n -> collectAll(spark, n)).toMap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      names.foreach { n =>
+        assert(collectAll(spark, n) == base(n), s"$n changed under 1 partition")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      names.foreach { n =>
+        assert(collectAll(spark, n) == base(n), s"$n changed under 17 partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
