@@ -35,6 +35,19 @@ class WorkloadsSpec extends SparkSuite {
     assert(rows.map(_.getAs[String]("candidate")).toSet == Set("A", "B", "C"))
   }
 
+  test("columnar condorcet agrees with the typed-closure path") {
+    val fixtures = Seq(
+      Seq("A,B,C", "A,C,B", "B,A,C", "A,B,C", "C,A,B"), // clear winner
+      Seq("A,B,C", "B,C,A", "C,A,B"),                   // cycle
+      Seq("X,Y,Z", "Y,X,Z", "Z,Y,X", "Y,Z,X"))
+    fixtures.foreach { ballots =>
+      val ds = spark.createDataset(ballots)
+      val typed = Workloads.condorcet(ds).collect().map(_.toString).toSeq
+      val columnar = Workloads.condorcetColumnar(ds).collect().map(_.toString).toSeq
+      assert(typed == columnar, s"ballots=$ballots")
+    }
+  }
+
   test("word count (Hadoop quick-start shape)") {
     val lines = spark.createDataset(Seq("the quick fox", "the  fox"))
     val out = Workloads.wordCount(lines).as[(String, Long)].collect().toMap
