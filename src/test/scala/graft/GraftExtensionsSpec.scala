@@ -22,6 +22,17 @@ class GraftExtensionsSpec extends SparkSuite {
         "SELECT sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L)) AS n")
         .collect()(0).getLong(0)
       assert(n == 2L)
+
+      // optimizer rule: size(array_intersect) rewrites to the merge walk
+      // (non-foldable inputs — literals would be constant-folded away)
+      val df = s2.range(5)
+        .selectExpr("id", "sequence(0L, id) AS a", "sequence(id, 6L) AS b")
+        .selectExpr("id", "size(array_intersect(a, b)) AS n")
+      assert(df.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("sortedintersectcount"),
+        df.queryExecution.optimizedPlan.toString)
+      // a = [0..id], b = [id..6] → exactly one common element (id)
+      assert(df.collect().forall(r => r.getInt(1) == 1))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -27,6 +27,14 @@ object SqlDemo {
                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
                  FROM lineitem GROUP BY 1 ORDER BY 1""").show()
 
+    println("== optimizer rule: size(array_intersect) -> merge walk ==")
+    val rw = spark.range(3)
+      .selectExpr("id", "sequence(0L, id) AS a", "sequence(id, 4L) AS b")
+      .selectExpr("id", "size(array_intersect(a, b)) AS n")
+    println("optimized plan contains sortedintersectcount: " +
+      rw.queryExecution.optimizedPlan.toString.toLowerCase.contains("sortedintersectcount"))
+    rw.show()
+
     println("== custom function over a real embedding column ==")
     spark.sql("""SELECT vec_id,
                  vec_dot(transform(embedding, x -> CAST(x AS DOUBLE)),
