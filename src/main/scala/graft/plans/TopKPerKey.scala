@@ -1,0 +1,108 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator extension (SURVEY §2.8 / the LogicalPlan+Strategy+
+  * Exec tier): per-key top-k with bounded heaps.
+  *
+  * The composable form — `row_number() OVER (PARTITION BY k ORDER BY
+  * o)` + filter — must SORT every partition in full before discarding
+  * all but k rows per key. This operator keeps a k-bounded heap per
+  * key instead: O(n log k) with no full sort, and memory bounded by
+  * keys-per-partition × k. `requiredChildDistribution` declares the
+  * keyed clustering, so Catalyst's EnsureRequirements inserts exactly
+  * the one hash exchange the operator needs — partitioning stays the
+  * planner's job, not ours.
+  */
+case class TopKPerKey(
+    k: Int,
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    k: Int,
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keyExprs = keys
+    val orderExprs = order
+    val childOutput = child.output
+    child.execute().mapPartitions { it =>
+      val rowOrd: Ordering[InternalRow] =
+        RowOrdering.create(orderExprs, childOutput)
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // max-heap on the SortOrder: the root is the WORST retained row,
+      // evicted when a better one arrives
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      it.foreach { row =>
+        val heap = heaps.getOrElseUpdate(
+          keyProj(row).copy(),
+          mutable.PriorityQueue.empty[InternalRow](rowOrd))
+        if (heap.size < kLocal) heap.enqueue(row.copy())
+        else if (rowOrd.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }
+  }
+}
+
+/** Planner strategy: logical TopKPerKey → TopKPerKeyExec. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(k, keys, order, child) =>
+      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Column-level API: smallest-k per key under `orderCols` (ascending;
+  * wrap with `.desc` semantics by negating or passing descending
+  * SortOrder via `topKPerKeyDesc`). */
+object TopK {
+  def perKey(df: DataFrame, k: Int, keyCols: Seq[Column], orderCols: Seq[(Column, Boolean)]): DataFrame = {
+    GraftBridge.registerStrategy(df.sparkSession, TopKStrategy)
+    // Resolve the user Columns by running them through a throwaway
+    // projection: its analyzed projectList shares attribute ids with
+    // its child, which becomes our operator's child.
+    val proj = df.select(keyCols ++ orderCols.map(_._1): _*)
+      .queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+    val resolved = proj.projectList.map {
+      case a: Alias => a.child
+      case e        => e
+    }
+    val (keyExprs, orderExprs) = resolved.splitAt(keyCols.size)
+    val sortOrder = orderExprs.zip(orderCols.map(_._2)).map { case (e, asc) =>
+      SortOrder(e,
+        if (asc) Ascending else Descending,
+        if (asc) NullsFirst else NullsLast, Seq.empty)
+    }
+    GraftBridge.ofRows(df.sparkSession,
+      TopKPerKey(k, keyExprs, sortOrder, proj.child))
+  }
+}

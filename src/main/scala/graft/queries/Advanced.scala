@@ -184,6 +184,23 @@ object Advanced {
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    // ── custom whole-operator tier: heap-based per-key top-k ──
+    // (graft.plans.TopKPerKey: LogicalPlan + SparkStrategy + Exec with
+    // ClusteredDistribution — no per-partition sort, k-bounded memory)
+    Q("q_topk_per_key",
+      (s, dir) =>
+        graft.plans.TopK.perKey(t(s, dir, "orders"), 3,
+            Seq(col("o_custkey")),
+            Seq(col("o_totalprice") -> false, col("o_orderkey") -> true))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ── exact interpolated percentiles (R-7 / SQL-standard cont) ──
     Q("q_percentile",
       (s, dir) =>
