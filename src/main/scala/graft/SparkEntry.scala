@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Advanced, Composite, Core, Q}
+import graft.queries.{Advanced, Composite, Core, Functions, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All declared queries (core §2.13 inventory + extensions). */
   private def all: Seq[Q] =
-    Core.queries ++ Advanced.queries ++ Composite.queries ++ graft.ext.Ext.queries
+    Core.queries ++ Advanced.queries ++ Composite.queries ++
+      Functions.queries ++ graft.ext.Ext.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Broadcast-join rollup: customer ⋈ nation ⋈ region with aggregates. */

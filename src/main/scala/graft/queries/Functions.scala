@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.engine.Tables
+
+/** Scalar-function and window-frame breadth (SURVEY §2.7 / §2.10):
+  * grouping sets, running/sliding window frames, string library
+  * (incl. levenshtein), date arithmetic. All per-row or
+  * deterministically-framed — exactness notes inline.
+  */
+object Functions {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+
+    // ── explicit GROUPING SETS (beyond rollup/cube) ──
+    Q("q_grouping_sets",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("gid").cast(LongType).as("gid"), col("cnt"))
+          .orderBy("gid", "rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |coalesce(l_linestatus, 'ALL') AS ls,
+             |CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |count(*) AS cnt
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY gid, rf, ls""".stripMargin)),
+
+    // ── window frames: running sum, lag, 3-row moving average ──
+    // Frame order is unique (ts, event_id), so the running decimal sum
+    // and the ROWS-framed average accumulate the same sequence in both
+    // engines.
+    Q("q_window_frames",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mov = w.rowsBetween(-2, Window.currentRow)
+        t(s, dir, "events")
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"), col("value"),
+            sum(col("value").cast(DecimalType(18, 6))).over(run)
+              .cast("double").as("running_sum"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            (sum(col("value").cast(DecimalType(18, 6))).over(mov).cast("double") /
+              count(lit(1)).over(mov)).as("moving_avg"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w_run AS DOUBLE) AS running_sum,
+             |lag(value, 1) OVER w AS prev_value,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w_mov AS DOUBLE)
+             |  / COUNT(*) OVER w_mov AS moving_avg
+             |FROM events WHERE user_id < 10
+             |WINDOW
+             |  w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             |  w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  w_mov AS (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ── string function library (exact integer/string semantics) ──
+    Q("q_string_funcs",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            upper(col("p_name")).as("up"),
+            lower(col("p_brand")).as("lo"),
+            substring(col("p_name"), 1, 5).as("sub5"),
+            length(col("p_name")).cast(LongType).as("len"),
+            regexp_replace(col("p_name"), "a", "@").as("repl"),
+            lpad(col("p_brand"), 12, "*").as("pad"),
+            reverse(col("p_type")).as("rev"),
+            levenshtein(col("p_brand"), col("p_type")).cast(LongType).as("lev"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+             |substr(p_name, 1, 5) AS sub5,
+             |CAST(length(p_name) AS BIGINT) AS len,
+             |regexp_replace(p_name, 'a', '@', 'g') AS repl,
+             |lpad(p_brand, 12, '*') AS pad,
+             |reverse(p_type) AS rev,
+             |CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
+             |concat_ws('|', p_brand, p_type) AS joined
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ── date/time arithmetic ──
+    Q("q_datetime_funcs",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast(LongType).as("y"),
+            month(col("o_orderdate")).cast(LongType).as("m"),
+            dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
+            quarter(col("o_orderdate")).cast(LongType).as("q"),
+            date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+            datediff(lit("2001-01-01").cast("date"), to_date(col("o_orderdate")))
+              .cast(LongType).as("days_to_y2001"),
+            last_day(col("o_orderdate")).as("eom"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+             |CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
+             |CAST(date_part('day', o_orderdate) AS BIGINT) AS d,
+             |CAST(date_part('quarter', o_orderdate) AS BIGINT) AS q,
+             |CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30,
+             |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-01-01') AS BIGINT)
+             |  AS days_to_y2001,
+             |last_day(CAST(o_orderdate AS DATE)) AS eom
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
+  )
+}
