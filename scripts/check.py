@@ -54,6 +54,20 @@ def main():
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
             n_fail += 1
             continue
+        # dtype contract: DuckDB-level types must agree (pandas coerces
+        # e.g. DATE vs TIMESTAMP to the same datetime64 and would hide it)
+        st = dict(con.sql(
+            f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'"
+        ).df()[["column_name", "column_type"]].values)
+        dt = dict(con.sql(f"DESCRIBE {sql}")
+                  .df()[["column_name", "column_type"]].values)
+        mismatch = [c for c in sc if st.get(c) != dt.get(c)]
+        if mismatch:
+            print(f"FAIL {name}: dtypes "
+                  + ", ".join(f"{c}: spark={st.get(c)} duck={dt.get(c)}"
+                              for c in mismatch))
+            n_fail += 1
+            continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
             n_fail += 1

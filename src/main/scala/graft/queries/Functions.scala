@@ -117,7 +117,7 @@ object Functions {
              |CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
              |CAST(date_part('day', o_orderdate) AS BIGINT) AS d,
              |CAST(date_part('quarter', o_orderdate) AS BIGINT) AS q,
-             |CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30,
+             |CAST(o_orderdate AS DATE) + 30 AS plus30,
              |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-01-01') AS BIGINT)
              |  AS days_to_y2001,
              |last_day(CAST(o_orderdate AS DATE)) AS eom
