@@ -15,7 +15,9 @@ for line in sys.stdin:
     if len(parts) != 2:
         continue
     src, dst = parts[0].strip(), parts[1].strip()
-    if not dst.lstrip("-").isdigit():
+    try:
+        target = int(dst)
+    except ValueError:
         continue
-    if lo <= int(dst) <= hi:
+    if lo <= target <= hi:
         print(f"{dst},{src}")

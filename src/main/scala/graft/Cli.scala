@@ -57,9 +57,11 @@ object Cli {
         println(s"juice done -> $dest")
 
       case other =>
-        System.err.println(s"unknown command: ${other.mkString(" ")}")
-        System.err.println("commands: put get delete ls store global maple juice")
-        sys.exit(2)
+        // throw, don't exit: run() is callable programmatically and must
+        // not kill the caller's JVM (or skip its finally-blocks)
+        throw new IllegalArgumentException(
+          s"unknown command: ${other.mkString(" ")} " +
+            "(commands: put get delete ls store global maple juice)")
     }
   }
 
@@ -75,6 +77,12 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, args(0), args.drop(1).toSeq)
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage)
+        spark.stop()
+        sys.exit(2)
+    }
     finally spark.stop()
   }
 }

@@ -94,6 +94,11 @@ object MapleJuice {
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: Column,
       buildKey: Column, salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0)
+    // right/full outer would surface each unmatched build row once PER
+    // SALT REPLICA — plain-join equivalence only holds probe-side
+    require(Set("inner", "left", "leftouter", "leftsemi")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val p = probe.withColumn("__salt_p", pmod(hash(probeKey), lit(salt)))
     val b = build.withColumn("__salt_b", explode(array((0 until salt).map(lit(_)): _*)))
     p.join(b, probeKey === buildKey && col("__salt_p") === col("__salt_b"), joinType)

@@ -14,10 +14,14 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
     // to its microsecond TimestampType. Read nanos as long and convert
     // (the generator emits whole microseconds, so `div 1000` is exact).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // The legacy flag is session-global but only set when events is
+    // actually loaded — other tables leave the session untouched.
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

@@ -64,7 +64,12 @@ object EventStream {
         state.remove()
         return Iterator(SessionOut(userId, s.n, s.start, s.end))
       }
-      val sorted = evs.map(e => e.ts.getTime * 1000L).toArray.sorted
+      // full microsecond precision: getTime truncates to ms, getNanos
+      // carries the in-second fraction (batch q_sessionize uses
+      // unix_micros — equivalence requires matching precision)
+      val sorted = evs.map { e =>
+        (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L
+      }.toArray.sorted
       var closed = List.empty[SessionOut]
       var cur = state.getOption
       sorted.foreach { t =>

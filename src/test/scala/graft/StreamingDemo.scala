@@ -39,8 +39,6 @@ object StreamingDemo {
     println(s"STREAM_TOTAL=$streamTotal BATCH_TOTAL=${ev.count()}")
 
     println("== stateful sessionizer over the real events table ==")
-    val sessions = EventStream.sessionize(
-      ev.select(col("user_id"), col("ts").as("ts")).as[EventStream.SessionEvent])
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.SessionEvent](spark)
     input.addData(ev.select(col("user_id"), col("ts").as("ts"))
       .as[EventStream.SessionEvent].collect().toSeq)

@@ -64,6 +64,15 @@ class MapleJuiceSpec extends SparkSuite {
     assert(out.length == 1 && out(0).getLong(1) == 10) // 10 keys × count 10
   }
 
+  test("saltedJoin rejects outer join types, allows inner/left") {
+    val a = Seq((1, "x")).toDF("k", "v")
+    val b = Seq((1, "y")).toDF("k2", "w")
+    intercept[IllegalArgumentException] {
+      MapleJuice.saltedJoin(a, b, col("k"), col("k2"), 4, "full_outer")
+    }
+    assert(MapleJuice.saltedJoin(a, b, col("k"), col("k2"), 4, "left_outer").count() == 1)
+  }
+
   test("pipeMaple streams lines through an external executable (D1 fidelity)") {
     val ds = spark.createDataset(Seq("x", "y", "z"))
     val out = MapleJuice.pipeMaple(ds, Seq("cat")).collect().toSet
