@@ -19,6 +19,53 @@ object Functions {
 
   val queries: Seq[Q] = Seq(
 
+    // ── set operations: INTERSECT and EXCEPT (§2.9 completion) ──
+    Q("q_intersect_except",
+      (s, dir) => {
+        val eventUsers = t(s, dir, "events").select(col("user_id").as("k"))
+        val smallCust = t(s, dir, "customer").filter(col("c_custkey") < 120)
+          .select(col("c_custkey").as("k"))
+        val both = eventUsers.intersect(smallCust)
+          .withColumn("op", lit("intersect"))
+        val onlyCust = smallCust.except(eventUsers)
+          .withColumn("op", lit("except"))
+        both.unionByName(onlyCust).orderBy("op", "k")
+      },
+      Some("""SELECT k, 'intersect' AS op FROM (
+             |  SELECT user_id AS k FROM events
+             |  INTERSECT
+             |  SELECT c_custkey AS k FROM customer WHERE c_custkey < 120) a
+             |UNION ALL
+             |SELECT k, 'except' AS op FROM (
+             |  SELECT c_custkey AS k FROM customer WHERE c_custkey < 120
+             |  EXCEPT
+             |  SELECT user_id AS k FROM events) b
+             |ORDER BY op, k""".stripMargin)),
+
+    // ── array function library over tokenized text (§2.10) ──
+    Q("q_array_funcs",
+      (s, dir) =>
+        t(s, dir, "part")
+          .withColumn("ws", split(col("p_name"), " "))
+          .select(col("p_partkey"),
+            expr("size(ws)").cast(LongType).as("n"),
+            array_contains(col("ws"), "green").as("has_green"),
+            concat_ws(" ", array_sort(col("ws"))).as("sorted_words"),
+            concat_ws(" ", slice(col("ws"), 1, 2)).as("first2"),
+            // sorted after distinct: DuckDB's list_distinct is unordered
+            concat_ws(" ", array_sort(array_distinct(col("ws")))).as("uniq"),
+            element_at(col("ws"), -1).as("last_word"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |CAST(len(ws) AS BIGINT) AS n,
+             |list_contains(ws, 'green') AS has_green,
+             |array_to_string(list_sort(ws), ' ') AS sorted_words,
+             |array_to_string(ws[1:2], ' ') AS first2,
+             |array_to_string(list_sort(list_distinct(ws)), ' ') AS uniq,
+             |ws[-1] AS last_word
+             |FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part) t
+             |ORDER BY p_partkey""".stripMargin)),
+
     // ── explicit GROUPING SETS (beyond rollup/cube) ──
     Q("q_grouping_sets",
       (s, dir) =>
