@@ -184,6 +184,21 @@ object Advanced {
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    // ── typed Aggregator tier (§2.12): majority vote as a UDAF ──
+    // Same semantics and oracle shape as q_majority_vote, computed by
+    // graft.functions.MajorityVote (Aggregator[Boolean,(Long,Long),String])
+    Q("q_majority_vote_typed",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(udaf(graft.functions.MajorityVote, org.apache.spark.sql.Encoders.scalaBoolean)
+            .apply(col("l_returnflag") === "R").as("winner"))
+          .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey,
+             |CASE WHEN 2 * SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > count(*)
+             |     THEN 'R' ELSE 'other' END AS winner
+             |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
     // ── custom whole-operator tier: heap-based per-key top-k ──
     // (graft.plans.TopKPerKey: LogicalPlan + SparkStrategy + Exec with
     // ClusteredDistribution — no per-partition sort, k-bounded memory)
