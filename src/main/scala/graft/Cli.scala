@@ -45,8 +45,13 @@ object Cli {
       case Seq("juice", exe, n, prefix, dest, del, shuffleOpt) =>
         val opt = shuffleOpt match {
           case "range" => ShuffleOption.Range
-          case _       => ShuffleOption.Hash
+          case "hash"  => ShuffleOption.Hash
+          case other => throw new IllegalArgumentException(
+            s"shuffle option must be hash or range, got '$other'")
         }
+        if (del != "0" && del != "1")
+          throw new IllegalArgumentException(
+            s"delete flag must be 0 or 1, got '$del'")
         val kv = spark.read.textFile(s"$root/$prefix").map { l =>
           val i = l.indexOf(',')
           if (i < 0) (l, "") else (l.substring(0, i), l.substring(i + 1))

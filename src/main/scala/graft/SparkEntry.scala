@@ -8,9 +8,15 @@ import graft.queries.{Advanced, Composite, Core, Functions, Q}
 object SparkEntry {
 
   /** All declared queries (core §2.13 inventory + extensions). */
-  private def all: Seq[Q] =
-    Core.queries ++ Advanced.queries ++ Composite.queries ++
+  private def all: Seq[Q] = {
+    val qs = Core.queries ++ Advanced.queries ++ Composite.queries ++
       Functions.queries ++ graft.ext.Ext.queries
+    // a duplicate name would be silently collapsed by .toMap below and
+    // the shadowed query would vanish from the correctness gate
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Broadcast-join rollup: customer ⋈ nation ⋈ region with aggregates. */

@@ -48,10 +48,8 @@ object Dedup {
   // codegen'd merge-walk intersect applies; min/band consumers are
   // order-insensitive.
 
-  private val hwSpark =
-    "transform(split(text, ' '), w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT))"
-  private val hwDuck =
-    "list_transform(string_split(text, ' '), w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)"
+  private val hwSpark = graft.functions.TokenHash.spark("split(text, ' ')")
+  private val hwDuck = graft.functions.TokenHash.duck("string_split(text, ' ')")
 
   private val hsSpark =
     "array_sort(array_distinct(CASE WHEN size(hw) >= 3 THEN " +
@@ -142,8 +140,7 @@ object Dedup {
         }.mkString("concat(", ", ", ")")
         docs(s, dir)
           .withColumn("ws", split(col("text"), " "))
-          .withColumn("ht",
-            expr("transform(ws, w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT))"))
+          .withColumn("ht", expr(graft.functions.TokenHash.spark("ws")))
           .withColumn("fp", expr(fp))
           .groupBy(col("fp"))
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
@@ -157,8 +154,7 @@ object Dedup {
             s"THEN '1' ELSE '0' END)"
         }.mkString(" || ")
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-           |ht AS (SELECT doc_id, list_transform(ws,
-           |  w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS ht FROM t),
+           |ht AS (SELECT doc_id, ${graft.functions.TokenHash.duck("ws")} AS ht FROM t),
            |f AS (SELECT doc_id, $fp AS fp FROM ht)
            |SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
            |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin

@@ -137,18 +137,16 @@ object TextAnalysis {
       (s, dir) =>
         docs(s, dir)
           .withColumn("ws", split(col("text"), " "))
-          .withColumn("hw",
-            expr("transform(ws, w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT))"))
+          .withColumn("hw", expr(graft.functions.TokenHash.spark("ws")))
           .withColumn("fp",
             expr("aggregate(hw, CAST(0 AS BIGINT), (acc, x) -> " +
               "(acc * 1000003 + x) % 1000000007)"))
           .select("doc_id", "fp")
           .orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-             |SELECT doc_id,
-             |list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ws,
-             |  w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)),
-             |  (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fp
-             |FROM t ORDER BY doc_id""".stripMargin))
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+              |SELECT doc_id,
+              |list_reduce(list_prepend(CAST(0 AS BIGINT), ${graft.functions.TokenHash.duck("ws")}),
+              |  (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fp
+              |FROM t ORDER BY doc_id""".stripMargin))
   )
 }

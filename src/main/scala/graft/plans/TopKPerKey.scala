@@ -59,9 +59,16 @@ case class TopKPerKeyExec(
       // evicted when a better one arrives
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       it.foreach { row =>
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](rowOrd))
+        // copy the projected key only on first sight — getOrElseUpdate
+        // would allocate a copy per input row
+        val k = keyProj(row)
+        val heap = heaps.get(k) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+            heaps.put(k.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.enqueue(row.copy())
         else if (rowOrd.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())

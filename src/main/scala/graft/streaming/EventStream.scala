@@ -29,12 +29,14 @@ object EventStream {
     spark.readStream.schema(eventSchema).parquet(dir)
 
   /** Tumbling 1-day count/sum per event_type with a 1-hour watermark —
-    * the streaming twin of `q_event_window`. */
+    * the streaming twin of `q_event_window` (decimal accumulation for
+    * the double sum, same as the batch side's determinism contract). */
   def dailyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
       .select(to_date(col("w.start")).as("day"), col("event_type"),
         col("cnt"), col("sum_value"))
 
@@ -75,7 +77,10 @@ object EventStream {
       sorted.foreach { t =>
         cur match {
           case Some(s) if t - s.end <= gapUs =>
-            cur = Some(s.copy(end = t, n = s.n + 1))
+            // a late event from an earlier batch must never move the
+            // session window backwards (end < start / premature close)
+            cur = Some(SessionState(
+              math.min(s.start, t), math.max(s.end, t), s.n + 1))
           case Some(s) =>
             closed ::= SessionOut(userId, s.n, s.start, s.end)
             cur = Some(SessionState(t, t, 1))

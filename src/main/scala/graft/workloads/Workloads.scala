@@ -45,10 +45,13 @@ object Workloads {
     val spark = ballots.sparkSession
     import spark.implicits._
 
-    // stage 1 maple: pairwise expansion (A3)
+    // stage 1 maple: pairwise expansion (A3). Names containing the '#'
+    // pair-key delimiter are rejected like the reference's fixture rule
+    // (FIXTURES.md §A4: keys must not contain '_' or ',').
     val pairs = MapleJuice.maple(ballots) { line =>
       val cs = line.split(",").map(_.trim)
-      if (cs.length != 3 || cs.exists(_.isEmpty)) Iterator.empty
+      if (cs.length != 3 || cs.exists(_.isEmpty) || cs.exists(_.contains("#")))
+        Iterator.empty
       else for {
         i <- cs.indices.iterator
         j <- (i + 1) until cs.length
@@ -60,17 +63,18 @@ object Workloads {
       }
     }
 
-    // stage 1 juice: majority vote per pair (A4). Cached: at most
-    // C(candidates, 2) rows, and three downstream actions (candidate
-    // count, winner test, final result) would otherwise each re-run
-    // the full ballot scan.
+    // stage 1 juice: majority vote per pair (A4). The dominations
+    // relation is at most C(candidates, 2) rows, and three downstream
+    // actions (candidate count, winner test, final result) would each
+    // re-run the full ballot scan — so collect the tiny result once
+    // and continue on a local relation (no cache to leak).
     val dominations = MapleJuice.juice(pairs)(_._1) { (key, votes) =>
       var ones = 0; var total = 0
       votes.foreach { v => total += 1; ones += v._2 }
       val Array(x, y) = key.split("#")
       // win_juice1.py:29 — strict majority of 1-bits means x beats y
       if (ones * 2 > total) Iterator((x, y)) else Iterator((y, x))
-    }.toDF("winner", "loser").cache()
+    }.collect().toSeq.toDF("winner", "loser")
 
     val nCandidates = dominations.select("winner").union(
       dominations.select("loser")).distinct().count()
@@ -101,7 +105,7 @@ object Workloads {
     import spark.implicits._
     val cs = ballots.toDF("value")
       .withColumn("p", split(col("value"), ","))
-      .filter(size(col("p")) === 3)
+      .filter(size(col("p")) === 3 && !col("value").contains("#"))
       .select((0 until 3).map(i => trim(col("p").getItem(i)).as(s"c$i")): _*)
     val pairCols = for { i <- 0 until 3; j <- (i + 1) until 3 } yield {
       val (a, b) = (col(s"c$i"), col(s"c$j")) // a ranked above b
@@ -111,6 +115,7 @@ object Workloads {
     }
     val pairs = cs.select(explode(array(pairCols: _*)).as("pb"))
       .select(col("pb.key"), col("pb.bit"))
+    // tiny relation (≤ C(n,2) rows): collect once, continue locally
     val dominations = pairs.groupBy(col("key"))
       .agg(sum(col("bit")).as("ones"), count(lit(1)).as("total"))
       .select(
@@ -120,7 +125,7 @@ object Workloads {
         when(col("ones") * 2 > col("total"),
           substring_index(col("key"), "#", -1))
           .otherwise(substring_index(col("key"), "#", 1)).as("loser"))
-      .cache()
+      .as[(String, String)].collect().toSeq.toDF("winner", "loser")
 
     val nCandidates = dominations.select("winner")
       .union(dominations.select("loser")).distinct().count()

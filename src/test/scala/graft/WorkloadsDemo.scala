@@ -32,6 +32,10 @@ object WorkloadsDemo {
     println("== condorcet: garbage ballots only (probe) ==")
     Workloads.condorcet(spark.createDataset(Seq("", "A,B", "x,,y"))).show(false)
 
+    println("== condorcet: '#' in candidate names is rejected (probe) ==")
+    Workloads.condorcet(spark.createDataset(Seq(
+      "C#1,B,A", "A,B,C", "A,C,B", "A,B,C"))).show(false)
+
     println("== word count ==")
     Workloads.wordCount(spark.createDataset(Seq("the quick fox", "the  fox"))).show(false)
 

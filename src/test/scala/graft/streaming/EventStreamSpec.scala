@@ -24,13 +24,38 @@ class EventStreamSpec extends SparkSuite {
     q.awaitTermination(120000)
 
     val streamed = spark.table("daily_out")
-      .select(col("day"), col("event_type"), col("cnt"))
-      .as[(java.sql.Date, String, Long)].collect().toSet
+      .select(col("day"), col("event_type"), col("cnt"), col("sum_value"))
+      .as[(java.sql.Date, String, Long, Double)].collect().toSet
     val batch = Tables(spark, "/root/testdata/sf0.001", "events")
       .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .as[(java.sql.Date, String, Long)].collect().toSet
-    assert(streamed == batch)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .as[(java.sql.Date, String, Long, Double)].collect().toSet
+    assert(streamed == batch) // incl. the double sum — decimal-accumulated
+  }
+
+  test("sessionizer tolerates out-of-order events across micro-batches") {
+    import EventStream.SessionEvent
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SessionEvent](spark)
+    // one continuous query, two micro-batches: batch 2 carries a LATE
+    // event (5 min) then 40 min — 40 is only 20 past the true last
+    // event (20), so the session must NOT close (a backwards-moving
+    // session end would close it at 35-min apparent gap)
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ooo_sessions")
+      .start()
+    try {
+      input.addData(Seq(SessionEvent(7L, ts(0)), SessionEvent(7L, ts(20))))
+      q.processAllAvailable()
+      input.addData(Seq(SessionEvent(7L, ts(5)), SessionEvent(7L, ts(40))))
+      q.processAllAvailable()
+      assert(spark.table("ooo_sessions").count() == 0,
+        spark.table("ooo_sessions").collect().mkString(","))
+    } finally q.stop()
   }
 
   test("stateful sessionizer closes sessions on gap (mapGroupsWithState)") {
