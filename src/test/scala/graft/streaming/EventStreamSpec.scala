@@ -35,6 +35,36 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed == batch) // incl. the double sum — decimal-accumulated
   }
 
+  test("file sink + checkpoint: restart resumes exactly-once") {
+    import EventStream.SessionEvent
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val base = Files.createTempDirectory("graft-eo")
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SessionEvent](spark)
+
+    def runOnce(): Unit = {
+      val q = input.toDS().toDF()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    input.addData(Seq(SessionEvent(1L, ts(0)), SessionEvent(1L, ts(1))))
+    runOnce() // run 1 commits batch 1
+    input.addData(Seq(SessionEvent(2L, ts(2))))
+    runOnce() // "restart": same checkpoint, must process ONLY batch 2
+
+    val rows = spark.read.parquet(sink).collect()
+    assert(rows.length == 3, s"expected exactly-once total 3, got ${rows.length}")
+    // re-run with NO new data: nothing may be appended
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 3)
+  }
+
   test("sessionizer tolerates out-of-order events across micro-batches") {
     import EventStream.SessionEvent
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
