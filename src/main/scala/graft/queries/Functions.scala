@@ -19,6 +19,42 @@ object Functions {
 
   val queries: Seq[Q] = Seq(
 
+    // ── histogram: fixed-width binning via exact integer arithmetic ──
+    Q("q_histogram",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select((floor(col("o_totalprice") / 50000.0)).cast(LongType).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+             |count(*) AS cnt
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ── ntile + first/last value window functions ──
+    Q("q_ntile_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).cast(LongType).as("quartile"),
+            first(col("o_orderkey")).over(wFull).as("best_order"),
+            last(col("o_orderkey")).over(wFull).as("worst_order"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |first_value(o_orderkey) OVER wf AS best_order,
+             |last_value(o_orderkey) OVER wf AS worst_order
+             |FROM orders WHERE o_custkey < 100
+             |WINDOW
+             |  w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+             |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ── set operations: INTERSECT and EXCEPT (§2.9 completion) ──
     Q("q_intersect_except",
       (s, dir) => {

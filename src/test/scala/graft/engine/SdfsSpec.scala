@@ -36,4 +36,21 @@ class SdfsSpec extends SparkSuite {
     val back = sdfs.read("kv").as[(String, Long)].collect().toMap
     assert(back == Map("a" -> 1L, "b" -> 2L))
   }
+
+  test("multi-format sinks: csv / json / orc round-trip (source parity)") {
+    import spark.implicits._
+    val (sdfs, _) = newSdfs()
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    Seq("json", "orc").foreach { fmt =>
+      sdfs.putDf(df, s"kv_$fmt", fmt)
+      val back = sdfs.read(s"kv_$fmt", fmt).as[(String, Long)].collect().toMap
+      assert(back == Map("a" -> 1L, "b" -> 2L), fmt)
+    }
+    // csv loses types without a schema — read back with one
+    sdfs.putDf(df, "kv_csv", "csv")
+    val back = spark.read.schema("k STRING, v BIGINT")
+      .csv(s"${sdfs.read("kv_csv", "csv").inputFiles.head.split("/part-").head}")
+      .as[(String, Long)].collect().toMap
+    assert(back == Map("a" -> 1L, "b" -> 2L))
+  }
 }
