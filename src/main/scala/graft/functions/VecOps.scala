@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Dot product of two double arrays as a native codegen'd Catalyst
   * expression.
@@ -19,9 +19,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * part of the contract, so no reassociation/SIMD tricks here.
   */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  // callers must pass array<double> (queries cast explicitly)
+  // declared input types: SQL callers get implicit casts (e.g.
+  // array<int> → array<double>) or a clean analysis error, never a
+  // silent getDouble() misread of 4-byte slots
+  override def inputTypes: Seq[GraftBridge.ADT] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -65,9 +69,11 @@ case class VecDot(left: Expression, right: Expression)
   * per document (`array_sort`), amortized over all its pairs.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def inputTypes: Seq[GraftBridge.ADT] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -93,6 +93,7 @@ object TopKStrategy extends SparkStrategy {
   * SortOrder via `topKPerKeyDesc`). */
 object TopK {
   def perKey(df: DataFrame, k: Int, keyCols: Seq[Column], orderCols: Seq[(Column, Boolean)]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     GraftBridge.registerStrategy(df.sparkSession, TopKStrategy)
     // Resolve the user Columns by running them through a throwaway
     // projection: its analyzed projectList shares attribute ids with

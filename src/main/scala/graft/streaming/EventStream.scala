@@ -76,11 +76,16 @@ object EventStream {
       var cur = state.getOption
       sorted.foreach { t =>
         cur match {
-          case Some(s) if t - s.end <= gapUs =>
-            // a late event from an earlier batch must never move the
-            // session window backwards (end < start / premature close)
+          case Some(s) if t >= s.start - gapUs && t - s.end <= gapUs =>
+            // within gap of the open window (late events may extend it
+            // backwards, but never move end backwards / close early)
             cur = Some(SessionState(
               math.min(s.start, t), math.max(s.end, t), s.n + 1))
+          case Some(s) if t < s.start - gapUs =>
+            // ancient late event: more than a gap BEFORE the open
+            // session — batch semantics would give it its own session;
+            // emit it as one rather than stretching the open window
+            closed ::= SessionOut(userId, 1, t, t)
           case Some(s) =>
             closed ::= SessionOut(userId, s.n, s.start, s.end)
             cur = Some(SessionState(t, t, 1))

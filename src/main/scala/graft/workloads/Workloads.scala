@@ -76,10 +76,16 @@ object Workloads {
       if (ones * 2 > total) Iterator((x, y)) else Iterator((y, x))
     }.collect().toSeq.toDF("winner", "loser")
 
+    resolveWinner(dominations)
+  }
+
+  /** Shared Condorcet stage 2 (win_juice2.py:36-56): domination count
+    * per candidate; a candidate dominating all n-1 others wins, else
+    * all argmax co-winners tie. Used by both the typed and columnar
+    * stage-1 paths so the two can never diverge here. */
+  private def resolveWinner(dominations: DataFrame): DataFrame = {
     val nCandidates = dominations.select("winner").union(
       dominations.select("loser")).distinct().count()
-
-    // stage 2: domination count per candidate; threshold n-1 or argmax ties
     val counts = MapleJuice.juiceAgg(dominations,
       Seq(col("winner").as("candidate")), Seq(count(lit(1)).as("dominations")))
     val condorcetW = counts.filter(col("dominations") === lit(nCandidates - 1))
@@ -107,6 +113,9 @@ object Workloads {
       .withColumn("p", split(col("value"), ","))
       .filter(size(col("p")) === 3 && !col("value").contains("#"))
       .select((0 until 3).map(i => trim(col("p").getItem(i)).as(s"c$i")): _*)
+      // empty/whitespace candidate fields: same reject rule as the
+      // typed path (cs.exists(_.isEmpty)), or the two paths diverge
+      .filter((0 until 3).map(i => col(s"c$i") =!= "").reduce(_ && _))
     val pairCols = for { i <- 0 until 3; j <- (i + 1) until 3 } yield {
       val (a, b) = (col(s"c$i"), col(s"c$j")) // a ranked above b
       struct(
@@ -127,21 +136,7 @@ object Workloads {
           .otherwise(substring_index(col("key"), "#", 1)).as("loser"))
       .as[(String, String)].collect().toSeq.toDF("winner", "loser")
 
-    val nCandidates = dominations.select("winner")
-      .union(dominations.select("loser")).distinct().count()
-    val counts = dominations.groupBy(col("winner").as("candidate"))
-      .agg(count(lit(1)).as("dominations"))
-    val condorcetW = counts.filter(col("dominations") === lit(nCandidates - 1))
-    val result =
-      if (condorcetW.limit(1).count() > 0)
-        condorcetW.withColumn("kind", lit("condorcet_winner"))
-      else {
-        val mx = counts.agg(max(col("dominations")).as("mx"))
-        counts.join(broadcast(mx), col("dominations") === col("mx"))
-          .select(col("candidate"), col("dominations"))
-          .withColumn("kind", lit("tie_argmax"))
-      }
-    result.orderBy("candidate")
+    resolveWinner(dominations)
   }
 
   /** Hadoop quick-start word count (HADOOP_INSTALL.md §Quick Start). */

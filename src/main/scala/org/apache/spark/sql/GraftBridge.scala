@@ -7,6 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * in the sql package solely to re-export the two calls the graft
   * custom expressions need; no Spark internals are modified. */
 object GraftBridge {
+  /** Re-export of the private[sql] AbstractDataType so graft custom
+    * expressions can declare ExpectsInputTypes contracts. */
+  type ADT = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 

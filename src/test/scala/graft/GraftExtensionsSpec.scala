@@ -23,6 +23,11 @@ class GraftExtensionsSpec extends SparkSuite {
         .collect()(0).getLong(0)
       assert(n == 2L)
 
+      // int arrays implicitly cast to double (not silently misread)
+      val dotInt = s2.sql("SELECT vec_dot(array(1, 2), array(3, 4)) AS d")
+        .collect()(0).getDouble(0)
+      assert(dotInt == 11.0)
+
       // optimizer rule: size(array_intersect) rewrites to the merge walk
       // (non-foldable inputs — literals would be constant-folded away)
       val df = s2.range(5)

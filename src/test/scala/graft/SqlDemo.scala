@@ -20,6 +20,7 @@ object SqlDemo {
 
     println("== custom expressions from SQL ==")
     spark.sql("SELECT vec_dot(array(1.0D,2.0D), array(3.0D,4.0D)) AS dot, " +
+      "vec_dot(array(1,2), array(3,4)) AS dot_int_cast, " +
       "sorted_intersect_count(array(1L,3L,7L), array(3L,5L,7L)) AS inter").show()
 
     println("== engine tables from SQL ==")

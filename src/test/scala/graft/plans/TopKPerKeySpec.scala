@@ -39,6 +39,14 @@ class TopKPerKeySpec extends SparkSuite {
     assert(!plan.contains("(Sort"), plan)
   }
 
+  test("k must be positive (fail fast, not mid-job)") {
+    import spark.implicits._
+    val df = Seq((1, 10)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      TopK.perKey(df, 0, Seq(col("k")), Seq(col("v") -> true))
+    }
+  }
+
   test("k larger than group size returns the whole group") {
     import spark.implicits._
     val df = Seq((1, 10), (1, 20), (2, 5)).toDF("k", "v")

@@ -39,7 +39,9 @@ class WorkloadsSpec extends SparkSuite {
     val fixtures = Seq(
       Seq("A,B,C", "A,C,B", "B,A,C", "A,B,C", "C,A,B"), // clear winner
       Seq("A,B,C", "B,C,A", "C,A,B"),                   // cycle
-      Seq("X,Y,Z", "Y,X,Z", "Z,Y,X", "Y,Z,X"))
+      Seq("X,Y,Z", "Y,X,Z", "Z,Y,X", "Y,Z,X"),
+      // malformed ballots both paths must reject identically
+      Seq("A,,C", "A, ,C", "C#1,B,A", "A,B,C", "A,C,B", "A,B,C"))
     fixtures.foreach { ballots =>
       val ds = spark.createDataset(ballots)
       val typed = Workloads.condorcet(ds).collect().map(_.toString).toSeq
