@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSuite
+import graft.engine.MapleJuice
+import graft.functions.VecOps
+import graft.plans.TopK
+
+/** ScalaCheck properties for the custom operators: each is checked
+  * against its naive/composable twin on random inputs. */
+class PropertiesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 8): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: saltedJoin ≡ plain inner join for any salt") {
+    val gen = for {
+      probe <- Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 8L), Gen.chooseNum(0, 99)))
+      build <- Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 8L), Gen.alphaStr.map(_.take(4))))
+      salt <- Gen.chooseNum(1, 7)
+    } yield (probe, build.distinctBy(_._1), salt)
+    check(Prop.forAll(gen) { case (probe, build, salt) =>
+      val p = probe.toDF("k", "v")
+      val b = build.toDF("k2", "w")
+      val salted = MapleJuice.saltedJoin(p, b, col("k"), col("k2"), salt)
+        .collect().map(_.toString).sorted.toSeq
+      val plain = p.join(b, col("k") === col("k2"))
+        .collect().map(_.toString).sorted.toSeq
+      salted == plain
+    })
+  }
+
+  test("property: TopK.perKey ≡ sortBy.take(k) per key") {
+    val gen = for {
+      rows <- Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(-100, 100)))
+      k <- Gen.chooseNum(1, 5)
+    } yield (rows, k)
+    check(Prop.forAll(gen) { case (rows, k) =>
+      val df = rows.toDF("key", "v")
+      val got = TopK.perKey(df, k, Seq(col("key")), Seq(col("v") -> true, col("key") -> true))
+        .as[(Int, Int)].collect().toSeq.groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted).toMap
+      // naive twin: per key, k smallest values (ties resolved by value
+      // order — identical multiset either way)
+      val want = rows.groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted.take(k)).toMap
+      got == want
+    }, n = 6)
+  }
+
+  test("property: SortedIntersectCount ≡ set intersection size") {
+    val arrGen = Gen.listOf(Gen.chooseNum(0L, 30L)).map(_.distinct.sorted)
+    check(Prop.forAll(Gen.zip(arrGen, arrGen)) { case (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(VecOps.sorted_intersect_count(col("a"), col("b")))
+        .as[Long].head()
+      got == a.toSet.intersect(b.toSet).size.toLong
+    })
+  }
+
+  test("property: VecDot ≡ left fold of products (bit-exact)") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1000, 1000).map(_ / 16.0))
+    check(Prop.forAll(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(VecOps.vec_dot(col("a"), col("b"))).as[Double].head()
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      got == want // exact, not approx
+    })
+  }
+}
