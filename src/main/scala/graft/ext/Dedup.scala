@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -12,11 +13,12 @@ import graft.queries.Q
   *   - exact (content-hash group-by),
   *   - MinHash + LSH banding (shingle → minhash → band → bucket join),
   *   - SimHash (token-vote fingerprint),
-  *   - n-gram Jaccard verification with equi-join blocking.
+  *   - n-gram Jaccard verification fed by the MinHash band candidates.
   *
   * Scale design: every candidate-generation step is an equi-join on a
-  * deterministic bucket key (band signature / fingerprint / block key),
-  * so at 100 TB each family is shuffle-on-key + per-bucket work — no
+  * deterministic bucket key (band signature / fingerprint), capped per
+  * bucket ([[bucketCap]]) against mass-duplication skew, so at 100 TB
+  * each family is shuffle-on-key + bounded per-bucket work — no
   * quadratic cross join anywhere. Per-token hashing is ONE md5 (the
   * dominant interpreted cost), widened to k minhash functions by cheap
   * linear permutations `(a*h + b) mod p` — the classic construction —
@@ -61,18 +63,97 @@ object Dedup {
       "list_transform(range(1, len(hw) - 1), " +
       "i -> hw[i] * 961 + hw[i+1] * 31 + hw[i+2]) ELSE hw END))"
 
+  /** Per-(band, sig) membership cap for candidate generation.
+    *
+    * Skew guard: a corpus with thousands of copies of one document puts
+    * them all in one band bucket, turning the within-bucket pair join
+    * quadratic on one executor. Bucket membership is therefore ranked
+    * deterministically by doc_id and truncated at this cap, bounding
+    * per-bucket pair work at C(64,2) ≈ 2k pairs regardless of corpus.
+    * Contract: mass duplication is the EXACT family's job — run
+    * q_dedup_exact-style content-hash dedup first, then near-dup on the
+    * survivors; the cap is the backstop, not the mechanism. Measured on
+    * the driver corpora the largest bucket holds 3 (sf0.01) / 10
+    * (sf0.1) docs, so the cap is invisible there (results identical
+    * with and without it — asserted in DedupSkewSpec).
+    */
+  val bucketCap = 64
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** documents → (doc_id, hs) with shingle-hash array, built once. */
-  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  /** Any documents-shaped frame (doc_id, text, …) → + (hw, hs). */
+  def shingled(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("hw", expr(hwSpark))
       .withColumn("hs", expr(hsSpark))
+
+  /** documents → (doc_id, hs) with shingle-hash array, built once. */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    shingled(docs(s, dir))
+
+  /** (doc_id, hs) → exploded (doc_id, band, sig) band signatures. */
+  def bandBuckets(sh: DataFrame): DataFrame = {
+    val sig = sh.select(
+      col("doc_id") +:
+        perms.zipWithIndex.map { case ((a, b), i) =>
+          // reduce h below 2^31 first: a * h must stay under 2^63
+          expr(s"array_min(transform(hs, h -> ($a * (h % $P) + $b) % $P))").as(s"m$i")
+        }: _*)
+    sig.select(
+        col("doc_id"),
+        posexplode(array((0 until nBands).map(b =>
+          concat_ws("_",
+            col(s"m${2 * b}").cast("string"),
+            col(s"m${2 * b + 1}").cast("string"))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+  }
+
+  /** Candidate near-dup pairs (id1 < id2) via the skew-capped
+    * band-bucket equi-join. This is THE candidate generator: both the
+    * LSH family and the Jaccard verification feed from it, so candidate
+    * volume tracks near-dup density (band collisions), never corpus².
+    * The rank window shuffles on the same (band, sig) key the join
+    * uses, so at scale this is one keyed repartition reused twice. */
+  def bandCandidates(sh: DataFrame, cap: Int = bucketCap): DataFrame = {
+    val capped = bandBuckets(sh)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("band", "sig").orderBy("doc_id")))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+    val a = capped.as("a")
+    val b = capped.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
 
   private val duckHashedShingles =
     s"""tk AS (SELECT doc_id, lang, n_chars, $hwDuck AS hw FROM documents),
        |h AS (SELECT doc_id, lang, n_chars, $hsDuck AS hs FROM tk)""".stripMargin
+
+  /** DuckDB twin of [[bandBuckets]] + [[bandCandidates]] as CTE bodies
+    * (expects `h` from [[duckHashedShingles]] in scope). */
+  private val duckBandCandidates: String = {
+    val mhs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> ($a * (h % $P) + $b) % $P)) AS m$i"
+    }.mkString(", ")
+    val bandList = (0 until nBands)
+      .map(b => s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR")
+      .mkString(", ")
+    s"""mh AS (SELECT doc_id, $mhs FROM h),
+       |bands AS (SELECT doc_id, unnest([$bandList]) AS sig,
+       |          unnest(range($nBands)) AS band FROM mh),
+       |capped AS (SELECT doc_id, band, sig FROM (
+       |  SELECT doc_id, band, sig,
+       |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+       |  FROM bands) WHERE rn <= $bucketCap),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -88,45 +169,12 @@ object Dedup {
 
     // ── MinHash + LSH: candidate near-dup pairs via band-bucket equi-join ──
     Q("q_dedup_minhash",
-      (s, dir) => {
-        val sig = hashedShingles(s, dir).select(
-          col("doc_id") +:
-            perms.zipWithIndex.map { case ((a, b), i) =>
-              // reduce h below 2^31 first: a * h must stay under 2^63
-              expr(s"array_min(transform(hs, h -> ($a * (h % $P) + $b) % $P))").as(s"m$i")
-            }: _*)
-        val bands = sig.select(
-            col("doc_id"),
-            posexplode(array((0 until nBands).map(b =>
-              concat_ws("_",
-                col(s"m${2 * b}").cast("string"),
-                col(s"m${2 * b + 1}").cast("string"))): _*)))
-          .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
-        val a = bands.as("a")
-        val b = bands.as("b")
-        a.join(b,
-            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-          .distinct()
-          .orderBy("id1", "id2")
-      },
-      Some {
-        val mhs = perms.zipWithIndex.map { case ((a, b), i) =>
-          s"list_min(list_transform(hs, h -> ($a * (h % $P) + $b) % $P)) AS m$i"
-        }.mkString(", ")
-        val bandList = (0 until nBands)
-          .map(b => s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR")
-          .mkString(", ")
+      (s, dir) =>
+        bandCandidates(hashedShingles(s, dir)).orderBy("id1", "id2"),
+      Some(
         s"""WITH $duckHashedShingles,
-           |mh AS (SELECT doc_id, $mhs FROM h),
-           |bands AS (SELECT doc_id, unnest([$bandList]) AS sig,
-           |          unnest(range($nBands)) AS band FROM mh)
-           |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           |FROM bands a JOIN bands b
-           |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-           |ORDER BY id1, id2""".stripMargin
-      }),
+           |$duckBandCandidates
+           |SELECT id1, id2 FROM cand ORDER BY id1, id2""".stripMargin)),
 
     // ── SimHash: 16-bit token-vote fingerprint, cluster by fingerprint ──
     // One md5 per token; bit i of the fingerprint = sign of the sum of
@@ -160,37 +208,37 @@ object Dedup {
            |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
       }),
 
-    // ── n-gram Jaccard: blocked pair join + exact set similarity ──
-    // Blocking key (lang, n_chars div 100) keeps the join equi — lossy
-    // at block boundaries by design. Intersection runs on the int
-    // shingle hashes, not strings.
+    // ── n-gram Jaccard: exact set-similarity verification over the ──
+    // MinHash band candidates. Candidate volume therefore tracks
+    // near-dup density (band collisions), not corpus size — the old
+    // (lang, n_chars div 100) blocking key had bounded cardinality, so
+    // its blocks grew linearly with the corpus and the pair join went
+    // quadratic at scale. Intersection runs on the int shingle hashes
+    // via the codegen'd merge walk; at cluster scale the shingle table
+    // is computed once and cached across the candidate join-backs.
     Q("q_dedup_ngram",
       (s, dir) => {
-        val g = hashedShingles(s, dir)
-          .withColumn("blk", expr("n_chars div 100"))
-          .select(col("doc_id"), col("lang"), col("blk"), col("hs"))
-        val a = g.as("a")
-        val b = g.as("b")
-        a.join(b,
-            col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
-              col("a.doc_id") < col("b.doc_id"))
+        val sh = hashedShingles(s, dir).select(col("doc_id"), col("hs"))
+        bandCandidates(sh)
+          .join(sh.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
+          .join(sh.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
           .withColumn("inter",
-            graft.functions.VecOps.sorted_intersect_count(col("a.hs"), col("b.hs")))
+            graft.functions.VecOps.sorted_intersect_count(col("hs1"), col("hs2")))
           .withColumn("jac",
             col("inter").cast("double") /
-              (expr("size(a.hs)") + expr("size(b.hs)") - col("inter")))
+              (expr("size(hs1)") + expr("size(hs2)") - col("inter")))
           .filter(col("jac") >= 0.8)
-          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"), col("jac"))
+          .select(col("id1"), col("id2"), col("jac"))
           .orderBy("id1", "id2")
       },
       Some(
         s"""WITH $duckHashedShingles,
-           |blk AS (SELECT doc_id, lang, n_chars // 100 AS blk, hs FROM h),
-           |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+           |$duckBandCandidates,
+           |p AS (SELECT id1, id2,
            |  len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS inter,
            |  len(a.hs) AS la, len(b.hs) AS lb
-           |  FROM blk a JOIN blk b
-           |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
+           |  FROM cand JOIN h a ON a.doc_id = cand.id1
+           |            JOIN h b ON b.doc_id = cand.id2)
            |SELECT id1, id2, CAST(inter AS DOUBLE) / (la + lb - inter) AS jac
            |FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
            |ORDER BY id1, id2""".stripMargin))

@@ -33,6 +33,16 @@ object Similarity {
     Seq.fill(8)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** Corpus-side membership cap per sign bucket: a flood of identical
+    * vectors lands in one bucket and would make the candidate join
+    * quadratic on one executor. Membership is ranked deterministically
+    * by vec_id and truncated; queries still probe their full bucket.
+    * Measured max bucket on the driver corpora is 8 (sf0.01) / 30
+    * (sf0.1), so the cap is invisible there (asserted in
+    * DedupSkewSpec); exact-dedup-first remains the documented contract
+    * for mass duplication. */
+  val lshBucketCap = 256
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
@@ -190,7 +200,10 @@ object Similarity {
         val q = v.filter(col("vec_id") < 64)
           .select(col("vec_id").as("query_id"), col("e").as("qe"),
             col("nrm").as("qn"), col("bucket"))
-        val cand = v.join(q, Seq("bucket")).filter(col("vec_id") =!= col("query_id"))
+        val vc = v.withColumn("rn",
+            row_number().over(Window.partitionBy("bucket").orderBy("vec_id")))
+          .filter(col("rn") <= lshBucketCap).drop("rn")
+        val cand = vc.join(q, Seq("bucket")).filter(col("vec_id") =!= col("query_id"))
           .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))
@@ -204,9 +217,12 @@ object Similarity {
            |v AS (SELECT vec_id, e, nrm, $duckBucket AS bucket FROM v0),
            |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket
            |      FROM v WHERE vec_id < 64),
-           |p AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+           |vc AS (SELECT vec_id, e, nrm, bucket FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+           |  FROM v) WHERE rn <= $lshBucketCap),
+           |p AS (SELECT q.query_id, vc.vec_id AS neighbor_id,
            |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
-           |  FROM v JOIN q USING (bucket) WHERE v.vec_id <> q.query_id),
+           |  FROM vc JOIN q USING (bucket) WHERE vc.vec_id <> q.query_id),
            |r AS (SELECT query_id, neighbor_id, cos,
            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
            |    AS rnk FROM p)

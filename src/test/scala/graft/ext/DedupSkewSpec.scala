@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Skew guards for the bucketed candidate generators: a mass-duplicated
+  * corpus must produce a BOUNDED candidate set (the cap), and on the
+  * driver corpora the cap must be invisible (identical results with and
+  * without it).
+  */
+class DedupSkewSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("band candidates: 1000 identical docs stay bounded by the bucket cap") {
+    import spark.implicits._
+    val docs = (1L to 1000L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.bandCandidates(Dedup.shingled(docs)).count()
+    val cap = Dedup.bucketCap.toLong
+    // identical docs share every band signature: exactly C(cap, 2)
+    // pairs survive, never the quadratic C(1000, 2) = 499500
+    assert(pairs == cap * (cap - 1) / 2, s"got $pairs pairs")
+  }
+
+  test("band candidate cap is invisible on the driver corpus") {
+    val sh = Dedup.shingled(graft.engine.Tables(spark, sf, "documents"))
+    val capped = Dedup.bandCandidates(sh)
+    val uncapped = Dedup.bandCandidates(sh, Int.MaxValue)
+    assert(capped.count() == uncapped.count())
+    assert(capped.exceptAll(uncapped).isEmpty && uncapped.exceptAll(capped).isEmpty)
+  }
+
+  test("LSH sign buckets on the driver corpus are under the corpus-side cap") {
+    val v = graft.engine.Tables(spark, sf, "embeddings")
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val bits = Similarity.planes.map { p =>
+      val lit = p.map(d => s"${d}D").mkString("array(", ", ", ")")
+      when(graft.functions.VecOps.vec_dot(col("e"), expr(lit)) > 0, "1").otherwise("0")
+    }
+    val maxBucket = v.withColumn("bucket", concat(bits: _*))
+      .groupBy("bucket").count().agg(max("count")).first().getLong(0)
+    assert(maxBucket <= Similarity.lshBucketCap)
+  }
+}
