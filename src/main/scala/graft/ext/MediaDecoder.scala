@@ -1,0 +1,163 @@
+package graft.ext
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+/** Pure-JVM media decoding for multimodal columns — real codecs, zero
+  * external dependencies:
+  *
+  *   - images: `javax.imageio` (PNG / BMP / GIF ship with the JDK) —
+  *     dimensions + mean-luminance feature from the decoded pixels;
+  *   - audio: a hand-rolled RIFF/WAVE chunk parser (fmt + data) —
+  *     sample rate, channels, frame count, duration, mean |amplitude|
+  *     for 16-bit PCM;
+  *   - anything else: byte-histogram moments (the universal fallback),
+  *     so the pipeline never drops a row for an unreadable payload.
+  *
+  * Decoders are stateless objects: per-partition "init" in
+  * [[Multimodal.extractFeatures]] costs nothing here but marks where a
+  * JNI codec handle would live. Video stays fallback-decoded (no
+  * container parser in the JDK) — its payloads still flow as opaque
+  * binary with byte-level features.
+  */
+object MediaDecoder {
+
+  /** Typed decode result. Image fields are -1 for non-images, audio
+    * fields -1/-1.0 for non-audio; `feature` is always 3 doubles. */
+  final case class Media(
+      format: String,
+      width: Int, height: Int,
+      sample_rate: Int, channels: Int, n_frames: Long, duration_ms: Double,
+      feature: Array[Double])
+
+  def decode(payload: Array[Byte]): Media =
+    if (isWav(payload)) decodeWav(payload)
+    else sniffImage(payload) match {
+      case Some(fmt) => decodeImage(payload, fmt)
+      case None      => fallback(payload, "unknown")
+    }
+
+  // ── format sniffing (magic numbers) ──
+
+  private def isWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  private def sniffImage(p: Array[Byte]): Option[String] =
+    if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      Some("png")
+    else if (p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
+      Some("gif")
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
+      Some("bmp")
+    else None
+
+  // ── images: JDK ImageIO ──
+
+  private def decodeImage(p: Array[Byte], fmt: String): Media = {
+    // a decoder never throws on malformed bytes — the pipeline keeps
+    // the row with fallback features instead of failing the task
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(p))
+      catch { case _: Exception => null }
+    if (img == null) return fallback(p, "unknown")
+    val (w, h) = (img.getWidth, img.getHeight)
+    // mean luminance (Rec. 601) over decoded pixels — the "content
+    // feature"; small per-asset images, so a full scan is fine
+    var lum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        lum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Media(fmt, w, h, -1, -1, -1L, -1.0,
+      Array(w.toDouble, h.toDouble, lum / math.max(w.toLong * h, 1L)))
+  }
+
+  // ── audio: RIFF/WAVE chunk walk ──
+
+  private def le16(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+  private def le32(p: Array[Byte], o: Int): Long =
+    (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+
+  private def decodeWav(p: Array[Byte]): Media = {
+    var off = 12 // past RIFF<size>WAVE
+    var rate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= p.length) {
+      val id = new String(p, off, 4, "US-ASCII")
+      val size = le32(p, off + 4)
+      if (id == "fmt " && off + 24 <= p.length) {
+        channels = le16(p, off + 10)
+        rate = le32(p, off + 12).toInt
+        bits = le16(p, off + 22)
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = math.min(size, (p.length - dataOff).toLong)
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (rate <= 0 || channels <= 0 || bits <= 0 || dataOff < 0)
+      return fallback(p, "unknown")
+    val bytesPerFrame = channels * (bits / 8)
+    val frames = if (bytesPerFrame > 0) dataLen / bytesPerFrame else 0L
+    val durationMs = frames * 1000.0 / rate
+    // mean |amplitude| for 16-bit PCM; byte-mean fallback otherwise
+    var amp = 0.0
+    var n = 0L
+    if (bits == 16) {
+      var i = dataOff
+      while (i + 1 < dataOff + dataLen) {
+        amp += math.abs(le16(p, i).toShort.toDouble); n += 1; i += 2
+      }
+    } else {
+      var i = dataOff
+      while (i < dataOff + dataLen) { amp += (p(i) & 0xff).toDouble; n += 1; i += 1 }
+    }
+    Media("wav", -1, -1, rate, channels, frames, durationMs,
+      Array(frames.toDouble, rate.toDouble, amp / math.max(n, 1L)))
+  }
+
+  // ── fallback: byte-histogram moments (former stub semantics) ──
+
+  private def fallback(p: Array[Byte], fmt: String): Media = {
+    var sum = 0L; var sq = 0.0
+    var i = 0
+    while (i < p.length) {
+      val v = p(i) & 0xff
+      sum += v; sq += v.toDouble * v
+      i += 1
+    }
+    val n = math.max(p.length, 1)
+    Media(fmt, -1, -1, -1, -1, -1L, -1.0,
+      Array(p.length.toDouble, sum.toDouble / n, sq / n))
+  }
+
+  // ── WAV construction (16-bit PCM mono/stereo) — used by tests and
+  // the oracle-checked decode query to synthesize real payloads ──
+
+  def wavBytes(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+}

@@ -10,13 +10,12 @@ import graft.queries.Q
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed in partition-sized batches.
   *
-  * The decode step is STUBBED (no image/audio codecs in this
-  * environment): [[StubDecoder.decode]] is a deterministic fake that
-  * stands in for a JNI/codec call. Everything around it — the binary
-  * schema, the `mapPartitions` batch shape (the Scala analog of
+  * Decoding is REAL and pure-JVM ([[MediaDecoder]]): `javax.imageio`
+  * for PNG/BMP/GIF, a hand-rolled RIFF/WAVE parser for audio, and a
+  * byte-histogram fallback so unreadable payloads still produce a row.
+  * The batch shape is `mapPartitions` (the Scala analog of
   * `mapInPandas`: one iterator per partition, decoder state initialized
-  * once per partition, not per row), partitioning, and the typed
-  * feature output — is real Spark and tested.
+  * once per partition, not per row).
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver
   * collect); per-partition decoder init amortizes model/codec load
@@ -28,27 +27,13 @@ object Multimodal {
   /** A multimodal asset row: opaque payload + typed metadata. */
   final case class Asset(asset_id: Long, modality: String, payload: Array[Byte])
 
-  /** Extracted features (fixed-width, columnar-friendly). */
+  /** Extracted features (fixed-width, columnar-friendly). Image fields
+    * are -1 for non-images, audio fields -1/-1.0 for non-audio. */
   final case class AssetFeatures(
-      asset_id: Long, modality: String, n_bytes: Long,
-      checksum: Long, feature: Array[Double])
-
-  /** Deterministic stand-in for the real codec: byte histogram moments.
-    * A real deployment swaps this object for the JNI/codec binding —
-    * the Spark plumbing does not change. */
-  object StubDecoder {
-    def decode(payload: Array[Byte]): Array[Double] = {
-      var sum = 0L; var sq = 0.0
-      var i = 0
-      while (i < payload.length) {
-        val v = payload(i) & 0xff
-        sum += v; sq += v.toDouble * v
-        i += 1
-      }
-      val n = math.max(payload.length, 1)
-      Array(payload.length.toDouble, sum.toDouble / n, sq / n)
-    }
-  }
+      asset_id: Long, modality: String, n_bytes: Long, checksum: Long,
+      format: String, width: Int, height: Int,
+      sample_rate: Int, channels: Int, n_frames: Long, duration_ms: Double,
+      feature: Array[Double])
 
   /** Real multimodal ingestion path: a directory of opaque media files
     * as rows (path, modificationTime, length, content: binary) via
@@ -76,21 +61,52 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // per-partition init (codec / model handle lives here)
-      val decoder = StubDecoder
+      val decoder = MediaDecoder
       it.map { a =>
-        val f = decoder.decode(a.payload)
+        val m = decoder.decode(a.payload)
         val crc = new java.util.zip.CRC32
         crc.update(a.payload)
         AssetFeatures(a.asset_id, a.modality, a.payload.length.toLong,
-          crc.getValue, f)
+          crc.getValue, m.format, m.width, m.height,
+          m.sample_rate, m.channels, m.n_frames, m.duration_ms, m.feature)
       }
     }
   }
 
-  /** Oracle-checked slice of the pipeline: binary payload metadata
-    * (byte length is computable in both engines; the stub features are
-    * covered by ScalaTest instead). */
+  /** Oracle-checked slices of the pipeline: payload metadata, plus a
+    * REAL decode round-trip — WAV payloads are synthesized per row with
+    * analytically-known parameters, pushed through the actual RIFF
+    * parser ([[MediaDecoder.decode]]) in the mapPartitions batch shape,
+    * and DuckDB recomputes the expected metadata from the construction
+    * arithmetic. A decoder regression (endianness, chunk walk, frame
+    * math) breaks the hash match. Image decoding is covered by
+    * golden-file ScalaTests (pixel data is not DuckDB-expressible). */
   val queries: Seq[Q] = Seq(
+    Q("q_multimodal_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            val decoder = MediaDecoder // per-partition codec handle
+            it.map { case (id, text) =>
+              val rate = 8000 + (id % 3).toInt * 4000
+              val samples = text.getBytes("UTF-8").map(b => ((b & 0xff) * 64).toShort)
+              val m = decoder.decode(decoder.wavBytes(rate, 1, samples))
+              (id, m.format, m.sample_rate, m.channels, m.n_frames, m.duration_ms)
+            }
+          }
+          .toDF("asset_id", "format", "sample_rate", "channels", "n_frames", "duration_ms")
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id, 'wav' AS format,
+             |CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             |CAST(1 AS INT) AS channels,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
+             |CAST(octet_length(encode(text)) AS BIGINT) * 1000.0::DOUBLE
+             |  / (8000 + (doc_id % 3) * 4000) AS duration_ms
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
     Q("q_multimodal_meta",
       (s, dir) =>
         Tables(s, dir, "documents")

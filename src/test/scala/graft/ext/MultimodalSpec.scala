@@ -1,17 +1,32 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
 import graft.SparkSuite
 
 class MultimodalSpec extends SparkSuite {
+
+  private def imageBytes(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out), s"no JDK writer for $fmt")
+    out.toByteArray
+  }
 
   test("asset pipeline: binary payloads → per-partition batch decode") {
     val assets = Multimodal.assets(spark, "/root/testdata/sf0.001")
       .repartition(3) // decode parallelism decoupled from file layout
     val feats = Multimodal.extractFeatures(assets).collect()
     assert(feats.nonEmpty)
-    // deterministic stub: feature(0) = byte length, checksum = CRC32
+    // text payloads are not decodable media → fallback decoder:
+    // feature(0) = byte length, checksum = CRC32, format = unknown
     feats.foreach { f =>
       assert(f.feature.length == 3)
+      assert(f.format == "unknown")
       assert(f.feature(0) == f.n_bytes.toDouble)
       assert(Set("image", "audio", "video").contains(f.modality))
     }
@@ -28,11 +43,42 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(3L, 4L))
   }
 
-  test("stub decoder is deterministic and batch-shape independent") {
-    val payload = "hello graft".getBytes("UTF-8")
-    val f1 = Multimodal.StubDecoder.decode(payload)
-    val f2 = Multimodal.StubDecoder.decode(payload)
-    assert(f1.toSeq == f2.toSeq)
-    assert(f1(0) == payload.length.toDouble)
+  test("golden images: PNG/BMP/GIF dimensions + luminance via ImageIO") {
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val m = MediaDecoder.decode(imageBytes(fmt, 5, 3, 0xffffff)) // white
+      assert(m.format == fmt, s"$fmt sniffed as ${m.format}")
+      assert(m.width == 5 && m.height == 3)
+      assert(m.sample_rate == -1 && m.n_frames == -1L)
+      // white pixels: luminance 255 exactly (GIF palettizes but white survives)
+      assert(math.abs(m.feature(2) - 255.0) < 1e-9, s"$fmt lum ${m.feature(2)}")
+    }
+    // mid-gray PNG: lossless, luminance = 128 exactly
+    val gray = MediaDecoder.decode(imageBytes("png", 4, 4, 0x808080))
+    assert(math.abs(gray.feature(2) - 128.0) < 1e-9)
+  }
+
+  test("golden WAV: RIFF parse recovers rate/channels/frames/duration") {
+    val samples = Array.tabulate(16000)(i => (i % 256 - 128).toShort)
+    val m = MediaDecoder.decode(MediaDecoder.wavBytes(16000, 1, samples))
+    assert(m.format == "wav")
+    assert(m.sample_rate == 16000 && m.channels == 1)
+    assert(m.n_frames == 16000L)
+    assert(math.abs(m.duration_ms - 1000.0) < 1e-9)
+    // stereo: frames halve
+    val st = MediaDecoder.decode(MediaDecoder.wavBytes(8000, 2, samples))
+    assert(st.channels == 2 && st.n_frames == 8000L)
+    assert(math.abs(st.duration_ms - 1000.0) < 1e-9)
+    // mean |amplitude| of the sawtooth is exactly the analytic value
+    val expAmp = samples.map(s => math.abs(s.toDouble)).sum / samples.length
+    assert(math.abs(m.feature(2) - expAmp) < 1e-9)
+  }
+
+  test("truncated/garbage payloads fall back instead of throwing") {
+    val garbage = Array[Byte](0x42, 0x13, 0x37)
+    assert(MediaDecoder.decode(garbage).format == "unknown")
+    val truncatedWav = MediaDecoder.wavBytes(8000, 1, Array[Short](1, 2, 3)).take(20)
+    assert(MediaDecoder.decode(truncatedWav).format == "unknown")
+    val truncatedPng = imageBytes("png", 3, 3, 0).take(12)
+    assert(MediaDecoder.decode(truncatedPng).format == "unknown")
   }
 }
