@@ -99,10 +99,19 @@ object MapleJuice {
     require(Set("inner", "left", "leftouter", "leftsemi")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left joins only, got $joinType")
-    val p = probe.withColumn("__salt_p", pmod(hash(probeKey), lit(salt)))
-    val b = build.withColumn("__salt_b", explode(array((0 until salt).map(lit(_)): _*)))
-    p.join(b, probeKey === buildKey && col("__salt_p") === col("__salt_b"), joinType)
-      .drop("__salt_p", "__salt_b")
+    // helper column names must not collide with user columns — an input
+    // already containing __salt_p/__salt_b would turn the salt equality
+    // into an ambiguous reference or a wrong-column comparison
+    val taken = (probe.columns ++ build.columns).toSet
+    def fresh(base: String): String =
+      if (!taken(base)) base
+      else Iterator.from(1).map(i => s"$base$i").find(!taken(_)).get
+    val saltP = fresh("__salt_p")
+    val saltB = fresh("__salt_b")
+    val p = probe.withColumn(saltP, pmod(hash(probeKey), lit(salt)))
+    val b = build.withColumn(saltB, explode(array((0 until salt).map(lit(_)): _*)))
+    p.join(b, probeKey === buildKey && col(saltP) === col(saltB), joinType)
+      .drop(saltP, saltB)
   }
 
   /** External-executable compatibility shim: stream a partition's lines

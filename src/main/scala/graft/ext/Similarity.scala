@@ -57,11 +57,15 @@ object Similarity {
       |    (acc, x) -> acc + x)) AS nrm
       |FROM embeddings""".stripMargin
 
-  /** DuckDB sequential dot of two double-list columns. */
+  /** DuckDB sequential dot of two double-list columns. The length
+    * guard mirrors [[graft.functions.VecDot]]'s null-on-mismatch
+    * contract exactly (range-indexing alone would yield NULL only when
+    * `b` is the shorter side). */
   private def duckDot(a: String, b: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
-       |  (acc, x) -> acc + x)""".stripMargin
+    s"""(CASE WHEN len($a) <> len($b) THEN NULL ELSE
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+       |    (acc, x) -> acc + x) END)""".stripMargin
 
   private def cosine(aE: Column, aN: Column, bE: Column, bN: Column): Column =
     vec_dot(aE, bE) / (aN * bN)

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
 /** Optimizer rule: `size(array_intersect(a, b))` over non-null bigint
@@ -31,9 +30,12 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case s @ Size(ai @ ArrayIntersect(a, b), _)
+      // guard on the MATCHED NODE's legacy flag (captured at construction
+      // time), not the live SQLConf — a node built under a different
+      // session setting must keep its own null semantics
+      case s @ Size(ai @ ArrayIntersect(a, b), legacy)
           if eligible(a) && eligible(b) &&
-            !(SQLConf.get.legacySizeOfNull && (a.nullable || b.nullable)) =>
+            !(legacy && (a.nullable || b.nullable)) =>
         // SortArray, not ArraySort: the latter's default comparator is
         // a lambda that would re-enter analysis; SortArray is lambda-free
         Cast(

@@ -74,6 +74,12 @@ object EventStream {
       }.toArray.sorted
       var closed = List.empty[SessionOut]
       var cur = state.getOption
+      // ancient late events (more than a gap BEFORE the open session)
+      // accumulate into their own running session with the same gap
+      // logic, so a late CLUSTER merges as batch q_sessionize would —
+      // only clusters split across micro-batches remain split (the
+      // documented residual divergence)
+      var late: Option[SessionState] = None
       sorted.foreach { t =>
         cur match {
           case Some(s) if t >= s.start - gapUs && t - s.end <= gapUs =>
@@ -82,10 +88,15 @@ object EventStream {
             cur = Some(SessionState(
               math.min(s.start, t), math.max(s.end, t), s.n + 1))
           case Some(s) if t < s.start - gapUs =>
-            // ancient late event: more than a gap BEFORE the open
-            // session — batch semantics would give it its own session;
-            // emit it as one rather than stretching the open window
-            closed ::= SessionOut(userId, 1, t, t)
+            late match {
+              case Some(l) if t - l.end <= gapUs =>
+                late = Some(SessionState(l.start, math.max(l.end, t), l.n + 1))
+              case Some(l) =>
+                closed ::= SessionOut(userId, l.n, l.start, l.end)
+                late = Some(SessionState(t, t, 1))
+              case None =>
+                late = Some(SessionState(t, t, 1))
+            }
           case Some(s) =>
             closed ::= SessionOut(userId, s.n, s.start, s.end)
             cur = Some(SessionState(t, t, 1))
@@ -93,6 +104,9 @@ object EventStream {
             cur = Some(SessionState(t, t, 1))
         }
       }
+      // the late cluster closes with the batch: its newest event is
+      // still > gap away from the open session start, so no merge
+      late.foreach(l => closed ::= SessionOut(userId, l.n, l.start, l.end))
       cur.foreach { s =>
         state.update(s)
         if (evictWithTimeout) state.setTimeoutDuration(gapMinutes * 60L * 1000L)

@@ -38,6 +38,16 @@ class GraftExtensionsSpec extends SparkSuite {
         df.queryExecution.optimizedPlan.toString)
       // a = [0..id], b = [id..6] → exactly one common element (id)
       assert(df.collect().forall(r => r.getInt(1) == 1))
+
+      // wrong arity → clean analysis error naming the function, never a
+      // silent extra-arg drop or IndexOutOfBoundsException
+      for (bad <- Seq(
+          "SELECT vec_dot(array(1.0D))",
+          "SELECT vec_dot(array(1.0D), array(2.0D), array(3.0D))",
+          "SELECT sorted_intersect_count(array(1L))")) {
+        val e = intercept[org.apache.spark.sql.AnalysisException](s2.sql(bad).collect())
+        assert(e.getMessage.toLowerCase.contains("parameter"), e.getMessage)
+      }
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -73,6 +73,16 @@ class MapleJuiceSpec extends SparkSuite {
     assert(MapleJuice.saltedJoin(a, b, col("k"), col("k2"), 4, "left_outer").count() == 1)
   }
 
+  test("saltedJoin survives inputs that already carry the helper column names") {
+    val a = Seq((1, 99)).toDF("k", "__salt_p")
+    val b = Seq((1, 98)).toDF("k2", "__salt_b")
+    val out = MapleJuice.saltedJoin(a, b, col("k"), col("k2"), 4).collect()
+    assert(out.length == 1)
+    // user columns pass through untouched; only the fresh helpers drop
+    assert(out(0).schema.fieldNames.toSet == Set("k", "__salt_p", "k2", "__salt_b"))
+    assert(out(0).getAs[Int]("__salt_p") == 99 && out(0).getAs[Int]("__salt_b") == 98)
+  }
+
   test("pipeMaple streams lines through an external executable (D1 fidelity)") {
     val ds = spark.createDataset(Seq("x", "y", "z"))
     val out = MapleJuice.pipeMaple(ds, Seq("cat")).collect().toSet

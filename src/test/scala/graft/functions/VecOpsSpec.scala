@@ -41,9 +41,19 @@ class VecOpsSpec extends SparkSuite {
     assert(got.forall { case (f, r) => f == r }, got.toSeq.toString)
   }
 
-  test("vec_dot of mismatched lengths uses the shorter prefix") {
-    val got = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 10.0))).toDF("a", "b")
-      .select(vec_dot(col("a"), col("b")).as("d")).as[Double].head()
-    assert(got == 30.0)
+  test("vec_dot of mismatched lengths is null (undefined, not truncated)") {
+    val rows = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(10.0, 10.0)),
+      (Seq(1.0, 2.0), Seq(10.0, 10.0))).toDF("a", "b")
+      .select(vec_dot(col("a"), col("b")).as("d"))
+      .collect()
+    assert(rows(0).isNullAt(0)) // mismatch → null, matching the DuckDB twin
+    assert(rows(1).getDouble(0) == 30.0)
+    // null propagates through the interpreted path too
+    val interp = Seq((Seq(1.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(vec_dot(col("a"), col("b")).as("d"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(interp.collect()(0).isNullAt(0))
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 }

@@ -88,6 +88,30 @@ class EventStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ancient late events within one gap merge into one late session") {
+    import EventStream.SessionEvent
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SessionEvent](spark)
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_cluster")
+      .start()
+    try {
+      input.addData(Seq(SessionEvent(9L, ts(200)), SessionEvent(9L, ts(210))))
+      q.processAllAvailable()
+      // a late CLUSTER: 0 and 10 min are within one gap of each other,
+      // both more than a gap before the open session (200) — batch
+      // semantics merge them into ONE session of 2 events
+      input.addData(Seq(SessionEvent(9L, ts(0)), SessionEvent(9L, ts(10))))
+      q.processAllAvailable()
+      val out = spark.table("late_cluster").as[EventStream.SessionOut].collect()
+      assert(out.length == 1, out.mkString(","))
+      assert(out.head.n_events == 2 && out.head.start_us == 0L &&
+        out.head.end_us == 10L * 60L * 1000000L)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions on gap (mapGroupsWithState)") {
     import EventStream.SessionEvent
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
