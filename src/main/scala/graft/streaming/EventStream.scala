@@ -40,6 +40,24 @@ object EventStream {
       .select(to_date(col("w.start")).as("day"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Continuous exact dedup — the streaming twin of `q_dedup_exact`'s
+    * semantics anchor: first arrival of a key wins, duplicates within
+    * the watermark window are dropped exactly once across micro-batches
+    * (state survives restarts via the checkpoint).
+    *
+    * `dropDuplicatesWithinWatermark` keys state by the dedup columns
+    * and EVICTS entries once the watermark passes them — the property
+    * that makes continuous dedup viable on an unbounded stream (plain
+    * `dropDuplicates` state grows forever). Consequence: a duplicate
+    * arriving later than `watermark` after its first occurrence is NOT
+    * dropped — at 100 TB/day that bound is the knob trading state size
+    * against dedup horizon. For LLM-pipeline content dedup, key on the
+    * content hash (e.g. `md5(text)`) instead of business keys. */
+  def dedupEvents(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long,

@@ -65,6 +65,55 @@ class EventStreamSpec extends SparkSuite {
     assert(spark.read.parquet(sink).count() == 3)
   }
 
+  test("streaming dedup == batch dropDuplicates on static input") {
+    // stage the static events table as a stream; dedup on
+    // (user_id, event_type) must match the batch distinct-key count
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").parquet(dir)
+    val q = EventStream.dedupEvents(
+        EventStream.readEvents(spark, dir), Seq("user_id", "event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_out").count()
+    val batch = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+  }
+
+  test("streaming dedup drops cross-batch duplicates exactly once, restart-safe") {
+    import EventStream.SessionEvent
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val base = Files.createTempDirectory("graft-dedup-eo")
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SessionEvent](spark)
+
+    def runOnce(): Unit = {
+      val q = EventStream.dedupEvents(input.toDS().toDF(), Seq("user_id"),
+          watermark = "2 hours")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    input.addData(Seq(SessionEvent(1L, ts(0)), SessionEvent(1L, ts(1)),
+      SessionEvent(2L, ts(2))))
+    runOnce() // user 1 deduped within the batch
+    // "restart": same checkpoint — user 1's state must survive, so its
+    // batch-2 duplicate is dropped; user 3 is new
+    input.addData(Seq(SessionEvent(1L, ts(3)), SessionEvent(3L, ts(4))))
+    runOnce()
+    val users = spark.read.parquet(sink)
+      .select("user_id").as[Long].collect().sorted.toSeq
+    assert(users == Seq(1L, 2L, 3L), users.toString)
+  }
+
   test("sessionizer tolerates out-of-order events across micro-batches") {
     import EventStream.SessionEvent
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
