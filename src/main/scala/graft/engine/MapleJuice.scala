@@ -90,7 +90,15 @@ object MapleJuice {
     * partitioning concern (the reference's hash shuffle D4 had the same
     * single-hot-bucket failure mode, unaddressed). AQE's skew-join
     * handles sort-merge skew automatically; this helper is for the
-    * hash-partitioned aggregate/join shapes AQE can't rewrite. */
+    * hash-partitioned aggregate/join shapes AQE can't rewrite.
+    *
+    * POLICY — salt only diagnosed hot keys, never by default: the
+    * build-side ×`salt` replication is pure overhead on unskewed data
+    * (measured 10× on the bench corpus: q_join_salted 9.3 s vs
+    * q_join_equi 0.87 s at sf0.1, BENCH_r01). Reach for it when AQE
+    * skew stats / stage timelines show one straggler partition on a
+    * hash join or aggregate, and size `salt` to the hot key's multiple
+    * of the median partition, not higher. See SCALE.md "Salting". */
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: Column,
       buildKey: Column, salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0)

@@ -12,6 +12,29 @@ import graft.engine.MapleJuice
   */
 object Workloads {
 
+  /** Driver-collect guard for the Condorcet dominations relation: the
+    * relation is ≤ C(candidates, 2) rows, tiny for real elections, but
+    * nothing in the INPUT bounds the candidate count — a pathological
+    * ballot file with 10⁴ distinct names would otherwise collect ~5·10⁷
+    * rows onto the driver. Default bound: C(1000, 2) ≈ 500k rows (tens
+    * of MB). The fetch itself is `limit(max+1)`, so even the failing
+    * case never materializes an unbounded result driver-side. */
+  val DefaultMaxCandidates = 1000
+
+  private def collectDominations(ds: Dataset[(String, String)],
+      maxCandidates: Int): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val maxRows = maxCandidates.toLong * (maxCandidates - 1) / 2
+    require(maxRows + 1 <= Int.MaxValue, s"maxCandidates $maxCandidates too large")
+    val rows = ds.limit(maxRows.toInt + 1).collect()
+    require(rows.length <= maxRows,
+      s"dominations relation exceeds C($maxCandidates, 2) = $maxRows rows — " +
+        "ballot set implies more candidates than the driver-side resolution " +
+        "bound; raise maxCandidates or pre-filter the ballots")
+    rows.toSeq.toDF("winner", "loser")
+  }
+
   /** Web-graph in-degree count (reference `wg_maple.py` + `wg_juice.py`):
     * edges `from,to` → keep `to` in [lo, hi] → count in-links per node.
     * Maple = parse/filter/swap (P1-P3); juice = per-key count (A1). */
@@ -41,7 +64,8 @@ object Workloads {
     * Stage 2: count dominations per candidate; a candidate dominating
     * all n-1 others is the Condorcet winner, else all argmax
     * co-winners tie (win_juice2.py:36-56). */
-  def condorcet(ballots: Dataset[String]): DataFrame = {
+  def condorcet(ballots: Dataset[String],
+      maxCandidates: Int = DefaultMaxCandidates): DataFrame = {
     val spark = ballots.sparkSession
     import spark.implicits._
 
@@ -67,14 +91,16 @@ object Workloads {
     // relation is at most C(candidates, 2) rows, and three downstream
     // actions (candidate count, winner test, final result) would each
     // re-run the full ballot scan — so collect the tiny result once
+    // (bounded: collectDominations fails fast on too-wide ballot sets)
     // and continue on a local relation (no cache to leak).
-    val dominations = MapleJuice.juice(pairs)(_._1) { (key, votes) =>
-      var ones = 0; var total = 0
-      votes.foreach { v => total += 1; ones += v._2 }
-      val Array(x, y) = key.split("#")
-      // win_juice1.py:29 — strict majority of 1-bits means x beats y
-      if (ones * 2 > total) Iterator((x, y)) else Iterator((y, x))
-    }.collect().toSeq.toDF("winner", "loser")
+    val dominations = collectDominations(
+      MapleJuice.juice(pairs)(_._1) { (key, votes) =>
+        var ones = 0; var total = 0
+        votes.foreach { v => total += 1; ones += v._2 }
+        val Array(x, y) = key.split("#")
+        // win_juice1.py:29 — strict majority of 1-bits means x beats y
+        if (ones * 2 > total) Iterator((x, y)) else Iterator((y, x))
+      }, maxCandidates)
 
     resolveWinner(dominations)
   }
@@ -106,7 +132,8 @@ object Workloads {
     * (whole-stage codegen) instead of typed closures — the
     * "native operator vs external executable" spectrum the reference
     * offered, with the same answer and ~4× the throughput. */
-  def condorcetColumnar(ballots: Dataset[String]): DataFrame = {
+  def condorcetColumnar(ballots: Dataset[String],
+      maxCandidates: Int = DefaultMaxCandidates): DataFrame = {
     val spark = ballots.sparkSession
     import spark.implicits._
     val cs = ballots.toDF("value")
@@ -124,17 +151,18 @@ object Workloads {
     }
     val pairs = cs.select(explode(array(pairCols: _*)).as("pb"))
       .select(col("pb.key"), col("pb.bit"))
-    // tiny relation (≤ C(n,2) rows): collect once, continue locally
-    val dominations = pairs.groupBy(col("key"))
-      .agg(sum(col("bit")).as("ones"), count(lit(1)).as("total"))
-      .select(
-        when(col("ones") * 2 > col("total"),
-          substring_index(col("key"), "#", 1))
-          .otherwise(substring_index(col("key"), "#", -1)).as("winner"),
-        when(col("ones") * 2 > col("total"),
-          substring_index(col("key"), "#", -1))
-          .otherwise(substring_index(col("key"), "#", 1)).as("loser"))
-      .as[(String, String)].collect().toSeq.toDF("winner", "loser")
+    // tiny relation (≤ C(n,2) rows): collect once (bounded), continue locally
+    val dominations = collectDominations(
+      pairs.groupBy(col("key"))
+        .agg(sum(col("bit")).as("ones"), count(lit(1)).as("total"))
+        .select(
+          when(col("ones") * 2 > col("total"),
+            substring_index(col("key"), "#", 1))
+            .otherwise(substring_index(col("key"), "#", -1)).as("winner"),
+          when(col("ones") * 2 > col("total"),
+            substring_index(col("key"), "#", -1))
+            .otherwise(substring_index(col("key"), "#", 1)).as("loser"))
+        .as[(String, String)], maxCandidates)
 
     resolveWinner(dominations)
   }

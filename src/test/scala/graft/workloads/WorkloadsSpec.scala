@@ -50,6 +50,22 @@ class WorkloadsSpec extends SparkSuite {
     }
   }
 
+  test("condorcet fails fast on ballot sets wider than the candidate bound") {
+    // 9 distinct candidates pairwise-voted → C(9,2) = 36 dominations
+    // rows > C(4,2) = 6: the bounded collect must reject, not OOM
+    val wide = for (i <- 0 until 9; j <- i + 1 until 9; k <- j + 1 until 9 if k == j + 1)
+      yield s"c$i,c$j,c$k"
+    val ds = spark.createDataset(wide)
+    for (path <- Seq(
+        () => Workloads.condorcet(ds, maxCandidates = 4),
+        () => Workloads.condorcetColumnar(ds, maxCandidates = 4))) {
+      val e = intercept[IllegalArgumentException](path())
+      assert(e.getMessage.contains("dominations relation exceeds"), e.getMessage)
+    }
+    // and the default bound leaves real elections untouched
+    assert(Workloads.condorcet(ds).count() > 0)
+  }
+
   test("word count (Hadoop quick-start shape)") {
     val lines = spark.createDataset(Seq("the quick fox", "the  fox"))
     val out = Workloads.wordCount(lines).as[(String, Long)].collect().toMap
