@@ -92,31 +92,41 @@ object Dedup {
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
     shingled(docs(s, dir))
 
-  /** (doc_id, hs) → exploded (doc_id, band, sig) band signatures. */
-  def bandBuckets(sh: DataFrame): DataFrame = {
+  /** Deterministic (a, b) pairs for k linear minhash permutations —
+    * the parameter-sweep generator behind the recall harness
+    * (RECALL.md); the shipped 8 stay the hand-picked [[perms]]. */
+  def minhashPerms(k: Int): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(0x5eed)
+    Seq.fill(k)((1L + rnd.nextInt(Int.MaxValue - 1), rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** (doc_id, hs) → exploded (doc_id, band, sig) band signatures for an
+    * arbitrary (perms, bands × rowsPerBand) LSH configuration. */
+  def bandBucketsParam(sh: DataFrame, ps: Seq[(Long, Long)],
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    require(ps.size >= bands * rowsPerBand, "not enough permutations")
     val sig = sh.select(
       col("doc_id") +:
-        perms.zipWithIndex.map { case ((a, b), i) =>
+        ps.zipWithIndex.map { case ((a, b), i) =>
           // reduce h below 2^31 first: a * h must stay under 2^63
           expr(s"array_min(transform(hs, h -> ($a * (h % $P) + $b) % $P))").as(s"m$i")
         }: _*)
     sig.select(
         col("doc_id"),
-        posexplode(array((0 until nBands).map(b =>
-          concat_ws("_",
-            col(s"m${2 * b}").cast("string"),
-            col(s"m${2 * b + 1}").cast("string"))): _*)))
+        posexplode(array((0 until bands).map(b =>
+          concat_ws("_", (0 until rowsPerBand).map(r =>
+            col(s"m${rowsPerBand * b + r}").cast("string")): _*)): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
   }
 
-  /** Candidate near-dup pairs (id1 < id2) via the skew-capped
-    * band-bucket equi-join. This is THE candidate generator: both the
-    * LSH family and the Jaccard verification feed from it, so candidate
-    * volume tracks near-dup density (band collisions), never corpus².
-    * The rank window shuffles on the same (band, sig) key the join
-    * uses, so at scale this is one keyed repartition reused twice. */
-  def bandCandidates(sh: DataFrame, cap: Int = bucketCap): DataFrame = {
-    val capped = bandBuckets(sh)
+  /** (doc_id, hs) → exploded (doc_id, band, sig) — shipped config. */
+  def bandBuckets(sh: DataFrame): DataFrame =
+    bandBucketsParam(sh, perms, nBands, 2)
+
+  /** [[bandCandidates]] for an arbitrary LSH configuration. */
+  def bandCandidatesParam(sh: DataFrame, ps: Seq[(Long, Long)], bands: Int,
+      rowsPerBand: Int, cap: Int = bucketCap): DataFrame = {
+    val capped = bandBucketsParam(sh, ps, bands, rowsPerBand)
       .withColumn("rn",
         row_number().over(Window.partitionBy("band", "sig").orderBy("doc_id")))
       .filter(col("rn") <= cap)
@@ -129,6 +139,15 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
   }
+
+  /** Candidate near-dup pairs (id1 < id2) via the skew-capped
+    * band-bucket equi-join. This is THE candidate generator: both the
+    * LSH family and the Jaccard verification feed from it, so candidate
+    * volume tracks near-dup density (band collisions), never corpus².
+    * The rank window shuffles on the same (band, sig) key the join
+    * uses, so at scale this is one keyed repartition reused twice. */
+  def bandCandidates(sh: DataFrame, cap: Int = bucketCap): DataFrame =
+    bandCandidatesParam(sh, perms, nBands, 2, cap)
 
   private val duckHashedShingles =
     s"""tk AS (SELECT doc_id, lang, n_chars, $hwDuck AS hw FROM documents),
