@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.engine.Tables
 import graft.functions.VecOps.{vec_dot, vec_norm2}
@@ -85,6 +85,112 @@ object Similarity {
   private def cosine(aE: Column, aN: Column, bE: Column, bN: Column): Column =
     vec_dot(aE, bE) / (aN * bN)
 
+  // ── deterministic k-means (Lloyd) for the IVF codebook ──
+  //
+  // Both engines run the IDENTICAL iteration: init = the first K
+  // vectors as centroids; each step assigns every vector to the
+  // centroid minimizing the Euclidean distance key
+  // `dot(c,c) - 2*dot(x,c)` (ties on lowest cid) and recomputes
+  // dimension-wise means with DECIMAL(18,9) accumulation (order-
+  // independent exact sums, one deterministic cast back to double) —
+  // so Spark and the DuckDB oracle derive bit-identical codebooks,
+  // assignments, and therefore identical IVF results. At cluster scale
+  // the fit runs on a sample (centroid count and iteration count are
+  // tiny); assignment stays a broadcast join over the full corpus.
+
+  val ivfK = 16
+  val ivfIters = 3
+
+  /** Distance key for argmin assignment: dot(c,c) - 2*dot(x,c). */
+  private def distKey(e: Column, ce: Column): Column =
+    vec_dot(ce, ce) - lit(2.0) * vec_dot(e, ce)
+
+  private def duckDistKey(e: String, ce: String): String =
+    s"${duckDot(ce, ce)} - 2 * ${duckDot(e, ce)}"
+
+  /** Assign each vector to its nearest centroid (cid tie-break). */
+  private def assignCells(v: DataFrame, cent: DataFrame): DataFrame =
+    v.join(broadcast(cent))
+      .withColumn("dk", distKey(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dk"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid")
+
+  /** Dimension-wise decimal-exact means of each cluster. */
+  private def centroidsOf(v: DataFrame, assign: DataFrame): DataFrame =
+    assign.join(v.select("vec_id", "e"), "vec_id")
+      .select(col("cid"), posexplode(col("e")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("col").cast(DecimalType(18, 9))).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .as("ce"))
+
+  /** Trained codebook + final cell assignment: `ivfIters` Lloyd steps
+    * from the first-K init, then one last codebook + assignment pass so
+    * cells and probes share the same centroids. */
+  def kmeansFit(v: DataFrame): (DataFrame, DataFrame) = {
+    val seeds = v.filter(col("vec_id") < ivfK)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    var assign = assignCells(v, seeds)
+    (1 to ivfIters).foreach { _ =>
+      assign = assignCells(v, centroidsOf(v, assign))
+    }
+    val cent = centroidsOf(v, assign)
+    (cent, assignCells(v, cent))
+  }
+
+  /** DuckDB twin of [[kmeansFit]]: recursive-CTE Lloyd. Expects a CTE
+    * `v(vec_id, e, …)` in scope; emits CTE bodies `assign` (iterations,
+    * final = iter [[ivfIters]]), `cent` (final codebook) and `cells`
+    * (final assignment). */
+  private def duckKmeans: String = {
+    val initDk = duckDistKey("v.e", "s.e")
+    val stepDk = duckDistKey("v.e", "c.ce")
+    s"""assign(iter, vec_id, cid) AS (
+       |  SELECT 0, vec_id, cid FROM (
+       |    SELECT v.vec_id, s.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($initDk) ASC, s.vec_id ASC) AS rn
+       |    FROM v CROSS JOIN (SELECT vec_id, e FROM v WHERE vec_id < $ivfK) s)
+       |  WHERE rn = 1
+       |  UNION ALL
+       |  SELECT prev_iter + 1, vec_id, cid FROM (
+       |    SELECT c.iter AS prev_iter, v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($stepDk) ASC, c.cid ASC) AS rn
+       |    FROM v CROSS JOIN (
+       |      SELECT iter, cid, list(m ORDER BY d) AS ce FROM (
+       |        SELECT a.iter, a.cid, t.d,
+       |          CAST(SUM(CAST(v2.e[t.d] AS DECIMAL(18,9))) AS DOUBLE)
+       |            / COUNT(*) AS m
+       |        FROM assign a JOIN v v2 ON v2.vec_id = a.vec_id
+       |        CROSS JOIN range(1, 65) t(d)
+       |        GROUP BY a.iter, a.cid, t.d)
+       |      GROUP BY iter, cid) c)
+       |  WHERE rn = 1 AND prev_iter < $ivfIters
+       |),
+       |af AS (SELECT vec_id, cid FROM assign WHERE iter = $ivfIters),
+       |cent AS (
+       |  SELECT cid, list(m ORDER BY d) AS ce FROM (
+       |    SELECT a.cid, t.d,
+       |      CAST(SUM(CAST(v2.e[t.d] AS DECIMAL(18,9))) AS DOUBLE)
+       |        / COUNT(*) AS m
+       |    FROM af a JOIN v v2 ON v2.vec_id = a.vec_id
+       |    CROSS JOIN range(1, 65) t(d)
+       |    GROUP BY a.cid, t.d)
+       |  GROUP BY cid),
+       |cells AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($stepDk) ASC, c.cid ASC) AS rn
+       |    FROM v CROSS JOIN cent c)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** Spark-side sign-bucket from the shipped planes. */
   private def bucketCol: Column = bucketColFor(planes, col("e"))
 
@@ -162,32 +268,28 @@ object Similarity {
            |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 10
            |ORDER BY query_id, rnk""".stripMargin)),
 
-    // ── IVF ANN: coarse-quantize to cells, probe nprobe nearest cells ──
-    // Centroids here are a deterministic stand-in (vec_id < 16) for a
-    // trained codebook — the *plumbing* (assignment via broadcast
-    // centroid join + argmax window, candidate gen via cell equi-join,
-    // exact re-rank) is the IVF shape that scales: the corpus is
-    // scanned once for assignment, and queries touch only their probed
-    // cells' partitions.
+    // ── IVF ANN: TRAINED k-means codebook, coarse-quantize to cells, ──
+    // probe nprobe nearest cells, exact re-rank. The codebook is a
+    // deterministic seeded Lloyd fit (see kmeansFit) reproduced
+    // bit-identically by the DuckDB oracle's recursive CTE, so the
+    // whole pipeline — training included — is hash-checked. Scale
+    // shape: fit on a sample, broadcast the codebook for assignment
+    // (corpus scanned once), candidate gen via cell equi-join, queries
+    // touch only their probed cells' partitions.
     Q("q_ann_ivf",
       (s, dir) => {
         val v = emb(s, dir).select("vec_id", "e", "nrm")
-        val c = v.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-        // all (vector, centroid) similarities — broadcast the codebook
-        val sims = v.join(broadcast(c))
-          .withColumn("ccos", cosine(col("e"), col("nrm"), col("ce"), col("cn")))
-          .select("vec_id", "cid", "ccos")
-        val byCos = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("cid"))
-        val ranked = sims.withColumn("crn", row_number().over(byCos))
-        val assign = ranked.filter(col("crn") === 1).select(col("vec_id"), col("cid"))
-        // queries probe their 2 nearest cells
-        val probes = ranked.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+        val (cent, cells) = kmeansFit(v)
+        // queries probe their 2 nearest cells of the trained codebook
+        val probes = v.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+          .join(broadcast(cent))
+          .withColumn("dk", distKey(col("e"), col("ce")))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("dk"), col("cid"))))
           .filter(col("crn") <= 2)
           .select(col("vec_id").as("query_id"), col("cid"))
         val q = v.select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-        val cand = assign.join(probes, "cid")
+        val cand = cells.join(probes, "cid")
           .filter(col("vec_id") =!= col("query_id"))
           .join(v, "vec_id").join(q, "query_id")
           .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
@@ -199,17 +301,17 @@ object Similarity {
           .orderBy("query_id", "rnk")
       },
       Some(
-        s"""WITH v AS ($duckEmb),
-           |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
-           |sims AS (SELECT v.vec_id, c.cid,
-           |  ${duckDot("e", "ce")} / (nrm * cn) AS ccos FROM v CROSS JOIN c),
-           |ranked AS (SELECT vec_id, cid,
-           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-           |  FROM sims),
-           |assign AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
-           |probes AS (SELECT vec_id AS query_id, cid FROM ranked
-           |           WHERE vec_id >= 100 AND vec_id < 108 AND crn <= 2),
-           |cand AS (SELECT p.query_id, a.vec_id FROM assign a JOIN probes p USING (cid)
+        s"""WITH RECURSIVE v AS ($duckEmb),
+           |$duckKmeans,
+           |probes AS (
+           |  SELECT vec_id AS query_id, cid FROM (
+           |    SELECT v.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY (${duckDistKey("v.e", "c.ce")}) ASC, c.cid ASC) AS crn
+           |    FROM v CROSS JOIN cent c
+           |    WHERE v.vec_id >= 100 AND v.vec_id < 108)
+           |  WHERE crn <= 2),
+           |cand AS (SELECT p.query_id, a.vec_id FROM cells a JOIN probes p USING (cid)
            |         WHERE a.vec_id <> p.query_id),
            |scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
            |  ${duckDot("qv.e", "nv.e")} / (qv.nrm * nv.nrm) AS cos
