@@ -174,6 +174,65 @@ object Dedup {
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Verified near-dup pairs (exact Jaccard ≥ threshold over the band
+    * candidates) — the shared input of q_dedup_ngram and the cluster
+    * resolution stage. */
+  private def verifiedPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val slim = sh.select(col("doc_id"), col("hs"))
+    bandCandidates(slim)
+      .join(slim.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
+      .join(slim.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
+      .withColumn("inter",
+        graft.functions.VecOps.sorted_intersect_count(col("hs1"), col("hs2")))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (expr("size(hs1)") + expr("size(hs2)") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select("id1", "id2")
+  }
+
+  /** Connected components of a pair graph by iterative min-label
+    * propagation: each round every node takes the min label in its
+    * closed neighborhood; iteration stops at the fixpoint (no label
+    * changed), which arrives in graph-diameter rounds — short for
+    * near-dup clusters (pairwise-similar members ⇒ near-cliques). The
+    * fixpoint is the exact component minimum, so the result is
+    * data-independent of the round count and matches the oracle's
+    * transitive closure. Scale shape: each round is one keyed shuffle
+    * (groupBy node) over the EDGE set — no driver collect, no
+    * quadratic step; the standard iterative-join CC (pointer jumping
+    * would cut rounds to log-diameter if ever needed). */
+  def componentsOf(pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
+    // undirected closed neighborhood: both directions + self-loops
+    val nodes = pairs.select(col("id1").as("n"))
+      .union(pairs.select(col("id2").as("n"))).distinct()
+    val edges = pairs.select(col("id1").as("n"), col("id2").as("m"))
+      .union(pairs.select(col("id2").as("n"), col("id1").as("m")))
+      .union(nodes.select(col("n"), col("n").as("m")))
+      .cache()
+    var labels = nodes.select(col("n"), col("n").as("lbl")).cache()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val next = edges
+        .join(labels.withColumnRenamed("n", "m"), "m")
+        .groupBy("n").agg(min("lbl").as("lbl"))
+        .cache()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "n")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    // hand back an uncached frame (no cache leak): executing it replays
+    // the converged iteration chain once — `round` extra joins over the
+    // (small) edge set. A long-lived deployment would checkpoint here.
+    labels.unpersist()
+    labels
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── exact dedup: content hash, keep lowest doc_id ──
@@ -226,6 +285,45 @@ object Dedup {
            |SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
            |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
       }),
+
+    // ── near-dup cluster resolution: the dedup pipeline's last stage ──
+    // verified pairs → connected components → keep the min-id doc per
+    // cluster. Spark: fixpoint min-label propagation (componentsOf);
+    // oracle: recursive-CTE transitive closure — both compute the exact
+    // component minimum, so the hash check covers the full pipeline
+    // candidates → verification → clustering → keep decision.
+    Q("q_dedup_resolve",
+      (s, dir) => {
+        val comp = componentsOf(verifiedPairs(hashedShingles(s, dir), 0.8))
+        docs(s, dir).select(col("doc_id"))
+          .join(comp.withColumnRenamed("n", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("keep_id", coalesce(col("lbl"), col("doc_id")))
+          .withColumn("is_kept", col("keep_id") === col("doc_id"))
+          .select("doc_id", "keep_id", "is_kept")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $duckHashedShingles,
+           |$duckBandCandidates,
+           |vp AS (SELECT id1, id2 FROM (
+           |  SELECT id1, id2,
+           |    len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS inter,
+           |    len(a.hs) AS la, len(b.hs) AS lb
+           |  FROM cand JOIN h a ON a.doc_id = cand.id1
+           |            JOIN h b ON b.doc_id = cand.id2)
+           |  WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+           |edges AS (SELECT id1 AS n, id2 AS m FROM vp
+           |          UNION SELECT id2, id1 FROM vp),
+           |reach(n, m) AS (
+           |  SELECT n, m FROM edges
+           |  UNION
+           |  SELECT r.n, e.m FROM reach r JOIN edges e ON e.n = r.m),
+           |comp AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)
+           |SELECT d.doc_id,
+           |  coalesce(c.lbl, d.doc_id) AS keep_id,
+           |  coalesce(c.lbl, d.doc_id) = d.doc_id AS is_kept
+           |FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+           |ORDER BY doc_id""".stripMargin)),
 
     // ── n-gram Jaccard: exact set-similarity verification over the ──
     // MinHash band candidates. Candidate volume therefore tracks

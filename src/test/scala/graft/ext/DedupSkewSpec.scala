@@ -33,6 +33,17 @@ class DedupSkewSpec extends SparkSuite {
     assert(capped.exceptAll(uncapped).isEmpty && uncapped.exceptAll(capped).isEmpty)
   }
 
+  test("componentsOf: fixpoint min-label propagation finds exact components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 → several rounds), pair 10-11, triangle-ish 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id1", "id2")
+    val got = Dedup.componentsOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("LSH sign buckets on the driver corpus are under the corpus-side cap") {
     val v = graft.engine.Tables(spark, sf, "embeddings")
       .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
