@@ -122,6 +122,35 @@ object MapleJuice {
       .drop(saltP, saltB)
   }
 
+  /** The SCALE.md salting policy as an operator: salt ONLY keys whose
+    * probe-side frequency exceeds `hotThreshold`; everything else takes
+    * the plain equi-join path, so the ×`salt` build replication is paid
+    * exactly where skew is diagnosed. One aggregate pass over the probe
+    * side computes key frequencies (at cluster scale, run it on a
+    * sample or read AQE's shuffle stats instead); the hot-key set is
+    * assumed broadcast-small (skew means FEW keys are hot — a corpus
+    * where millions of keys are hot has a modelling problem, not a
+    * partitioning one). Results are identical to a plain equi join:
+    * every probe row takes exactly one of the two disjoint paths. */
+  def saltedJoinHot(probe: DataFrame, build: DataFrame, probeKey: Column,
+      buildKey: Column, salt: Int, hotThreshold: Long,
+      joinType: String = "inner"): DataFrame = {
+    require(hotThreshold > 0)
+    val taken = (probe.columns ++ build.columns).toSet
+    val hotK = if (!taken("__hot_k")) "__hot_k"
+      else Iterator.from(1).map(i => s"__hot_k$i").find(!taken(_)).get
+    val hot = probe.groupBy(probeKey.as(hotK))
+      .agg(count(lit(1)).as(s"${hotK}_c"))
+      .filter(col(s"${hotK}_c") > hotThreshold)
+      .select(hotK)
+    val pHot = probe.join(broadcast(hot), probeKey === col(hotK), "leftsemi")
+    val pRest = probe.join(broadcast(hot), probeKey === col(hotK), "leftanti")
+    // the salted branch only needs the build rows of hot keys
+    val bHot = build.join(broadcast(hot), buildKey === col(hotK), "leftsemi")
+    saltedJoin(pHot, bHot, probeKey, buildKey, salt, joinType)
+      .unionByName(pRest.join(build, probeKey === buildKey, joinType))
+  }
+
   /** External-executable compatibility shim: stream a partition's lines
     * through a subprocess, one line in / 0..n lines out — the literal
     * equivalent of the reference's `python3 exe` fork

@@ -184,6 +184,24 @@ object Advanced {
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    // ── policy-conform salting: hot keys only (none on this corpus, ──
+    // so the plan degenerates to the plain join — the point: zero
+    // salting cost on unskewed data, same oracle as q_join_salted)
+    Q("q_join_salted_auto",
+      (s, dir) =>
+        MapleJuice.saltedJoinHot(
+            t(s, dir, "lineitem").select(col("l_suppkey"), col("l_extendedprice")),
+            t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey"), col("s_suppkey"), salt = 8, hotThreshold = 5000)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+               sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+          .orderBy("s_nationkey"),
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // ── typed Aggregator tier (§2.12): majority vote as a UDAF ──
     // Same semantics and oracle shape as q_majority_vote, computed by
     // graft.functions.MajorityVote (Aggregator[Boolean,(Long,Long),String])

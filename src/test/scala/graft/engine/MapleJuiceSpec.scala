@@ -83,6 +83,25 @@ class MapleJuiceSpec extends SparkSuite {
     assert(out(0).getAs[Int]("__salt_p") == 99 && out(0).getAs[Int]("__salt_b") == 98)
   }
 
+  test("saltedJoinHot equals the plain join, salting only diagnosed hot keys") {
+    // key 1 is hot (100 probe rows); 2..20 appear once; 99 matches nothing
+    val probe = (Seq.fill(100)((1, "h")) ++ (2 to 20).map(k => (k, s"v$k")) :+ (99, "x"))
+      .toDF("k", "v")
+    val build = (1 to 25).map(k => (k, k * 10)).toDF("k2", "w")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    for (jt <- Seq("inner", "left")) {
+      val plain = canon(probe.join(build, col("k") === col("k2"), jt))
+      val auto = canon(MapleJuice.saltedJoinHot(
+        probe, build, col("k"), col("k2"), salt = 4, hotThreshold = 50, joinType = jt))
+      assert(auto == plain, s"joinType=$jt")
+    }
+    // threshold nothing exceeds → pure plain path, still identical
+    val none = canon(MapleJuice.saltedJoinHot(
+      probe, build, col("k"), col("k2"), salt = 4, hotThreshold = 1000))
+    assert(none == canon(probe.join(build, col("k") === col("k2"))))
+  }
+
   test("pipeMaple streams lines through an external executable (D1 fidelity)") {
     val ds = spark.createDataset(Seq("x", "y", "z"))
     val out = MapleJuice.pipeMaple(ds, Seq("cat")).collect().toSet
