@@ -225,12 +225,16 @@ object Dedup {
       labels = next
       round += 1
     }
-    edges.unpersist()
-    // hand back an uncached frame (no cache leak): executing it replays
-    // the converged iteration chain once — `round` extra joins over the
-    // (small) edge set. A long-lived deployment would checkpoint here.
+    // truncate the iterative lineage (the GraphX pattern): without
+    // this, every downstream use replays `round` joins AND re-derives
+    // the edge set per round. The eager local checkpoint materializes
+    // exactly the component labels (result-sized, not an intermediate
+    // cache); a long-lived deployment would use a reliable checkpoint
+    // dir instead. The loop caches are released here.
+    val out = labels.localCheckpoint(true)
     labels.unpersist()
-    labels
+    edges.unpersist()
+    out
   }
 
   val queries: Seq[Q] = Seq(
