@@ -40,6 +40,43 @@ object TextAnalysis {
 
   val queries: Seq[Q] = Seq(
 
+    // ── rarity scoring: corpus-global token statistics broadcast back ──
+    // into per-row scoring — the two-pass shape of a perplexity/quality
+    // filter, with deterministic rational arithmetic instead of a
+    // language model (no transcendental functions: libm log differs
+    // across engines in the last ulp). Pass 1: corpus unigram
+    // frequencies (one keyed shuffle, partial aggregation). Pass 2:
+    // per-token 1/freq (single deterministic division, cast to
+    // DECIMAL(18,12) for order-free summation), averaged per doc, plus
+    // the hapax fraction (tokens seen exactly once in the corpus). At
+    // 100 TB the frequency table is dictionary-sized per language —
+    // broadcast; the scan stays one pass per stage.
+    Q("q_text_rarity",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val freq = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+        toks.join(broadcast(freq), "w")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            (sum(expr("CAST(1.0D / freq AS DECIMAL(18,12))")).cast("double") /
+              count(lit(1))).as("avg_inv_freq"),
+            (sum(when(col("freq") === 1, 1L).otherwise(0L)).cast("double") /
+              count(lit(1))).as("hapax_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |freq AS (SELECT w, count(*) AS freq FROM toks GROUP BY w)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(SUM(CAST(1.0::DOUBLE / freq AS DECIMAL(18,12))) AS DOUBLE)
+             |    / count(*) AS avg_inv_freq,
+             |  CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS hapax_ratio
+             |FROM toks JOIN freq USING (w)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ── language ID: argmax of bigram-profile scores (first wins ties) ──
     // Scores are materialized once as columns; the argmax CASE only
     // references them (the naive form re-evaluates every replace-chain
