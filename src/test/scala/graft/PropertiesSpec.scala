@@ -72,4 +72,29 @@ class PropertiesSpec extends SparkSuite {
       got == want // exact, not approx
     })
   }
+
+  test("property: componentsOf ≡ union-find on random pair graphs") {
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 20L)))
+      .map(_.filter { case (a, b) => a != b }.map { case (a, b) =>
+        (math.min(a, b), math.max(a, b))
+      })
+      .suchThat(_.nonEmpty)
+    check(Prop.forAll(gen) { pairs =>
+      // local union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(n => n -> find(n)).toMap
+      val got = graft.ext.Dedup.componentsOf(pairs.distinct.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }, n = 6)
+  }
 }
