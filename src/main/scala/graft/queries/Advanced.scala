@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -183,6 +183,40 @@ object Advanced {
              |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // ── range join via time-bucketization: the scale pattern for ──
+    // interval predicates. A naive range join plans as a broadcast
+    // nested loop (or per-row subquery); bucketizing both sides to
+    // weeks makes it a hash EQUI join on (key, week) — the order side
+    // replicates into the ≤2 weeks its 7-day window covers, the
+    // precise interval predicate stays as a residual filter, and each
+    // (event, order) pair matches in exactly one bucket (the event's
+    // week), so no dedup pass is needed.
+    Q("q_join_range",
+      (s, dir) => {
+        val wb = (c: Column) =>
+          floor(datediff(c, lit(java.sql.Date.valueOf("1992-01-01"))) / 7)
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+          .withColumn("wb", wb(col("d")))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("od"))
+          .withColumn("wb2", explode(array_distinct(array(
+            wb(col("od")), wb(date_add(col("od"), 6))))))
+        ev.join(ord,
+            col("user_id") === col("o_custkey") && col("wb") === col("wb2") &&
+              col("d") >= col("od") && col("d") <= date_add(col("od"), 6))
+          .select(col("event_id"), col("o_orderkey"), col("d"), col("od"))
+          .orderBy("event_id", "o_orderkey")
+      },
+      Some("""SELECT e.event_id, o.o_orderkey, CAST(e.ts AS DATE) AS d,
+             |  CAST(o.o_orderdate AS DATE) AS od
+             |FROM events e JOIN orders o
+             |  ON e.user_id = o.o_custkey
+             | AND CAST(e.ts AS DATE) >= CAST(o.o_orderdate AS DATE)
+             | AND CAST(e.ts AS DATE) <= CAST(o.o_orderdate AS DATE) + 6
+             |ORDER BY event_id, o_orderkey""".stripMargin)),
 
     // ── policy-conform salting: hot keys only (none on this corpus, ──
     // so the plan degenerates to the plain join — the point: zero
