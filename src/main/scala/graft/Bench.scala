@@ -64,7 +64,9 @@ object Bench {
     })
     val qs = med.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = med.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // a query failing in ANY pass is failed — an intermittent crash
+    // must not hide behind the median of its surviving passes
+    val failed = names.collect { case n if passes.exists(_(n) < 0) => "\"" + n + "\"" }
     val total = med.map(_._2).filter(_ >= 0).sum
     val passTotals = passes.map(_.values.filter(_ >= 0).sum)
     // failed queries are named explicitly — a breaking query must never

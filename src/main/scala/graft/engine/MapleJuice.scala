@@ -41,6 +41,14 @@ object ShuffleOption {
   */
 object MapleJuice {
 
+  /** First of base, base1, base2, … whose name AND derived `_c`
+    * aggregate name are free — single definition for every helper
+    * column the join operators inject, so collision avoidance can't
+    * drift between them. */
+  private def freshName(taken: Set[String], base: String): String =
+    (Iterator(base) ++ Iterator.from(1).map(i => s"$base$i"))
+      .find(n => !taken(n) && !taken(s"${n}_c")).get
+
   /** Typed maple = flatMap (reference D1: 0..n `(k,v)` outputs per
     * input record — a UDTF). `MapleJuice.java:371-439`. */
   def maple[I, O: Encoder](ds: Dataset[I])(fn: I => IterableOnce[O]): Dataset[O] =
@@ -111,11 +119,8 @@ object MapleJuice {
     // already containing __salt_p/__salt_b would turn the salt equality
     // into an ambiguous reference or a wrong-column comparison
     val taken = (probe.columns ++ build.columns).toSet
-    def fresh(base: String): String =
-      if (!taken(base)) base
-      else Iterator.from(1).map(i => s"$base$i").find(!taken(_)).get
-    val saltP = fresh("__salt_p")
-    val saltB = fresh("__salt_b")
+    val saltP = freshName(taken, "__salt_p")
+    val saltB = freshName(taken, "__salt_b")
     val p = probe.withColumn(saltP, pmod(hash(probeKey), lit(salt)))
     val b = build.withColumn(saltB, explode(array((0 until salt).map(lit(_)): _*)))
     p.join(b, probeKey === buildKey && col(saltP) === col(saltB), joinType)
@@ -137,8 +142,7 @@ object MapleJuice {
       joinType: String = "inner"): DataFrame = {
     require(hotThreshold > 0)
     val taken = (probe.columns ++ build.columns).toSet
-    val hotK = if (!taken("__hot_k")) "__hot_k"
-      else Iterator.from(1).map(i => s"__hot_k$i").find(!taken(_)).get
+    val hotK = freshName(taken, "__hot_k")
     val hot = probe.groupBy(probeKey.as(hotK))
       .agg(count(lit(1)).as(s"${hotK}_c"))
       .filter(col(s"${hotK}_c") > hotThreshold)

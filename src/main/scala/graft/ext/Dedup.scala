@@ -178,7 +178,12 @@ object Dedup {
     * candidates) — the shared input of q_dedup_ngram and the cluster
     * resolution stage. */
   private def verifiedPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val slim = sh.select(col("doc_id"), col("hs"))
+    // materialize the shingle table once (eager local checkpoint): the
+    // per-token md5 pass is the module's dominant cost and is referenced
+    // by the candidate generation AND both verification join-backs —
+    // without truncation each reference replays it. Deployment-scale
+    // note: this is the table a cluster job caches/persists.
+    val slim = sh.select(col("doc_id"), col("hs")).localCheckpoint(true)
     bandCandidates(slim)
       .join(slim.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
       .join(slim.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
@@ -225,6 +230,13 @@ object Dedup {
       labels = next
       round += 1
     }
+    // non-convergence must fail LOUDLY: a silently-partial labeling
+    // would keep extra docs per cluster and diverge from the oracle's
+    // transitive closure (a >32-eccentricity near-dup chain is
+    // pathological input, not a working configuration)
+    require(changed == 0,
+      s"componentsOf did not converge in $maxRounds rounds " +
+        s"($changed labels still changing) — raise maxRounds or use pointer jumping")
     // truncate the iterative lineage (the GraphX pattern): without
     // this, every downstream use replays `round` joins AND re-derives
     // the edge set per round. The eager local checkpoint materializes
@@ -335,11 +347,14 @@ object Dedup {
     // (lang, n_chars div 100) blocking key had bounded cardinality, so
     // its blocks grew linearly with the corpus and the pair join went
     // quadratic at scale. Intersection runs on the int shingle hashes
-    // via the codegen'd merge walk; at cluster scale the shingle table
-    // is computed once and cached across the candidate join-backs.
+    // via the codegen'd merge walk; the shingle table is materialized
+    // once (eager local checkpoint) and reused by candidate generation
+    // and both join-backs — otherwise each reference replays the
+    // dominant per-token md5 pass.
     Q("q_dedup_ngram",
       (s, dir) => {
         val sh = hashedShingles(s, dir).select(col("doc_id"), col("hs"))
+          .localCheckpoint(true)
         bandCandidates(sh)
           .join(sh.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
           .join(sh.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")

@@ -32,11 +32,16 @@ object MediaDecoder {
       feature: Array[Double])
 
   def decode(payload: Array[Byte]): Media =
-    if (isWav(payload)) decodeWav(payload)
-    else sniffImage(payload) match {
-      case Some(fmt) => decodeImage(payload, fmt)
-      case None      => fallback(payload, "unknown")
-    }
+    // belt over the per-format guards: NO malformed payload may throw
+    // out of a decoder (the pipeline keeps the row with fallback
+    // features instead of failing the task)
+    try {
+      if (isWav(payload)) decodeWav(payload)
+      else sniffImage(payload) match {
+        case Some(fmt) => decodeImage(payload, fmt)
+        case None      => fallback(payload, "unknown")
+      }
+    } catch { case _: Exception => fallback(payload, "unknown") }
 
   // ── format sniffing (magic numbers) ──
 
@@ -91,22 +96,25 @@ object MediaDecoder {
       ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
 
   private def decodeWav(p: Array[Byte]): Media = {
-    var off = 12 // past RIFF<size>WAVE
+    var off = 12L // past RIFF<size>WAVE; Long: chunk sizes are u32
     var rate = -1; var channels = -1; var bits = -1
     var dataOff = -1; var dataLen = 0L
     while (off + 8 <= p.length) {
-      val id = new String(p, off, 4, "US-ASCII")
-      val size = le32(p, off + 4)
-      if (id == "fmt " && off + 24 <= p.length) {
-        channels = le16(p, off + 10)
-        rate = le32(p, off + 12).toInt
-        bits = le16(p, off + 22)
+      val o = off.toInt
+      val id = new String(p, o, 4, "US-ASCII")
+      val size = le32(p, o + 4) // 0 .. 0xFFFFFFFF — NEVER .toInt (sign flip
+      // would walk the offset backwards: infinite loop / OOB on crafted sizes)
+      if (id == "fmt " && o + 24 <= p.length) {
+        channels = le16(p, o + 10)
+        rate = le32(p, o + 12).toInt
+        bits = le16(p, o + 22)
       } else if (id == "data") {
-        dataOff = off + 8
+        dataOff = o + 8
         dataLen = math.min(size, (p.length - dataOff).toLong)
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      off += 8 + size.toInt + (size.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte; Long
+      // arithmetic keeps a lying size field monotone (loop terminates)
+      off += 8L + size + (size & 1L)
     }
     if (rate <= 0 || channels <= 0 || bits <= 0 || dataOff < 0)
       return fallback(p, "unknown")

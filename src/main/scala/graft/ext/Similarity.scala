@@ -134,11 +134,15 @@ object Similarity {
   def kmeansFit(v: DataFrame): (DataFrame, DataFrame) = {
     val seeds = v.filter(col("vec_id") < ivfK)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
-    var assign = assignCells(v, seeds)
+    // eager local checkpoint per iteration (the componentsOf pattern):
+    // the materialized state is tiny — N assignment rows / K centroid
+    // rows — and without truncation every consumer replays the whole
+    // nested Lloyd lineage (cent is read by both probes and cells)
+    var assign = assignCells(v, seeds).localCheckpoint(true)
     (1 to ivfIters).foreach { _ =>
-      assign = assignCells(v, centroidsOf(v, assign))
+      assign = assignCells(v, centroidsOf(v, assign)).localCheckpoint(true)
     }
-    val cent = centroidsOf(v, assign)
+    val cent = centroidsOf(v, assign).localCheckpoint(true)
     (cent, assignCells(v, cent))
   }
 

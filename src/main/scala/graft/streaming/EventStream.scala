@@ -122,9 +122,16 @@ object EventStream {
             cur = Some(SessionState(t, t, 1))
         }
       }
-      // the late cluster closes with the batch: its newest event is
-      // still > gap away from the open session start, so no merge
-      late.foreach(l => closed ::= SessionOut(userId, l.n, l.start, l.end))
+      // end of batch: a merge event may have moved the open session's
+      // start BACKWARD past the late cluster's reach — re-check before
+      // closing (batch semantics would merge them into one session)
+      (late, cur) match {
+        case (Some(l), Some(s)) if s.start - l.end <= gapUs =>
+          cur = Some(SessionState(math.min(l.start, s.start), s.end, s.n + l.n))
+        case (Some(l), _) =>
+          closed ::= SessionOut(userId, l.n, l.start, l.end)
+        case _ => ()
+      }
       cur.foreach { s =>
         state.update(s)
         if (evictWithTimeout) state.setTimeoutDuration(gapMinutes * 60L * 1000L)

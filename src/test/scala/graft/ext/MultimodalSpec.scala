@@ -81,4 +81,22 @@ class MultimodalSpec extends SparkSuite {
     val truncatedPng = imageBytes("png", 3, 3, 0).take(12)
     assert(MediaDecoder.decode(truncatedPng).format == "unknown")
   }
+
+  test("adversarial RIFF chunk sizes terminate (no sign-flip loop/OOB)") {
+    // chunk size 0xFFFFFFF8: as Int this is -8 and a naive `off += 8+size`
+    // walk spins forever; as u32 Long it runs past the payload and stops
+    val evil = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+      .putInt(0)
+      .array()
+    val m = MediaDecoder.decode(evil) // must return, not hang/throw
+    assert(m.format == "unknown")
+    // size 0x80000000 (negative as Int) likewise
+    val evil2 = evil.clone()
+    evil2(16) = 0; evil2(17) = 0; evil2(18) = 0; evil2(19) = 0x80.toByte
+    assert(MediaDecoder.decode(evil2).format == "unknown")
+  }
 }

@@ -161,6 +161,36 @@ class EventStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("late cluster merges when a merge event pulls the open start backward") {
+    import EventStream.SessionEvent
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SessionEvent](spark)
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_pullback")
+      .start()
+    try {
+      input.addData(Seq(SessionEvent(4L, ts(100))))
+      q.processAllAvailable()
+      // batch 2: 69 is ancient-late vs start=100 (gap 30), but 71 then
+      // merges and moves start to 71 — 69 is now within gap of the open
+      // session, so batch semantics make ONE session {69,71,100}: no
+      // closed session may be emitted
+      input.addData(Seq(SessionEvent(4L, ts(69)), SessionEvent(4L, ts(71))))
+      q.processAllAvailable()
+      assert(spark.table("late_pullback").count() == 0,
+        spark.table("late_pullback").collect().mkString(","))
+      // a later event beyond the gap closes it: must be the merged 69..100
+      input.addData(Seq(SessionEvent(4L, ts(200))))
+      q.processAllAvailable()
+      val out = spark.table("late_pullback").as[EventStream.SessionOut].collect()
+      assert(out.length == 1 && out.head.n_events == 3 &&
+        out.head.start_us == 69L * 60L * 1000000L &&
+        out.head.end_us == 100L * 60L * 1000000L, out.mkString(","))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions on gap (mapGroupsWithState)") {
     import EventStream.SessionEvent
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
