@@ -58,6 +58,31 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream inner join: correlate each left event
+    * with the same user's right events in the following `windowMinutes`
+    * — e.g. view→purchase attribution. Both sides carry watermarks and
+    * the join condition carries the event-time interval, so Spark can
+    * BOUND the join state: left rows are evicted once the right
+    * watermark passes `a_ts + window`, right rows once the left
+    * watermark passes them — the property that makes a stream-stream
+    * join runnable forever at scale (an unconstrained join buffers both
+    * streams in full). State is keyed by user_id; the shuffle is one
+    * hash exchange per side on the same key. */
+  def correlate(left: DataFrame, right: DataFrame,
+      windowMinutes: Long = 30, watermark: String = "1 hour"): DataFrame = {
+    val a = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("ts").as("a_ts"), col("event_type").as("a_type"))
+    val b = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"), col("event_type").as("b_type"))
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select("a_id", "b_id", "user_id", "a_type", "b_type", "a_ts", "b_ts")
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long,

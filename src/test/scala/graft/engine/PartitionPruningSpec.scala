@@ -1,0 +1,29 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Partition-layout discipline: a table written `partitionBy` a filter
+  * column must prune at the source — at 100 TB the difference between
+  * scanning one partition directory and all of them IS the query. */
+class PartitionPruningSpec extends SparkSuite {
+
+  test("partitionBy write + filter read prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(event_type"),
+      scan)
+    // pruned result matches the unpartitioned filter
+    val want = Tables(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("event_type") === "click").count()
+    assert(q.count() == want && want > 0)
+  }
+}

@@ -65,6 +65,37 @@ class EventStreamSpec extends SparkSuite {
     assert(spark.read.parquet(sink).count() == 3)
   }
 
+  test("stream-stream join == batch join, matching across micro-batches") {
+    import org.apache.spark.sql.Row
+    // modern base time: epoch-adjacent event times sit below the initial
+    // watermark's state-cleanup predicate and are evicted before matching
+    def ev(id: Long, user: Long, min: Long, typ: String) =
+      Row(id, new java.sql.Timestamp(1700000000000L + min * 60000L), user, typ, 0.0, "{}")
+    implicit val enc = org.apache.spark.sql.Encoders.row(EventStream.eventSchema)
+    val views = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Row](spark)
+    val purchases = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Row](spark)
+    val q = EventStream.correlate(views.toDF(), purchases.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corr_out")
+      .start()
+    try {
+      // batch 1: view for users 1 and 2; purchase for user 2 (+10 min)
+      views.addData(Seq(ev(1, 1L, 0, "view"), ev(2, 2L, 0, "view")))
+      purchases.addData(Seq(ev(3, 2L, 10, "purchase")))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases 20 min after the buffered view (joins
+      // ACROSS batches via state), user 3 purchases with no view
+      purchases.addData(Seq(ev(4, 1L, 20, "purchase"), ev(5, 3L, 25, "purchase"),
+        ev(6, 1L, 200, "purchase"))) // beyond the 30-min window: no match
+      q.processAllAvailable()
+      val got = spark.table("corr_out")
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((2L, 3L), (1L, 4L)), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup == batch dropDuplicates on static input") {
     // stage the static events table as a stream; dedup on
     // (user_id, event_type) must match the batch distinct-key count
