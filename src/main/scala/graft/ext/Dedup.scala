@@ -174,9 +174,9 @@ object Dedup {
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** Verified near-dup pairs (exact Jaccard ≥ threshold over the band
-    * candidates) — the shared input of q_dedup_ngram and the cluster
-    * resolution stage. */
+  /** Verified near-dup pairs (id1, id2, jac — exact Jaccard ≥ threshold
+    * over the band candidates): THE verification stage, consumed by
+    * q_dedup_ngram directly and by the cluster resolution stage. */
   private def verifiedPairs(sh: DataFrame, threshold: Double): DataFrame = {
     // materialize the shingle table once (eager local checkpoint): the
     // per-token md5 pass is the module's dominant cost and is referenced
@@ -193,7 +193,7 @@ object Dedup {
         col("inter").cast("double") /
           (expr("size(hs1)") + expr("size(hs2)") - col("inter")))
       .filter(col("jac") >= threshold)
-      .select("id1", "id2")
+      .select("id1", "id2", "jac")
   }
 
   /** Connected components of a pair graph by iterative min-label
@@ -233,7 +233,9 @@ object Dedup {
     // non-convergence must fail LOUDLY: a silently-partial labeling
     // would keep extra docs per cluster and diverge from the oracle's
     // transitive closure (a >32-eccentricity near-dup chain is
-    // pathological input, not a working configuration)
+    // pathological input, not a working configuration). Caches are
+    // released BEFORE the throw — the session is shared.
+    if (changed != 0) { labels.unpersist(); edges.unpersist() }
     require(changed == 0,
       s"componentsOf did not converge in $maxRounds rounds " +
         s"($changed labels still changing) — raise maxRounds or use pointer jumping")
@@ -347,26 +349,11 @@ object Dedup {
     // (lang, n_chars div 100) blocking key had bounded cardinality, so
     // its blocks grew linearly with the corpus and the pair join went
     // quadratic at scale. Intersection runs on the int shingle hashes
-    // via the codegen'd merge walk; the shingle table is materialized
-    // once (eager local checkpoint) and reused by candidate generation
-    // and both join-backs — otherwise each reference replays the
-    // dominant per-token md5 pass.
+    // via the codegen'd merge walk; see [[verifiedPairs]] for the
+    // materialization policy (shingle table checkpointed once).
     Q("q_dedup_ngram",
-      (s, dir) => {
-        val sh = hashedShingles(s, dir).select(col("doc_id"), col("hs"))
-          .localCheckpoint(true)
-        bandCandidates(sh)
-          .join(sh.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
-          .join(sh.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
-          .withColumn("inter",
-            graft.functions.VecOps.sorted_intersect_count(col("hs1"), col("hs2")))
-          .withColumn("jac",
-            col("inter").cast("double") /
-              (expr("size(hs1)") + expr("size(hs2)") - col("inter")))
-          .filter(col("jac") >= 0.8)
-          .select(col("id1"), col("id2"), col("jac"))
-          .orderBy("id1", "id2")
-      },
+      (s, dir) =>
+        verifiedPairs(hashedShingles(s, dir), 0.8).orderBy("id1", "id2"),
       Some(
         s"""WITH $duckHashedShingles,
            |$duckBandCandidates,

@@ -62,11 +62,9 @@ object MediaDecoder {
   // ── images: JDK ImageIO ──
 
   private def decodeImage(p: Array[Byte], fmt: String): Media = {
-    // a decoder never throws on malformed bytes — the pipeline keeps
-    // the row with fallback features instead of failing the task
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(p))
-      catch { case _: Exception => null }
+    // ImageIO throws on truncated payloads — decode()'s catch-all maps
+    // that to the fallback; null (unrecognized content) handled here
+    val img = ImageIO.read(new ByteArrayInputStream(p))
     if (img == null) return fallback(p, "unknown")
     val (w, h) = (img.getWidth, img.getHeight)
     // mean luminance (Rec. 601) over decoded pixels — the "content
@@ -104,7 +102,9 @@ object MediaDecoder {
       val id = new String(p, o, 4, "US-ASCII")
       val size = le32(p, o + 4) // 0 .. 0xFFFFFFFF — NEVER .toInt (sign flip
       // would walk the offset backwards: infinite loop / OOB on crafted sizes)
-      if (id == "fmt " && o + 24 <= p.length) {
+      // size >= 16: a lying small fmt size would read the NEXT chunk's
+      // header bytes as channels/rate/bits (fabricated metadata)
+      if (id == "fmt " && size >= 16 && o + 24 <= p.length) {
         channels = le16(p, o + 10)
         rate = le32(p, o + 12).toInt
         bits = le16(p, o + 22)

@@ -123,6 +123,16 @@ object EventStream {
       // only clusters split across micro-batches remain split (the
       // documented residual divergence)
       var late: Option[SessionState] = None
+      // closing a session must first re-check the late cluster: a merge
+      // event may have pulled the session's start backward to within
+      // one gap of it, in which case batch semantics merge the two
+      def closeMergingLate(s: SessionState): Unit = late match {
+        case Some(l) if s.start - l.end <= gapUs =>
+          closed ::= SessionOut(userId, s.n + l.n, math.min(l.start, s.start), s.end)
+          late = None
+        case _ =>
+          closed ::= SessionOut(userId, s.n, s.start, s.end)
+      }
       sorted.foreach { t =>
         cur match {
           case Some(s) if t >= s.start - gapUs && t - s.end <= gapUs =>
@@ -141,15 +151,14 @@ object EventStream {
                 late = Some(SessionState(t, t, 1))
             }
           case Some(s) =>
-            closed ::= SessionOut(userId, s.n, s.start, s.end)
+            closeMergingLate(s)
             cur = Some(SessionState(t, t, 1))
           case None =>
             cur = Some(SessionState(t, t, 1))
         }
       }
-      // end of batch: a merge event may have moved the open session's
-      // start BACKWARD past the late cluster's reach — re-check before
-      // closing (batch semantics would merge them into one session)
+      // end of batch: the still-open session gets the same late
+      // re-check, merging (and staying open) instead of closing
       (late, cur) match {
         case (Some(l), Some(s)) if s.start - l.end <= gapUs =>
           cur = Some(SessionState(math.min(l.start, s.start), s.end, s.n + l.n))

@@ -17,10 +17,12 @@ class PartitionPruningSpec extends SparkSuite {
       .write.mode("overwrite").partitionBy("event_type").parquet(dir)
 
     val q = spark.read.parquet(dir).filter(col("event_type") === "click")
-    val scan = q.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") &&
-      scan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(event_type"),
-      scan)
+    // the EQUALITY must be inside PartitionFilters (a plan that keeps
+    // only isnotnull there and filters = 'click' post-scan reads every
+    // partition — exactly the regression this spec exists to catch)
+    val flat = q.queryExecution.executedPlan.toString.replaceAll("\\s", "")
+    val pf = flat.drop(flat.indexOf("PartitionFilters:[")).takeWhile(_ != ']')
+    assert(pf.contains("=click"), flat)
     // pruned result matches the unpartitioned filter
     val want = Tables(spark, "/root/testdata/sf0.001", "events")
       .filter(col("event_type") === "click").count()

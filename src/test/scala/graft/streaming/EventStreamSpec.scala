@@ -222,6 +222,31 @@ class EventStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("late cluster merges even when the session closes mid-batch") {
+    import EventStream.SessionEvent
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SessionEvent](spark)
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_midbatch")
+      .start()
+    try {
+      input.addData(Seq(SessionEvent(5L, ts(100))))
+      q.processAllAvailable()
+      // ONE batch: 69 (late), 71 (pulls start back to 71 — now within
+      // gap of 69), 500 (closes the session IN the same batch). Batch
+      // semantics: one merged closed session {69,71,100}, open {500}.
+      input.addData(Seq(SessionEvent(5L, ts(69)), SessionEvent(5L, ts(71)),
+        SessionEvent(5L, ts(500))))
+      q.processAllAvailable()
+      val out = spark.table("late_midbatch").as[EventStream.SessionOut].collect()
+      assert(out.length == 1 && out.head.n_events == 3 &&
+        out.head.start_us == 69L * 60L * 1000000L &&
+        out.head.end_us == 100L * 60L * 1000000L, out.mkString(","))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions on gap (mapGroupsWithState)") {
     import EventStream.SessionEvent
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
