@@ -77,6 +77,73 @@ object Composite {
               |WHERE r_name = 'ASIA'
               |  AND o_orderdate >= TIMESTAMP '1996-01-01'
               |  AND o_orderdate < TIMESTAMP '1998-01-01'
-              |GROUP BY n_name ORDER BY n_name""".stripMargin))
+              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ── TPC-H Q1 shape: pricing summary — the canonical wide-agg scan ──
+    // One pass over lineitem, partial+final aggregation of 8 measures.
+    // Raw-column sums use decimal accumulation (the parquet doubles are
+    // exact decimals, so the cast never rounds). PRODUCT sums cannot use
+    // a double→decimal cast: the product's low bits land on rounding
+    // ties that Spark (HALF_UP) and DuckDB resolve differently — so
+    // products are fixed-pointed via floor(x·10⁴) (bit-deterministic in
+    // both engines), summed exactly, and rescaled once.
+    Q("q_tpch_q1",
+      (s, dir) => {
+        def dsum(e: org.apache.spark.sql.Column, alias: String) =
+          sum(e.cast(DecimalType(18, 4))).cast("double").as(alias)
+        def psum(e: org.apache.spark.sql.Column, alias: String) =
+          (sum(floor(e * lit(10000.0)).cast(DecimalType(28, 0))).cast("double") /
+            lit(10000.0)).as(alias)
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity"), "sum_qty"),
+            dsum(col("l_extendedprice"), "sum_base_price"),
+            psum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), "sum_disc_price"),
+            psum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+              (lit(1.0) + col("l_tax")), "sum_charge"),
+            (sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") /
+              count(lit(1))).as("avg_qty"),
+            (sum(col("l_discount").cast(DecimalType(18, 6))).cast("double") /
+              count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             |CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0) AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+             |CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000.0) AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS sum_charge,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+             |CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ── TPC-H Q6 shape: forecast revenue — pure pushdown showcase ──
+    // Filter + global sum: every predicate must reach the parquet scan
+    // (PushedFilters), the aggregate is a two-row exchange.
+    Q("q_tpch_q6",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01") &&
+            col("l_discount").between(0.03, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(sum((col("l_extendedprice") * col("l_discount"))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+            count(lit(1)).as("n_rows"))
+          .select(col("revenue"), col("n_rows")),
+      Some("""SELECT
+             |CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |count(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.03 AND 0.07
+             |  AND l_quantity < 24""".stripMargin))
   )
 }
