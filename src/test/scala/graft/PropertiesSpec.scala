@@ -73,6 +73,25 @@ class PropertiesSpec extends SparkSuite {
     })
   }
 
+  test("property: MediaDecoder never throws, always yields 3 features") {
+    // random bytes, plus random bytes behind each magic prefix so every
+    // decoder's parse path gets hostile input — the contract is total
+    val magics = Seq(
+      Array[Byte](), // pure random
+      "RIFF1234WAVE".getBytes("US-ASCII"),
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
+      "GIF89a".getBytes("US-ASCII"),
+      "BM".getBytes("US-ASCII"))
+    val gen = for {
+      prefix <- Gen.oneOf(magics)
+      body <- Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield prefix ++ body.toArray
+    check(Prop.forAll(gen) { payload =>
+      val m = graft.ext.MediaDecoder.decode(payload)
+      m.feature.length == 3 && m.format != null
+    }, n = 40)
+  }
+
   test("property: componentsOf ≡ union-find on random pair graphs") {
     val gen = Gen.nonEmptyListOf(
       Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 20L)))
