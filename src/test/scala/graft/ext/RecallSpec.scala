@@ -18,6 +18,31 @@ class RecallSpec extends SparkSuite {
     } finally sh.unpersist()
   }
 
+  test("trained IVF (nprobe 2/16) recall@5 >= 0.3 vs brute force") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth for the IVF query's own query set (100..107)
+    val v = graft.engine.Tables(spark, dir, "embeddings")
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(graft.functions.VecOps.vec_norm2(col("e"))))
+      .select("vec_id", "e", "nrm")
+    val q = v.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        graft.functions.VecOps.vec_dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val truth = pairs(scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).select("query_id", "vec_id"))
+    val ivf = Similarity.queries.find(_.name == "q_ann_ivf").get
+    val got = pairs(ivf.fn(spark, dir).select("query_id", "neighbor_id"))
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.3, s"IVF recall $recall (measured 0.375 at ship time)")
+  }
+
   test("multi-table LSH ANN (8x6) recall@5 >= 0.25 and >> single-bucket") {
     val dir = "/root/testdata/sf0.001"
     def pairs(df: org.apache.spark.sql.DataFrame) =
