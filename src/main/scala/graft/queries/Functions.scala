@@ -19,6 +19,55 @@ object Functions {
 
   val queries: Seq[Q] = Seq(
 
+    // ── relative-rank window functions + lead ──
+    // percent_rank/cume_dist are exact rational doubles ((rank-1)/(n-1),
+    // rank/n): both engines compute the same integer quotient, so the
+    // doubles are bit-identical.
+    Q("q_window_rel_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"),
+            lead(col("event_type"), 1).over(w).as("next_type"),
+            percent_rank().over(w).as("prnk"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |lead(event_type, 1) OVER w AS next_type,
+             |percent_rank() OVER w AS prnk,
+             |cume_dist() OVER w AS cume
+             |FROM events WHERE user_id < 10
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ── null semantics battery: nullif / coalesce / null-safe equality ──
+    // TPC-H data carries no nulls, so nulls are MANUFACTURED via nullif
+    // and the three-valued-logic corners exercised explicitly: Spark's
+    // <=> must agree with DuckDB's IS NOT DISTINCT FROM, and coalesce
+    // defaults must agree on the null branch.
+    Q("q_null_semantics",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("nullif(l_returnflag, 'N')").as("rf_n"),
+            coalesce(expr("nullif(l_returnflag, 'N')"), lit("defaulted")).as("rf_c"),
+            expr("nullif(l_returnflag, 'N')")
+              .eqNullSafe(expr("nullif(l_linestatus, 'O')")).as("ns_eq"),
+            (expr("nullif(l_returnflag, 'N')") === expr("nullif(l_linestatus, 'O')"))
+              .isNull.as("tvl_null"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |nullif(l_returnflag, 'N') AS rf_n,
+             |coalesce(nullif(l_returnflag, 'N'), 'defaulted') AS rf_c,
+             |(nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O'))
+             |  AS ns_eq,
+             |((nullif(l_returnflag, 'N') = nullif(l_linestatus, 'O')) IS NULL)
+             |  AS tvl_null
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // ── histogram: fixed-width binning via exact integer arithmetic ──
     Q("q_histogram",
       (s, dir) =>
