@@ -21,6 +21,64 @@ object Pipeline {
 
   val queries: Seq[Q] = Seq(
 
+    // ── deterministic hash sampling: the reproducible alternative to ──
+    // rand(). Keyed on md5(pk), so the SAME rows are sampled on every
+    // run, every engine, every cluster size — a rand() sample is
+    // neither (and breaks any oracle). Stratification is free: the
+    // modulus partitions the keyspace uniformly, and the sampled set
+    // is stable under corpus growth (new rows hash independently).
+    Q("q_sample_hash",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10 = 0"))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── data profiling: per-column completeness / cardinality / range ──
+    // The quality gate a pipeline runs before training: one pass over
+    // the table (all measures partial-aggregate), emitting one row per
+    // profiled column so downstream constraint checks (null-rate <= x,
+    // cardinality >= y) are plain filters on the profile.
+    Q("q_dq_profile",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        def prof(cname: String, valueExpr: org.apache.spark.sql.Column) =
+          d.agg(
+            lit(cname).as("column_name"),
+            count(lit(1)).as("n_rows"),
+            sum(when(valueExpr.isNull, 1L).otherwise(0L)).as("n_null"),
+            count_distinct(valueExpr).as("n_distinct"),
+            min(valueExpr.cast("string")).as("min_str"),
+            max(valueExpr.cast("string")).as("max_str"))
+        prof("lang", col("lang"))
+          .unionByName(prof("n_chars", col("n_chars")))
+          .unionByName(prof("source", col("source")))
+          .orderBy("column_name")
+      },
+      Some("""SELECT column_name, n_rows, n_null, n_distinct, min_str, max_str FROM (
+             |  SELECT 'lang' AS column_name, count(*) AS n_rows,
+             |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |    count(DISTINCT lang) AS n_distinct,
+             |    min(CAST(lang AS VARCHAR)) AS min_str, max(CAST(lang AS VARCHAR)) AS max_str
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'n_chars', count(*),
+             |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    count(DISTINCT n_chars),
+             |    min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'source', count(*),
+             |    CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    count(DISTINCT source),
+             |    min(CAST(source AS VARCHAR)), max(CAST(source AS VARCHAR))
+             |  FROM documents)
+             |ORDER BY column_name""".stripMargin)),
+
     // ── JSON property extraction from event payloads ──
     // from_json with an explicit schema, not get_json_object: the
     // path-based extractor re-parses per call (~100µs/row measured);
