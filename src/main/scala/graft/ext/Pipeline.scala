@@ -39,43 +39,48 @@ object Pipeline {
              |ORDER BY doc_id""".stripMargin)),
 
     // ── data profiling: per-column completeness / cardinality / range ──
-    // The quality gate a pipeline runs before training: one pass over
-    // the table (all measures partial-aggregate), emitting one row per
-    // profiled column so downstream constraint checks (null-rate <= x,
-    // cardinality >= y) are plain filters on the profile.
+    // The quality gate a pipeline runs before training: ONE aggregate
+    // over the table computes every measure for every profiled column
+    // (single scan, all partial-aggregate), then `stack` pivots the
+    // wide row into one row per column so downstream constraint checks
+    // (null-rate <= x, cardinality >= y) are plain filters. min/max
+    // aggregate in the column's NATIVE type and cast after — a string
+    // min/max would report n_chars ∈ ['100', '99'].
     Q("q_dq_profile",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-        def prof(cname: String, valueExpr: org.apache.spark.sql.Column) =
-          d.agg(
-            lit(cname).as("column_name"),
-            count(lit(1)).as("n_rows"),
-            sum(when(valueExpr.isNull, 1L).otherwise(0L)).as("n_null"),
-            count_distinct(valueExpr).as("n_distinct"),
-            min(valueExpr.cast("string")).as("min_str"),
-            max(valueExpr.cast("string")).as("max_str"))
-        prof("lang", col("lang"))
-          .unionByName(prof("n_chars", col("n_chars")))
-          .unionByName(prof("source", col("source")))
+        val cols = Seq("lang", "n_chars", "source")
+        val measures = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_null"),
+            count_distinct(col(c)).as(s"${c}_distinct"),
+            min(col(c)).cast("string").as(s"${c}_min"),
+            max(col(c)).cast("string").as(s"${c}_max"))
+        }
+        val stackArgs = cols.map(c =>
+          s"'$c', n_rows, ${c}_null, ${c}_distinct, ${c}_min, ${c}_max").mkString(", ")
+        t(s, dir, "documents")
+          .agg(measures.head, measures.tail: _*)
+          .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+            "(column_name, n_rows, n_null, n_distinct, min_str, max_str)")
           .orderBy("column_name")
       },
       Some("""SELECT column_name, n_rows, n_null, n_distinct, min_str, max_str FROM (
              |  SELECT 'lang' AS column_name, count(*) AS n_rows,
              |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
              |    count(DISTINCT lang) AS n_distinct,
-             |    min(CAST(lang AS VARCHAR)) AS min_str, max(CAST(lang AS VARCHAR)) AS max_str
+             |    CAST(min(lang) AS VARCHAR) AS min_str, CAST(max(lang) AS VARCHAR) AS max_str
              |  FROM documents
              |  UNION ALL
              |  SELECT 'n_chars', count(*),
              |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              |    count(DISTINCT n_chars),
-             |    min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+             |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
              |  FROM documents
              |  UNION ALL
              |  SELECT 'source', count(*),
              |    CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              |    count(DISTINCT source),
-             |    min(CAST(source AS VARCHAR)), max(CAST(source AS VARCHAR))
+             |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
              |  FROM documents)
              |ORDER BY column_name""".stripMargin)),
 

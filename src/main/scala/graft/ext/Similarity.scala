@@ -58,7 +58,10 @@ object Similarity {
     * for mass duplication. */
   val lshBucketCap = 256
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  /** Shared embedding prep (double cast + norm) — package-visible so
+    * the recall harness/specs measure against the exact production
+    * pipeline rather than a hand-rolled copy that can drift. */
+  private[ext] def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(vec_norm2(col("e"))))

@@ -10,20 +10,28 @@ import graft.engine.Tables
   * pipelines proving the operators compose into the analytics a real
   * user runs — Catalyst handles join order, pushdown, and partial
   * aggregation across the whole tree (verify with PlanAudit).
-  * Revenue = sum(extendedprice * (1 - discount)) accumulated in
-  * DECIMAL(18,4): the per-row double product is computed identically
-  * in both engines, and the decimal sum is order-free.
+  * Revenue = sum(extendedprice * (1 - discount)) summed via the
+  * fixed-point recipe (floor(x·10⁴), exact integer sum, one rescale):
+  * double PRODUCTS cast to decimal land on rounding ties that Spark
+  * (HALF_UP) and DuckDB resolve differently, so every product sum in
+  * this file uses [[psum]] — raw-column sums (exact parquet decimals)
+  * keep plain decimal accumulation.
   */
 object Composite {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  private val revSpark =
-    sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-      .cast(DecimalType(18, 4))).cast("double")
-  private val revDuck =
-    "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+  /** Fixed-point sum of a computed double: bit-deterministic in both
+    * engines (see q_tpch_q1 note / SCALE.md round-2 deltas). */
+  private def psum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(floor(e * lit(10000.0)).cast(DecimalType(28, 0))).cast("double") /
+      lit(10000.0)
+  private def psumDuck(e: String): String =
+    s"CAST(SUM(CAST(floor($e * 10000.0) AS DECIMAL(28,0))) AS DOUBLE) / 10000.0"
+
+  private val revSpark = psum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+  private val revDuck = psumDuck("l_extendedprice * (1.0 - l_discount)")
 
   val queries: Seq[Q] = Seq(
 
@@ -88,28 +96,23 @@ object Composite {
     // products are fixed-pointed via floor(x·10⁴) (bit-deterministic in
     // both engines), summed exactly, and rescaled once.
     Q("q_tpch_q1",
-      (s, dir) => {
-        def dsum(e: org.apache.spark.sql.Column, alias: String) =
-          sum(e.cast(DecimalType(18, 4))).cast("double").as(alias)
-        def psum(e: org.apache.spark.sql.Column, alias: String) =
-          (sum(floor(e * lit(10000.0)).cast(DecimalType(28, 0))).cast("double") /
-            lit(10000.0)).as(alias)
+      (s, dir) =>
         t(s, dir, "lineitem")
           .filter(col("l_shipdate") <= lit("1998-09-02"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            dsum(col("l_quantity"), "sum_qty"),
-            dsum(col("l_extendedprice"), "sum_base_price"),
-            psum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), "sum_disc_price"),
+            Core.dsum(col("l_quantity"), 4, "sum_qty"),
+            Core.dsum(col("l_extendedprice"), 4, "sum_base_price"),
+            psum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("sum_disc_price"),
             psum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-              (lit(1.0) + col("l_tax")), "sum_charge"),
+              (lit(1.0) + col("l_tax"))).as("sum_charge"),
             (sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") /
               count(lit(1))).as("avg_qty"),
             (sum(col("l_discount").cast(DecimalType(18, 6))).cast("double") /
               count(lit(1))).as("avg_disc"),
             count(lit(1)).as("count_order"))
-          .orderBy("l_returnflag", "l_linestatus")
-      },
+          .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
              |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
@@ -133,12 +136,11 @@ object Composite {
             col("l_shipdate") < lit("1997-01-01") &&
             col("l_discount").between(0.03, 0.07) &&
             col("l_quantity") < 24)
-          .agg(sum((col("l_extendedprice") * col("l_discount"))
-            .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+          .agg(psum(col("l_extendedprice") * col("l_discount")).as("revenue"),
             count(lit(1)).as("n_rows"))
           .select(col("revenue"), col("n_rows")),
-      Some("""SELECT
-             |CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      Some(s"""SELECT
+             |${psumDuck("l_extendedprice * l_discount")} AS revenue,
              |count(*) AS n_rows
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'

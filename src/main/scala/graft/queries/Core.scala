@@ -25,10 +25,13 @@ final case class Q(
 object Core {
 
   /** Order-insensitive exact sum of a double column: decimal-accumulate,
-    * then one deterministic cast back to double. */
-  private def dsum(c: Column, scale: Int, alias: String): Column =
+    * then one deterministic cast back to double. ONLY for raw parquet
+    * doubles (exact decimals — the cast never rounds); computed
+    * products go through Composite's fixed-point psum instead. Shared
+    * across query files so the exactness recipe has one definition. */
+  private[queries] def dsum(c: Column, scale: Int, alias: String): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double").as(alias)
-  private def dsumSql(expr: String, scale: Int, alias: String): String =
+  private[queries] def dsumSql(expr: String, scale: Int, alias: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE) AS $alias"
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =

@@ -94,9 +94,7 @@ object RecallHarness {
   // ── hyperplane ANN recall@k ──
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    graft.engine.Tables(spark, dir, "embeddings")
-      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", sqrt(vec_norm2(col("e"))))
+    Similarity.emb(spark, dir)
 
   /** (query_id, neighbor_id) top-k sets per query via an LSH bucket of
     * `nPlanes` sign bits; nPlanes = 0 → exact brute force. */

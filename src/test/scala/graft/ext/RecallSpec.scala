@@ -1,5 +1,9 @@
 package graft.ext
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 import graft.SparkSuite
 
 /** Recall floors for the approximate candidate generators (measured
@@ -7,6 +11,25 @@ import graft.SparkSuite
   * parameter regression fails the build). Corpus and ground truth are
   * deterministic, so the asserted numbers are exact reproductions. */
 class RecallSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Brute-force cosine top-k truth over the PRODUCTION embedding prep
+    * ([[Similarity.emb]]) for an arbitrary query predicate. */
+  private def bruteTruth(queryPred: org.apache.spark.sql.Column, k: Int): Set[(Long, Long)] = {
+    val v = Similarity.emb(spark, dir).select("vec_id", "e", "nrm")
+    val q = v.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        graft.functions.VecOps.vec_dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs(scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k).select("query_id", "vec_id"))
+  }
 
   test("shipped MinHash-LSH (4 bands x 2) recall >= 0.95 on the labeled corpus") {
     val sh = Dedup.shingled(RecallHarness.labeledCorpus(spark)).cache()
@@ -19,24 +42,7 @@ class RecallSpec extends SparkSuite {
   }
 
   test("trained IVF (nprobe 2/16) recall@5 >= 0.3 vs brute force") {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    val dir = "/root/testdata/sf0.001"
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // brute-force truth for the IVF query's own query set (100..107)
-    val v = graft.engine.Tables(spark, dir, "embeddings")
-      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", sqrt(graft.functions.VecOps.vec_norm2(col("e"))))
-      .select("vec_id", "e", "nrm")
-    val q = v.filter(col("vec_id") >= 100 && col("vec_id") < 108)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        graft.functions.VecOps.vec_dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    val truth = pairs(scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5).select("query_id", "vec_id"))
+    val truth = bruteTruth(col("vec_id") >= 100 && col("vec_id") < 108, 5)
     val ivf = Similarity.queries.find(_.name == "q_ann_ivf").get
     val got = pairs(ivf.fn(spark, dir).select("query_id", "neighbor_id"))
     val recall = (got & truth).size.toDouble / truth.size
@@ -44,10 +50,7 @@ class RecallSpec extends SparkSuite {
   }
 
   test("multi-table LSH ANN (8x6) recall@5 >= 0.25 and >> single-bucket") {
-    val dir = "/root/testdata/sf0.001"
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val truth = pairs(RecallHarness.annTopK(spark, dir, 0, 5, 64))
+    val truth = bruteTruth(col("vec_id") < 64, 5)
     val single = pairs(RecallHarness.annTopK(spark, dir, 8, 5, 64))
     val (multiDf, _) = RecallHarness.annTopKMulti(spark, dir,
       Similarity.lshTables, Similarity.lshPlanesPerTable, 5, 64)
