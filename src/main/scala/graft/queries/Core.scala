@@ -43,10 +43,14 @@ object Core {
     Q("q_scan_project",
       (s, dir) =>
         t(s, dir, "lineitem")
+          // (l_orderkey, l_linenumber) is NOT unique in this corpus —
+          // every projected column joins the sort so the order is TOTAL
+          // (a tied prefix with differing payloads leaves row order
+          // engine-dependent and breaks the hash compare)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-          .orderBy("l_orderkey", "l_linenumber"),
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
 
     // ── P1: numeric-range filter (wg_maple.py:13-14 shape) ──
     Q("q_filter_range",
@@ -54,10 +58,11 @@ object Core {
         t(s, dir, "lineitem")
           .filter(col("l_quantity").between(10, 40))
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
-          .orderBy("l_orderkey", "l_linenumber"),
+          // total order: see q_scan_project note
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
              |WHERE l_quantity BETWEEN 10 AND 40
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin)),
 
     // ── D1/A3: maple flatMap expansion (win_maple1.py pairwise shape) ──
     Q("q_maple_flatmap",

@@ -57,7 +57,13 @@ object Functions {
               .eqNullSafe(expr("nullif(l_linestatus, 'O')")).as("ns_eq"),
             (expr("nullif(l_returnflag, 'N')") === expr("nullif(l_linestatus, 'O')"))
               .isNull.as("tvl_null"))
-          .orderBy("l_orderkey", "l_linenumber"),
+          // EXPLICIT null ordering: Spark defaults to nulls-first on
+          // ASC, DuckDB to nulls-last — leaving it implicit is a
+          // cross-engine row-order divergence waiting to happen. The
+          // trailing booleans make the sort TOTAL ((l_orderkey,
+          // l_linenumber) is not unique in this corpus).
+          .orderBy(col("rf_n").asc_nulls_last, col("l_orderkey"),
+            col("l_linenumber"), col("tvl_null"), col("ns_eq")),
       Some("""SELECT l_orderkey, l_linenumber,
              |nullif(l_returnflag, 'N') AS rf_n,
              |coalesce(nullif(l_returnflag, 'N'), 'defaulted') AS rf_c,
@@ -66,7 +72,8 @@ object Functions {
              |((nullif(l_returnflag, 'N') = nullif(l_linestatus, 'O')) IS NULL)
              |  AS tvl_null
              |FROM lineitem
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY rf_n ASC NULLS LAST, l_orderkey, l_linenumber,
+             |  tvl_null, ns_eq""".stripMargin)),
 
     // ── histogram: fixed-width binning via exact integer arithmetic ──
     Q("q_histogram",
