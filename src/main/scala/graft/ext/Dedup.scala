@@ -153,17 +153,23 @@ object Dedup {
     s"""tk AS (SELECT doc_id, lang, n_chars, $hwDuck AS hw FROM documents),
        |h AS (SELECT doc_id, lang, n_chars, $hsDuck AS hs FROM tk)""".stripMargin
 
-  /** DuckDB twin of [[bandBuckets]] + [[bandCandidates]] as CTE bodies
-    * (expects `h` from [[duckHashedShingles]] in scope). */
-  private val duckBandCandidates: String = {
-    val mhs = perms.zipWithIndex.map { case ((a, b), i) =>
+  /** DuckDB minhash select list (emits m0..m7 from a CTE with `hs`). */
+  private val duckMinhashList: String =
+    perms.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> ($a * (h % $P) + $b) % $P)) AS m$i"
     }.mkString(", ")
-    val bandList = (0 until nBands)
+
+  /** DuckDB band-signature list (m-pairs → varchar sigs). */
+  private val duckBandList: String =
+    (0 until nBands)
       .map(b => s"m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR")
       .mkString(", ")
-    s"""mh AS (SELECT doc_id, $mhs FROM h),
-       |bands AS (SELECT doc_id, unnest([$bandList]) AS sig,
+
+  /** DuckDB twin of [[bandBuckets]] + [[bandCandidates]] as CTE bodies
+    * (expects `h` from [[duckHashedShingles]] in scope). */
+  private val duckBandCandidates: String =
+    s"""mh AS (SELECT doc_id, $duckMinhashList FROM h),
+       |bands AS (SELECT doc_id, unnest([$duckBandList]) AS sig,
        |          unnest(range($nBands)) AS band FROM mh),
        |capped AS (SELECT doc_id, band, sig FROM (
        |  SELECT doc_id, band, sig,
@@ -172,7 +178,6 @@ object Dedup {
        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   /** Verified near-dup pairs (id1, id2, jac — exact Jaccard ≥ threshold
     * over the band candidates): THE verification stage, consumed by
@@ -207,7 +212,16 @@ object Dedup {
     * (groupBy node) over the EDGE set — no driver collect, no
     * quadratic step; the standard iterative-join CC (pointer jumping
     * would cut rounds to log-diameter if ever needed). */
-  def componentsOf(pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
+  def componentsOf(pairs0: DataFrame, maxRounds: Int = 32): DataFrame = {
+    // The pair graph feeds BOTH edge directions, the self-loop node
+    // set, and the initial labels — five lazy references in all. The
+    // upstream pipeline producing it (candidate join + verification)
+    // is the expensive part, so materialize the (result-sized) pair
+    // set exactly once before fanning out. cache + eager count, not
+    // localCheckpoint: the cache is released on every exit path below
+    // (a local checkpoint has no lineage left and could never be).
+    val pairs = pairs0.cache()
+    pairs.count()
     // undirected closed neighborhood: both directions + self-loops
     val nodes = pairs.select(col("id1").as("n"))
       .union(pairs.select(col("id2").as("n"))).distinct()
@@ -219,13 +233,17 @@ object Dedup {
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
+      // ONE job per round: the self-loop edge (n, n) carries n's own
+      // previous label through the same join, so the convergence check
+      // is an extra aggregate over the same groups instead of a second
+      // join + count against the previous labels.
       val next = edges
-        .join(labels.withColumnRenamed("n", "m"), "m")
-        .groupBy("n").agg(min("lbl").as("lbl"))
+        .join(labels.select(col("n").as("m"), col("lbl")), "m")
+        .groupBy("n").agg(
+          min("lbl").as("lbl"),
+          min(when(col("m") === col("n"), col("lbl"))).as("prev"))
         .cache()
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "n")
-        .filter(col("lbl") =!= col("prev")).count()
+      changed = next.filter(col("lbl") =!= col("prev")).count()
       labels.unpersist()
       labels = next
       round += 1
@@ -235,7 +253,7 @@ object Dedup {
     // transitive closure (a >32-eccentricity near-dup chain is
     // pathological input, not a working configuration). Caches are
     // released BEFORE the throw — the session is shared.
-    if (changed != 0) { labels.unpersist(); edges.unpersist() }
+    if (changed != 0) { labels.unpersist(); edges.unpersist(); pairs.unpersist() }
     require(changed == 0,
       s"componentsOf did not converge in $maxRounds rounds " +
         s"($changed labels still changing) — raise maxRounds or use pointer jumping")
@@ -245,10 +263,44 @@ object Dedup {
     // exactly the component labels (result-sized, not an intermediate
     // cache); a long-lived deployment would use a reliable checkpoint
     // dir instead. The loop caches are released here.
-    val out = labels.localCheckpoint(true)
+    val out = labels.select("n", "lbl").localCheckpoint(true)
     labels.unpersist()
     edges.unpersist()
+    pairs.unpersist()
     out
+  }
+
+  /** Increment-vs-corpus near-dup probe — the operation a production
+    * pipeline runs daily: band buckets of the incoming increment probed
+    * against the (skew-capped) band buckets of the accumulated corpus,
+    * candidates then verified with exact Jaccard. Candidate volume
+    * tracks increment size × near-dup density (band collisions), never
+    * increment × corpus. At 100 TB the corpus band table is the
+    * persisted artifact (built once, bucketed by (band, sig), reused
+    * every day) and the probe is an equi-join that shuffles only the
+    * increment. */
+  def incrementalNearDups(inc: DataFrame, corp: DataFrame,
+      threshold: Double, cap: Int = bucketCap): DataFrame = {
+    val shInc = shingled(inc).select(col("doc_id"), col("hs")).localCheckpoint(true)
+    val shCorp = shingled(corp).select(col("doc_id"), col("hs")).localCheckpoint(true)
+    val probe = bandBuckets(shInc)
+    val corpusBuckets = bandBuckets(shCorp)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("band", "sig").orderBy("doc_id")))
+      .filter(col("rn") <= cap).drop("rn")
+    val cand = probe
+      .join(corpusBuckets.withColumnRenamed("doc_id", "dup_of"), Seq("band", "sig"))
+      .select(col("doc_id"), col("dup_of")).distinct()
+    cand
+      .join(shInc.select(col("doc_id"), col("hs").as("hs1")), "doc_id")
+      .join(shCorp.select(col("doc_id").as("dup_of"), col("hs").as("hs2")), "dup_of")
+      .withColumn("inter",
+        graft.functions.VecOps.sorted_intersect_count(col("hs1"), col("hs2")))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (expr("size(hs1)") + expr("size(hs2)") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select("doc_id", "dup_of", "jac")
   }
 
   val queries: Seq[Q] = Seq(
@@ -364,6 +416,65 @@ object Dedup {
            |            JOIN h b ON b.doc_id = cand.id2)
            |SELECT id1, id2, CAST(inter AS DOUBLE) / (la + lb - inter) AS jac
            |FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
-           |ORDER BY id1, id2""".stripMargin))
+           |ORDER BY id1, id2""".stripMargin)),
+
+    // ── incremental exact dedup: new batch anti-joined against corpus ──
+    // The daily-pipeline shape the whole-corpus self-join families
+    // don't cover: an increment (doc_id % 10 = 7 as the deterministic
+    // stand-in for "today's batch") is content-hash anti-joined against
+    // the accumulated corpus, then deduped within itself. At scale the
+    // corpus side is a persisted hash table bucketed by h, so the
+    // anti-join shuffles only the increment. NOT EXISTS (not NOT IN) in
+    // the oracle: a NULL hash must survive the anti-join in both
+    // engines.
+    Q("q_dedup_incremental",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+        val inc = d.filter(col("doc_id") % 10 === 7)
+        val corp = d.filter(col("doc_id") % 10 =!= 7)
+        inc.join(corp.select("h"), Seq("h"), "left_anti")
+          .groupBy("h")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+          .orderBy("h")
+      },
+      Some("""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+             |inc AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+             |corp AS (SELECT * FROM d WHERE doc_id % 10 <> 7)
+             |SELECT h, min(doc_id) AS keep_id, count(*) AS dup_cnt
+             |FROM inc WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.h = inc.h)
+             |GROUP BY h ORDER BY h""".stripMargin)),
+
+    // ── incremental near-dup: increment probed against corpus buckets ──
+    // (see [[incrementalNearDups]] for the scale contract). Output: each
+    // increment doc with every verified corpus near-duplicate — the
+    // relation a pipeline uses to drop or link incoming docs.
+    Q("q_dedup_incremental_near",
+      (s, dir) => {
+        val d = docs(s, dir)
+        incrementalNearDups(
+          d.filter(col("doc_id") % 10 === 7),
+          d.filter(col("doc_id") % 10 =!= 7), 0.8)
+          .orderBy("doc_id", "dup_of")
+      },
+      Some(
+        s"""WITH $duckHashedShingles,
+           |mh AS (SELECT doc_id, $duckMinhashList FROM h),
+           |bands AS (SELECT doc_id, unnest([$duckBandList]) AS sig,
+           |          unnest(range($nBands)) AS band FROM mh),
+           |bi AS (SELECT doc_id, band, sig FROM bands WHERE doc_id % 10 = 7),
+           |bcap AS (SELECT doc_id, band, sig FROM (
+           |  SELECT doc_id, band, sig,
+           |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+           |  FROM bands WHERE doc_id % 10 <> 7) WHERE rn <= $bucketCap),
+           |cand AS (SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS dup_of
+           |  FROM bi i JOIN bcap c ON i.band = c.band AND i.sig = c.sig),
+           |p AS (SELECT cand.doc_id, cand.dup_of,
+           |  len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS inter,
+           |  len(a.hs) AS la, len(b.hs) AS lb
+           |  FROM cand JOIN h a ON a.doc_id = cand.doc_id
+           |            JOIN h b ON b.doc_id = cand.dup_of)
+           |SELECT doc_id, dup_of, CAST(inter AS DOUBLE) / (la + lb - inter) AS jac
+           |FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+           |ORDER BY doc_id, dup_of""".stripMargin))
   )
 }

@@ -17,9 +17,11 @@ import javax.imageio.ImageIO
   *
   * Decoders are stateless objects: per-partition "init" in
   * [[Multimodal.extractFeatures]] costs nothing here but marks where a
-  * JNI codec handle would live. Video stays fallback-decoded (no
-  * container parser in the JDK) — its payloads still flow as opaque
-  * binary with byte-level features.
+  * JNI codec handle would live. Video container metadata (MP4 /
+  * ISO-BMFF) is parsed with a hand-rolled big-endian box walk — mvhd
+  * timescale/duration, track count, tkhd dimensions; the frames
+  * themselves stay undecoded (no JDK video codec), flowing as opaque
+  * binary.
   */
 object MediaDecoder {
 
@@ -37,6 +39,7 @@ object MediaDecoder {
     // features instead of failing the task)
     try {
       if (isWav(payload)) decodeWav(payload)
+      else if (isMp4(payload)) decodeMp4(payload)
       else sniffImage(payload) match {
         case Some(fmt) => decodeImage(payload, fmt)
         case None      => fallback(payload, "unknown")
@@ -49,6 +52,10 @@ object MediaDecoder {
     p.length >= 12 &&
       p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  private def isMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
 
   private def sniffImage(p: Array[Byte]): Option[String] =
     if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
@@ -137,6 +144,81 @@ object MediaDecoder {
       Array(frames.toDouble, rate.toDouble, amp / math.max(n, 1L)))
   }
 
+  // ── video: MP4 / ISO-BMFF box walk (header arithmetic only — the ──
+  // JDK ships no video codec, so frames stay undecoded; container
+  // metadata is pure big-endian parsing, same style as the RIFF walk)
+
+  private def be32(p: Array[Byte], o: Int): Long =
+    ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+  private def be64(p: Array[Byte], o: Int): Long =
+    (be32(p, o) << 32) | be32(p, o + 4)
+
+  /** Metadata extracted: mvhd timescale + duration (→ duration_ms),
+    * trak count, and the first nonzero tkhd width/height (16.16 fixed).
+    * Field mapping in [[Media]]: `sample_rate` carries the timescale
+    * (ticks/second), `n_frames` the track count; `channels` stays -1.
+    * Guards mirror the RIFF parser: u32/u64 sizes never truncated, a
+    * lying size (smaller than its own header, or past the parent box)
+    * stops that walk level instead of reading foreign bytes. */
+  private def decodeMp4(p: Array[Byte]): Media = {
+    var timescale = -1L; var duration = -1L
+    var tracks = 0L
+    var w = -1; var h = -1
+
+    // walk the boxes in [start, end): f(type, bodyStart, boxEnd)
+    def walk(start: Long, end: Long)(f: (String, Long, Long) => Unit): Unit = {
+      var off = start
+      var continue = true
+      while (continue && off + 8 <= end) {
+        var size = be32(p, off.toInt)
+        var hdr = 8L
+        if (size == 1L && off + 16 <= end) { size = be64(p, off.toInt + 8); hdr = 16L }
+        else if (size == 0L) size = end - off // "extends to end of file"
+        // lying size: smaller than its own header, or overrunning the
+        // parent — stop this level (end - off cannot overflow; off + size
+        // with a crafted 64-bit size could)
+        if (size < hdr || size > end - off) continue = false
+        else {
+          val id = new String(p, off.toInt + 4, 4, "US-ASCII")
+          f(id, off + hdr, off + size)
+          off += size
+        }
+      }
+    }
+
+    walk(0, p.length) { (id, s, e) =>
+      if (id == "moov") walk(s, e) { (id2, s2, e2) =>
+        if (id2 == "mvhd" && s2 + 4 <= e2) {
+          val v = p(s2.toInt) & 0xff
+          // FullBox: ver/flags(4); v0: cre(4) mod(4) ts(4) dur(4);
+          //                        v1: cre(8) mod(8) ts(4) dur(8)
+          if (v == 1 && s2 + 32 <= e2) {
+            timescale = be32(p, s2.toInt + 20); duration = be64(p, s2.toInt + 24)
+          } else if (v == 0 && s2 + 20 <= e2) {
+            timescale = be32(p, s2.toInt + 12); duration = be32(p, s2.toInt + 16)
+          }
+        } else if (id2 == "trak") {
+          tracks += 1
+          walk(s2, e2) { (id3, s3, e3) =>
+            // tkhd width/height: 16.16 fixed, always the box's last 8
+            // bytes (v0 body 84 B, v1 96 B — offset-from-end is
+            // version-agnostic)
+            if (id3 == "tkhd" && e3 - s3 >= 84 && w < 0) {
+              val tw = (be32(p, (e3 - 8).toInt) >> 16).toInt
+              val th = (be32(p, (e3 - 4).toInt) >> 16).toInt
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            }
+          }
+        }
+      }
+    }
+    if (timescale <= 0 || duration < 0) return fallback(p, "unknown")
+    val durationMs = duration * 1000.0 / timescale
+    Media("mp4", w, h, timescale.toInt, -1, tracks, durationMs,
+      Array(tracks.toDouble, timescale.toDouble, durationMs))
+  }
+
   // ── fallback: byte-histogram moments (former stub semantics) ──
 
   private def fallback(p: Array[Byte], fmt: String): Media = {
@@ -167,5 +249,50 @@ object MediaDecoder {
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
     samples.foreach(buf.putShort)
     buf.array()
+  }
+
+  // ── MP4 construction (ftyp + mdat + moov[mvhd, trak(tkhd)*]) — used
+  // by tests and the oracle-checked video query to synthesize real
+  // ISO-BMFF payloads with analytically-known metadata ──
+
+  def mp4Bytes(timescale: Int, duration: Int,
+      trackDims: Seq[(Int, Int)]): Array[Byte] = {
+    def box(tp: String, body: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + body.length) // BE default
+      buf.putInt(8 + body.length).put(tp.getBytes("US-ASCII")).put(body)
+      buf.array()
+    }
+    val unityMatrix = Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val mvhd = box("mvhd", {
+      val b = java.nio.ByteBuffer.allocate(100) // v0 body
+      b.putInt(0) // version 0 + flags
+      b.putInt(0).putInt(0) // creation, modification
+      b.putInt(timescale).putInt(duration)
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, rsvd
+      b.putLong(0) // reserved
+      unityMatrix.foreach(b.putInt)
+      (0 until 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(trackDims.length + 1) // next_track_ID
+      b.array()
+    })
+    val traks = trackDims.zipWithIndex.map { case ((tw, th), i) =>
+      box("trak", box("tkhd", {
+        val b = java.nio.ByteBuffer.allocate(84) // v0 body
+        b.putInt(0x000007) // version 0 + flags (enabled|in-movie|in-preview)
+        b.putInt(0).putInt(0) // creation, modification
+        b.putInt(i + 1).putInt(0).putInt(duration) // track_ID, rsvd, duration
+        b.putLong(0) // reserved
+        b.putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt, vol, rsvd
+        unityMatrix.foreach(b.putInt)
+        b.putInt(tw << 16).putInt(th << 16) // 16.16 fixed width/height
+        b.array()
+      }))
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val mdat = box("mdat", Array[Byte](0xde.toByte, 0xad.toByte))
+    val moov = box("moov", mvhd ++ traks.flatten)
+    ftyp ++ mdat ++ moov
   }
 }

@@ -107,6 +107,41 @@ object Multimodal {
              |  / (8000 + (doc_id % 3) * 4000) AS duration_ms
              |FROM documents ORDER BY asset_id""".stripMargin)),
 
+    // Same construction as q_multimodal_decode, video edition: MP4
+    // payloads synthesized per row with analytically-known mvhd/tkhd
+    // parameters, pushed through the real ISO-BMFF box walk, DuckDB
+    // recomputing the expected metadata from the construction
+    // arithmetic — a box-walk regression (endianness, version offsets,
+    // fixed-point dims, duration math) breaks the hash match.
+    Q("q_multimodal_video",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            val decoder = MediaDecoder // per-partition codec handle
+            it.map { case (id, text) =>
+              val ts = 600 + (id % 5).toInt * 120
+              val dur = text.getBytes("UTF-8").length * 30
+              val nTracks = 1 + (id % 3).toInt
+              val dims = (0 until nTracks).map(i => (320 + 16 * i, 240 + 16 * i))
+              val m = decoder.decode(decoder.mp4Bytes(ts, dur, dims))
+              (id, m.format, m.width, m.height, m.sample_rate, m.n_frames,
+                m.duration_ms)
+            }
+          }
+          .toDF("asset_id", "format", "width", "height", "timescale",
+            "n_tracks", "duration_ms")
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id, 'mp4' AS format,
+             |CAST(320 AS INT) AS width, CAST(240 AS INT) AS height,
+             |CAST(600 + (doc_id % 5) * 120 AS INT) AS timescale,
+             |CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+             |(octet_length(encode(text)) * 30 * 1000.0::DOUBLE)
+             |  / (600 + (doc_id % 5) * 120) AS duration_ms
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
     Q("q_multimodal_meta",
       (s, dir) =>
         Tables(s, dir, "documents")

@@ -216,6 +216,55 @@ object Similarity {
       all.slice(t * lshPlanesPerTable, (t + 1) * lshPlanesPerTable))
   }
 
+  /** (vec_id, bucket) membership for L sign tables of r planes each —
+    * the shared candidate substrate for multi-table ANN probing AND
+    * embedding near-dup candidate generation. Plane i of table t is
+    * global plane t*r+i of the seed-42 sequence, so configurations
+    * nest. */
+  def multiTableBucketsParam(v: DataFrame, tables: Int,
+      planesPerTable: Int): DataFrame = {
+    val all = planesFor(tables * planesPerTable)
+    val sigs = (0 until tables).map { t =>
+      val ps = all.slice(t * planesPerTable, (t + 1) * planesPerTable)
+      concat(lit(s"t$t|"), bucketColFor(ps, col("e")))
+    }
+    v.select(col("vec_id"), explode(array(sigs: _*)).as("bucket"))
+  }
+
+  /** Shipped-configuration membership ([[lshTables]] × [[lshPlanesPerTable]]). */
+  private def multiTableBuckets(v: DataFrame): DataFrame =
+    multiTableBucketsParam(v, lshTables, lshPlanesPerTable)
+
+  /** Skew-capped within-bucket candidate pairs (id1 < id2) from the
+    * multi-table sign buckets, deduplicated across tables.
+    *
+    * Scale contract: unlike a data-blocking key with bounded
+    * cardinality (label, lang, length band — blocks grow with the
+    * corpus, pair join goes quadratic), the bucket-space size L·2^r is
+    * an OPERATING PARAMETER: hold per-bucket occupancy constant by
+    * growing r with log2(corpus) (r ≈ log2(n) − log2(target occupancy))
+    * and candidate volume stays linear in corpus size at fixed recall
+    * per cosine band — LshScalingSpec pins exactly this rule. The
+    * per-bucket cap is the skew backstop (a flood of identical vectors
+    * lands in one bucket), bounding worst-case per-bucket work at
+    * C(cap, 2) regardless of corpus. */
+  def lshCandidatePairsParam(v: DataFrame, tables: Int, planesPerTable: Int,
+      cap: Int = lshBucketCap): DataFrame = {
+    val capped = multiTableBucketsParam(v, tables, planesPerTable)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("bucket").orderBy("vec_id")))
+      .filter(col("rn") <= cap).drop("rn")
+    capped.as("ca").join(capped.as("cb"),
+        col("ca.bucket") === col("cb.bucket") &&
+          col("ca.vec_id") < col("cb.vec_id"))
+      .select(col("ca.vec_id").as("id1"), col("cb.vec_id").as("id2"))
+      .distinct()
+  }
+
+  /** [[lshCandidatePairsParam]] at the shipped configuration. */
+  def lshCandidatePairs(v: DataFrame, cap: Int = lshBucketCap): DataFrame =
+    lshCandidatePairsParam(v, lshTables, lshPlanesPerTable, cap)
+
   /** DuckDB sign-bucket for an arbitrary plane set. */
   private def duckBucketFor(ps: Seq[Seq[Double]]): String =
     ps.map { p =>
@@ -225,26 +274,55 @@ object Similarity {
 
   private def duckBucket: String = duckBucketFor(planes)
 
+  /** DuckDB list of all multi-table sign signatures for one vector. */
+  private def duckSigList: String =
+    multiPlanes.zipWithIndex.map { case (ps, t) =>
+      s"'t$t|' || ${duckBucketFor(ps)}"
+    }.mkString(", ")
+
+  /** DuckDB twin of [[lshCandidatePairs]] as CTE bodies (expects a CTE
+    * `v(vec_id, e, nrm, …)` in scope; emits `cand(id1, id2)`). */
+  private def duckLshCandidatePairs: String =
+    s"""b AS (SELECT vec_id, unnest([$duckSigList]) AS bucket FROM v),
+       |bc AS (SELECT vec_id, bucket FROM (
+       |  SELECT vec_id, bucket,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+       |  FROM b) WHERE rn <= $lshBucketCap),
+       |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM bc a JOIN bc b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
-    // ── embedding-cosine near-dup: same-label blocking + threshold ──
+    // ── embedding-cosine near-dup: LSH sign-bucket candidates + exact ──
+    // cosine verification. Candidate pairs come from the SAME capped
+    // multi-table sign buckets as q_ann_lsh_multi (collision-driven, so
+    // volume tracks near-dup density, never corpus²) — the round-2
+    // same-label blocking key had bounded cardinality, so its blocks
+    // grew linearly with the corpus and the within-block pair join went
+    // quadratic at scale. Approximate by design: a pair no table
+    // collides is missed (collision prob rises steeply with cosine —
+    // RECALL.md quantifies the table/plane trade-off).
     Q("q_dedup_embed",
       (s, dir) => {
-        val v = emb(s, dir).select("vec_id", "label", "e", "nrm")
-        val a = v.as("a")
-        val b = v.as("b")
-        a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos",
-            cosine(col("a.e"), col("a.nrm"), col("b.e"), col("b.nrm")))
+        val v = emb(s, dir).select("vec_id", "e", "nrm")
+        lshCandidatePairs(v)
+          .join(v.select(col("vec_id").as("id1"),
+            col("e").as("e1"), col("nrm").as("n1")), "id1")
+          .join(v.select(col("vec_id").as("id2"),
+            col("e").as("e2"), col("nrm").as("n2")), "id2")
+          .withColumn("cos", cosine(col("e1"), col("n1"), col("e2"), col("n2")))
           .filter(col("cos") >= 0.4)
-          .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
+          .select("id1", "id2", "cos")
           .orderBy("id1", "id2")
       },
       Some(
         s"""WITH v AS ($duckEmb),
-           |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+           |$duckLshCandidatePairs,
+           |p AS (SELECT id1, id2,
            |  ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
-           |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+           |  FROM cand JOIN v a ON a.vec_id = cand.id1
+           |            JOIN v b ON b.vec_id = cand.id2)
            |SELECT id1, id2, cos FROM p WHERE cos >= 0.4
            |ORDER BY id1, id2""".stripMargin)),
 
@@ -377,10 +455,7 @@ object Similarity {
     Q("q_ann_lsh_multi",
       (s, dir) => {
         val v0 = emb(s, dir).select("vec_id", "e", "nrm")
-        val sigs = multiPlanes.zipWithIndex.map { case (ps, t) =>
-          concat(lit(s"t$t|"), bucketColFor(ps, col("e")))
-        }
-        val b = v0.select(col("vec_id"), explode(array(sigs: _*)).as("bucket"))
+        val b = multiTableBuckets(v0)
         val bc = b.withColumn("rn",
             row_number().over(Window.partitionBy("bucket").orderBy("vec_id")))
           .filter(col("rn") <= lshBucketCap).drop("rn")
@@ -402,11 +477,8 @@ object Similarity {
           .orderBy("query_id", "rnk")
       },
       Some {
-        val sigList = multiPlanes.zipWithIndex.map { case (ps, t) =>
-          s"'t$t|' || ${duckBucketFor(ps)}"
-        }.mkString(", ")
         s"""WITH v AS ($duckEmb),
-           |b AS (SELECT vec_id, unnest([$sigList]) AS bucket FROM v),
+           |b AS (SELECT vec_id, unnest([$duckSigList]) AS bucket FROM v),
            |bc AS (SELECT vec_id, bucket FROM (
            |  SELECT vec_id, bucket,
            |    row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn

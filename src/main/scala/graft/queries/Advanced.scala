@@ -279,6 +279,60 @@ object Advanced {
       Some("""SELECT l_returnflag,
              |quantile_cont(l_quantity, 0.5) AS med_qty,
              |quantile_cont(l_quantity, 0.9) AS p90_qty
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ── approximate count-distinct (HLL++) with an in-query error bound ──
+    // At 100 TB approximate is the default: the HLL sketch is mergeable
+    // (one pass, partial+final, no Expand rewrite) and rsd trades sketch
+    // memory for error. Another engine's sketch value can never
+    // hash-match, so the CHECK is declared instead: the query emits the
+    // exact count plus a boolean asserting |approx − exact| ≤ 10%·exact
+    // (5× the configured rsd 0.02), and the oracle expects TRUE — a hash
+    // mismatch means the sketch left its error envelope. HLL is
+    // deterministic on fixed data, so the gate is stable, not flaky.
+    Q("q_approx_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("exact_cnt"),
+               approx_count_distinct(col("l_partkey"), 0.02).as("approx_cnt"))
+          .select(col("l_returnflag"), col("exact_cnt"),
+            (abs(col("approx_cnt") - col("exact_cnt")) <=
+              col("exact_cnt") * lit(0.1)).as("within_bound"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_cnt,
+             |TRUE AS within_bound
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ── approximate percentiles (GK sketch) with a rank-error bound ──
+    // The principled envelope for a quantile sketch is on RANK, not
+    // value: with accuracy a, the returned value must sit within 1/a of
+    // the requested rank fraction q. The query recomputes each
+    // approximate percentile's true rank fraction (one extra scan,
+    // broadcast of the 3-row sketch output) and emits the boolean;
+    // frac_lt/frac_le bracket ties so heavy tie mass can't fail a
+    // correct sketch.
+    Q("q_approx_percentile",
+      (s, dir) => {
+        val pcts = Seq(0.1, 0.5, 0.9)
+        val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+        val ap = li
+          .agg(expr("approx_percentile(x, array(0.1D, 0.5D, 0.9D), 1000)").as("ps"))
+          .select(posexplode(col("ps")))
+          .select(element_at(array(pcts.map(lit): _*), col("pos") + 1).as("q"),
+            col("col").as("p"))
+        li.crossJoin(broadcast(ap))
+          .groupBy("q", "p")
+          .agg((sum(when(col("x") <= col("p"), 1L).otherwise(0L)) /
+                  count(lit(1))).as("frac_le"),
+               (sum(when(col("x") < col("p"), 1L).otherwise(0L)) /
+                  count(lit(1))).as("frac_lt"))
+          .select(col("q"),
+            (col("frac_lt") - lit(0.011) <= col("q") &&
+              col("q") <= col("frac_le") + lit(0.011)).as("within_bound"))
+          .orderBy("q")
+      },
+      Some("""SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound
+             |FROM (VALUES (0.1), (0.5), (0.9)) t(q) ORDER BY q""".stripMargin))
   )
 }

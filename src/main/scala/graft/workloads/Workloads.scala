@@ -22,9 +22,7 @@ object Workloads {
   val DefaultMaxCandidates = 1000
 
   private def collectDominations(ds: Dataset[(String, String)],
-      maxCandidates: Int): DataFrame = {
-    val spark = ds.sparkSession
-    import spark.implicits._
+      maxCandidates: Int): Seq[(String, String)] = {
     val maxRows = maxCandidates.toLong * (maxCandidates - 1) / 2
     require(maxRows + 1 <= Int.MaxValue, s"maxCandidates $maxCandidates too large")
     val rows = ds.limit(maxRows.toInt + 1).collect()
@@ -32,7 +30,7 @@ object Workloads {
       s"dominations relation exceeds C($maxCandidates, 2) = $maxRows rows — " +
         "ballot set implies more candidates than the driver-side resolution " +
         "bound; raise maxCandidates or pre-filter the ballots")
-    rows.toSeq.toDF("winner", "loser")
+    rows.toSeq
   }
 
   /** Web-graph in-degree count (reference `wg_maple.py` + `wg_juice.py`):
@@ -102,29 +100,33 @@ object Workloads {
         if (ones * 2 > total) Iterator((x, y)) else Iterator((y, x))
       }, maxCandidates)
 
-    resolveWinner(dominations)
+    resolveWinner(spark, dominations)
   }
 
   /** Shared Condorcet stage 2 (win_juice2.py:36-56): domination count
     * per candidate; a candidate dominating all n-1 others wins, else
     * all argmax co-winners tie. Used by both the typed and columnar
     * stage-1 paths so the two can never diverge here. */
-  private def resolveWinner(dominations: DataFrame): DataFrame = {
-    val nCandidates = dominations.select("winner").union(
-      dominations.select("loser")).distinct().count()
-    val counts = MapleJuice.juiceAgg(dominations,
-      Seq(col("winner").as("candidate")), Seq(count(lit(1)).as("dominations")))
-    val condorcetW = counts.filter(col("dominations") === lit(nCandidates - 1))
+  private def resolveWinner(spark: SparkSession,
+      dominations: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    // the relation is already collected (bounded by collectDominations),
+    // so the whole stage-2 decision is plain local arithmetic — one
+    // Spark job total where three ran before.
+    val nCandidates =
+      dominations.iterator.flatMap(p => Iterator(p._1, p._2)).toSet.size
+    val counts = dominations.groupBy(_._1).map { case (c, ws) =>
+      (c, ws.size.toLong)
+    }.toSeq
+    val condorcetW = counts.filter(_._2 == nCandidates - 1L)
     val result =
-      if (condorcetW.limit(1).count() > 0)
-        condorcetW.withColumn("kind", lit("condorcet_winner"))
+      if (condorcetW.nonEmpty) condorcetW.map { case (c, d) => (c, d, "condorcet_winner") }
+      else if (counts.isEmpty) Seq.empty[(String, Long, String)]
       else {
-        val mx = counts.agg(max(col("dominations")).as("mx"))
-        counts.join(broadcast(mx), col("dominations") === col("mx"))
-          .select(col("candidate"), col("dominations"))
-          .withColumn("kind", lit("tie_argmax"))
+        val mx = counts.iterator.map(_._2).max
+        counts.filter(_._2 == mx).map { case (c, d) => (c, d, "tie_argmax") }
       }
-    result.orderBy("candidate")
+    result.sortBy(_._1).toDF("candidate", "dominations", "kind")
   }
 
   /** Columnar Condorcet: same semantics as [[condorcet]], but the
@@ -164,7 +166,7 @@ object Workloads {
             .otherwise(substring_index(col("key"), "#", 1)).as("loser"))
         .as[(String, String)], maxCandidates)
 
-    resolveWinner(dominations)
+    resolveWinner(spark, dominations)
   }
 
   /** Hadoop quick-start word count (HADOOP_INSTALL.md §Quick Start). */

@@ -25,4 +25,12 @@ class ApproxSpec extends SparkSuite {
       expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx")).collect()(0)
     assert(math.abs(row.getDouble(0) - row.getDouble(1)) <= 1.0)
   }
+
+  test("declared approx queries stay inside their error envelopes") {
+    Seq("q_approx_distinct", "q_approx_percentile").foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val out = df.filter(!col("within_bound")).count()
+      assert(out == 0, s"$name: $out rows outside the declared bound")
+    }
+  }
 }

@@ -79,6 +79,7 @@ class PropertiesSpec extends SparkSuite {
     val magics = Seq(
       Array[Byte](), // pure random
       "RIFF1234WAVE".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII"),
       Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
       "GIF89a".getBytes("US-ASCII"),
       "BM".getBytes("US-ASCII"))
@@ -115,5 +116,23 @@ class PropertiesSpec extends SparkSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == want
     }, n = 6)
+  }
+
+  test("property: componentsOf non-convergence throws loudly and releases caches") {
+    // a chain of diameter ≫ maxRounds cannot reach its fixpoint: the
+    // contract is a LOUD failure (no silently-partial labeling) with
+    // every loop cache released before the throw — the session is shared.
+    val sc = spark.sparkContext
+    val gen = Gen.zip(Gen.chooseNum(12L, 30L), Gen.chooseNum(2, 4))
+      .suchThat { case (len, rounds) => len > 2L * rounds + 2 }
+    check(Prop.forAll(gen) { case (len, rounds) =>
+      val chain = (0L until len).map(i => (i, i + 1)).toDF("id1", "id2")
+      val before = sc.getPersistentRDDs.keySet
+      val e = intercept[IllegalArgumentException] {
+        graft.ext.Dedup.componentsOf(chain, maxRounds = rounds)
+      }
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      e.getMessage.contains("did not converge") && leaked.isEmpty
+    }, n = 4)
   }
 }

@@ -73,6 +73,39 @@ class MultimodalSpec extends SparkSuite {
     assert(math.abs(m.feature(2) - expAmp) < 1e-9)
   }
 
+  test("golden MP4: box walk recovers timescale/duration/tracks/dims") {
+    val m = MediaDecoder.decode(
+      MediaDecoder.mp4Bytes(600, 1234, Seq((320, 240), (640, 480))))
+    assert(m.format == "mp4")
+    assert(m.sample_rate == 600, s"timescale ${m.sample_rate}") // timescale
+    assert(m.n_frames == 2L, s"tracks ${m.n_frames}") // track count
+    assert(m.width == 320 && m.height == 240, s"dims ${m.width}x${m.height}")
+    assert(math.abs(m.duration_ms - 1234 * 1000.0 / 600) < 1e-9)
+    assert(m.channels == -1)
+    // zero tracks: metadata still parses, no dims
+    val none = MediaDecoder.decode(MediaDecoder.mp4Bytes(1000, 500, Seq.empty))
+    assert(none.format == "mp4" && none.n_frames == 0L && none.width == -1)
+    assert(math.abs(none.duration_ms - 500.0) < 1e-9)
+  }
+
+  test("adversarial MP4 box sizes terminate (no overflow walk/OOB)") {
+    def be(i: Long): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .putInt(i.toInt).array()
+    // top-level box claiming u32 size 0xFFFFFFF8 — must stop, not wrap
+    val evil = be(16) ++ "ftypisomAAAA".getBytes("US-ASCII") ++
+      be(0xFFFFFFF8L) ++ "moov".getBytes("US-ASCII")
+    assert(MediaDecoder.decode(evil).format == "unknown")
+    // 64-bit largesize Long.MaxValue — off+size overflow guard
+    val evil2 = be(16) ++ "ftypisomAAAA".getBytes("US-ASCII") ++
+      be(1) ++ "moov".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(8).putLong(Long.MaxValue).array()
+    assert(MediaDecoder.decode(evil2).format == "unknown")
+    // box size smaller than its header — must not loop forever
+    val evil3 = be(16) ++ "ftypisomAAAA".getBytes("US-ASCII") ++
+      be(3) ++ "moov".getBytes("US-ASCII")
+    assert(MediaDecoder.decode(evil3).format == "unknown")
+  }
+
   test("truncated/garbage payloads fall back instead of throwing") {
     val garbage = Array[Byte](0x42, 0x13, 0x37)
     assert(MediaDecoder.decode(garbage).format == "unknown")
