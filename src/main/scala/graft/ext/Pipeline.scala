@@ -150,6 +150,35 @@ object Pipeline {
            |CAST(canonical = 1 AND quality >= 0.7
            |     AND lang IN ('en','de','es','fr','zh') AS INT) AS kept
            |FROM q ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ── partition-pruned layout: write-partitioned-by-lang, pruned read ──
+    // The storage-layout half of the 100 TB story: a corpus laid out
+    // `partitionBy(lang)` turns a language filter into directory
+    // pruning — the scan never opens non-matching partitions (the plan
+    // shows the IN-list under PartitionFilters, asserted in
+    // PartitionPruningSpec). The query materializes the derivative
+    // layout to scratch (the once-per-corpus build step a deployment
+    // persists), then runs the pruned aggregate over it.
+    Q("q_partition_pruned",
+      (s, dir) => {
+        val scratch = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_part_docs_" + Integer.toHexString(dir.hashCode)).toString
+        t(s, dir, "documents")
+          .write.mode("overwrite").partitionBy("lang").parquet(scratch)
+        s.read.parquet(scratch)
+          .filter(col("lang").isin("en", "de"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("doc_id")).as("n_ids"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |count(DISTINCT doc_id) AS n_ids
+             |FROM documents WHERE lang IN ('en', 'de')
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -28,4 +28,15 @@ class PartitionPruningSpec extends SparkSuite {
       .filter(col("event_type") === "click").count()
     assert(q.count() == want && want > 0)
   }
+
+  test("declared q_partition_pruned scan prunes on the lang IN-list") {
+    val df = graft.SparkEntry.queries("q_partition_pruned")(
+      spark, "/root/testdata/sf0.001")
+    val flat = df.queryExecution.executedPlan.toString.replaceAll("\\s", "")
+    val pf = flat.drop(flat.indexOf("PartitionFilters:[")).takeWhile(_ != ']')
+    // the IN-list must sit in PartitionFilters — post-scan filtering
+    // would read every language's directory
+    assert(pf.contains("IN(en,de)") || pf.contains("in(lang"), flat.take(2000))
+    assert(df.count() == 2)
+  }
 }

@@ -163,6 +163,28 @@ object RecallHarness {
     }
   }
 
+  /** Embedding near-dup candidate recall: exact all-pairs cosine ≥ t
+    * ground truth vs the capped multi-table sign-bucket candidates
+    * (q_dedup_embed's generator). Collision probability rises steeply
+    * with cosine — the sweep shows recall per threshold band. */
+  def embedDedupSweep(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.3, 0.4, 0.5)): Seq[(Double, PR)] = {
+    val v = emb(spark, dir).select("vec_id", "e", "nrm").cache()
+    val a = v.as("a"); val b = v.as("b")
+    val allPairs = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        vec_dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
+      .cache()
+    allPairs.count()
+    val cand = Similarity.lshCandidatePairs(v).cache()
+    val out = thresholds.map { t =>
+      t -> prOf(cand, allPairs.filter(col("cos") >= t).select("id1", "id2"))
+    }
+    v.unpersist(); allPairs.unpersist(); cand.unpersist()
+    out
+  }
+
   final case class AnnPoint(nPlanes: Int, recallAtK: Double, avgCand: Double)
 
   def annSweep(spark: SparkSession, dir: String, k: Int = 5,
@@ -196,6 +218,11 @@ object RecallHarness {
     annSweepMulti(spark, dir).foreach { p =>
       println(f"tables=${p.tables}%2d x planes=${p.planesPerTable}%d " +
         f"recall@5=${p.recallAtK}%.4f candPerQuery=${p.candPerQuery}%.1f")
+    }
+    println(s"\n== Embed near-dup candidate recall (8x6 sign buckets, $dir) ==")
+    embedDedupSweep(spark, dir).foreach { case (t, pr) =>
+      println(f"cos>=$t%.1f recall=${pr.recall}%.4f precision=${pr.precision}%.4f " +
+        f"candidates=${pr.nCand}%6d truth=${pr.nTruth}%5d")
     }
   }
 }

@@ -49,6 +49,12 @@ class RecallSpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall (measured 0.375 at ship time)")
   }
 
+  test("embed near-dup candidates (8x6 sign buckets) recall >= 0.3 at cos >= 0.4") {
+    val (_, pr) = RecallHarness.embedDedupSweep(spark, dir, Seq(0.4)).head
+    assert(pr.nTruth >= 50, s"degenerate truth set: ${pr.nTruth}")
+    assert(pr.recall >= 0.3, s"recall ${pr.recall} (measured 0.3939 at ship time)")
+  }
+
   test("multi-table LSH ANN (8x6) recall@5 >= 0.25 and >> single-bucket") {
     val truth = bruteTruth(col("vec_id") < 64, 5)
     val single = pairs(RecallHarness.annTopK(spark, dir, 8, 5, 64))
