@@ -79,6 +79,19 @@ object Dedup {
     */
   val bucketCap = 64
 
+  /** THE skew-cap idiom, shared by every candidate generator (band
+    * buckets, incremental corpus buckets, LSH sign buckets): bucket
+    * membership ranked deterministically by `orderCol`, truncated at
+    * `cap`. One definition so cap semantics (tie-breaking, accounting)
+    * can never drift between generators. */
+  private[ext] def capBuckets(df: DataFrame, partCols: Seq[String],
+      orderCol: String, cap: Int): DataFrame =
+    df.withColumn("rn",
+        row_number().over(
+          Window.partitionBy(partCols.map(col): _*).orderBy(orderCol)))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -126,11 +139,8 @@ object Dedup {
   /** [[bandCandidates]] for an arbitrary LSH configuration. */
   def bandCandidatesParam(sh: DataFrame, ps: Seq[(Long, Long)], bands: Int,
       rowsPerBand: Int, cap: Int = bucketCap): DataFrame = {
-    val capped = bandBucketsParam(sh, ps, bands, rowsPerBand)
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("band", "sig").orderBy("doc_id")))
-      .filter(col("rn") <= cap)
-      .drop("rn")
+    val capped = capBuckets(bandBucketsParam(sh, ps, bands, rowsPerBand),
+      Seq("band", "sig"), "doc_id", cap)
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b,
@@ -179,6 +189,25 @@ object Dedup {
        |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Exact-Jaccard verification of candidate pairs: join the shingle
+    * arrays back on both keys, codegen'd merge-walk intersection,
+    * threshold filter. ONE definition consumed by the whole-corpus
+    * path ([[verifiedPairs]]) and the incremental path
+    * ([[incrementalNearDups]]) so the two can never drift. */
+  private def jaccardVerify(cand: DataFrame, left: DataFrame,
+      right: DataFrame, leftKey: String, rightKey: String,
+      threshold: Double): DataFrame =
+    cand
+      .join(left.select(col("doc_id").as(leftKey), col("hs").as("hs1")), leftKey)
+      .join(right.select(col("doc_id").as(rightKey), col("hs").as("hs2")), rightKey)
+      .withColumn("inter",
+        graft.functions.VecOps.sorted_intersect_count(col("hs1"), col("hs2")))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (expr("size(hs1)") + expr("size(hs2)") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col(leftKey), col(rightKey), col("jac"))
+
   /** Verified near-dup pairs (id1, id2, jac — exact Jaccard ≥ threshold
     * over the band candidates): THE verification stage, consumed by
     * q_dedup_ngram directly and by the cluster resolution stage. */
@@ -189,16 +218,7 @@ object Dedup {
     // without truncation each reference replays it. Deployment-scale
     // note: this is the table a cluster job caches/persists.
     val slim = sh.select(col("doc_id"), col("hs")).localCheckpoint(true)
-    bandCandidates(slim)
-      .join(slim.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
-      .join(slim.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
-      .withColumn("inter",
-        graft.functions.VecOps.sorted_intersect_count(col("hs1"), col("hs2")))
-      .withColumn("jac",
-        col("inter").cast("double") /
-          (expr("size(hs1)") + expr("size(hs2)") - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select("id1", "id2", "jac")
+    jaccardVerify(bandCandidates(slim), slim, slim, "id1", "id2", threshold)
   }
 
   /** Connected components of a pair graph by iterative min-label
@@ -220,7 +240,12 @@ object Dedup {
     // set exactly once before fanning out. cache + eager count, not
     // localCheckpoint: the cache is released on every exit path below
     // (a local checkpoint has no lineage left and could never be).
-    val pairs = pairs0.cache()
+    // The select wrapper gives this function its OWN cache entry —
+    // Spark caching is not reference-counted, so caching/unpersisting
+    // the caller's frame directly would silently drop a cache the
+    // caller still holds (reads still hit any caller cache through
+    // plan substitution).
+    val pairs = pairs0.select(col("id1"), col("id2")).cache()
     pairs.count()
     // undirected closed neighborhood: both directions + self-loops
     val nodes = pairs.select(col("id1").as("n"))
@@ -284,23 +309,12 @@ object Dedup {
     val shInc = shingled(inc).select(col("doc_id"), col("hs")).localCheckpoint(true)
     val shCorp = shingled(corp).select(col("doc_id"), col("hs")).localCheckpoint(true)
     val probe = bandBuckets(shInc)
-    val corpusBuckets = bandBuckets(shCorp)
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("band", "sig").orderBy("doc_id")))
-      .filter(col("rn") <= cap).drop("rn")
+    val corpusBuckets =
+      capBuckets(bandBuckets(shCorp), Seq("band", "sig"), "doc_id", cap)
     val cand = probe
       .join(corpusBuckets.withColumnRenamed("doc_id", "dup_of"), Seq("band", "sig"))
       .select(col("doc_id"), col("dup_of")).distinct()
-    cand
-      .join(shInc.select(col("doc_id"), col("hs").as("hs1")), "doc_id")
-      .join(shCorp.select(col("doc_id").as("dup_of"), col("hs").as("hs2")), "dup_of")
-      .withColumn("inter",
-        graft.functions.VecOps.sorted_intersect_count(col("hs1"), col("hs2")))
-      .withColumn("jac",
-        col("inter").cast("double") /
-          (expr("size(hs1)") + expr("size(hs2)") - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select("doc_id", "dup_of", "jac")
+    jaccardVerify(cand, shInc, shCorp, "doc_id", "dup_of", threshold)
   }
 
   val queries: Seq[Q] = Seq(
@@ -311,9 +325,9 @@ object Dedup {
         docs(s, dir)
           .groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
-          .orderBy("h"),
+          .orderBy(col("h").asc_nulls_last),
       Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
-             |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin)),
+             |FROM documents GROUP BY md5(text) ORDER BY h NULLS LAST""".stripMargin)),
 
     // ── MinHash + LSH: candidate near-dup pairs via band-bucket equi-join ──
     Q("q_dedup_minhash",
@@ -435,14 +449,14 @@ object Dedup {
         inc.join(corp.select("h"), Seq("h"), "left_anti")
           .groupBy("h")
           .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
-          .orderBy("h")
+          .orderBy(col("h").asc_nulls_last)
       },
       Some("""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
              |inc AS (SELECT * FROM d WHERE doc_id % 10 = 7),
              |corp AS (SELECT * FROM d WHERE doc_id % 10 <> 7)
              |SELECT h, min(doc_id) AS keep_id, count(*) AS dup_cnt
              |FROM inc WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.h = inc.h)
-             |GROUP BY h ORDER BY h""".stripMargin)),
+             |GROUP BY h ORDER BY h NULLS LAST""".stripMargin)),
 
     // ── incremental near-dup: increment probed against corpus buckets ──
     // (see [[incrementalNearDups]] for the scale contract). Output: each

@@ -162,9 +162,12 @@ object Pipeline {
     // persists), then runs the pruned aggregate over it.
     Q("q_partition_pruned",
       (s, dir) => {
-        val scratch = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          "graft_part_docs_" + Integer.toHexString(dir.hashCode)).toString
+        // unique scratch per invocation: a shared path would race
+        // overwrite-vs-scan between concurrent sessions (Verify + a
+        // test suite on the same sfDir); the layout build runs at
+        // query construction — it IS the operator's first stage
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_part_docs_").toString
         t(s, dir, "documents")
           .write.mode("overwrite").partitionBy("lang").parquet(scratch)
         s.read.parquet(scratch)

@@ -250,10 +250,8 @@ object Similarity {
     * C(cap, 2) regardless of corpus. */
   def lshCandidatePairsParam(v: DataFrame, tables: Int, planesPerTable: Int,
       cap: Int = lshBucketCap): DataFrame = {
-    val capped = multiTableBucketsParam(v, tables, planesPerTable)
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("bucket").orderBy("vec_id")))
-      .filter(col("rn") <= cap).drop("rn")
+    val capped = Dedup.capBuckets(multiTableBucketsParam(v, tables, planesPerTable),
+      Seq("bucket"), "vec_id", cap)
     capped.as("ca").join(capped.as("cb"),
         col("ca.bucket") === col("cb.bucket") &&
           col("ca.vec_id") < col("cb.vec_id"))
@@ -305,7 +303,9 @@ object Similarity {
     // RECALL.md quantifies the table/plane trade-off).
     Q("q_dedup_embed",
       (s, dir) => {
-        val v = emb(s, dir).select("vec_id", "e", "nrm")
+        // materialized once: v feeds the bucket explode and both
+        // verification join-backs (three lazy references)
+        val v = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
         lshCandidatePairs(v)
           .join(v.select(col("vec_id").as("id1"),
             col("e").as("e1"), col("nrm").as("n1")), "id1")
@@ -417,9 +417,7 @@ object Similarity {
         val q = v.filter(col("vec_id") < 64)
           .select(col("vec_id").as("query_id"), col("e").as("qe"),
             col("nrm").as("qn"), col("bucket"))
-        val vc = v.withColumn("rn",
-            row_number().over(Window.partitionBy("bucket").orderBy("vec_id")))
-          .filter(col("rn") <= lshBucketCap).drop("rn")
+        val vc = Dedup.capBuckets(v, Seq("bucket"), "vec_id", lshBucketCap)
         val cand = vc.join(q, Seq("bucket")).filter(col("vec_id") =!= col("query_id"))
           .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
         val w = Window.partitionBy(col("query_id"))
@@ -454,11 +452,12 @@ object Similarity {
     // re-rank; corpus-side buckets skew-capped like q_ann_lsh.
     Q("q_ann_lsh_multi",
       (s, dir) => {
-        val v0 = emb(s, dir).select("vec_id", "e", "nrm")
+        // materialized once: v0 feeds the bucket explode AND both
+        // re-rank join-backs (three lazy references — the componentsOf
+        // lesson, SCALE.md round 3)
+        val v0 = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
         val b = multiTableBuckets(v0)
-        val bc = b.withColumn("rn",
-            row_number().over(Window.partitionBy("bucket").orderBy("vec_id")))
-          .filter(col("rn") <= lshBucketCap).drop("rn")
+        val bc = Dedup.capBuckets(b, Seq("bucket"), "vec_id", lshBucketCap)
         val qb = b.filter(col("vec_id") < 64)
           .select(col("vec_id").as("query_id"), col("bucket"))
         val pairs = bc.join(qb, Seq("bucket"))

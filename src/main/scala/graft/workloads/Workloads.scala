@@ -126,7 +126,13 @@ object Workloads {
         val mx = counts.iterator.map(_._2).max
         counts.filter(_._2 == mx).map { case (c, d) => (c, d, "tie_argmax") }
       }
-    result.sortBy(_._1).toDF("candidate", "dominations", "kind")
+    // UTF-8 byte order (what Spark's orderBy on UTF8String used before
+    // this stage went driver-local) — Java String.compareTo is UTF-16
+    // code-unit order and diverges on supplementary-plane names
+    val utf8Order: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    result.sortBy(_._1)(utf8Order).toDF("candidate", "dominations", "kind")
   }
 
   /** Columnar Condorcet: same semantics as [[condorcet]], but the
