@@ -40,6 +40,23 @@ object EventStream {
       .select(to_date(col("w.start")).as("day"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Windowed distinct users via HLL — the streaming answer to
+    * count-distinct: exact `countDistinct` needs per-key set state
+    * (unbounded within a window and unsupported in streaming aggs);
+    * `approx_count_distinct` keeps one mergeable fixed-size sketch per
+    * (window, type) group, so state is O(groups), not O(users) — the
+    * only shape that survives both 100 TB/day volume and long windows.
+    * Same rsd/error contract as batch `q_approx_distinct`. */
+  def uniqueUsersPerWindow(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("cnt"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"),
+        col("approx_users"), col("cnt"))
+
   /** Continuous exact dedup — the streaming twin of `q_dedup_exact`'s
     * semantics anchor: first arrival of a key wins, duplicates within
     * the watermark window are dropped exactly once across micro-batches

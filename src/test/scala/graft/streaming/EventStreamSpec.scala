@@ -35,6 +35,36 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed == batch) // incl. the double sum — decimal-accumulated
   }
 
+  test("streaming approx distinct users == batch sketch, inside error bound") {
+    val dir = Files.createTempDirectory("graft-stream-hll").toString
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.uniqueUsersPerWindow(EventStream.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hll_out")
+      .select(col("day"), col("event_type"), col("approx_users"))
+      .as[(java.sql.Date, String, Long)].collect()
+      .map { case (d, t, n) => ((d, t), n) }.toMap
+    val exact = Tables(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(java.sql.Date, String, Long)].collect()
+      .map { case (d, t, n) => ((d, t), n) }.toMap
+    assert(streamed.keySet == exact.keySet)
+    // the sketch is deterministic on fixed data; same rsd envelope as
+    // batch q_approx_distinct (rsd 0.02, asserted at 5x)
+    streamed.foreach { case (k, approx) =>
+      val ex = exact(k).toDouble
+      assert(math.abs(approx - ex) <= math.max(ex * 0.1, 2.0),
+        s"$k: approx $approx exact $ex")
+    }
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once") {
     import EventStream.SessionEvent
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
