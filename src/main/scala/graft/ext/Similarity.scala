@@ -326,6 +326,52 @@ object Similarity {
            |SELECT id1, id2, cos FROM p WHERE cos >= 0.4
            |ORDER BY id1, id2""".stripMargin)),
 
+    // ── embedding dedup end-to-end: candidates → cosine verify → ──
+    // connected components → keep decision. The embedding twin of
+    // q_dedup_resolve: same componentsOf fixpoint, same recursive-CTE
+    // oracle closure, so the hash check covers the whole chain from
+    // sign buckets to the per-cluster keep bit.
+    Q("q_dedup_embed_resolve",
+      (s, dir) => {
+        val v = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
+        val pairs = lshCandidatePairs(v)
+          .join(v.select(col("vec_id").as("id1"),
+            col("e").as("e1"), col("nrm").as("n1")), "id1")
+          .join(v.select(col("vec_id").as("id2"),
+            col("e").as("e2"), col("nrm").as("n2")), "id2")
+          .withColumn("cos", cosine(col("e1"), col("n1"), col("e2"), col("n2")))
+          .filter(col("cos") >= 0.4)
+          .select("id1", "id2")
+        val comp = Dedup.componentsOf(pairs)
+        v.select(col("vec_id"))
+          .join(comp.withColumnRenamed("n", "vec_id"), Seq("vec_id"), "left")
+          .withColumn("keep_id", coalesce(col("lbl"), col("vec_id")))
+          .withColumn("is_kept", col("keep_id") === col("vec_id"))
+          .select("vec_id", "keep_id", "is_kept")
+          .orderBy("vec_id")
+      },
+      Some(
+        s"""WITH RECURSIVE v AS ($duckEmb),
+           |$duckLshCandidatePairs,
+           |vp AS (SELECT id1, id2 FROM (
+           |  SELECT id1, id2,
+           |    ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+           |  FROM cand JOIN v a ON a.vec_id = cand.id1
+           |            JOIN v b ON b.vec_id = cand.id2)
+           |  WHERE cos >= 0.4),
+           |edges AS (SELECT id1 AS n, id2 AS m FROM vp
+           |          UNION SELECT id2, id1 FROM vp),
+           |reach(n, m) AS (
+           |  SELECT n, m FROM edges
+           |  UNION
+           |  SELECT r.n, e.m FROM reach r JOIN edges e ON e.n = r.m),
+           |comp AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)
+           |SELECT d.vec_id,
+           |  coalesce(c.lbl, d.vec_id) AS keep_id,
+           |  coalesce(c.lbl, d.vec_id) = d.vec_id AS is_kept
+           |FROM v d LEFT JOIN comp c ON c.n = d.vec_id
+           |ORDER BY vec_id""".stripMargin)),
+
     // ── brute-force cosine top-k (the exact baseline) ──
     Q("q_ann_bruteforce",
       (s, dir) => {
