@@ -316,17 +316,25 @@ object Advanced {
       (s, dir) => {
         val pcts = Seq(0.1, 0.5, 0.9)
         val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
-        val ap = li
+        // bounded driver fetch (3 doubles — the kmeansFit precedent):
+        // with the sketch values as literals, the rank check is ONE
+        // conditional aggregate over one scan — no join in the plan at
+        // all (the broadcast-cross alternative plans as a nested-loop)
+        val ps = li
           .agg(expr("approx_percentile(x, array(0.1D, 0.5D, 0.9D), 1000)").as("ps"))
-          .select(posexplode(col("ps")))
-          .select(element_at(array(pcts.map(lit): _*), col("pos") + 1).as("q"),
-            col("col").as("p"))
-        li.crossJoin(broadcast(ap))
-          .groupBy("q", "p")
-          .agg((sum(when(col("x") <= col("p"), 1L).otherwise(0L)) /
-                  count(lit(1))).as("frac_le"),
-               (sum(when(col("x") < col("p"), 1L).otherwise(0L)) /
-                  count(lit(1))).as("frac_lt"))
+          .head().getSeq[Double](0)
+        val aggCols = pcts.indices.flatMap { i =>
+          Seq(
+            (sum(when(col("x") <= ps(i), 1L).otherwise(0L)) /
+              count(lit(1))).as(s"fle_$i"),
+            (sum(when(col("x") < ps(i), 1L).otherwise(0L)) /
+              count(lit(1))).as(s"flt_$i"))
+        }
+        val stackArgs = pcts.indices
+          .map(i => s"${pcts(i)}D, flt_$i, fle_$i").mkString(", ")
+        li.agg(aggCols.head, aggCols.tail: _*)
+          .select(expr(
+            s"stack(${pcts.size}, $stackArgs) AS (q, frac_lt, frac_le)"))
           .select(col("q"),
             (col("frac_lt") - lit(0.011) <= col("q") &&
               col("q") <= col("frac_le") + lit(0.011)).as("within_bound"))
