@@ -189,6 +189,21 @@ object Dedup {
        |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** DuckDB transitive-closure CTE bodies over a pair relation
+    * `src(id1, id2)`: emits `edges`, recursive `reach`, and
+    * `comp(n, lbl)` with lbl = component minimum — the oracle twin of
+    * [[componentsOf]], shared by q_dedup_resolve and
+    * q_dedup_embed_resolve so the closure semantics can never drift.
+    * Callers must open their WITH as `WITH RECURSIVE`. */
+  private[ext] def duckClosure(src: String): String =
+    s"""edges AS (SELECT id1 AS n, id2 AS m FROM $src
+       |          UNION SELECT id2, id1 FROM $src),
+       |reach(n, m) AS (
+       |  SELECT n, m FROM edges
+       |  UNION
+       |  SELECT r.n, e.m FROM reach r JOIN edges e ON e.n = r.m),
+       |comp AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)""".stripMargin
+
   /** Exact-Jaccard verification of candidate pairs: join the shingle
     * arrays back on both keys, codegen'd merge-walk intersection,
     * threshold filter. ONE definition consumed by the whole-corpus
@@ -396,13 +411,7 @@ object Dedup {
            |  FROM cand JOIN h a ON a.doc_id = cand.id1
            |            JOIN h b ON b.doc_id = cand.id2)
            |  WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
-           |edges AS (SELECT id1 AS n, id2 AS m FROM vp
-           |          UNION SELECT id2, id1 FROM vp),
-           |reach(n, m) AS (
-           |  SELECT n, m FROM edges
-           |  UNION
-           |  SELECT r.n, e.m FROM reach r JOIN edges e ON e.n = r.m),
-           |comp AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)
+           |${duckClosure("vp")}
            |SELECT d.doc_id,
            |  coalesce(c.lbl, d.doc_id) AS keep_id,
            |  coalesce(c.lbl, d.doc_id) = d.doc_id AS is_kept

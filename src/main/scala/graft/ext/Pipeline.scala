@@ -19,6 +19,21 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** One scratch root per JVM for q_partition_pruned's derivative
+    * layout, deleted on exit — bounded disk across bench passes, no
+    * cross-process path collisions. */
+  private lazy val partScratchRoot: String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_part_docs_")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+    root.toString
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── deterministic hash sampling: the reproducible alternative to ──
@@ -162,12 +177,13 @@ object Pipeline {
     // persists), then runs the pruned aggregate over it.
     Q("q_partition_pruned",
       (s, dir) => {
-        // unique scratch per invocation: a shared path would race
-        // overwrite-vs-scan between concurrent sessions (Verify + a
-        // test suite on the same sfDir); the layout build runs at
-        // query construction — it IS the operator's first stage
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft_part_docs_").toString
+        // per-PROCESS unique scratch root (cleaned on JVM exit), one
+        // overwritten subdir per sfDir: unique-per-invocation dirs
+        // would leak a partitioned corpus copy per bench pass, while a
+        // cross-process shared path raced overwrite-vs-scan between
+        // concurrent sessions. The layout build runs at query
+        // construction — it IS the operator's first stage.
+        val scratch = s"$partScratchRoot/${Integer.toHexString(dir.hashCode)}"
         t(s, dir, "documents")
           .write.mode("overwrite").partitionBy("lang").parquet(scratch)
         s.read.parquet(scratch)

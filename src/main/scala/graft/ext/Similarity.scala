@@ -263,6 +263,20 @@ object Similarity {
   def lshCandidatePairs(v: DataFrame, cap: Int = lshBucketCap): DataFrame =
     lshCandidatePairsParam(v, lshTables, lshPlanesPerTable, cap)
 
+  /** Cosine-verified near-dup pairs (id1, id2, cos ≥ threshold) over
+    * the sign-bucket candidates — ONE definition consumed by both
+    * q_dedup_embed (pairs) and q_dedup_embed_resolve (clusters) so the
+    * verify stage can never drift between them. Expects `v` already
+    * materialized (three lazy references). */
+  private def cosineVerifiedPairs(v: DataFrame, threshold: Double): DataFrame =
+    lshCandidatePairs(v)
+      .join(v.select(col("vec_id").as("id1"),
+        col("e").as("e1"), col("nrm").as("n1")), "id1")
+      .join(v.select(col("vec_id").as("id2"),
+        col("e").as("e2"), col("nrm").as("n2")), "id2")
+      .withColumn("cos", cosine(col("e1"), col("n1"), col("e2"), col("n2")))
+      .filter(col("cos") >= threshold)
+
   /** DuckDB sign-bucket for an arbitrary plane set. */
   private def duckBucketFor(ps: Seq[Seq[Double]]): String =
     ps.map { p =>
@@ -277,6 +291,15 @@ object Similarity {
     multiPlanes.zipWithIndex.map { case (ps, t) =>
       s"'t$t|' || ${duckBucketFor(ps)}"
     }.mkString(", ")
+
+  /** DuckDB twin of [[cosineVerifiedPairs]] as a CTE body (expects
+    * `v` and `cand` in scope; emits `vp(id1, id2, cos)` unfiltered —
+    * consumers apply their threshold). */
+  private def duckCosineVerified: String =
+    s"""vp AS (SELECT id1, id2,
+       |  ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+       |  FROM cand JOIN v a ON a.vec_id = cand.id1
+       |            JOIN v b ON b.vec_id = cand.id2)""".stripMargin
 
   /** DuckDB twin of [[lshCandidatePairs]] as CTE bodies (expects a CTE
     * `v(vec_id, e, nrm, …)` in scope; emits `cand(id1, id2)`). */
@@ -306,24 +329,15 @@ object Similarity {
         // materialized once: v feeds the bucket explode and both
         // verification join-backs (three lazy references)
         val v = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
-        lshCandidatePairs(v)
-          .join(v.select(col("vec_id").as("id1"),
-            col("e").as("e1"), col("nrm").as("n1")), "id1")
-          .join(v.select(col("vec_id").as("id2"),
-            col("e").as("e2"), col("nrm").as("n2")), "id2")
-          .withColumn("cos", cosine(col("e1"), col("n1"), col("e2"), col("n2")))
-          .filter(col("cos") >= 0.4)
+        cosineVerifiedPairs(v, 0.4)
           .select("id1", "id2", "cos")
           .orderBy("id1", "id2")
       },
       Some(
         s"""WITH v AS ($duckEmb),
            |$duckLshCandidatePairs,
-           |p AS (SELECT id1, id2,
-           |  ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
-           |  FROM cand JOIN v a ON a.vec_id = cand.id1
-           |            JOIN v b ON b.vec_id = cand.id2)
-           |SELECT id1, id2, cos FROM p WHERE cos >= 0.4
+           |$duckCosineVerified
+           |SELECT id1, id2, cos FROM vp WHERE cos >= 0.4
            |ORDER BY id1, id2""".stripMargin)),
 
     // ── embedding dedup end-to-end: candidates → cosine verify → ──
@@ -334,15 +348,8 @@ object Similarity {
     Q("q_dedup_embed_resolve",
       (s, dir) => {
         val v = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
-        val pairs = lshCandidatePairs(v)
-          .join(v.select(col("vec_id").as("id1"),
-            col("e").as("e1"), col("nrm").as("n1")), "id1")
-          .join(v.select(col("vec_id").as("id2"),
-            col("e").as("e2"), col("nrm").as("n2")), "id2")
-          .withColumn("cos", cosine(col("e1"), col("n1"), col("e2"), col("n2")))
-          .filter(col("cos") >= 0.4)
-          .select("id1", "id2")
-        val comp = Dedup.componentsOf(pairs)
+        val comp = Dedup.componentsOf(
+          cosineVerifiedPairs(v, 0.4).select("id1", "id2"))
         v.select(col("vec_id"))
           .join(comp.withColumnRenamed("n", "vec_id"), Seq("vec_id"), "left")
           .withColumn("keep_id", coalesce(col("lbl"), col("vec_id")))
@@ -353,19 +360,9 @@ object Similarity {
       Some(
         s"""WITH RECURSIVE v AS ($duckEmb),
            |$duckLshCandidatePairs,
-           |vp AS (SELECT id1, id2 FROM (
-           |  SELECT id1, id2,
-           |    ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
-           |  FROM cand JOIN v a ON a.vec_id = cand.id1
-           |            JOIN v b ON b.vec_id = cand.id2)
-           |  WHERE cos >= 0.4),
-           |edges AS (SELECT id1 AS n, id2 AS m FROM vp
-           |          UNION SELECT id2, id1 FROM vp),
-           |reach(n, m) AS (
-           |  SELECT n, m FROM edges
-           |  UNION
-           |  SELECT r.n, e.m FROM reach r JOIN edges e ON e.n = r.m),
-           |comp AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)
+           |$duckCosineVerified,
+           |vpt AS (SELECT id1, id2 FROM vp WHERE cos >= 0.4),
+           |${Dedup.duckClosure("vpt")}
            |SELECT d.vec_id,
            |  coalesce(c.lbl, d.vec_id) AS keep_id,
            |  coalesce(c.lbl, d.vec_id) = d.vec_id AS is_kept

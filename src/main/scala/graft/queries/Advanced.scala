@@ -320,9 +320,14 @@ object Advanced {
         // with the sketch values as literals, the rank check is ONE
         // conditional aggregate over one scan — no join in the plan at
         // all (the broadcast-cross alternative plans as a nested-loop)
-        val ps = li
+        val sketchRow = li
           .agg(expr("approx_percentile(x, array(0.1D, 0.5D, 0.9D), 1000)").as("ps"))
-          .head().getSeq[Double](0)
+          .head()
+        // a zero-row input yields a NULL sketch — fail with a clear
+        // message instead of an opaque NPE from the literal build
+        require(!sketchRow.isNullAt(0),
+          "approx_percentile returned no sketch — empty lineitem input?")
+        val ps = sketchRow.getSeq[Double](0)
         val aggCols = pcts.indices.flatMap { i =>
           Seq(
             (sum(when(col("x") <= ps(i), 1L).otherwise(0L)) /

@@ -21,7 +21,7 @@ class EventStreamSpec extends SparkSuite {
       .writeStream.outputMode("complete")
       .format("memory").queryName("daily_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query did not terminate")
 
     val streamed = spark.table("daily_out")
       .select(col("day"), col("event_type"), col("cnt"), col("sum_value"))
@@ -44,7 +44,7 @@ class EventStreamSpec extends SparkSuite {
       .writeStream.outputMode("complete")
       .format("memory").queryName("hll_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query did not terminate")
 
     val streamed = spark.table("hll_out")
       .select(col("day"), col("event_type"), col("approx_users"))
@@ -80,7 +80,7 @@ class EventStreamSpec extends SparkSuite {
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000), "streaming query did not terminate")
     }
 
     input.addData(Seq(SessionEvent(1L, ts(0)), SessionEvent(1L, ts(1))))
@@ -137,7 +137,7 @@ class EventStreamSpec extends SparkSuite {
       .writeStream.outputMode("append")
       .format("memory").queryName("dedup_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query did not terminate")
     val streamed = spark.table("dedup_out").count()
     val batch = Tables(spark, "/root/testdata/sf0.001", "events")
       .select("user_id", "event_type").distinct().count()
@@ -160,7 +160,7 @@ class EventStreamSpec extends SparkSuite {
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000), "streaming query did not terminate")
     }
 
     input.addData(Seq(SessionEvent(1L, ts(0)), SessionEvent(1L, ts(1)),
@@ -293,7 +293,7 @@ class EventStreamSpec extends SparkSuite {
       .format("memory").queryName("sessions_out")
       .trigger(Trigger.AvailableNow()).start()
     try {
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "streaming query did not terminate")
       // first session of user 1 closes when the 60-min event arrives
       val closed = spark.table("sessions_out")
         .as[EventStream.SessionOut].collect()
