@@ -277,12 +277,36 @@ object Dedup {
       // previous label through the same join, so the convergence check
       // is an extra aggregate over the same groups instead of a second
       // join + count against the previous labels.
-      val next = edges
+      val prop = edges
         .join(labels.select(col("n").as("m"), col("lbl")), "m")
         .groupBy("n").agg(
           min("lbl").as("lbl"),
           min(when(col("m") === col("n"), col("lbl"))).as("prev"))
-        .cache()
+      // pointer jumping: also adopt the label's OWN label (one extra
+      // join on the label table, which is node-sized, not edge-sized).
+      // Neighbor-min alone converges in diameter rounds — a low-
+      // threshold similarity graph grows chains, and diameter rounds
+      // is both the q_dedup_embed_resolve wall-clock at sf0.1 and a
+      // maxRounds liability at larger corpora; shortcutting makes the
+      // round count logarithmic. The invariant (label = some node id
+      // in the same component, ≥ the component min) is preserved, and
+      // the combined fixpoint is the same neighbor-min fixpoint, so
+      // the result is unchanged (PropertiesSpec pins it vs union-find).
+      val nextPlan = prop.as("p")
+        .join(labels.select(col("n").as("g_n"), col("lbl").as("g_lbl")),
+          col("p.lbl") === col("g_n"), "left")
+        .select(col("p.n").as("n"),
+          least(col("p.lbl"), coalesce(col("g_lbl"), col("p.lbl"))).as("lbl"),
+          col("p.prev").as("prev"))
+      // rebase the round result onto its RDD: with labels referenced
+      // TWICE per round, the Catalyst plan TREE doubles every round
+      // (trees don't share subplans — round ~20 OOMs building the plan
+      // string), while the RDD DAG shares nodes and stays linear. The
+      // LogicalRDD leaf keeps the per-round plan constant-size AND
+      // fully unpersistable (a per-round localCheckpoint would leak
+      // permanent RDDs — the non-convergence property pins zero leaks).
+      val next = labels.sparkSession
+        .createDataFrame(nextPlan.toDF().rdd, nextPlan.schema).cache()
       changed = next.filter(col("lbl") =!= col("prev")).count()
       labels.unpersist()
       labels = next

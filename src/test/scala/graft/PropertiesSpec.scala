@@ -119,12 +119,12 @@ class PropertiesSpec extends SparkSuite {
   }
 
   test("property: componentsOf non-convergence throws loudly and releases caches") {
-    // a chain of diameter ≫ maxRounds cannot reach its fixpoint: the
-    // contract is a LOUD failure (no silently-partial labeling) with
-    // every loop cache released before the throw — the session is shared.
+    // a chain far longer than the pointer-jumping reach (≤ 2^(r+2)
+    // after r rounds) cannot reach its fixpoint: the contract is a
+    // LOUD failure (no silently-partial labeling) with every loop
+    // cache released before the throw — the session is shared.
     val sc = spark.sparkContext
-    val gen = Gen.zip(Gen.chooseNum(12L, 30L), Gen.chooseNum(2, 4))
-      .suchThat { case (len, rounds) => len > 2L * rounds + 2 }
+    val gen = Gen.zip(Gen.chooseNum(40L, 60L), Gen.chooseNum(1, 2))
     check(Prop.forAll(gen) { case (len, rounds) =>
       val chain = (0L until len).map(i => (i, i + 1)).toDF("id1", "id2")
       val before = sc.getPersistentRDDs.keySet
