@@ -251,6 +251,34 @@ object Core {
               |count(*) AS cnt, ${dsumSql("value", 6, "sum_value")}
               |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    // ── §2.11: hopping (sliding) event-time windows — 1-day windows ──
+    // every 12 h, each event lands in exactly windowDuration/slide = 2
+    // windows. Spark assigns epoch-aligned slide-multiples; the oracle
+    // reconstructs the same two starts from the 12-hour grid floor.
+    // Same partial+final aggregate shape as the tumbling case — the
+    // explode-by-2 happens before the map-side combine, so the shuffle
+    // still moves one row per (partition, window, type).
+    Q("q_window_hopping",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6, "sum_value"))
+          .select(col("w.start").as("w_start"), col("event_type"),
+            col("cnt"), col("sum_value"))
+          .orderBy("w_start", "event_type"),
+      Some(s"""WITH h AS (SELECT event_type, value,
+              |  CAST(date_trunc('day', ts) AS TIMESTAMP)
+              |    + CASE WHEN extract(hour FROM ts) >= 12
+              |           THEN INTERVAL 12 HOUR ELSE INTERVAL 0 HOUR END AS grid
+              |  FROM events),
+              |e AS (SELECT event_type, value,
+              |        grid - CASE WHEN u.k = 1 THEN INTERVAL 12 HOUR
+              |                    ELSE INTERVAL 0 HOUR END AS w_start
+              |      FROM h, (SELECT unnest([0, 1]) AS k) u(k))
+              |SELECT w_start, event_type, count(*) AS cnt,
+              |${dsumSql("value", 6, "sum_value")}
+              |FROM e GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
     // ── A6: word count (tokenize + count) ──
     Q("q_wordcount",
       (s, dir) =>
