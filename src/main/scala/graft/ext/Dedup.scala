@@ -236,17 +236,18 @@ object Dedup {
     jaccardVerify(bandCandidates(slim), slim, slim, "id1", "id2", threshold)
   }
 
-  /** Connected components of a pair graph by iterative min-label
-    * propagation: each round every node takes the min label in its
-    * closed neighborhood; iteration stops at the fixpoint (no label
-    * changed), which arrives in graph-diameter rounds — short for
-    * near-dup clusters (pairwise-similar members ⇒ near-cliques). The
-    * fixpoint is the exact component minimum, so the result is
+  /** Connected components of a pair graph by min-label propagation
+    * WITH pointer jumping: each round every node takes the min label
+    * in its closed neighborhood AND adopts its label's own label
+    * (shortcutting), so the label reach doubles per round and the
+    * fixpoint arrives in ~log2(diameter) rounds — chain-shaped
+    * low-threshold similarity graphs converge as fast as the
+    * near-clique dup clusters. Iteration stops when no label changed;
+    * the fixpoint is the exact component minimum, so the result is
     * data-independent of the round count and matches the oracle's
     * transitive closure. Scale shape: each round is one keyed shuffle
-    * (groupBy node) over the EDGE set — no driver collect, no
-    * quadratic step; the standard iterative-join CC (pointer jumping
-    * would cut rounds to log-diameter if ever needed). */
+    * over the EDGE set plus one node-sized label join — no driver
+    * collect, no quadratic step. */
   def componentsOf(pairs0: DataFrame, maxRounds: Int = 32): DataFrame = {
     // The pair graph feeds BOTH edge directions, the self-loop node
     // set, and the initial labels — five lazy references in all. The
@@ -320,7 +321,8 @@ object Dedup {
     if (changed != 0) { labels.unpersist(); edges.unpersist(); pairs.unpersist() }
     require(changed == 0,
       s"componentsOf did not converge in $maxRounds rounds " +
-        s"($changed labels still changing) — raise maxRounds or use pointer jumping")
+        s"($changed labels still changing) — with pointer jumping the reach " +
+        s"doubles per round, so raise maxRounds (32 already covers reach ~2^32)")
     // truncate the iterative lineage (the GraphX pattern): without
     // this, every downstream use replays `round` joins AND re-derives
     // the edge set per round. The eager local checkpoint materializes

@@ -22,6 +22,8 @@ object Pipeline {
   /** One scratch root per JVM for q_partition_pruned's derivative
     * layout, deleted on exit — bounded disk across bench passes, no
     * cross-process path collisions. */
+  private val partScratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   private lazy val partScratchRoot: String = {
     val root = java.nio.file.Files.createTempDirectory("graft_part_docs_")
     sys.addShutdownHook {
@@ -177,13 +179,14 @@ object Pipeline {
     // persists), then runs the pruned aggregate over it.
     Q("q_partition_pruned",
       (s, dir) => {
-        // per-PROCESS unique scratch root (cleaned on JVM exit), one
-        // overwritten subdir per sfDir: unique-per-invocation dirs
-        // would leak a partitioned corpus copy per bench pass, while a
-        // cross-process shared path raced overwrite-vs-scan between
-        // concurrent sessions. The layout build runs at query
-        // construction — it IS the operator's first stage.
-        val scratch = s"$partScratchRoot/${Integer.toHexString(dir.hashCode)}"
+        // per-PROCESS scratch root (deleted on JVM exit) + a unique
+        // subdir per invocation: cross-process paths can't collide,
+        // within-process concurrent invocations can't race
+        // overwrite-vs-scan, and disk stays bounded by process
+        // lifetime (a bench run's few subdirs die with the JVM). The
+        // layout build runs at query construction — it IS the
+        // operator's first stage.
+        val scratch = s"$partScratchRoot/${partScratchSeq.incrementAndGet()}"
         t(s, dir, "documents")
           .write.mode("overwrite").partitionBy("lang").parquet(scratch)
         s.read.parquet(scratch)

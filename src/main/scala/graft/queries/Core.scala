@@ -270,7 +270,9 @@ object Core {
               |  CAST(date_trunc('day', ts) AS TIMESTAMP)
               |    + CASE WHEN extract(hour FROM ts) >= 12
               |           THEN INTERVAL 12 HOUR ELSE INTERVAL 0 HOUR END AS grid
-              |  FROM events),
+              |  FROM events
+              |  -- Spark's window() drops null timestamps; match it
+              |  WHERE ts IS NOT NULL),
               |e AS (SELECT event_type, value,
               |        grid - CASE WHEN u.k = 1 THEN INTERVAL 12 HOUR
               |                    ELSE INTERVAL 0 HOUR END AS w_start
