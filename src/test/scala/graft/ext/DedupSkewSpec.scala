@@ -44,6 +44,22 @@ class DedupSkewSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("capBuckets keeps exactly the cap lowest ids per bucket") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)((s"b${rnd.nextInt(5)}", rnd.nextInt(10000).toLong))
+      .distinct
+    val df = rows.toDF("bucket", "doc_id")
+    val got = Dedup.capBuckets(df, Seq("bucket"), "doc_id", 16)
+      .as[(String, Long)].collect().toSet
+    // the shared cap idiom's contract: deterministic membership — the
+    // `cap` LOWEST ids of each bucket, nothing else
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (b, rs) =>
+      rs.map(_._2).sorted.take(16).map(x => (b, x))
+    }.toSet
+    assert(got == want)
+  }
+
   test("LSH sign buckets on the driver corpus are under the corpus-side cap") {
     val v = graft.engine.Tables(spark, sf, "embeddings")
       .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
