@@ -293,12 +293,14 @@ object Dedup {
       // in the same component, ≥ the component min) is preserved, and
       // the combined fixpoint is the same neighbor-min fixpoint, so
       // the result is unchanged (PropertiesSpec pins it vs union-find).
-      val nextPlan = prop.as("p")
-        .join(labels.select(col("n").as("g_n"), col("lbl").as("g_lbl")),
-          col("p.lbl") === col("g_n"), "left")
-        .select(col("p.n").as("n"),
-          least(col("p.lbl"), coalesce(col("g_lbl"), col("p.lbl"))).as("lbl"),
-          col("p.prev").as("prev"))
+      val nextPlan =
+        if (round == 0) prop // identity labels: the shortcut is a no-op
+        else prop.as("p")
+          .join(labels.select(col("n").as("g_n"), col("lbl").as("g_lbl")),
+            col("p.lbl") === col("g_n"), "left")
+          .select(col("p.n").as("n"),
+            least(col("p.lbl"), coalesce(col("g_lbl"), col("p.lbl"))).as("lbl"),
+            col("p.prev").as("prev"))
       // rebase the round result onto its RDD: with labels referenced
       // TWICE per round, the Catalyst plan TREE doubles every round
       // (trees don't share subplans — round ~20 OOMs building the plan
