@@ -11,31 +11,47 @@ import org.apache.spark.sql.SparkSession
   * driver-side listing entry and an executor-side open/footer-read).
   * `compact` rewrites a parquet directory into ~targetBytes-sized
   * files: size the output file count from the ACTUAL input bytes
-  * (FileSystem listing, no data pass), one `repartition` shuffle, one
-  * write. Run it where a deployment runs OPTIMIZE/rewrite-data-files —
-  * after each ingest batch, before heavy query windows.
+  * (recursive FileSystem listing, no data pass), one `repartition`
+  * shuffle, one write. Run it where a deployment runs
+  * OPTIMIZE/rewrite-data-files — after each ingest batch, before
+  * heavy query windows.
+  *
+  * Rows are preserved, directory layout is not: a hive-partitioned
+  * input comes back flat (partition columns become data columns). To
+  * keep a partitioned layout, compact each partition directory —
+  * that is also the parallel/incremental shape at scale.
   */
 object Layout {
 
-  final case class CompactStats(
-      filesBefore: Long, filesAfter: Long, bytes: Long, rows: Long)
+  final case class CompactStats(filesBefore: Long, filesAfter: Long, bytes: Long)
 
-  /** Rewrite `inDir` (parquet) into `outDir` with ~`targetBytes`
-    * files. Returns before/after listing stats; row-for-row equal
-    * content (asserted in CompactionSpec). */
+  /** Recursive count + byte total of the .parquet files under `dir`. */
+  private def parquetStats(spark: SparkSession, dir: String): (Long, Long) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        n += 1; bytes += f.getLen
+      }
+    }
+    (n, bytes)
+  }
+
+  /** Rewrite `inDir` (parquet, flat or partitioned) into `outDir` with
+    * ~`targetBytes` files. Returns before/after listing stats;
+    * row-for-row equal content (asserted in CompactionSpec). */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
-    val fs = new Path(inDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new Path(inDir))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val bytes = parts.map(_.getLen).sum
+    val (nIn, bytes) = parquetStats(spark, inDir)
+    require(nIn > 0, s"no parquet files under $inDir — nothing to compact")
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(inDir)
-    df.repartition(nOut).write.mode("overwrite").parquet(outDir)
-    val outParts = fs.listStatus(new Path(outDir))
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    CompactStats(parts.length.toLong, outParts.toLong, bytes,
-      spark.read.parquet(outDir).count())
+    spark.read.parquet(inDir)
+      .repartition(nOut).write.mode("overwrite").parquet(outDir)
+    val (nAfter, _) = parquetStats(spark, outDir)
+    CompactStats(nIn, nAfter, bytes)
   }
 }

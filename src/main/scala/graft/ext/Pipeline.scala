@@ -19,11 +19,13 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** One scratch root per JVM for q_partition_pruned's derivative
-    * layout, deleted on exit — bounded disk across bench passes, no
-    * cross-process path collisions. */
   private val partScratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** One scratch root per JVM for q_partition_pruned's derivative
+    * layout, deleted whole on JVM exit. Each invocation writes its own
+    * numbered subdir (no overwrite-vs-scan races), so disk grows one
+    * derivative copy per invocation UNTIL exit — fine for
+    * Verify/Bench-length processes, by design not a long-lived cache. */
   private lazy val partScratchRoot: String = {
     val root = java.nio.file.Files.createTempDirectory("graft_part_docs_")
     sys.addShutdownHook {
