@@ -171,6 +171,39 @@ object Pipeline {
            |FROM q ORDER BY doc_id""".stripMargin
       }),
 
+    // ── sequence packing: assign docs to fixed token-budget chunks ──
+    // The pre-tokenization packing pass every training pipeline runs:
+    // documents fill 2048-token chunks contiguously (chunk = floor of
+    // the running token count BEFORE the doc / budget). Global packing
+    // is inherently sequential, so it parallelizes by hash bucket —
+    // each bucket packs independently under one keyed window (shuffle
+    // on bucket, sort by doc_id within), trading ≤1 partial chunk per
+    // bucket for full parallelism; at 100 TB buckets scale with the
+    // cluster while the per-bucket window stays memory-bounded.
+    Q("q_pack_sequences",
+      (s, dir) => {
+        val budget = 2048
+        val w = Window.partitionBy("bucket").orderBy("doc_id")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            pmod(col("doc_id"), lit(32)).as("bucket"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("chunk_id",
+            floor((col("cum") - col("n_tokens")) / lit(budget)))
+          .select("doc_id", "bucket", "chunk_id", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 32 AS bucket,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, bucket, n_tokens,
+             |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+             |    AS cum FROM d)
+             |SELECT doc_id, bucket,
+             |CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_id,
+             |n_tokens FROM c ORDER BY doc_id""".stripMargin)),
+
     // ── partition-pruned layout: write-partitioned-by-lang, pruned read ──
     // The storage-layout half of the 100 TB story: a corpus laid out
     // `partitionBy(lang)` turns a language filter into directory
