@@ -175,11 +175,13 @@ object Pipeline {
     // The pre-tokenization packing pass every training pipeline runs:
     // documents fill 2048-token chunks contiguously (chunk = floor of
     // the running token count BEFORE the doc / budget). Global packing
-    // is inherently sequential, so it parallelizes by hash bucket —
+    // is inherently sequential, so it parallelizes by id-mod bucket —
     // each bucket packs independently under one keyed window (shuffle
     // on bucket, sort by doc_id within), trading ≤1 partial chunk per
-    // bucket for full parallelism; at 100 TB buckets scale with the
-    // cluster while the per-bucket window stays memory-bounded.
+    // bucket for full parallelism. The bucket count is the parallelism
+    // knob: size it so corpus/buckets fits one executor's window sort
+    // (at 100 TB that means ~10⁵ buckets, not 32) — it is a LITERAL
+    // here only because the DuckDB oracle is a static SQL string.
     Q("q_pack_sequences",
       (s, dir) => {
         val budget = 2048
