@@ -40,6 +40,22 @@ object EventStream {
       .select(to_date(col("w.start")).as("day"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Sliding (hopping) windowed counts — the streaming twin of
+    * `q_window_hopping`: 1-day windows every 12 h, each event in
+    * exactly 2 windows. Watermark bounds state to the windows still
+    * open (2 per type at any watermark position); the explode-by-2
+    * happens before the map-side combine, so the shuffle still moves
+    * one partial row per (partition, window, type). */
+  def slidingCounts(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
   /** Windowed distinct users via HLL — the streaming answer to
     * count-distinct: exact `countDistinct` needs per-key set state
     * (unbounded within a window and unsupported in streaming aggs);

@@ -35,6 +35,31 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed == batch) // incl. the double sum — decimal-accumulated
   }
 
+  test("streaming sliding counts == batch q_window_hopping aggregation") {
+    val dir = Files.createTempDirectory("graft-stream-slide").toString
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.slidingCounts(EventStream.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not terminate")
+
+    val streamed = spark.table("slide_out")
+      .select(col("w_start"), col("event_type"), col("cnt"), col("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = Tables(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch) // each event in exactly 2 windows, both engines
+  }
+
   test("streaming approx distinct users == batch sketch, inside error bound") {
     val dir = Files.createTempDirectory("graft-stream-hll").toString
     Tables(spark, "/root/testdata/sf0.001", "events")
