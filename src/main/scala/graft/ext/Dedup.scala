@@ -83,7 +83,14 @@ object Dedup {
     * buckets, incremental corpus buckets, LSH sign buckets): bucket
     * membership ranked deterministically by `orderCol`, truncated at
     * `cap`. One definition so cap semantics (tie-breaking, accounting)
-    * can never drift between generators. */
+    * can never drift between generators.
+    *
+    * PRECONDITION: `orderCol` must be UNIQUE within each `partCols`
+    * group (all call sites use a primary key — doc_id / vec_id).
+    * row_number breaks ties by partition-internal row order, so a
+    * non-unique orderCol would make cap membership nondeterministic
+    * across runs and break oracle hash parity; add a tiebreaker column
+    * before reusing this with a non-key ordering. */
   private[ext] def capBuckets(df: DataFrame, partCols: Seq[String],
       orderCol: String, cap: Int): DataFrame =
     df.withColumn("rn",
@@ -360,6 +367,77 @@ object Dedup {
     jaccardVerify(cand, shInc, shCorp, "doc_id", "dup_of", threshold)
   }
 
+  /** Build the PERSISTED corpus-side near-dup index at `path` — the
+    * build-once artifact a daily pipeline probes instead of
+    * re-shingling the corpus per batch:
+    *
+    *   - `buckets/`  (band, sig, doc_id): the skew-capped band-bucket
+    *     table, laid out by (band, sig) so each probe bucket's members
+    *     are co-located (one file group per key range);
+    *   - `shingles/` (doc_id, hs): the shingle-hash arrays for the
+    *     exact-Jaccard verify join-back.
+    *
+    * The artifact is deterministic in the corpus (capBuckets ranks by
+    * the unique doc_id), so probes against it are oracle-stable. At
+    * deployment scale both tables are written once per corpus version
+    * to durable storage ([[graft.engine.Bucketing]] makes the layouts
+    * metastore-bucketed so the probe join and verify join-back shuffle
+    * ONLY the increment); the repartition here gives the plain-parquet
+    * stand-in the same co-location. */
+  def buildBandIndex(corpus: DataFrame, path: String,
+      cap: Int = bucketCap): Unit = {
+    val sh = shingled(corpus).select(col("doc_id"), col("hs"))
+      .localCheckpoint(true)
+    capBuckets(bandBuckets(sh), Seq("band", "sig"), "doc_id", cap)
+      .repartition(col("band"), col("sig"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    sh.repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Increment probed against a PREBUILT [[buildBandIndex]] artifact:
+    * the daily-pipeline fast path. Unlike [[incrementalNearDups]]
+    * (which shingles + buckets the corpus in-query), the corpus-side
+    * cost here is a scan of the index tables — the increment is the
+    * only side that gets shingled, bucketed, and shuffled. Candidate
+    * volume still tracks increment × band-collision density. */
+  def incrementalNearDupsAgainst(inc: DataFrame, indexPath: String,
+      threshold: Double): DataFrame = {
+    val s = inc.sparkSession
+    val shInc = shingled(inc).select(col("doc_id"), col("hs"))
+      .localCheckpoint(true)
+    val cand = bandBuckets(shInc)
+      .join(s.read.parquet(s"$indexPath/buckets")
+        .withColumnRenamed("doc_id", "dup_of"), Seq("band", "sig"))
+      .select(col("doc_id"), col("dup_of")).distinct()
+    jaccardVerify(cand, shInc, s.read.parquet(s"$indexPath/shingles"),
+      "doc_id", "dup_of", threshold)
+  }
+
+  /** Oracle for the incremental near-dup relation (shared by the
+    * in-query and prebuilt-index variants — the index is deterministic,
+    * so both compute the identical relation). */
+  private val duckIncrementalNear: String =
+    s"""WITH $duckHashedShingles,
+       |mh AS (SELECT doc_id, $duckMinhashList FROM h),
+       |bands AS (SELECT doc_id, unnest([$duckBandList]) AS sig,
+       |          unnest(range($nBands)) AS band FROM mh),
+       |bi AS (SELECT doc_id, band, sig FROM bands WHERE doc_id % 10 = 7),
+       |bcap AS (SELECT doc_id, band, sig FROM (
+       |  SELECT doc_id, band, sig,
+       |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+       |  FROM bands WHERE doc_id % 10 <> 7) WHERE rn <= $bucketCap),
+       |cand AS (SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS dup_of
+       |  FROM bi i JOIN bcap c ON i.band = c.band AND i.sig = c.sig),
+       |p AS (SELECT cand.doc_id, cand.dup_of,
+       |  len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS inter,
+       |  len(a.hs) AS la, len(b.hs) AS lb
+       |  FROM cand JOIN h a ON a.doc_id = cand.doc_id
+       |            JOIN h b ON b.doc_id = cand.dup_of)
+       |SELECT doc_id, dup_of, CAST(inter AS DOUBLE) / (la + lb - inter) AS jac
+       |FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+       |ORDER BY doc_id, dup_of""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── exact dedup: content hash, keep lowest doc_id ──
@@ -507,25 +585,26 @@ object Dedup {
           d.filter(col("doc_id") % 10 =!= 7), 0.8)
           .orderBy("doc_id", "dup_of")
       },
-      Some(
-        s"""WITH $duckHashedShingles,
-           |mh AS (SELECT doc_id, $duckMinhashList FROM h),
-           |bands AS (SELECT doc_id, unnest([$duckBandList]) AS sig,
-           |          unnest(range($nBands)) AS band FROM mh),
-           |bi AS (SELECT doc_id, band, sig FROM bands WHERE doc_id % 10 = 7),
-           |bcap AS (SELECT doc_id, band, sig FROM (
-           |  SELECT doc_id, band, sig,
-           |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
-           |  FROM bands WHERE doc_id % 10 <> 7) WHERE rn <= $bucketCap),
-           |cand AS (SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS dup_of
-           |  FROM bi i JOIN bcap c ON i.band = c.band AND i.sig = c.sig),
-           |p AS (SELECT cand.doc_id, cand.dup_of,
-           |  len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS inter,
-           |  len(a.hs) AS la, len(b.hs) AS lb
-           |  FROM cand JOIN h a ON a.doc_id = cand.doc_id
-           |            JOIN h b ON b.doc_id = cand.dup_of)
-           |SELECT doc_id, dup_of, CAST(inter AS DOUBLE) / (la + lb - inter) AS jac
-           |FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
-           |ORDER BY doc_id, dup_of""".stripMargin))
+      Some(duckIncrementalNear)),
+
+    // ── incremental near-dup against the PERSISTED index: the probe a ──
+    // production pipeline actually runs daily. The corpus band-bucket
+    // and shingle tables are prebuilt Scratch artifacts (built once per
+    // (JVM, corpus), the local stand-in for the durable-store artifact
+    // a deployment writes per corpus version); the query shingles ONLY
+    // the increment and probes. Identical relation to
+    // q_dedup_incremental_near — the index is deterministic — so the
+    // oracle is shared; BandIndexSpec separately pins that the probe
+    // plan's corpus-side scans hit the index, not `documents`.
+    Q("q_dedup_incremental_idx",
+      (s, dir) => {
+        val idx = graft.engine.Scratch.cached("band_idx", dir) { path =>
+          buildBandIndex(docs(s, dir).filter(col("doc_id") % 10 =!= 7), path)
+        }
+        incrementalNearDupsAgainst(
+          docs(s, dir).filter(col("doc_id") % 10 === 7), idx, 0.8)
+          .orderBy("doc_id", "dup_of")
+      },
+      Some(duckIncrementalNear))
   )
 }

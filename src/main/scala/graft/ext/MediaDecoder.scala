@@ -255,8 +255,14 @@ object MediaDecoder {
   // by tests and the oracle-checked video query to synthesize real
   // ISO-BMFF payloads with analytically-known metadata ──
 
-  def mp4Bytes(timescale: Int, duration: Int,
+  def mp4Bytes(timescale: Int, duration: Long,
       trackDims: Seq[(Int, Int)]): Array[Byte] = {
+    // mvhd/tkhd v0 carry duration as u32: the decode side reads it back
+    // unsigned (be32 → Long), so any value in [0, 2^32) round-trips via
+    // putInt's bit pattern — but a wider value would silently truncate
+    // and diverge from an oracle computing the arithmetic in BIGINT.
+    require(duration >= 0 && duration <= 0xFFFFFFFFL,
+      s"duration $duration does not fit a v0 mvhd u32")
     def box(tp: String, body: Array[Byte]): Array[Byte] = {
       val buf = java.nio.ByteBuffer.allocate(8 + body.length) // BE default
       buf.putInt(8 + body.length).put(tp.getBytes("US-ASCII")).put(body)
@@ -267,7 +273,7 @@ object MediaDecoder {
       val b = java.nio.ByteBuffer.allocate(100) // v0 body
       b.putInt(0) // version 0 + flags
       b.putInt(0).putInt(0) // creation, modification
-      b.putInt(timescale).putInt(duration)
+      b.putInt(timescale).putInt(duration.toInt)
       b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, rsvd
       b.putLong(0) // reserved
       unityMatrix.foreach(b.putInt)
@@ -280,7 +286,7 @@ object MediaDecoder {
         val b = java.nio.ByteBuffer.allocate(84) // v0 body
         b.putInt(0x000007) // version 0 + flags (enabled|in-movie|in-preview)
         b.putInt(0).putInt(0) // creation, modification
-        b.putInt(i + 1).putInt(0).putInt(duration) // track_ID, rsvd, duration
+        b.putInt(i + 1).putInt(0).putInt(duration.toInt) // track_ID, rsvd, duration
         b.putLong(0) // reserved
         b.putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt, vol, rsvd
         unityMatrix.foreach(b.putInt)

@@ -122,7 +122,10 @@ object Multimodal {
             val decoder = MediaDecoder // per-partition codec handle
             it.map { case (id, text) =>
               val ts = 600 + (id % 5).toInt * 120
-              val dur = text.getBytes("UTF-8").length * 30
+              // Long: Int arithmetic would overflow past ~71 MB of text
+              // and silently diverge from the oracle's BIGINT arithmetic
+              // (mp4Bytes rejects anything beyond u32 loudly)
+              val dur = text.getBytes("UTF-8").length.toLong * 30
               val nTracks = 1 + (id % 3).toInt
               val dims = (0 until nTracks).map(i => (320 + 16 * i, 240 + 16 * i))
               val m = decoder.decode(decoder.mp4Bytes(ts, dur, dims))
