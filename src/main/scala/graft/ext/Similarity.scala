@@ -131,29 +131,69 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
         .as("ce"))
 
+  /** Lloyd iterations over `fit` from `seeds` → final codebook.
+    * Eager local checkpoint per iteration (the componentsOf pattern):
+    * the materialized state is tiny — N assignment rows / K centroid
+    * rows — and without truncation every consumer replays the whole
+    * nested Lloyd lineage (cent is read by both probes and cells). */
+  private def lloydCodebook(fit: DataFrame, seeds: DataFrame): DataFrame = {
+    var assign = assignCells(fit, seeds).localCheckpoint(true)
+    (1 to ivfIters).foreach { _ =>
+      assign = assignCells(fit, centroidsOf(fit, assign)).localCheckpoint(true)
+    }
+    centroidsOf(fit, assign).localCheckpoint(true)
+  }
+
   /** Trained codebook + final cell assignment: `ivfIters` Lloyd steps
     * from the first-K init, then one last codebook + assignment pass so
-    * cells and probes share the same centroids. */
+    * cells and probes share the same centroids. FULL-corpus fit — the
+    * exhaustively-oracled variant; [[kmeansFitSampled]] is the shape a
+    * deployment runs. */
   def kmeansFit(v: DataFrame): (DataFrame, DataFrame) = {
-    val seeds = v.filter(col("vec_id") < ivfK)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
-    // eager local checkpoint per iteration (the componentsOf pattern):
-    // the materialized state is tiny — N assignment rows / K centroid
-    // rows — and without truncation every consumer replays the whole
-    // nested Lloyd lineage (cent is read by both probes and cells)
-    var assign = assignCells(v, seeds).localCheckpoint(true)
-    (1 to ivfIters).foreach { _ =>
-      assign = assignCells(v, centroidsOf(v, assign)).localCheckpoint(true)
-    }
-    val cent = centroidsOf(v, assign).localCheckpoint(true)
+    val cent = lloydCodebook(v,
+      v.filter(col("vec_id") < ivfK)
+        .select(col("vec_id").as("cid"), col("e").as("ce")))
     (cent, assignCells(v, cent))
   }
 
-  /** DuckDB twin of [[kmeansFit]]: recursive-CTE Lloyd. Expects a CTE
-    * `v(vec_id, e, …)` in scope; emits CTE bodies `assign` (iterations,
-    * final = iter [[ivfIters]]), `cent` (final codebook) and `cells`
-    * (final assignment). */
-  private def duckKmeans: String = {
+  /** Codebook trained on a DETERMINISTIC 1/`sampleMod` hash-sample of
+    * the corpus (the q_sample_hash idiom: md5-keyed, so the same rows
+    * sample on every run and engine), full corpus assigned via the
+    * broadcast codebook. This decouples training cost from corpus
+    * size — the centroid estimate needs sample-many vectors, not
+    * corpus-many, so at 100 TB the `ivfIters`+1 fit passes touch a
+    * fixed-size sample and the full corpus is scanned exactly once
+    * (the assignment). Seeds: the `ivfK` lowest-id sampled vectors
+    * (distributed TakeOrdered — no global sort). */
+  def kmeansFitSampled(v: DataFrame, sampleMod: Int): (DataFrame, DataFrame) = {
+    val vs = v.filter(expr(
+      s"CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) " +
+        s"% $sampleMod = 0"))
+    val seeds = vs.orderBy("vec_id").limit(ivfK)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val cent = lloydCodebook(vs, seeds)
+    (cent, assignCells(v, cent))
+  }
+
+  /** Build the PERSISTED IVF index at `path`: `cent/` (cid, ce — the
+    * sample-trained codebook) and `cells/` (vec_id, cid — the full
+    * corpus assignment, laid out by cid so a probe's candidate fetch is
+    * co-located). The build-once artifact an ANN deployment writes per
+    * corpus version; probes read it instead of retraining in-query. */
+  def buildIvfIndex(v: DataFrame, path: String, sampleMod: Int): Unit = {
+    val (cent, cells) = kmeansFitSampled(v, sampleMod)
+    cent.write.mode("overwrite").parquet(s"$path/cent")
+    cells.repartition(col("cid"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** DuckDB twin of the Lloyd fit + full assignment: recursive-CTE
+    * Lloyd over fit source `fit` (aliased `v` inside each subquery so
+    * the shared distance keys apply), seeded by `seedsSql`; the final
+    * `cells` assignment always runs over the FULL corpus CTE `v`.
+    * Emits CTE bodies `assign` (iterations, final = iter [[ivfIters]]),
+    * `af`, `cent` (final codebook) and `cells` (full assignment). */
+  private def duckKmeansFor(fit: String, seedsSql: String): String = {
     val initDk = duckDistKey("v.e", "s.e")
     val stepDk = duckDistKey("v.e", "c.ce")
     s"""assign(iter, vec_id, cid) AS (
@@ -161,19 +201,19 @@ object Similarity {
        |    SELECT v.vec_id, s.vec_id AS cid,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY ($initDk) ASC, s.vec_id ASC) AS rn
-       |    FROM v CROSS JOIN (SELECT vec_id, e FROM v WHERE vec_id < $ivfK) s)
+       |    FROM $fit v CROSS JOIN ($seedsSql) s)
        |  WHERE rn = 1
        |  UNION ALL
        |  SELECT prev_iter + 1, vec_id, cid FROM (
        |    SELECT c.iter AS prev_iter, v.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY ($stepDk) ASC, c.cid ASC) AS rn
-       |    FROM v CROSS JOIN (
+       |    FROM $fit v CROSS JOIN (
        |      SELECT iter, cid, list(m ORDER BY d) AS ce FROM (
        |        SELECT a.iter, a.cid, t.d,
        |          CAST(SUM(CAST(v2.e[t.d] AS DECIMAL(18,9))) AS DOUBLE)
        |            / COUNT(*) AS m
-       |        FROM assign a JOIN v v2 ON v2.vec_id = a.vec_id
+       |        FROM assign a JOIN $fit v2 ON v2.vec_id = a.vec_id
        |        CROSS JOIN range(1, 65) t(d)
        |        GROUP BY a.iter, a.cid, t.d)
        |      GROUP BY iter, cid) c)
@@ -185,7 +225,7 @@ object Similarity {
        |    SELECT a.cid, t.d,
        |      CAST(SUM(CAST(v2.e[t.d] AS DECIMAL(18,9))) AS DOUBLE)
        |        / COUNT(*) AS m
-       |    FROM af a JOIN v v2 ON v2.vec_id = a.vec_id
+       |    FROM af a JOIN $fit v2 ON v2.vec_id = a.vec_id
        |    CROSS JOIN range(1, 65) t(d)
        |    GROUP BY a.cid, t.d)
        |  GROUP BY cid),
@@ -197,6 +237,65 @@ object Similarity {
        |    FROM v CROSS JOIN cent c)
        |  WHERE rn = 1)""".stripMargin
   }
+
+  /** [[duckKmeansFor]] at the full-fit configuration (twin of
+    * [[kmeansFit]]). */
+  private def duckKmeans: String =
+    duckKmeansFor("v", s"SELECT vec_id, e FROM v WHERE vec_id < $ivfK")
+
+  /** Sample modulus for the deployed (sampled-fit) IVF index: 1/4 of
+    * the corpus trains the codebook. */
+  val ivfSampleMod = 4
+
+  /** THE IVF probe, shared by the in-query-fit and persisted-index
+    * variants: queries (vec_id 100–107) pick their 2 nearest cells of
+    * the broadcast codebook, candidates come from the cell equi-join,
+    * exact cosine re-rank, top-5. Works identically whether cent/cells
+    * were just trained or read from a parquet artifact. */
+  private def ivfProbe(v: DataFrame, cent: DataFrame,
+      cells: DataFrame): DataFrame = {
+    val probes = v.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .join(broadcast(cent))
+      .withColumn("dk", distKey(col("e"), col("ce")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dk"), col("cid"))))
+      .filter(col("crn") <= 2)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val q = v.select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val cand = cells.join(probes, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(v, "vec_id").join(q, "query_id")
+      .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** DuckDB twin of [[ivfProbe]] (expects `v`, `cent`, `cells`). */
+  private def duckIvfProbeTail: String =
+    s"""probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY (${duckDistKey("v.e", "c.ce")}) ASC, c.cid ASC) AS crn
+       |    FROM v CROSS JOIN cent c
+       |    WHERE v.vec_id >= 100 AND v.vec_id < 108)
+       |  WHERE crn <= 2),
+       |cand AS (SELECT p.query_id, a.vec_id FROM cells a JOIN probes p USING (cid)
+       |         WHERE a.vec_id <> p.query_id),
+       |scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |  ${duckDot("qv.e", "nv.e")} / (qv.nrm * nv.nrm) AS cos
+       |  FROM cand
+       |  JOIN v qv ON qv.vec_id = cand.query_id
+       |  JOIN v nv ON nv.vec_id = cand.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+       |    AS rnk FROM scored)
+       |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
 
   /** Spark-side sign-bucket from the shipped planes. */
   private def bucketCol: Column = bucketColFor(planes, col("e"))
@@ -408,49 +507,43 @@ object Similarity {
       (s, dir) => {
         val v = emb(s, dir).select("vec_id", "e", "nrm")
         val (cent, cells) = kmeansFit(v)
-        // queries probe their 2 nearest cells of the trained codebook
-        val probes = v.filter(col("vec_id") >= 100 && col("vec_id") < 108)
-          .join(broadcast(cent))
-          .withColumn("dk", distKey(col("e"), col("ce")))
-          .withColumn("crn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("dk"), col("cid"))))
-          .filter(col("crn") <= 2)
-          .select(col("vec_id").as("query_id"), col("cid"))
-        val q = v.select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-        val cand = cells.join(probes, "cid")
-          .filter(col("vec_id") =!= col("query_id"))
-          .join(v, "vec_id").join(q, "query_id")
-          .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        cand.withColumn("rnk", row_number().over(w).cast(LongType))
-          .filter(col("rnk") <= 5)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
-          .orderBy("query_id", "rnk")
+        ivfProbe(v, cent, cells)
       },
       Some(
         s"""WITH RECURSIVE v AS ($duckEmb),
            |$duckKmeans,
-           |probes AS (
-           |  SELECT vec_id AS query_id, cid FROM (
-           |    SELECT v.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY v.vec_id
-           |        ORDER BY (${duckDistKey("v.e", "c.ce")}) ASC, c.cid ASC) AS crn
-           |    FROM v CROSS JOIN cent c
-           |    WHERE v.vec_id >= 100 AND v.vec_id < 108)
-           |  WHERE crn <= 2),
-           |cand AS (SELECT p.query_id, a.vec_id FROM cells a JOIN probes p USING (cid)
-           |         WHERE a.vec_id <> p.query_id),
-           |scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
-           |  ${duckDot("qv.e", "nv.e")} / (qv.nrm * nv.nrm) AS cos
-           |  FROM cand
-           |  JOIN v qv ON qv.vec_id = cand.query_id
-           |  JOIN v nv ON nv.vec_id = cand.vec_id),
-           |r AS (SELECT query_id, neighbor_id, cos,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
-           |    AS rnk FROM scored)
-           |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
-           |ORDER BY query_id, rnk""".stripMargin)),
+           |$duckIvfProbeTail""".stripMargin)),
+
+    // ── IVF ANN from the PERSISTED, sample-trained index: the shape a ──
+    // deployment runs. The codebook is trained on a deterministic 1/4
+    // md5-hash sample (training cost decoupled from corpus size), the
+    // full-corpus cell assignment + codebook are Scratch artifacts
+    // (built once per (JVM, corpus) — the local stand-in for the
+    // durable index a pipeline writes per corpus version), and the
+    // query itself only probes. The DuckDB oracle reproduces the
+    // sampled Lloyd bit-identically, so training-on-a-sample is inside
+    // the hash check, not a trust-me; IvfSampledSpec pins recall parity
+    // with the full fit and that the probe plan reads only the index +
+    // embeddings.
+    Q("q_ann_ivf_sampled",
+      (s, dir) => {
+        val v = emb(s, dir).select("vec_id", "e", "nrm")
+        val idx = graft.engine.Scratch.cached("ivf_idx", dir) { path =>
+          // materialized once for the build: the sample filter, every
+          // Lloyd pass, and the final assignment all re-reference v
+          buildIvfIndex(v.localCheckpoint(true), path, ivfSampleMod)
+        }
+        ivfProbe(v, s.read.parquet(s"$idx/cent"),
+          s.read.parquet(s"$idx/cells"))
+      },
+      Some(
+        s"""WITH RECURSIVE v AS ($duckEmb),
+           |vs AS (SELECT vec_id, e FROM v
+           |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+           |    % $ivfSampleMod = 0),
+           |${duckKmeansFor("vs",
+               s"SELECT vec_id, e FROM vs ORDER BY vec_id LIMIT $ivfK")},
+           |$duckIvfProbeTail""".stripMargin)),
 
     // ── LSH-bucketed ANN (the scale path: equi-join on sign bucket) ──
     Q("q_ann_lsh",
