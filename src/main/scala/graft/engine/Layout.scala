@@ -43,14 +43,31 @@ object Layout {
 
   /** Rewrite `inDir` (parquet, flat or partitioned) into `outDir` with
     * ~`targetBytes` files. Returns before/after listing stats;
-    * row-for-row equal content (asserted in CompactionSpec). */
+    * row-for-row equal content (asserted in CompactionSpec).
+    *
+    * `sortBy` non-empty makes compaction ALSO the data-skipping
+    * primitive (the OPTIMIZE … ZORDER analog for a single key prefix):
+    * rows are range-partitioned across the output files and sorted
+    * within each, so every file/row-group/page covers a narrow
+    * min-max band of the key and a later range filter prunes whole
+    * row groups from the scan (parquet footer + column-index stats) —
+    * CompactionSpec asserts the scan-row reduction. The default
+    * round-robin `repartition` balances bytes best but destroys any
+    * clustering, so compacted tables get NO skipping on subsequent
+    * range filters; a deployment compacting a time-series or
+    * key-ordered table should always pass its filter key here. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
-      targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Nil): CompactStats = {
     val (nIn, bytes) = parquetStats(spark, inDir)
     require(nIn > 0, s"no parquet files under $inDir — nothing to compact")
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inDir)
-      .repartition(nOut).write.mode("overwrite").parquet(outDir)
+    val df = spark.read.parquet(inDir)
+    val laid =
+      if (sortBy.isEmpty) df.repartition(nOut)
+      else df.repartitionByRange(nOut, sortBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
+    laid.write.mode("overwrite").parquet(outDir)
     val (nAfter, _) = parquetStats(spark, outDir)
     CompactStats(nIn, nAfter, bytes)
   }

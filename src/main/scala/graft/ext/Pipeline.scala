@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.Tables
 import graft.queries.Q
@@ -219,6 +220,37 @@ object Pipeline {
              |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |count(DISTINCT doc_id) AS n_ids
              |FROM documents WHERE lang IN ('en', 'de')
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ── co-bucketed fact-fact join: the zero-exchange layout ──
+    // orders ⋈ lineitem on orderkey over tables PERSISTED bucketBy the
+    // join key ([[graft.engine.Bucketing]], built once per JVM+corpus):
+    // the join AND the per-order aggregate run without a single hash
+    // exchange — the bucket layout is the shuffle, paid at write time
+    // (BucketedQuerySpec pins the exchange-free plan with broadcast
+    // disabled; only the final presentation sort range-partitions).
+    // Grouping is on the STREAMED side's key (l_orderkey) so the plan
+    // stays exchange-free under both join strategies. At 100 TB this
+    // layout is the difference between reshuffling two fact tables
+    // every query and reading co-located buckets.
+    Q("q_join_bucketed",
+      (s, dir) => {
+        val (tOrders, tLines) = graft.engine.Bucketing.tpchTables(s, dir)
+        s.table(tOrders).join(s.table(tLines),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_qty"),
+            min(col("o_totalprice")).as("total_price"))
+          .select(col("l_orderkey").as("orderkey"),
+            col("n_items"), col("sum_qty"), col("total_price"))
+          .orderBy("orderkey")
+      },
+      Some("""SELECT l_orderkey AS orderkey, count(*) AS n_items,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |min(o_totalprice) AS total_price
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY l_orderkey ORDER BY orderkey""".stripMargin))
   )
 }

@@ -30,6 +30,58 @@ class CompactionSpec extends SparkSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("sorted compaction enables row-group skipping on range filters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = Files.createTempDirectory("graft-compact-sort")
+    val in = base.resolve("in").toString
+    val flat = base.resolve("flat").toString
+    val sorted = base.resolve("sorted").toString
+    Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .repartition(64).write.parquet(in)
+
+    // small target → many output files, so a narrow range filter can
+    // prune at FILE granularity (row-group min/max) and the assertion
+    // doesn't hinge on page-index behavior
+    val sFlat = Layout.compact(spark, in, flat, targetBytes = 64L * 1024)
+    val sSorted = Layout.compact(spark, in, sorted, targetBytes = 64L * 1024,
+      sortBy = Seq("l_orderkey"))
+    assert(sFlat.filesAfter >= 4 && sSorted.filesAfter >= 4,
+      s"need several files for skipping to show: $sFlat / $sSorted")
+
+    // rows preserved under the sorted layout too
+    val a = spark.read.parquet(in)
+    val b = spark.read.parquet(sorted)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    // a narrow range filter: the sorted layout must emit far fewer
+    // rows from the scan (row-group/page min-max pruning); the
+    // round-robin layout spreads the range over every file, so its
+    // scan emits ~everything. AQE off so executedPlan exposes the
+    // scan node's metrics directly.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scannedRows(dir: String): Long = {
+        val maxKey = spark.read.parquet(dir)
+          .agg(org.apache.spark.sql.functions.max("l_orderkey"))
+          .head().getLong(0)
+        val df = spark.read.parquet(dir)
+          .filter(org.apache.spark.sql.functions.col("l_orderkey") <= maxKey / 20)
+        // collect(), not a write: a write wraps the plan in its OWN
+        // QueryExecution and this df's scan metrics would stay zero
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f.metrics("numOutputRows").value
+        }.sum
+      }
+      val rowsSorted = scannedRows(sorted)
+      val rowsFlat = scannedRows(flat)
+      assert(rowsSorted > 0, "filter should match some rows")
+      assert(rowsSorted * 2 < rowsFlat,
+        s"sorted scan $rowsSorted not meaningfully below flat scan $rowsFlat")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("compact handles a hive-partitioned layout (recursive listing)") {
     val base = Files.createTempDirectory("graft-compact-part")
     val in = base.resolve("in").toString
