@@ -273,33 +273,57 @@ object Dedup {
     // undirected closed neighborhood: both directions + self-loops
     val nodes = pairs.select(col("id1").as("n"))
       .union(pairs.select(col("id2").as("n"))).distinct()
+    // cached PRE-PARTITIONED on the per-round join key: every round
+    // joins edges on m, and a cache that already carries
+    // HashPartitioning(m) feeds both hops without re-exchanging the
+    // edge set — one shuffle stage per hop per round gone, and at
+    // scale the edge relation (the big side) never moves after this
     val edges = pairs.select(col("id1").as("n"), col("id2").as("m"))
       .union(pairs.select(col("id2").as("n"), col("id1").as("m")))
       .union(nodes.select(col("n"), col("n").as("m")))
+      .repartition(col("m"))
       .cache()
     var labels = nodes.select(col("n"), col("n").as("lbl")).cache()
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
-      // ONE job per round: the self-loop edge (n, n) carries n's own
-      // previous label through the same join, so the convergence check
-      // is an extra aggregate over the same groups instead of a second
+      // TWO edge hops per materialized round, ONE job: every
+      // materialization (cache + count + rebase) costs a fixed
+      // multi-stage latency that dwarfs the data movement on
+      // result-sized pair graphs, so the round does as much monotone
+      // work as a constant-size plan allows — hop 1 takes the closed-
+      // neighborhood min, hop 2 repeats it over hop 1's labels in the
+      // same plan. The self-loop edge (n, n) threads n's ROUND-START
+      // label through both hops (hop 1 emits it as `prev`, hop 2
+      // re-selects it at m = n), so the convergence check is still an
+      // extra aggregate over the same groups instead of a second
       // join + count against the previous labels.
-      val prop = edges
+      val h1 = edges
         .join(labels.select(col("n").as("m"), col("lbl")), "m")
         .groupBy("n").agg(
           min("lbl").as("lbl"),
           min(when(col("m") === col("n"), col("lbl"))).as("prev"))
+      val prop = edges
+        .join(h1.select(col("n").as("m"), col("lbl"), col("prev")), "m")
+        .groupBy("n").agg(
+          min("lbl").as("lbl"),
+          min(when(col("m") === col("n"), col("prev"))).as("prev"))
       // pointer jumping: also adopt the label's OWN label (one extra
-      // join on the label table, which is node-sized, not edge-sized).
-      // Neighbor-min alone converges in diameter rounds — a low-
-      // threshold similarity graph grows chains, and diameter rounds
-      // is both the q_dedup_embed_resolve wall-clock at sf0.1 and a
-      // maxRounds liability at larger corpora; shortcutting makes the
-      // round count logarithmic. The invariant (label = some node id
-      // in the same component, ≥ the component min) is preserved, and
-      // the combined fixpoint is the same neighbor-min fixpoint, so
-      // the result is unchanged (PropertiesSpec pins it vs union-find).
+      // join on the round-start label table, which is node-sized, not
+      // edge-sized). Neighbor-min alone converges in diameter rounds —
+      // a low-threshold similarity graph grows chains, and diameter
+      // rounds is both wall-clock and a maxRounds liability at larger
+      // corpora; shortcutting makes the round count logarithmic (on
+      // top of the 2-hop halving). Every step is a monotone min over
+      // node ids within a component, so the invariant (label = some
+      // node id in the same component, ≥ the component min) is
+      // preserved and the combined fixpoint is the same neighbor-min
+      // fixpoint — the result is unchanged (PropertiesSpec pins it vs
+      // union-find).
+      // jump against the round-start table: a fresher (post-2-hop)
+      // jump target was measured to save zero rounds on the sf0.1
+      // embed graph while recomputing prop twice per round — the
+      // cached round-start labels are the cheaper equal-strength jump
       val nextPlan =
         if (round == 0) prop // identity labels: the shortcut is a no-op
         else prop.as("p")
