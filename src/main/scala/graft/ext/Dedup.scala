@@ -438,6 +438,33 @@ object Dedup {
       "doc_id", "dup_of", threshold)
   }
 
+  /** Catalog table holding the PERSISTED corpus content-hash relation
+    * (doc_id, h) for `dir`, BUCKETED BY h — built once per (JVM, dir).
+    * This is the corpus side a daily exact-dedup pipeline maintains:
+    * bucketed on the anti-join key, so the nightly probe shuffles ONLY
+    * the increment (the corpus branch reads co-located buckets with no
+    * exchange — IncrementalBucketedSpec pins the plan). */
+  def hashCorpusTable(s: SparkSession, dir: String): String = {
+    def name(id: String) = s"graft_bkt_hash_corpus_$id"
+    val path = graft.engine.Scratch.cached("hash_corpus", dir) { p =>
+      graft.engine.Bucketing.writeBucketed(
+        docs(s, dir).filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), md5(col("text")).as("h")),
+        "h", 8, name(p.split('/').last), s"$p/data")
+    }
+    name(path.split('/').last)
+  }
+
+  /** Oracle for the incremental exact-dedup relation (shared by the
+    * in-query and bucketed-corpus variants). */
+  private val duckIncrementalExact: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |inc AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+      |corp AS (SELECT * FROM d WHERE doc_id % 10 <> 7)
+      |SELECT h, min(doc_id) AS keep_id, count(*) AS dup_cnt
+      |FROM inc WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.h = inc.h)
+      |GROUP BY h ORDER BY h NULLS LAST""".stripMargin
+
   /** Oracle for the incremental near-dup relation (shared by the
     * in-query and prebuilt-index variants — the index is deterministic,
     * so both compute the identical relation). */
@@ -590,12 +617,27 @@ object Dedup {
           .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
           .orderBy(col("h").asc_nulls_last)
       },
-      Some("""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
-             |inc AS (SELECT * FROM d WHERE doc_id % 10 = 7),
-             |corp AS (SELECT * FROM d WHERE doc_id % 10 <> 7)
-             |SELECT h, min(doc_id) AS keep_id, count(*) AS dup_cnt
-             |FROM inc WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.h = inc.h)
-             |GROUP BY h ORDER BY h NULLS LAST""".stripMargin)),
+      Some(duckIncrementalExact)),
+
+    // ── incremental exact dedup against the PERSISTED bucketed corpus ──
+    // The [[hashCorpusTable]] variant: the corpus content-hash relation
+    // is a catalog table bucketed by h, so the anti-join reads
+    // co-located corpus buckets with NO exchange and shuffles only the
+    // increment — closing the gap the in-query variant documents (its
+    // unbucketed corpus side sort-merges BOTH sides). Identical
+    // relation, shared oracle; IncrementalBucketedSpec pins the
+    // exchange-free corpus branch.
+    Q("q_dedup_incremental_bkt",
+      (s, dir) => {
+        val corp = s.table(hashCorpusTable(s, dir))
+        docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+          .filter(col("doc_id") % 10 === 7)
+          .join(corp.select("h"), Seq("h"), "left_anti")
+          .groupBy("h")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+          .orderBy(col("h").asc_nulls_last)
+      },
+      Some(duckIncrementalExact)),
 
     // ── incremental near-dup: increment probed against corpus buckets ──
     // (see [[incrementalNearDups]] for the scale contract). Output: each

@@ -17,7 +17,10 @@ class BucketedQuerySpec extends SparkSuite {
     try {
       val q = graft.ext.Pipeline.queries.find(_.name == "q_join_bucketed").get
       val df = q.fn(spark, "/root/testdata/sf0.001")
-      val plan = df.queryExecution.sparkPlan.toString
+      // executedPlan, not sparkPlan: exchanges are inserted by
+      // EnsureRequirements during preparation — the bare sparkPlan has
+      // none anywhere and would make the no-exchange assertion vacuous
+      val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
         s"expected zero hash exchanges:\n${plan.take(4000)}")
       assert(plan.contains("SortMergeJoin"),
