@@ -40,11 +40,18 @@ object Bucketing {
   /** Co-bucketed (orders, lineitem) tables for `dir`, both bucketed by
     * their orderkey, built once per (JVM, dir); returns the catalog
     * table names. The build is the pay-once shuffle; every caller
-    * after the first gets the co-located layout for free. */
+    * after the first gets the co-located layout for free.
+    *
+    * The Scratch memo outlives any single SparkSession, but the
+    * catalog registration lives in the session's SharedState — a fresh
+    * SparkContext in the same JVM would resolve the memoized names to
+    * nothing, so missing tables are re-registered (rebuilt into the
+    * same scratch path; synchronized so concurrent detectors don't
+    * race the overwrite). */
   def tpchTables(s: SparkSession, dir: String): (String, String) = {
     def names(id: String) =
       (s"graft_bkt_orders_$id", s"graft_bkt_lineitem_$id")
-    val path = Scratch.cached("bucketed", dir) { p =>
+    def build(p: String): Unit = {
       // table names derive from the scratch path's unique leaf so
       // distinct input dirs never collide in the catalog
       val (to, tl) = names(p.split('/').last)
@@ -53,6 +60,12 @@ object Bucketing {
       writeBucketed(Tables(s, dir, "lineitem"), "l_orderkey", tpchBuckets,
         tl, s"$p/lineitem")
     }
-    names(path.split('/').last)
+    val path = Scratch.cached("bucketed", dir)(build)
+    val (to, tl) = names(path.split('/').last)
+    this.synchronized {
+      if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tl))
+        build(path)
+    }
+    (to, tl)
   }
 }

@@ -21,7 +21,8 @@ import java.util.concurrent.atomic.AtomicLong
 object Scratch {
 
   private val roots = new ConcurrentHashMap[String, Path]()
-  private val built = new ConcurrentHashMap[String, String]()
+  private val built =
+    new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
   private val seq = new AtomicLong(0)
 
   /** One scratch root per (JVM, prefix), deleted recursively on exit. */
@@ -40,14 +41,32 @@ object Scratch {
     })
 
   /** Path of the (prefix, key) artifact, running `build` exactly once
-    * per JVM for it (computeIfAbsent serializes concurrent first
-    * builders; the subdir is sequence-named — the map keys by the full
-    * key string, so no hash-collision risk). `build` must fully
-    * materialize the artifact at the given path before returning. */
-  def cached(prefix: String, key: String)(build: String => Unit): String =
-    built.computeIfAbsent(s"$prefix\n$key", { _ =>
-      val path = s"${root(prefix)}/${seq.incrementAndGet()}"
-      build(path)
-      path
-    })
+    * per JVM for it. `build` must fully materialize the artifact at
+    * the given path before returning.
+    *
+    * Memoized as a per-key future claimed with putIfAbsent and BUILT
+    * OUTSIDE the map — builds are long Spark jobs, and running them
+    * inside computeIfAbsent would hold the bin lock (blocking
+    * unrelated same-bin keys) and forbid a build that composes another
+    * cached artifact (CHM throws on recursive update). A failed build
+    * removes its future so a later caller can retry; concurrent
+    * callers of a failing build all see the failure. */
+  def cached(prefix: String, key: String)(build: String => Unit): String = {
+    val k = s"$prefix\n$key"
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = built.putIfAbsent(k, fresh)
+    if (prior != null) prior.join()
+    else
+      try {
+        val path = s"${root(prefix)}/${seq.incrementAndGet()}"
+        build(path)
+        fresh.complete(path)
+        path
+      } catch {
+        case e: Throwable =>
+          fresh.completeExceptionally(e)
+          built.remove(k, fresh)
+          throw e
+      }
+  }
 }

@@ -446,13 +446,20 @@ object Dedup {
     * exchange — IncrementalBucketedSpec pins the plan). */
   def hashCorpusTable(s: SparkSession, dir: String): String = {
     def name(id: String) = s"graft_bkt_hash_corpus_$id"
-    val path = graft.engine.Scratch.cached("hash_corpus", dir) { p =>
+    def build(p: String): Unit =
       graft.engine.Bucketing.writeBucketed(
         docs(s, dir).filter(col("doc_id") % 10 =!= 7)
           .select(col("doc_id"), md5(col("text")).as("h")),
         "h", 8, name(p.split('/').last), s"$p/data")
+    val path = graft.engine.Scratch.cached("hash_corpus", dir)(build)
+    val tbl = name(path.split('/').last)
+    // the Scratch memo outlives any single SparkSession but the
+    // catalog entry doesn't — re-register if a fresh session's catalog
+    // doesn't know the memoized name (see Bucketing.tpchTables)
+    this.synchronized {
+      if (!s.catalog.tableExists(tbl)) build(path)
     }
-    name(path.split('/').last)
+    tbl
   }
 
   /** Oracle for the incremental exact-dedup relation (shared by the

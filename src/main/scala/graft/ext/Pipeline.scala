@@ -31,12 +31,11 @@ object Pipeline {
     Q("q_sample_hash",
       (s, dir) =>
         t(s, dir, "documents")
-          .filter(expr(
-            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10 = 0"))
+          .filter(expr(graft.functions.HashSample.spark("doc_id", 10)))
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .orderBy("doc_id"),
-      Some("""SELECT doc_id, lang, n_chars FROM documents
-             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+      Some(s"""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE ${graft.functions.HashSample.duck("doc_id", 10)}
              |ORDER BY doc_id""".stripMargin)),
 
     // ── data profiling: per-column completeness / cardinality / range ──

@@ -166,9 +166,7 @@ object Similarity {
     * (the assignment). Seeds: the `ivfK` lowest-id sampled vectors
     * (distributed TakeOrdered — no global sort). */
   def kmeansFitSampled(v: DataFrame, sampleMod: Int): (DataFrame, DataFrame) = {
-    val vs = v.filter(expr(
-      s"CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) " +
-        s"% $sampleMod = 0"))
+    val vs = v.filter(expr(graft.functions.HashSample.spark("vec_id", sampleMod)))
     val seeds = vs.orderBy("vec_id").limit(ivfK)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     val cent = lloydCodebook(vs, seeds)
@@ -539,8 +537,7 @@ object Similarity {
       Some(
         s"""WITH RECURSIVE v AS ($duckEmb),
            |vs AS (SELECT vec_id, e FROM v
-           |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-           |    % $ivfSampleMod = 0),
+           |  WHERE ${graft.functions.HashSample.duck("vec_id", ivfSampleMod)}),
            |${duckKmeansFor("vs",
                s"SELECT vec_id, e FROM vs ORDER BY vec_id LIMIT $ivfK")},
            |$duckIvfProbeTail""".stripMargin)),

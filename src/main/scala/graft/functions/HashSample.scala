@@ -1,0 +1,15 @@
+package graft.functions
+
+/** THE deterministic hash-sample predicate, Spark + DuckDB twins: keep
+  * a row iff the first 8 md5 hex digits of its key, read as an
+  * integer, are ≡ 0 mod `mod` — a reproducible 1/mod sample (same rows
+  * every run, every engine, every cluster size; stable under corpus
+  * growth). One definition so the sampling contract can never drift
+  * between q_sample_hash, the sampled IVF fit, and their specs. */
+object HashSample {
+  def spark(key: String, mod: Int): String =
+    s"CAST(conv(substr(md5(CAST($key AS STRING)), 1, 8), 16, 10) AS BIGINT) " +
+      s"% $mod = 0"
+  def duck(key: String, mod: Int): String =
+    s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT % $mod = 0"
+}

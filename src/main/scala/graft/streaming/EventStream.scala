@@ -24,9 +24,18 @@ object EventStream {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Streaming source over a directory of event parquet files
-    * (files appearing in the dir == arriving micro-batches). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
+    * (files appearing in the dir == arriving micro-batches).
+    * `maxFilesPerTrigger` > 0 bounds each micro-batch to that many
+    * files — without it a backlog (or Trigger.AvailableNow over
+    * pre-existing files) drains in ONE batch, which hides multi-batch
+    * state handoff and, at scale, balloons the first batch. */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(eventSchema)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).parquet(dir)
+  }
 
   /** Tumbling 1-day count/sum per event_type with a 1-hour watermark —
     * the streaming twin of `q_event_window` (decimal accumulation for

@@ -53,8 +53,7 @@ class IvfSampledSpec extends SparkSuite {
       .localCheckpoint(true)
     val nAll = v.count()
     val nSample = v.filter(expr(
-      "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) " +
-        s"% ${Similarity.ivfSampleMod} = 0")).count()
+      graft.functions.HashSample.spark("vec_id", Similarity.ivfSampleMod))).count()
     // the deterministic hash-sample is the fit set: ~1/mod of the
     // corpus (binomial tolerance), which IS the fit-cost decoupling —
     // every Lloyd pass scans nSample rows, not nAll

@@ -35,9 +35,18 @@ object StreamBench {
     val ev = graft.engine.Tables(spark, dir, "events")
     val n = ev.count()
     val src = Files.createTempDirectory("graft-streambench").toString
-    (0 until nBatches).foreach { b =>
-      ev.filter(pmod(col("event_id"), lit(nBatches)) === b)
-        .write.mode("append").parquet(src)
+    // ONE file per drop + maxFilesPerTrigger=1 below: without the
+    // per-trigger bound, AvailableNow drains every pre-existing file
+    // in a single micro-batch and the claimed multi-batch shape (state
+    // handoff between triggers) never actually runs. Drops are split
+    // in EVENT-TIME order (ntile over ts) — the realistic arrival
+    // shape; an id-mod split would put most of batches 2+ below the
+    // watermark advanced by batch 1 and silently drop them as late.
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val staged = ev.withColumn("b", ntile(nBatches).over(w))
+    (1 to nBatches).foreach { b =>
+      staged.filter(col("b") === b).drop("b")
+        .coalesce(1).write.mode("append").parquet(src)
     }
 
     def run(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
@@ -48,14 +57,18 @@ object StreamBench {
         .format("memory").queryName(s"sb_$label")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(600000)
+      // a timed-out (still running) query would publish a bogus rate
+      // and steal cores from the next one — fail loudly instead
+      require(q.awaitTermination(600000),
+        s"$label did not finish within 10 minutes")
       val secs = (System.nanoTime() - t0) / 1e9
+      val batches = q.recentProgress.count(_.numInputRows > 0)
       val out = spark.table(s"sb_$label").count()
       println(f"STREAMBENCH $label%-14s in_rows=$n out_rows=$out " +
-        f"secs=$secs%.2f rows_per_sec=${n / secs}%.0f")
+        f"batches=$batches secs=$secs%.2f rows_per_sec=${n / secs}%.0f")
     }
 
-    val events = EventStream.readEvents(spark, src)
+    val events = EventStream.readEvents(spark, src, maxFilesPerTrigger = 1)
     run("sliding")(EventStream.slidingCounts(events))
     run("dedup")(EventStream.dedupEvents(events, Seq("event_id")))
     run("hll_distinct")(EventStream.uniqueUsersPerWindow(events))
