@@ -678,6 +678,43 @@ object Dedup {
           docs(s, dir).filter(col("doc_id") % 10 === 7), idx, 0.8)
           .orderBy("doc_id", "dup_of")
       },
-      Some(duckIncrementalNear))
+      Some(duckIncrementalNear)),
+
+    // ── benchmark-contamination check: the pre-training audit every ──
+    // LLM pipeline owes its eval suite. A held-out benchmark set
+    // (doc_id % 97 = 0 as the deterministic stand-in) is matched
+    // against the corpus by SHARED SHINGLE COUNT via an inverted
+    // index: explode each side's shingle-hash set, equi-join on the
+    // hash, count matches per (doc, bench) pair, threshold (>= 2 shared
+    // 3-gram shingles here - tuned to the synthetic corpus; a real
+    // deployment raises the n-gram order and the bar together). The
+    // corpus side stays linear (one exploded row per shingle) and the
+    // join key is the shingle hash — never an all-pairs doc×bench
+    // comparison, so a 100 TB corpus × 10k-doc benchmark runs as one
+    // broadcast-friendly equi-join. hs is distinct per doc, so the
+    // count IS the exact intersection size.
+    Q("q_contamination",
+      (s, dir) => {
+        val sh = hashedShingles(s, dir).select(col("doc_id"), col("hs"))
+          .localCheckpoint(true)
+        val ex = sh.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+        val bx = sh.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("bench_id"), explode(col("hs")).as("h"))
+        ex.join(broadcast(bx), "h")
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(
+        s"""WITH $duckHashedShingles,
+           |ex AS (SELECT doc_id, unnest(hs) AS sh FROM h WHERE doc_id % 97 <> 0),
+           |bx AS (SELECT doc_id AS bench_id, unnest(hs) AS sh FROM h
+           |       WHERE doc_id % 97 = 0),
+           |m AS (SELECT doc_id, bench_id, count(*) AS n_shared
+           |      FROM ex JOIN bx USING (sh) GROUP BY doc_id, bench_id)
+           |SELECT doc_id, bench_id, n_shared FROM m WHERE n_shared >= 2
+           |ORDER BY doc_id, bench_id""".stripMargin))
   )
 }

@@ -250,6 +250,35 @@ object Pipeline {
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              |min(o_totalprice) AS total_price
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-             |GROUP BY l_orderkey ORDER BY orderkey""".stripMargin))
+             |GROUP BY l_orderkey ORDER BY orderkey""".stripMargin)),
+
+    // ── sorted compaction as a declared operator: compact + cluster, ──
+    // then range-scan the skip-friendly layout. The corpus is rewritten
+    // once per (JVM, dir) through Layout.compact(sortBy = n_chars) —
+    // range-partitioned files, sorted within, so every file/row-group
+    // covers a narrow n_chars band and the range filter below prunes
+    // at the parquet-footer level (CompactionSpec measures the
+    // scan-row reduction; this query pins the end-to-end result). The
+    // round-robin compact variant would serve the same rows but scan
+    // everything.
+    Q("q_compact_sorted",
+      (s, dir) => {
+        val compacted = graft.engine.Scratch.cached("compact_sorted", dir) { p =>
+          graft.engine.Layout.compact(s, s"$dir/documents.parquet", p,
+            targetBytes = 4L * 1024 * 1024, sortBy = Seq("n_chars"))
+        }
+        s.read.parquet(compacted)
+          .filter(col("n_chars") >= 500 && col("n_chars") < 900)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents WHERE n_chars >= 500 AND n_chars < 900
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
