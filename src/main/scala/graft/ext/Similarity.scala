@@ -111,9 +111,32 @@ object Similarity {
   private def duckDistKey(e: String, ce: String): String =
     s"${duckDot(ce, ce)} - 2 * ${duckDot(e, ce)}"
 
+  /** Cross every row of `df` with every codebook entry — as a literal
+    * explode, NOT a join: the codebook is K = [[ivfK]] rows by
+    * construction, so it's fetched to the driver (bounded, the
+    * q_approx_percentile idiom) and inlined as a literal array that a
+    * Generate expands inside codegen. A condition-less
+    * `join(broadcast(cent))` plans as BroadcastNestedLoopJoin — same
+    * work here, but a plan node that at ANY other cardinality is a
+    * scale bug; this shape keeps the K-bounded cross impossible to
+    * confuse with one. Result order independence: consumers rank by
+    * (dk, cid), never by entry order. */
+  private def explodeCentroids(df: DataFrame, cent: DataFrame): DataFrame = {
+    val rows = cent.select(col("cid").cast("long"), col("ce")).collect()
+    require(rows.nonEmpty && rows.length <= 4 * ivfK,
+      s"codebook unexpectedly sized ${rows.length} — not a bounded fetch")
+    val entries = rows.map { r =>
+      struct(lit(r.getLong(0)).as("cid"),
+        array(r.getSeq[Double](1).map(lit(_)): _*).as("ce"))
+    }
+    df.select(col("*"), explode(array(entries.toSeq: _*)).as("c"))
+      .withColumn("cid", col("c.cid")).withColumn("ce", col("c.ce"))
+      .drop("c")
+  }
+
   /** Assign each vector to its nearest centroid (cid tie-break). */
   private def assignCells(v: DataFrame, cent: DataFrame): DataFrame =
-    v.join(broadcast(cent))
+    explodeCentroids(v, cent)
       .withColumn("dk", distKey(col("e"), col("ce")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dk"), col("cid"))))
@@ -252,8 +275,8 @@ object Similarity {
     * were just trained or read from a parquet artifact. */
   private def ivfProbe(v: DataFrame, cent: DataFrame,
       cells: DataFrame): DataFrame = {
-    val probes = v.filter(col("vec_id") >= 100 && col("vec_id") < 108)
-      .join(broadcast(cent))
+    val probes = explodeCentroids(
+        v.filter(col("vec_id") >= 100 && col("vec_id") < 108), cent)
       .withColumn("dk", distKey(col("e"), col("ce")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dk"), col("cid"))))
