@@ -31,7 +31,8 @@ object MediaDecoder {
       format: String,
       width: Int, height: Int,
       sample_rate: Int, channels: Int, n_frames: Long, duration_ms: Double,
-      feature: Array[Double])
+      feature: Array[Double],
+      codec: String = "") // stsd fourcc of the first track (mp4 only)
 
   def decode(payload: Array[Byte]): Media =
     // belt over the per-format guards: NO malformed payload may throw
@@ -155,7 +156,9 @@ object MediaDecoder {
     (be32(p, o) << 32) | be32(p, o + 4)
 
   /** Metadata extracted: mvhd timescale + duration (→ duration_ms),
-    * trak count, and the first nonzero tkhd width/height (16.16 fixed).
+    * trak count, the first nonzero tkhd width/height (16.16 fixed),
+    * and the first track's stsd sample-description fourcc (the codec
+    * id, via the real trak → mdia → minf → stbl → stsd descent).
     * Field mapping in [[Media]]: `sample_rate` carries the timescale
     * (ticks/second), `n_frames` the track count; `channels` stays -1.
     * Guards mirror the RIFF parser: u32/u64 sizes never truncated, a
@@ -165,6 +168,7 @@ object MediaDecoder {
     var timescale = -1L; var duration = -1L
     var tracks = 0L
     var w = -1; var h = -1
+    var codec = ""
 
     // walk the boxes in [start, end): f(type, bodyStart, boxEnd)
     def walk(start: Long, end: Long)(f: (String, Long, Long) => Unit): Unit = {
@@ -208,6 +212,21 @@ object MediaDecoder {
               val tw = (be32(p, (e3 - 8).toInt) >> 16).toInt
               val th = (be32(p, (e3 - 4).toInt) >> 16).toInt
               if (tw > 0 && th > 0) { w = tw; h = th }
+            } else if (id3 == "mdia" && codec.isEmpty) {
+              // trak → mdia → minf → stbl → stsd: FullBox(4) +
+              // entry_count(4), then the first sample entry is itself
+              // a box — size(4) at s+8, its FOURCC (the codec id) at
+              // s+12. Bounds-checked like every other read; the first
+              // track with a parseable entry wins.
+              walk(s3, e3) { (id4, s4, e4) =>
+                if (id4 == "minf") walk(s4, e4) { (id5, s5, e5) =>
+                  if (id5 == "stbl") walk(s5, e5) { (id6, s6, e6) =>
+                    if (id6 == "stsd" && s6 + 16 <= e6 &&
+                        be32(p, s6.toInt + 4) >= 1 && codec.isEmpty)
+                      codec = new String(p, s6.toInt + 12, 4, "US-ASCII")
+                  }
+                }
+              }
             }
           }
         }
@@ -216,7 +235,7 @@ object MediaDecoder {
     if (timescale <= 0 || duration < 0) return fallback(p, "unknown")
     val durationMs = duration * 1000.0 / timescale
     Media("mp4", w, h, timescale.toInt, -1, tracks, durationMs,
-      Array(tracks.toDouble, timescale.toDouble, durationMs))
+      Array(tracks.toDouble, timescale.toDouble, durationMs), codec)
   }
 
   // ── fallback: byte-histogram moments (former stub semantics) ──
@@ -256,7 +275,11 @@ object MediaDecoder {
   // ISO-BMFF payloads with analytically-known metadata ──
 
   def mp4Bytes(timescale: Int, duration: Long,
-      trackDims: Seq[(Int, Int)]): Array[Byte] = {
+      trackDims: Seq[(Int, Int)], codecs: Seq[String] = Nil): Array[Byte] = {
+    require(codecs.isEmpty || codecs.length == trackDims.length,
+      "codecs must be absent or one per track")
+    require(codecs.forall(c => c.length == 4 && c.forall(_ < 128)),
+      "codec fourcc must be 4 ASCII chars")
     // mvhd/tkhd v0 carry duration as u32: the decode side reads it back
     // unsigned (be32 → Long), so any value in [0, 2^32) round-trips via
     // putInt's bit pattern — but a wider value would silently truncate
@@ -282,7 +305,7 @@ object MediaDecoder {
       b.array()
     })
     val traks = trackDims.zipWithIndex.map { case ((tw, th), i) =>
-      box("trak", box("tkhd", {
+      val tkhd = box("tkhd", {
         val b = java.nio.ByteBuffer.allocate(84) // v0 body
         b.putInt(0x000007) // version 0 + flags (enabled|in-movie|in-preview)
         b.putInt(0).putInt(0) // creation, modification
@@ -292,7 +315,20 @@ object MediaDecoder {
         unityMatrix.foreach(b.putInt)
         b.putInt(tw << 16).putInt(th << 16) // 16.16 fixed width/height
         b.array()
-      }))
+      })
+      // mdia → minf → stbl → stsd with one sample entry: FullBox(4) +
+      // entry_count(4), then the entry box (8-byte SampleEntry base:
+      // 6 reserved + 2 data_reference_index) whose type IS the codec
+      val mdia = codecs.lift(i).map { c =>
+        val entry = box(c, Array[Byte](0, 0, 0, 0, 0, 0, 0, 1))
+        val stsd = box("stsd", {
+          val b = java.nio.ByteBuffer.allocate(8 + entry.length)
+          b.putInt(0).putInt(1).put(entry) // ver/flags, entry_count, entry
+          b.array()
+        })
+        box("mdia", box("minf", box("stbl", stsd)))
+      }
+      box("trak", tkhd ++ mdia.getOrElse(Array.emptyByteArray))
     }
     val ftyp = box("ftyp",
       "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++

@@ -128,13 +128,15 @@ object Multimodal {
               val dur = text.getBytes("UTF-8").length.toLong * 30
               val nTracks = 1 + (id % 3).toInt
               val dims = (0 until nTracks).map(i => (320 + 16 * i, 240 + 16 * i))
-              val m = decoder.decode(decoder.mp4Bytes(ts, dur, dims))
+              val codecs = (0 until nTracks).map(i =>
+                Seq("avc1", "hev1", "mp4a")(((id + i) % 3).toInt))
+              val m = decoder.decode(decoder.mp4Bytes(ts, dur, dims, codecs))
               (id, m.format, m.width, m.height, m.sample_rate, m.n_frames,
-                m.duration_ms)
+                m.duration_ms, m.codec)
             }
           }
           .toDF("asset_id", "format", "width", "height", "timescale",
-            "n_tracks", "duration_ms")
+            "n_tracks", "duration_ms", "codec")
           .orderBy("asset_id")
       },
       Some("""SELECT doc_id AS asset_id, 'mp4' AS format,
@@ -142,7 +144,8 @@ object Multimodal {
              |CAST(600 + (doc_id % 5) * 120 AS INT) AS timescale,
              |CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
              |(octet_length(encode(text)) * 30 * 1000.0::DOUBLE)
-             |  / (600 + (doc_id % 5) * 120) AS duration_ms
+             |  / (600 + (doc_id % 5) * 120) AS duration_ms,
+             |(['avc1', 'hev1', 'mp4a'])[CAST(doc_id % 3 AS INT) + 1] AS codec
              |FROM documents ORDER BY asset_id""".stripMargin)),
 
     Q("q_multimodal_meta",

@@ -15,7 +15,9 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq
+    val names =
+      if (args.toSeq == Seq("ALL")) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
       else Seq("q_scan_project", "q_filter_range", "q_join_broadcast",
         "q_join_equi", "q_groupby_sum", "q_topk", "q_dedup_ngram")
     names.foreach { n =>

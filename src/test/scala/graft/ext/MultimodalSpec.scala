@@ -82,6 +82,12 @@ class MultimodalSpec extends SparkSuite {
     assert(m.width == 320 && m.height == 240, s"dims ${m.width}x${m.height}")
     assert(math.abs(m.duration_ms - 1234 * 1000.0 / 600) < 1e-9)
     assert(m.channels == -1)
+    assert(m.codec == "", "no stsd written → no codec claimed")
+    // stsd descent: first track's sample-entry fourcc is the codec
+    val c = MediaDecoder.decode(MediaDecoder.mp4Bytes(600, 1234,
+      Seq((320, 240), (640, 480)), Seq("hev1", "mp4a")))
+    assert(c.codec == "hev1", s"codec ${c.codec}")
+    assert(c.width == 320 && c.n_frames == 2L) // stsd didn't disturb tkhd
     // zero tracks: metadata still parses, no dims
     val none = MediaDecoder.decode(MediaDecoder.mp4Bytes(1000, 500, Seq.empty))
     assert(none.format == "mp4" && none.n_frames == 0L && none.width == -1)
