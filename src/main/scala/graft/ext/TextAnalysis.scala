@@ -170,6 +170,60 @@ object TextAnalysis {
     // ── rolling-hash document fingerprint (md5-seeded polynomial) ──
     // Token hashes materialize once (transform), the fold is then pure
     // integer arithmetic.
+    // ── within-document repetition: the Gopher/C4 duplicate-n-gram ──
+    // quality rule. rep_frac = 1 − distinct 5-grams / total 5-grams:
+    // boilerplate, chorus-like spam, and decoding loops score high and
+    // get filtered before training. Pure per-row expression (no
+    // shuffle): ONE md5 per word (shared TokenHash idiom), 5-grams as
+    // exact integer polynomials (hw < 2^32, coefficient sum 31⁴+…+1 <
+    // 2^20 → products < 2^52, i64-exact in both engines), one double
+    // division at the end.
+    Q("q_text_repetition",
+      (s, dir) => {
+        val ngSpark =
+          "transform(sequence(1, size(hw) - 4), i -> " +
+            "element_at(hw, i) * 923521 + element_at(hw, i + 1) * 29791 + " +
+            "element_at(hw, i + 2) * 961 + element_at(hw, i + 3) * 31 + " +
+            "element_at(hw, i + 4))"
+        docs(s, dir)
+          .withColumn("hw",
+            expr(graft.functions.TokenHash.spark("split(text, ' ')")))
+          .withColumn("n_grams",
+            when(expr("size(hw)") >= 5, expr(s"size($ngSpark)")).otherwise(0)
+              .cast("long"))
+          .withColumn("n_distinct",
+            when(expr("size(hw)") >= 5,
+              expr(s"size(array_distinct($ngSpark))")).otherwise(0)
+              .cast("long"))
+          .withColumn("rep_frac",
+            when(col("n_grams") > 0,
+              lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+              .otherwise(0.0))
+          .select("doc_id", "n_grams", "n_distinct", "rep_frac")
+          .orderBy("doc_id")
+      },
+      Some {
+        val ngDuck =
+          "list_transform(range(1, len(hw) - 3), i -> " +
+            "hw[i] * 923521 + hw[i+1] * 29791 + hw[i+2] * 961 + " +
+            "hw[i+3] * 31 + hw[i+4])"
+        s"""WITH t AS (SELECT doc_id,
+           |  ${graft.functions.TokenHash.duck("string_split(text, ' ')")} AS hw
+           |  FROM documents),
+           |g AS (SELECT doc_id,
+           |  CASE WHEN len(hw) >= 5 THEN CAST(len($ngDuck) AS BIGINT)
+           |       ELSE 0 END AS n_grams,
+           |  CASE WHEN len(hw) >= 5
+           |       THEN CAST(len(list_distinct($ngDuck)) AS BIGINT)
+           |       ELSE 0 END AS n_distinct
+           |  FROM t)
+           |SELECT doc_id, n_grams, n_distinct,
+           |CASE WHEN n_grams > 0
+           |     THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams
+           |     ELSE 0.0 END AS rep_frac
+           |FROM g ORDER BY doc_id""".stripMargin
+      }),
+
     Q("q_text_fingerprint",
       (s, dir) =>
         docs(s, dir)
