@@ -383,6 +383,48 @@ object Similarity {
   def lshCandidatePairs(v: DataFrame, cap: Int = lshBucketCap): DataFrame =
     lshCandidatePairsParam(v, lshTables, lshPlanesPerTable, cap)
 
+  /** Build the PERSISTED multi-table LSH index at `path` — the ANN
+    * sibling of [[graft.ext.Dedup.buildBandIndex]]:
+    *   - `buckets/` (bucket, vec_id): skew-capped sign-bucket
+    *     membership across all L tables, laid out by bucket;
+    *   - `vectors/` (vec_id, e, nrm): the re-rank join-back side.
+    * Probes hash only their own query vectors and equi-join the
+    * artifact; the corpus is never re-bucketed per query batch. */
+  def buildLshIndex(v: DataFrame, path: String): Unit = {
+    Dedup.capBuckets(multiTableBuckets(v), Seq("bucket"), "vec_id", lshBucketCap)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    v.select("vec_id", "e", "nrm").repartition(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Multi-table LSH ANN probing a PREBUILT [[buildLshIndex]] artifact:
+    * query-side buckets computed fresh (queries are the daily-varying
+    * side), corpus-side membership + re-rank vectors read from the
+    * index. Identical relation to the in-query variant — the artifact
+    * is deterministic. */
+  def annTopKAgainst(queries: DataFrame, indexPath: String, k: Int): DataFrame = {
+    val s = queries.sparkSession
+    val bc = s.read.parquet(s"$indexPath/buckets")
+    val corpus = s.read.parquet(s"$indexPath/vectors")
+    val qb = multiTableBuckets(queries)
+      .withColumnRenamed("vec_id", "query_id")
+    val pairs = bc.join(qb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val scored = pairs
+      .join(corpus, "vec_id")
+      .join(queries.select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn")), "query_id")
+      .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Cosine-verified near-dup pairs (id1, id2, cos ≥ threshold) over
     * the sign-bucket candidates — ONE definition consumed by both
     * q_dedup_embed (pairs) and q_dedup_embed_resolve (clusters) so the
@@ -631,26 +673,50 @@ object Similarity {
           .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
           .orderBy("query_id", "rnk")
       },
-      Some {
-        s"""WITH v AS ($duckEmb),
-           |b AS (SELECT vec_id, unnest([$duckSigList]) AS bucket FROM v),
-           |bc AS (SELECT vec_id, bucket FROM (
-           |  SELECT vec_id, bucket,
-           |    row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
-           |  FROM b) WHERE rn <= $lshBucketCap),
-           |qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 64),
-           |pairs AS (SELECT DISTINCT qb.query_id, bc.vec_id
-           |  FROM bc JOIN qb USING (bucket) WHERE bc.vec_id <> qb.query_id),
-           |scored AS (SELECT p.query_id, p.vec_id AS neighbor_id,
-           |  ${duckDot("qv.e", "nv.e")} / (qv.nrm * nv.nrm) AS cos
-           |  FROM pairs p
-           |  JOIN v qv ON qv.vec_id = p.query_id
-           |  JOIN v nv ON nv.vec_id = p.vec_id),
-           |r AS (SELECT query_id, neighbor_id, cos,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
-           |    AS rnk FROM scored)
-           |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
-           |ORDER BY query_id, rnk""".stripMargin
-      })
+      Some(duckLshMultiTopK)),
+
+    // ── multi-table LSH ANN from the PERSISTED index: the deployed ──
+    // probe shape. Corpus bucket membership + re-rank vectors are
+    // Scratch artifacts ([[buildLshIndex]], built once per
+    // (JVM, corpus)); the query hashes only its own query vectors and
+    // equi-joins the index — completing the artifact trio (band index,
+    // IVF index, LSH index). Identical relation to q_ann_lsh_multi,
+    // shared oracle; LshIndexSpec pins index-only corpus-side scans.
+    Q("q_ann_lsh_idx",
+      (s, dir) => {
+        val idx = graft.engine.Scratch.cached("lsh_idx", dir) { path =>
+          buildLshIndex(
+            emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true),
+            path)
+        }
+        annTopKAgainst(
+          emb(s, dir).select("vec_id", "e", "nrm").filter(col("vec_id") < 64),
+          idx, 5)
+      },
+      Some(duckLshMultiTopK))
   )
+
+  /** DuckDB twin of the multi-table LSH top-k relation — shared by the
+    * in-query and prebuilt-index variants (the index is deterministic,
+    * so both compute the identical relation). */
+  private lazy val duckLshMultiTopK: String =
+    s"""WITH v AS ($duckEmb),
+       |b AS (SELECT vec_id, unnest([$duckSigList]) AS bucket FROM v),
+       |bc AS (SELECT vec_id, bucket FROM (
+       |  SELECT vec_id, bucket,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+       |  FROM b) WHERE rn <= $lshBucketCap),
+       |qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 64),
+       |pairs AS (SELECT DISTINCT qb.query_id, bc.vec_id
+       |  FROM bc JOIN qb USING (bucket) WHERE bc.vec_id <> qb.query_id),
+       |scored AS (SELECT p.query_id, p.vec_id AS neighbor_id,
+       |  ${duckDot("qv.e", "nv.e")} / (qv.nrm * nv.nrm) AS cos
+       |  FROM pairs p
+       |  JOIN v qv ON qv.vec_id = p.query_id
+       |  JOIN v nv ON nv.vec_id = p.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+       |    AS rnk FROM scored)
+       |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
 }
