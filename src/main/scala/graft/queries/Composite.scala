@@ -146,6 +146,241 @@ object Composite {
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              |  AND l_shipdate < TIMESTAMP '1997-01-01'
              |  AND l_discount BETWEEN 0.03 AND 0.07
-             |  AND l_quantity < 24""".stripMargin))
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // ── TPC-H Q4 shape: priority counting via EXISTS (left-semi) ──
+    // The testdata has no l_commitdate, so "late" is l_shipdate after
+    // the order date — same correlated-EXISTS plan shape: a LeftSemi
+    // hash join on the equi key with the non-equi lateness predicate as
+    // the join residual, never a per-order subquery execution.
+    Q("q_tpch_q4",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-04-01"))
+        o.join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── TPC-H Q10 shape: returned-item revenue ranking, top 20 ──
+    // Customer × orders × returned lineitems × broadcast nation; ties
+    // in revenue broken by the unique c_custkey so the LIMIT cut is
+    // deterministic in both engines.
+    Q("q_tpch_q10",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1997-04-01"))
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_returnflag") === "R")
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(revSpark.as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20),
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name, $revDuck AS revenue
+              |FROM customer
+              |JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              |  AND o_orderdate < TIMESTAMP '1997-04-01'
+              |  AND l_returnflag = 'R'
+              |GROUP BY c_custkey, c_name, c_acctbal, n_name
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // ── TPC-H Q12 shape: conditional priority counts per line status ──
+    // (No l_shipmode column — l_linestatus plays the grouping role.)
+    // The CASE sums ride the partial+final aggregate; sums of ints are
+    // BIGINT-cast in the oracle to match Spark's LongType.
+    Q("q_tpch_q12",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // ── TPC-H Q13 shape: customer order-count distribution ──
+    // LEFT join with the priority predicate in the ON clause (customers
+    // whose only orders are 5-LOW must survive with count 0), then an
+    // aggregate OF an aggregate — two shuffles, both on shrinking keys.
+    Q("q_tpch_q13",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey") &&
+              col("o_orderpriority") =!= "5-LOW", "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ── TPC-H Q14 shape: promo revenue ratio ──
+    // Two fixed-point sums over one scan (the CASE zeroes ride the same
+    // aggregate), one final double division — identical op order in
+    // both engines keeps the ratio bit-deterministic.
+    Q("q_tpch_q14",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-09-01") &&
+            col("l_shipdate") < lit("1997-10-01"))
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .agg(
+            (lit(100.0) *
+              psum(when(col("p_type") === "PROMO",
+                col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .otherwise(lit(0.0))) /
+              psum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("promo_revenue"),
+            count(lit(1)).as("n_rows")),
+      Some(s"""SELECT
+              |100.0 * (${psumDuck("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")})
+              |  / (${psumDuck("l_extendedprice * (1.0 - l_discount)")}) AS promo_revenue,
+              |count(*) AS n_rows
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin)),
+
+    // ── TPC-H Q17 shape: small-quantity orders vs per-part average ──
+    // The correlated scalar subquery becomes one per-part aggregate
+    // joined back on the key — a shuffle on p_partkey, never a
+    // per-row subquery. Threshold math (0.2 × decimal-exact average)
+    // is written in the same op order in both engines.
+    Q("q_tpch_q17",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+          .agg((lit(0.2) *
+            (sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") /
+              count(lit(1)))).as("qty_threshold"))
+        li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .filter(col("p_brand") === "Brand#12")
+          .join(thresholds, col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < col("qty_threshold"))
+          .agg((Core.dsum(col("l_extendedprice"), 4, "s") / lit(7.0))
+            .as("avg_yearly"), count(lit(1)).as("n_rows"))
+          .select(col("avg_yearly"), col("n_rows"))
+      },
+      Some("""SELECT
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+             |count(*) AS n_rows
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN (SELECT l_partkey AS t_partkey,
+             |        0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) AS qty_threshold
+             |      FROM lineitem GROUP BY l_partkey) t
+             |  ON l_partkey = t_partkey
+             |WHERE p_brand = 'Brand#12'
+             |  AND l_quantity < qty_threshold""".stripMargin)),
+
+    // ── TPC-H Q18 shape: large-volume customers (HAVING semi-join) ──
+    // The HAVING subquery is one keyed aggregate whose survivors join
+    // back to orders — at scale the survivor set is small, so AQE turns
+    // the join-back into a broadcast. o_totalprice ties break on the
+    // unique o_orderkey.
+    Q("q_tpch_q18",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(Core.dsum(col("l_quantity"), 4, "sum_qty"))
+          .filter(col("sum_qty") > 300.0)
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("o_odate"), col("o_totalprice"),
+            col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+             |  CAST(o_orderdate AS DATE) AS o_odate, o_totalprice, sum_qty
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN (SELECT l_orderkey,
+             |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300.0) b
+             |  ON o_orderkey = b.l_orderkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ── TPC-H Q22 shape: dormant rich customers (anti-join + scalar) ──
+    // (No c_phone column — c_nationkey plays the country-code role; and
+    // since the generator gives every customer at least one order,
+    // "dormant" means no URGENT order — the anti-join side carries a
+    // pushed filter instead of being the full table.)
+    // The global average is a bounded one-row driver fetch (the scalar
+    // subquery Spark itself would plan as a 1-row broadcast cross —
+    // fetching it avoids a BroadcastNestedLoopJoin in the audit); the
+    // NOT EXISTS is a LeftAnti hash join on the customer key.
+    Q("q_tpch_q22",
+      (s, dir) => {
+        val cand = t(s, dir, "customer")
+          .filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
+        val avgBal = cand.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("c_acctbal").cast(DecimalType(18, 4))).cast("double") /
+            count(lit(1))).as("a"))
+          .head().getDouble(0) // bounded: exactly one row, one double
+        cand.filter(col("c_acctbal") > avgBal)
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            Core.dsum(col("c_acctbal"), 4, "totacctbal"))
+          .orderBy("cntrycode")
+      },
+      Some("""SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+             |FROM customer
+             |WHERE c_nationkey IN (1,3,5,7,9)
+             |  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+             |                   FROM customer
+             |                   WHERE c_nationkey IN (1,3,5,7,9) AND c_acctbal > 0.0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_nationkey
+             |ORDER BY cntrycode""".stripMargin))
   )
 }
