@@ -715,6 +715,55 @@ object Dedup {
            |m AS (SELECT doc_id, bench_id, count(*) AS n_shared
            |      FROM ex JOIN bx USING (sh) GROUP BY doc_id, bench_id)
            |SELECT doc_id, bench_id, n_shared FROM m WHERE n_shared >= 2
-           |ORDER BY doc_id, bench_id""".stripMargin))
+           |ORDER BY doc_id, bench_id""".stripMargin)),
+
+    // ── cross-document duplicate-span scoring: per doc, the fraction ──
+    // of its distinct 5-grams that occur in at least one OTHER
+    // document — the 5-gram-granular form of exact-substring dedup
+    // (Lee et al. 2021's suffix-array pass): docs built from shared
+    // boilerplate or near-copies score high even when no single pair
+    // crosses a near-dup threshold. Shape is the contamination inverted
+    // index generalized to all-docs: explode each doc's DISTINCT gram
+    // set (one row per doc-gram — linear in corpus tokens), one keyed
+    // aggregate for document frequency, one equi-join back — never a
+    // doc×doc comparison, so the 100 TB cost is two shuffles on the
+    // gram hash. df >= 2 means "this doc plus at least one other"
+    // because the per-doc sets are distinct.
+    Q("q_dedup_substring",
+      (s, dir) => {
+        val grams = docs(s, dir)
+          .withColumn("hw",
+            expr(graft.functions.TokenHash.spark("split(text, ' ')")))
+          .filter(expr("size(hw)") >= 5)
+          .select(col("doc_id"), explode(expr(
+            s"array_distinct(${graft.functions.NgramHash.spark("hw")})"))
+            .as("gh"))
+          .localCheckpoint(true) // shared by the df agg AND the join-back
+        val dfreq = grams.groupBy("gh")
+          .agg(count(lit(1)).as("df"))
+        grams.join(dfreq, "gh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .withColumn("dup_frac",
+            col("n_shared").cast("double") / col("n_grams"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val hw = graft.functions.TokenHash.duck("string_split(text, ' ')")
+        val ng = graft.functions.NgramHash.duck("hw")
+        s"""WITH t AS (SELECT doc_id, $hw AS hw FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct($ng)) AS gh
+           |      FROM t WHERE len(hw) >= 5),
+           |dfreq AS (SELECT gh, count(*) AS df FROM g GROUP BY gh),
+           |m AS (SELECT doc_id,
+           |        CAST(count(*) AS BIGINT) AS n_grams,
+           |        CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |          AS n_shared
+           |      FROM g JOIN dfreq USING (gh) GROUP BY doc_id)
+           |SELECT doc_id, n_grams, n_shared,
+           |  CAST(n_shared AS DOUBLE) / n_grams AS dup_frac
+           |FROM m ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -279,6 +279,71 @@ object Pipeline {
              |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM documents WHERE n_chars >= 500 AND n_chars < 900
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ── per-group quota sampling: cap each language at N docs, chosen ──
+    // uniformly and reproducibly by md5-hash order (the stratified
+    // downsampling step of a data-mixing recipe — rand() would pick
+    // different rows per run/engine/cluster). The rank-limit window is
+    // the scale shape: Spark's WindowGroupLimit pushes the per-group
+    // top-N below the shuffle, so each partition forwards at most N
+    // rows per lang instead of sorting whole language partitions
+    // (asserted in PlanAudit). doc_id breaks (impossible-in-practice)
+    // md5 ties so the cut is deterministic.
+    Q("q_sample_quota",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, rk, doc_id, n_chars FROM (
+             |  SELECT lang, doc_id, n_chars,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+             |  FROM documents)
+             |WHERE rk <= 20
+             |ORDER BY lang, rk""".stripMargin)),
+
+    // ── temperature-scaled source mixing weights: the DoReMi/data- ──
+    // mixture step that decides how much of each source a training run
+    // draws. Token counts per source (one partial+final aggregate),
+    // then w = sqrt(tokens) — temperature α = 0.5, flattening the
+    // source distribution — normalized into sampling shares. sqrt is
+    // IEEE-exact in both engines; the weights are fixed-pointed
+    // (floor(√n·10⁶), exact integer sum) so the normalizing total is
+    // bit-identical regardless of accumulation order, and the window
+    // that carries it is bounded by the number of SOURCES (20 here,
+    // thousands at most in production — never row-scaled).
+    Q("q_mix_weights",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .withColumn("ws_tokens", expr("size(split(text, ' '))").cast("long"))
+          .groupBy(col("source"))
+          .agg(sum(col("ws_tokens")).as("n_tokens"))
+          .withColumn("w",
+            floor(sqrt(col("n_tokens").cast("double")) * lit(1e6))
+              .cast(DecimalType(28, 0)))
+        toks
+          .withColumn("w_total", sum(col("w")).over(Window.partitionBy()))
+          .withColumn("share",
+            col("w").cast("double") / col("w_total").cast("double"))
+          .select(col("source"), col("n_tokens"), col("share"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |w AS (SELECT source, n_tokens,
+             |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS DECIMAL(28,0)) AS w
+             |  FROM toks)
+             |SELECT source, n_tokens,
+             |  CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS share
+             |FROM w
+             |ORDER BY source""".stripMargin))
   )
 }

@@ -558,6 +558,66 @@ object Similarity {
            |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 10
            |ORDER BY query_id, rnk""".stripMargin)),
 
+    // ── int8-quantized cosine ANN: per-vector symmetric scalar ──
+    // quantization (q = round(x·127/max|x|), the faiss SQ8 scheme) cut
+    // to exact integer arithmetic — at 100 TB this is the 4× memory /
+    // bandwidth lever that lets a corpus-scan rank run from RAM: the
+    // scan side carries i8-range ints instead of f32, the dot product
+    // is an exact i64 fold (no float-order nondeterminism at ANY
+    // parallelism), and only the final normalize touches doubles.
+    // Same broadcast-queries/one-corpus-scan shape as the brute-force
+    // baseline; QuantizedAnnSpec pins recall@10 against it.
+    Q("q_ann_quantized",
+      (s, dir) => {
+        val v = emb(s, dir).select("vec_id", "e")
+          .withColumn("mx", expr("array_max(transform(e, x -> abs(x)))"))
+          .withColumn("qi", expr(
+            "transform(e, x -> CAST(floor(x / mx * 127.0 + 0.5) AS BIGINT))"))
+          .withColumn("qn", expr(
+            "sqrt(CAST(aggregate(transform(qi, x -> x * x), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE))"))
+          .select("vec_id", "qi", "qn")
+        val q = v.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("qi").as("qa"),
+            col("qn").as("qan"))
+        val joined = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("qdot", expr(
+            "aggregate(zip_with(qa, qi, (x, y) -> x * y), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("qcos",
+            col("qdot").cast("double") / (col("qan") * col("qn")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("qcos").desc, col("vec_id"))
+        joined.withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("rnk"), col("qcos"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        s"""WITH v0 AS ($duckEmb),
+           |m AS (SELECT vec_id, e,
+           |  list_max(list_transform(e, x -> abs(x))) AS mx FROM v0),
+           |vq AS (SELECT vec_id,
+           |  list_transform(e, x -> CAST(floor(x / mx * 127.0 + 0.5) AS BIGINT))
+           |    AS qi FROM m),
+           |n AS (SELECT vec_id, qi,
+           |  sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(qi, x -> x * x)), (acc, x) -> acc + x) AS DOUBLE))
+           |    AS qn FROM vq),
+           |q AS (SELECT vec_id AS query_id, qi AS qa, qn AS qan FROM n
+           |      WHERE vec_id < 8),
+           |p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+           |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(1, len(qa) + 1), i -> qa[i] * qi[i])),
+           |    (acc, x) -> acc + x) AS DOUBLE) / (qan * qn) AS qcos
+           |  FROM n JOIN q ON n.vec_id <> q.query_id),
+           |r AS (SELECT query_id, neighbor_id, qcos,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY qcos DESC, neighbor_id) AS BIGINT) AS rnk FROM p)
+           |SELECT query_id, neighbor_id, rnk, qcos FROM r WHERE rnk <= 10
+           |ORDER BY query_id, rnk""".stripMargin)),
+
     // ── IVF ANN: TRAINED k-means codebook, coarse-quantize to cells, ──
     // probe nprobe nearest cells, exact re-rank. The codebook is a
     // deterministic seeded Lloyd fit (see kmeansFit) reproduced

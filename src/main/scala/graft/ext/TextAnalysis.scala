@@ -180,11 +180,7 @@ object TextAnalysis {
     // division at the end.
     Q("q_text_repetition",
       (s, dir) => {
-        val ngSpark =
-          "transform(sequence(1, size(hw) - 4), i -> " +
-            "element_at(hw, i) * 923521 + element_at(hw, i + 1) * 29791 + " +
-            "element_at(hw, i + 2) * 961 + element_at(hw, i + 3) * 31 + " +
-            "element_at(hw, i + 4))"
+        val ngSpark = graft.functions.NgramHash.spark("hw")
         docs(s, dir)
           .withColumn("hw",
             expr(graft.functions.TokenHash.spark("split(text, ' ')")))
@@ -203,10 +199,7 @@ object TextAnalysis {
           .orderBy("doc_id")
       },
       Some {
-        val ngDuck =
-          "list_transform(range(1, len(hw) - 3), i -> " +
-            "hw[i] * 923521 + hw[i+1] * 29791 + hw[i+2] * 961 + " +
-            "hw[i+3] * 31 + hw[i+4])"
+        val ngDuck = graft.functions.NgramHash.duck("hw")
         s"""WITH t AS (SELECT doc_id,
            |  ${graft.functions.TokenHash.duck("string_split(text, ' ')")} AS hw
            |  FROM documents),
