@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.engine.Tables
 
@@ -381,6 +381,99 @@ object Composite {
              |                  WHERE o_custkey = c_custkey
              |                    AND o_orderpriority = '1-URGENT')
              |GROUP BY c_nationkey
-             |ORDER BY cntrycode""".stripMargin))
+             |ORDER BY cntrycode""".stripMargin)),
+
+    // ── TPC-H Q7 shape: trade volume between two nation pairs ──
+    // lineitem ⋈ supplier and orders ⋈ customer resolve the two nation
+    // sides, both through the same broadcast nation dim under different
+    // aliases; the pair filter is an OR the planner keeps above the
+    // joins. Grouped by the (supp, cust, year) triple.
+    Q("q_tpch_q7",
+      (s, dir) => {
+        val n1 = broadcast(t(s, dir, "nation"))
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = broadcast(t(s, dir, "nation"))
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(n1, col("s_nationkey") === col("n1_key"))
+          .join(n2, col("c_nationkey") === col("n2_key"))
+          .filter((col("supp_nation") === "NATION_6" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_6"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast(LongType).as("l_year"))
+          .agg(revSpark.as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  year(l_shipdate) AS l_year, $revDuck AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_7')
+              |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_6')
+              |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // ── TPC-H Q15 shape: top supplier(s) by windowed revenue ──
+    // The CREATE VIEW + max() correlated pattern becomes: one keyed
+    // revenue aggregate, its global max as a ONE-ROW broadcast
+    // equi-joined back on the revenue value (a BroadcastHashJoin on the
+    // fixed-point-exact double — never a nested-loop), ties kept like
+    // the spec's multi-supplier case.
+    Q("q_tpch_q15",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1997-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(revSpark.as("total_rev"))
+        val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+        rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rev AS (
+              |  SELECT l_suppkey, $revDuck AS total_rev
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              |    AND l_shipdate < TIMESTAMP '1997-04-01'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, total_rev
+              |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+              |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+              |ORDER BY s_suppkey""".stripMargin)),
+
+    // ── TPC-H Q19 shape: disjunctive bracketed predicates ──
+    // Three (brand, size-range, quantity-range) brackets OR'd together
+    // over the part join — the planner must push the common p/l
+    // bounds into both scans and evaluate the residual OR once per
+    // joined row, not expand the join three times.
+    Q("q_tpch_q19",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30)))
+          .agg(revSpark.as("revenue"), count(lit(1)).as("n_rows")),
+      Some(s"""SELECT $revDuck AS revenue, count(*) AS n_rows
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              |       AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+              |       AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+              |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
   )
 }
