@@ -1,7 +1,8 @@
 package graft.engine
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{col, floor, lit, max, min, shiftleft}
 
 /** Storage-layout maintenance: the small-files antidote.
   *
@@ -68,6 +69,53 @@ object Layout {
       else df.repartitionByRange(nOut, sortBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
     laid.write.mode("overwrite").parquet(outDir)
+    val (nAfter, _) = parquetStats(spark, outDir)
+    CompactStats(nIn, nAfter, bytes)
+  }
+
+  /** Spread the low 16 bits of a non-negative long one position apart
+    * (…abcd → …0a0b0c0d) — the classic morton magic-number ladder,
+    * exact integer column ops end to end. */
+  private def spread16(x: Column): Column = {
+    val a = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order compaction: like [[compact]] with `sortBy`, but clustered
+    * on the morton interleave of TWO dimensions, so every output file
+    * covers a narrow box in (d1, d2) space and parquet min/max stats
+    * prune the scan for filters on EITHER dimension (or a box over
+    * both) — the OPTIMIZE … ZORDER analog. A single-key sort only
+    * skips on its prefix; the time-series table that is also filtered
+    * by user, or the (n_chars, doc_id) box scan, needs this layout.
+    *
+    * Each dimension is linearly bucketed into 16 bits between its own
+    * min and max — one bounded stat fetch (4 doubles; a 100 TB
+    * deployment reads these from table statistics instead). The morton
+    * key is computed per row, range-partitioned, sorted within, and
+    * DROPPED before the write — the skipping comes from each file's
+    * narrower min/max on the REAL columns, not from storing the key. */
+  def compactZ(spark: SparkSession, inDir: String, outDir: String,
+      zCols: (String, String),
+      targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    val (nIn, bytes) = parquetStats(spark, inDir)
+    require(nIn > 0, s"no parquet files under $inDir — nothing to compact")
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val (c1, c2) = (col(zCols._1).cast("double"), col(zCols._2).cast("double"))
+    val r = df.agg(min(c1), max(c1), min(c2), max(c2)).head()
+    def bucket(c: Column, mn: Double, mx: Double): Column =
+      if (mx > mn) floor((c - lit(mn)) * lit(65535.0) / lit(mx - mn)).cast("long")
+      else lit(0L)
+    val z = spread16(bucket(c1, r.getDouble(0), r.getDouble(1)))
+      .bitwiseOR(shiftleft(spread16(bucket(c2, r.getDouble(2), r.getDouble(3))), 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(nOut, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
     val (nAfter, _) = parquetStats(spark, outDir)
     CompactStats(nIn, nAfter, bytes)
   }

@@ -281,6 +281,35 @@ object Pipeline {
              |FROM documents WHERE n_chars >= 500 AND n_chars < 900
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ── z-ordered layout: the two-dimensional data-skipping variant ──
+    // of q_compact_sorted. The derivative is clustered on the morton
+    // interleave of (n_chars, doc_id), so THIS box filter — which a
+    // single-key n_chars sort could only prune on one side of — skips
+    // files on both dimensions (ZorderSpec measures the scan-row
+    // reduction against the single-key layout; this query pins the
+    // end-to-end result).
+    Q("q_zorder",
+      (s, dir) => {
+        val z = graft.engine.Scratch.cached("zorder", dir) { p =>
+          graft.engine.Layout.compactZ(s, s"$dir/documents.parquet", p,
+            ("n_chars", "doc_id"), targetBytes = 256L * 1024)
+        }
+        s.read.parquet(z)
+          .filter(col("n_chars") >= 500 && col("n_chars") < 900 &&
+            col("doc_id") >= 100 && col("doc_id") < 300)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents
+             |WHERE n_chars >= 500 AND n_chars < 900
+             |  AND doc_id >= 100 AND doc_id < 300
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ── per-group quota sampling: cap each language at N docs, chosen ──
     // uniformly and reproducibly by md5-hash order (the stratified
     // downsampling step of a data-mixing recipe — rand() would pick

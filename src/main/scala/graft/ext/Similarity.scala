@@ -558,6 +558,63 @@ object Similarity {
            |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 10
            |ORDER BY query_id, rnk""".stripMargin)),
 
+    // ── matryoshka two-stage ANN: truncated-prefix prefilter, exact ──
+    // re-rank (the MRL retrieval pattern — Kusupati et al. 2022).
+    // Stage 1 scores the corpus on the FIRST 16 of 64 dims (4× less
+    // bandwidth/compute on the side that scales with corpus size) and
+    // keeps 50 candidates per query; stage 2 re-ranks only those with
+    // the full-dim exact cosine. At 100 TB the truncated columns are
+    // the only thing the corpus scan reads (a real deployment stores
+    // the prefix as its own column chunk), and stage-2 cost is
+    // queries × 50 regardless of corpus size. Works on raw slices
+    // here; MRL-trained embeddings concentrate more signal in the
+    // prefix and prune harder at the same k.
+    Q("q_ann_mrl",
+      (s, dir) => {
+        val v = emb(s, dir).select("vec_id", "e", "nrm")
+          .withColumn("et", expr("slice(e, 1, 16)"))
+          .withColumn("nt", sqrt(vec_norm2(col("et"))))
+        val q = v.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"),
+            col("nrm").as("qn"), col("et").as("qet"), col("nt").as("qnt"))
+        val stage1 = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("tcos",
+            vec_dot(col("qet"), col("et")) / (col("qnt") * col("nt")))
+        val w1 = Window.partitionBy(col("query_id"))
+          .orderBy(col("tcos").desc, col("vec_id"))
+        val cand = stage1.withColumn("crk", row_number().over(w1))
+          .filter(col("crk") <= 50)
+        val w2 = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        cand.withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
+          .withColumn("rnk", row_number().over(w2).cast(LongType))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("rnk"), col("cos"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        s"""WITH v AS ($duckEmb),
+           |t AS (SELECT vec_id, e, nrm, e[1:16] AS et,
+           |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(e[1:16], x -> x * x)), (acc, x) -> acc + x)) AS nt
+           |  FROM v),
+           |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, et AS qet,
+           |  nt AS qnt FROM t WHERE vec_id < 8),
+           |s1 AS (SELECT q.query_id, t.vec_id, t.e, t.nrm, q.qe, q.qn,
+           |  ${duckDot("qet", "et")} / (qnt * nt) AS tcos
+           |  FROM t JOIN q ON t.vec_id <> q.query_id),
+           |c AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |  ORDER BY tcos DESC, vec_id) AS crk FROM s1),
+           |r0 AS (SELECT query_id, vec_id AS neighbor_id,
+           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  FROM c WHERE crk <= 50),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, neighbor_id) AS rnk FROM r0)
+           |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 10
+           |ORDER BY query_id, rnk""".stripMargin)),
+
     // ── int8-quantized cosine ANN: per-vector symmetric scalar ──
     // quantization (q = round(x·127/max|x|), the faiss SQ8 scheme) cut
     // to exact integer arithmetic — at 100 TB this is the 4× memory /
