@@ -255,7 +255,10 @@ object Dedup {
     * transitive closure. Scale shape: each round is one keyed shuffle
     * over the EDGE set plus one node-sized label join — no driver
     * collect, no quadratic step. */
-  def componentsOf(pairs0: DataFrame, maxRounds: Int = 32): DataFrame = {
+  def componentsOf(pairs0: DataFrame, maxRounds: Int = 32,
+      hopsPerRound: Int = 2): DataFrame = {
+    require(hopsPerRound == 1 || hopsPerRound == 2,
+      s"hopsPerRound must be 1 or 2, got $hopsPerRound")
     // The pair graph feeds BOTH edge directions, the self-loop node
     // set, and the initial labels — five lazy references in all. The
     // upstream pipeline producing it (candidate join + verification)
@@ -287,27 +290,36 @@ object Dedup {
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
-      // TWO edge hops per materialized round, ONE job: every
-      // materialization (cache + count + rebase) costs a fixed
+      // `hopsPerRound` edge hops per materialized round, ONE job:
+      // every materialization (cache + count + rebase) costs a fixed
       // multi-stage latency that dwarfs the data movement on
-      // result-sized pair graphs, so the round does as much monotone
+      // result-sized pair graphs, so a round can do as much monotone
       // work as a constant-size plan allows — hop 1 takes the closed-
-      // neighborhood min, hop 2 repeats it over hop 1's labels in the
-      // same plan. The self-loop edge (n, n) threads n's ROUND-START
-      // label through both hops (hop 1 emits it as `prev`, hop 2
-      // re-selects it at m = n), so the convergence check is still an
-      // extra aggregate over the same groups instead of a second
-      // join + count against the previous labels.
+      // neighborhood min, an optional hop 2 repeats it over hop 1's
+      // labels in the same plan. The second hop pays on deep graphs
+      // (the sf0.1 embed-resolve pair graph: 12 → 7.6 s end to end)
+      // and LOSES on shallow near-clique graphs where hop 1 already
+      // reaches the fixpoint and round count can't drop below 2 —
+      // there the extra 2 shuffle stages per round are pure latency
+      // (q_dedup_resolve measured 2.9 → 4.2 s under 2-hop; its call
+      // site passes hopsPerRound = 1). The self-loop edge (n, n)
+      // threads n's ROUND-START label through the hops (hop 1 emits
+      // it as `prev`, hop 2 re-selects it at m = n), so the
+      // convergence check is still an extra aggregate over the same
+      // groups instead of a second join + count against the previous
+      // labels.
       val h1 = edges
         .join(labels.select(col("n").as("m"), col("lbl")), "m")
         .groupBy("n").agg(
           min("lbl").as("lbl"),
           min(when(col("m") === col("n"), col("lbl"))).as("prev"))
-      val prop = edges
-        .join(h1.select(col("n").as("m"), col("lbl"), col("prev")), "m")
-        .groupBy("n").agg(
-          min("lbl").as("lbl"),
-          min(when(col("m") === col("n"), col("prev"))).as("prev"))
+      val prop =
+        if (hopsPerRound == 1) h1
+        else edges
+          .join(h1.select(col("n").as("m"), col("lbl"), col("prev")), "m")
+          .groupBy("n").agg(
+            min("lbl").as("lbl"),
+            min(when(col("m") === col("n"), col("prev"))).as("prev"))
       // pointer jumping: also adopt the label's OWN label (one extra
       // join on the round-start label table, which is node-sized, not
       // edge-sized). Neighbor-min alone converges in diameter rounds —
@@ -551,13 +563,18 @@ object Dedup {
 
     // ── near-dup cluster resolution: the dedup pipeline's last stage ──
     // verified pairs → connected components → keep the min-id doc per
-    // cluster. Spark: fixpoint min-label propagation (componentsOf);
-    // oracle: recursive-CTE transitive closure — both compute the exact
-    // component minimum, so the hash check covers the full pipeline
-    // candidates → verification → clustering → keep decision.
+    // cluster. Spark: fixpoint min-label propagation (componentsOf,
+    // hopsPerRound = 1: the 0.8-Jaccard text pair graph is near-clique
+    // clusters where the first hop reaches the fixpoint — a second hop
+    // per round measured pure stage-latency overhead here, 2.9 → 4.2 s
+    // at sf0.1); oracle: recursive-CTE transitive closure — both
+    // compute the exact component minimum, so the hash check covers
+    // the full pipeline candidates → verification → clustering → keep
+    // decision.
     Q("q_dedup_resolve",
       (s, dir) => {
-        val comp = componentsOf(verifiedPairs(hashedShingles(s, dir), 0.8))
+        val comp = componentsOf(verifiedPairs(hashedShingles(s, dir), 0.8),
+          hopsPerRound = 1)
         docs(s, dir).select(col("doc_id"))
           .join(comp.withColumnRenamed("n", "doc_id"), Seq("doc_id"), "left")
           .withColumn("keep_id", coalesce(col("lbl"), col("doc_id")))

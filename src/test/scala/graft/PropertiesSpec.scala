@@ -112,7 +112,10 @@ class PropertiesSpec extends SparkSuite {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val want = parent.keys.map(n => n -> find(n)).toMap
-      val got = graft.ext.Dedup.componentsOf(pairs.distinct.toDF("id1", "id2"))
+      // both hop profiles must reach the same union-find fixpoint
+      val hops = if (pairs.size % 2 == 0) 1 else 2
+      val got = graft.ext.Dedup.componentsOf(
+          pairs.distinct.toDF("id1", "id2"), hopsPerRound = hops)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == want
     }, n = 6)
