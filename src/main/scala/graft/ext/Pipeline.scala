@@ -281,6 +281,59 @@ object Pipeline {
              |FROM documents WHERE n_chars >= 500 AND n_chars < 900
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ── CSV source: schema'd line-split ingestion round-trip ──
+    // The reference's SDFS stores plain text files; the engine's
+    // non-parquet ingest surface is the same schema-EXPLICIT read
+    // (no inference pass — inference is a full extra scan at 100 TB).
+    // CSV splits per line so the scan parallelizes like any file
+    // source, but carries no column pruning or predicate pushdown —
+    // an INGEST format: the first pipeline step converts it to
+    // parquet (q_compact_sorted / Bucketing are that step's layouts).
+    // The aggregate proves every column and row survived the trip.
+    Q("q_source_csv",
+      (s, dir) => {
+        val csv = graft.engine.Scratch.cached("csv_src", dir) { p =>
+          t(s, dir, "documents").write.option("header", "true").csv(p)
+        }
+        s.read.option("header", "true")
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .csv(csv)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |CAST(sum(length(text)) AS BIGINT) AS sum_len,
+             |min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ── JSONL source: the dominant raw-corpus interchange format ──
+    // Same contract as q_source_csv (explicit schema, line-split
+    // parallel scan, ingest-only) — JSON escaping carries free text
+    // (newlines included) that CSV cannot without multiLine=true,
+    // which makes files unsplittable and must never reach a 100 TB
+    // scan.
+    Q("q_source_jsonl",
+      (s, dir) => {
+        val js = graft.engine.Scratch.cached("jsonl_src", dir) { p =>
+          t(s, dir, "documents").write.json(p)
+        }
+        s.read
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .json(js)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |CAST(sum(length(text)) AS BIGINT) AS sum_len,
+             |min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // ── z-ordered layout: the two-dimensional data-skipping variant ──
     // of q_compact_sorted. The derivative is clustered on the morton
     // interleave of (n_chars, doc_id), so THIS box filter — which a

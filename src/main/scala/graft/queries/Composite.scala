@@ -450,6 +450,58 @@ object Composite {
               |WHERE total_rev = (SELECT max(total_rev) FROM rev)
               |ORDER BY s_suppkey""".stripMargin)),
 
+    // ── TPC-H Q8 shape: national market share within a region ──
+    // One nation's share of a region's part-type trade per year: the
+    // supplier side resolves the numerator nation, the customer side
+    // (through broadcast nation + region) scopes the denominator; both
+    // fixed-point sums ride ONE aggregate and divide once — the same
+    // bit-deterministic ratio recipe as Q14.
+    Q("q_tpch_q8",
+      (s, dir) => {
+        val nCust = broadcast(t(s, dir, "nation"))
+          .select(col("n_nationkey").as("nc_key"), col("n_regionkey").as("nc_region"))
+        val nSupp = broadcast(t(s, dir, "nation"))
+          .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .filter(col("p_type") === "LARGE")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(nCust, col("c_nationkey") === col("nc_key"))
+          .join(broadcast(t(s, dir, "region")), col("nc_region") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(nSupp, col("s_nationkey") === col("ns_key"))
+          .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+          .agg(
+            (psum(when(col("supp_nation") === "NATION_3",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .otherwise(lit(0.0))) /
+              psum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("mkt_share"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              |(${psumDuck("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")})
+              |  / (${psumDuck("l_extendedprice * (1.0 - l_discount)")}) AS mkt_share,
+              |count(*) AS n_rows
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              |JOIN region ON n1.n_regionkey = r_regionkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              |WHERE p_type = 'LARGE' AND r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate < TIMESTAMP '1998-01-01'
+              |GROUP BY year(o_orderdate)
+              |ORDER BY o_year""".stripMargin)),
+
     // ── TPC-H Q19 shape: disjunctive bracketed predicates ──
     // Three (brand, size-range, quantity-range) brackets OR'd together
     // over the part join — the planner must push the common p/l
