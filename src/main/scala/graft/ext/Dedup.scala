@@ -109,7 +109,7 @@ object Dedup {
       .withColumn("hs", expr(hsSpark))
 
   /** documents → (doc_id, hs) with shingle-hash array, built once. */
-  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+  private[ext] def hashedShingles(s: SparkSession, dir: String): DataFrame =
     shingled(docs(s, dir))
 
   /** Deterministic (a, b) pairs for k linear minhash permutations —
@@ -166,7 +166,7 @@ object Dedup {
   def bandCandidates(sh: DataFrame, cap: Int = bucketCap): DataFrame =
     bandCandidatesParam(sh, perms, nBands, 2, cap)
 
-  private val duckHashedShingles =
+  private[ext] val duckHashedShingles =
     s"""tk AS (SELECT doc_id, lang, n_chars, $hwDuck AS hw FROM documents),
        |h AS (SELECT doc_id, lang, n_chars, $hsDuck AS hs FROM tk)""".stripMargin
 
@@ -184,7 +184,7 @@ object Dedup {
 
   /** DuckDB twin of [[bandBuckets]] + [[bandCandidates]] as CTE bodies
     * (expects `h` from [[duckHashedShingles]] in scope). */
-  private val duckBandCandidates: String =
+  private[ext] val duckBandCandidates: String =
     s"""mh AS (SELECT doc_id, $duckMinhashList FROM h),
        |bands AS (SELECT doc_id, unnest([$duckBandList]) AS sig,
        |          unnest(range($nBands)) AS band FROM mh),
@@ -233,7 +233,7 @@ object Dedup {
   /** Verified near-dup pairs (id1, id2, jac — exact Jaccard ≥ threshold
     * over the band candidates): THE verification stage, consumed by
     * q_dedup_ngram directly and by the cluster resolution stage. */
-  private def verifiedPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  private[ext] def verifiedPairs(sh: DataFrame, threshold: Double): DataFrame = {
     // materialize the shingle table once (eager local checkpoint): the
     // per-token md5 pass is the module's dominant cost and is referenced
     // by the candidate generation AND both verification join-backs —

@@ -20,6 +20,42 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** THE curation scoring: quality (length gate + stopword ratio) and
+    * exact-dedup canonical bit per document. One definition consumed by
+    * q_curation and the end-to-end funnel (q_pipeline_e2e) so the two
+    * can never drift; same contract for the DuckDB twins below. */
+  private def curationScored(docsDf: DataFrame): DataFrame = {
+    val sw = TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")
+    val byContent = Window.partitionBy(md5(col("text")))
+    docsDf
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", expr("size(ws)").cast("long"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(ws, w -> w IN ($sw)))").cast("double") / col("n_words"))
+      .withColumn("quality",
+        expr("CASE WHEN n_words >= 20 THEN 0.5 ELSE 0.0 END") +
+          col("stop_ratio") * 2.0)
+      .withColumn("canonical",
+        (col("doc_id") === min(col("doc_id")).over(byContent)).cast("int"))
+  }
+
+  /** DuckDB twin of [[curationScored]]: CTEs ct/cm/cq ending with
+    * (doc_id, lang, n_words, stop_ratio, quality, canonical). */
+  private val duckCurationScored: String = {
+    val sw = TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")
+    s"""ct AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+       |       FROM documents),
+       |cm AS (SELECT doc_id, lang, text,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(len(list_filter(ws, w -> w IN ($sw))) AS DOUBLE) / len(ws)
+       |    AS stop_ratio FROM ct),
+       |cq AS (SELECT doc_id, lang, n_words, stop_ratio,
+       |  (CASE WHEN n_words >= 20 THEN 0.5 ELSE 0.0 END + stop_ratio * 2.0)
+       |    AS quality,
+       |  CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS INT)
+       |    AS canonical FROM cm)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── deterministic hash sampling: the reproducible alternative to ──
@@ -114,43 +150,19 @@ object Pipeline {
 
     // ── the curation composite: dedup-canonical + quality + lang gate ──
     Q("q_curation",
-      (s, dir) => {
-        val sw = TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")
-        val byContent = Window.partitionBy(md5(col("text")))
-        t(s, dir, "documents")
-          .withColumn("ws", split(col("text"), " "))
-          .withColumn("n_words", expr("size(ws)").cast("long"))
-          .withColumn("stop_ratio",
-            expr(s"size(filter(ws, w -> w IN ($sw)))").cast("double") / col("n_words"))
-          .withColumn("quality",
-            expr("CASE WHEN n_words >= 20 THEN 0.5 ELSE 0.0 END") +
-              col("stop_ratio") * 2.0)
-          .withColumn("canonical",
-            (col("doc_id") === min(col("doc_id")).over(byContent)).cast("int"))
+      (s, dir) =>
+        curationScored(t(s, dir, "documents"))
           .withColumn("kept",
             (col("canonical") === 1 && col("quality") >= 0.7 &&
               col("lang").isin("en", "de", "es", "fr", "zh")).cast("int"))
           .select("doc_id", "n_words", "stop_ratio", "quality", "canonical", "kept")
-          .orderBy("doc_id")
-      },
-      Some {
-        val sw = TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")
-        s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
-           |           FROM documents),
-           |m AS (SELECT doc_id, lang, text,
-           |  CAST(len(ws) AS BIGINT) AS n_words,
-           |  CAST(len(list_filter(ws, w -> w IN ($sw))) AS DOUBLE) / len(ws)
-           |    AS stop_ratio FROM t),
-           |q AS (SELECT doc_id, lang, n_words, stop_ratio,
-           |  (CASE WHEN n_words >= 20 THEN 0.5 ELSE 0.0 END + stop_ratio * 2.0)
-           |    AS quality,
-           |  CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS INT)
-           |    AS canonical FROM m)
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH $duckCurationScored
            |SELECT doc_id, n_words, stop_ratio, quality, canonical,
            |CAST(canonical = 1 AND quality >= 0.7
            |     AND lang IN ('en','de','es','fr','zh') AS INT) AS kept
-           |FROM q ORDER BY doc_id""".stripMargin
-      }),
+           |FROM cq ORDER BY doc_id""".stripMargin)),
 
     // ── sequence packing: assign docs to fixed token-budget chunks ──
     // The pre-tokenization packing pass every training pipeline runs:
@@ -426,6 +438,58 @@ object Pipeline {
              |SELECT source, n_tokens,
              |  CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS share
              |FROM w
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // ── the end-to-end curation funnel: corpus in, training set out ──
+    // ONE declared lazy plan chaining the stages a production pipeline
+    // runs before tokenization: quality gate (curationScored) → exact-
+    // dedup canonical → near-dup cluster keep (band candidates →
+    // Jaccard verify → connected components, the q_dedup_resolve
+    // machinery) → per-language quota by md5-hash order. Every stage's
+    // scale shape is documented at its operator; the funnel adds no
+    // new shuffle beyond them (the two windows — canonical and quota —
+    // partition on different keys and Catalyst pipelines the rest).
+    // The oracle rebuilds the whole funnel from the SHARED fragments,
+    // so the hash check covers stage composition, not just each stage.
+    Q("q_pipeline_e2e",
+      (s, dir) => {
+        val comp = Dedup.componentsOf(
+          Dedup.verifiedPairs(Dedup.hashedShingles(s, dir), 0.8),
+          hopsPerRound = 1)
+        val surv = curationScored(t(s, dir, "documents"))
+          .filter(col("quality") >= 0.7 && col("canonical") === 1 &&
+            col("lang").isin("en", "de", "es", "fr", "zh"))
+          .join(comp.withColumnRenamed("n", "doc_id"), Seq("doc_id"), "left")
+          .filter(coalesce(col("lbl"), col("doc_id")) === col("doc_id"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        surv.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 50)
+          .select(col("lang"), col("rk"), col("doc_id"))
+          .orderBy("lang", "rk")
+      },
+      Some(
+        s"""WITH RECURSIVE $duckCurationScored,
+           |${Dedup.duckHashedShingles},
+           |${Dedup.duckBandCandidates},
+           |vp AS (SELECT id1, id2 FROM (
+           |  SELECT id1, id2,
+           |    len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS inter,
+           |    len(a.hs) AS la, len(b.hs) AS lb
+           |  FROM cand JOIN h a ON a.doc_id = cand.id1
+           |            JOIN h b ON b.doc_id = cand.id2)
+           |  WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+           |${Dedup.duckClosure("vp")},
+           |surv AS (SELECT cq.doc_id, cq.lang
+           |  FROM cq LEFT JOIN comp c ON c.n = cq.doc_id
+           |  WHERE cq.quality >= 0.7 AND cq.canonical = 1
+           |    AND cq.lang IN ('en','de','es','fr','zh')
+           |    AND coalesce(c.lbl, cq.doc_id) = cq.doc_id),
+           |r AS (SELECT lang, doc_id,
+           |  CAST(row_number() OVER (PARTITION BY lang
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+           |  FROM surv)
+           |SELECT lang, rk, doc_id FROM r WHERE rk <= 50
+           |ORDER BY lang, rk""".stripMargin))
   )
 }
