@@ -106,6 +106,12 @@ object Layout {
     val df = spark.read.parquet(inDir)
     val (c1, c2) = (col(zCols._1).cast("double"), col(zCols._2).cast("double"))
     val r = df.agg(min(c1), max(c1), min(c2), max(c2)).head()
+    // empty input (0-row part files are a normal artifact of filtered
+    // writes) or an all-null/non-numeric dimension yields null stats —
+    // fail with the cause, not an NPE out of getDouble
+    require((0 to 3).forall(!r.isNullAt(_)),
+      s"compactZ needs rows and non-null numeric stats for $zCols under " +
+        s"$inDir — got $r")
     def bucket(c: Column, mn: Double, mx: Double): Column =
       if (mx > mn) floor((c - lit(mn)) * lit(65535.0) / lit(mx - mn)).cast("long")
       else lit(0L)

@@ -202,6 +202,20 @@ object Dedup {
     * [[componentsOf]], shared by q_dedup_resolve and
     * q_dedup_embed_resolve so the closure semantics can never drift.
     * Callers must open their WITH as `WITH RECURSIVE`. */
+  /** DuckDB twin of [[verifiedPairs]] as a `vp(id1, id2)` CTE (expects
+    * `h` and `cand` in scope): exact-Jaccard threshold over the band
+    * candidates. ONE definition consumed by q_dedup_resolve and the
+    * end-to-end funnel so the verification stage the oracles replay
+    * can never drift from the Spark side's threshold or formula. */
+  private[ext] def duckVerifiedPairs(threshold: Double): String =
+    s"""vp AS (SELECT id1, id2 FROM (
+       |  SELECT id1, id2,
+       |    len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS inter,
+       |    len(a.hs) AS la, len(b.hs) AS lb
+       |  FROM cand JOIN h a ON a.doc_id = cand.id1
+       |            JOIN h b ON b.doc_id = cand.id2)
+       |  WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $threshold)""".stripMargin
+
   private[ext] def duckClosure(src: String): String =
     s"""edges AS (SELECT id1 AS n, id2 AS m FROM $src
        |          UNION SELECT id2, id1 FROM $src),
@@ -585,13 +599,7 @@ object Dedup {
       Some(
         s"""WITH RECURSIVE $duckHashedShingles,
            |$duckBandCandidates,
-           |vp AS (SELECT id1, id2 FROM (
-           |  SELECT id1, id2,
-           |    len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS inter,
-           |    len(a.hs) AS la, len(b.hs) AS lb
-           |  FROM cand JOIN h a ON a.doc_id = cand.id1
-           |            JOIN h b ON b.doc_id = cand.id2)
-           |  WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+           |${duckVerifiedPairs(0.8)},
            |${duckClosure("vp")}
            |SELECT d.doc_id,
            |  coalesce(c.lbl, d.doc_id) AS keep_id,

@@ -305,14 +305,24 @@ object Pipeline {
     Q("q_source_csv",
       (s, dir) => {
         val csv = graft.engine.Scratch.cached("csv_src", dir) { p =>
-          t(s, dir, "documents").write.option("header", "true").csv(p)
+          // splittable-CSV ingest contract: records are LINES, so the
+          // writer flattens embedded newlines (1-char-for-1-char, so
+          // every length the aggregate below checks is preserved) —
+          // the multiLine reader alternative makes files unsplittable
+          // and must never reach a 100 TB scan
+          t(s, dir, "documents")
+            .withColumn("text", regexp_replace(col("text"), "[\\r\\n]", " "))
+            .write.option("header", "true").csv(p)
         }
         s.read.option("header", "true")
           .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
           .csv(csv)
           .groupBy("lang")
+          // Spark's CSV reader hands an empty string back as NULL —
+          // coalesce so a zero-length doc contributes 0 to the sum on
+          // both engines instead of silently dropping out of it
           .agg(count(lit(1)).as("n_docs"),
-            sum(length(col("text"))).as("sum_len"),
+            sum(coalesce(length(col("text")), lit(0L))).as("sum_len"),
             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
           .orderBy("lang")
       },
@@ -472,13 +482,7 @@ object Pipeline {
         s"""WITH RECURSIVE $duckCurationScored,
            |${Dedup.duckHashedShingles},
            |${Dedup.duckBandCandidates},
-           |vp AS (SELECT id1, id2 FROM (
-           |  SELECT id1, id2,
-           |    len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS inter,
-           |    len(a.hs) AS la, len(b.hs) AS lb
-           |  FROM cand JOIN h a ON a.doc_id = cand.id1
-           |            JOIN h b ON b.doc_id = cand.id2)
-           |  WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+           |${Dedup.duckVerifiedPairs(0.8)},
            |${Dedup.duckClosure("vp")},
            |surv AS (SELECT cq.doc_id, cq.lang
            |  FROM cq LEFT JOIN comp c ON c.n = cq.doc_id

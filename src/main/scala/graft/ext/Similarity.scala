@@ -628,6 +628,11 @@ object Similarity {
       (s, dir) => {
         val v = emb(s, dir).select("vec_id", "e")
           .withColumn("mx", expr("array_max(transform(e, x -> abs(x)))"))
+          // a zero vector has no direction — cosine is undefined, and
+          // x / mx would be NaN whose BIGINT cast THROWS under Spark
+          // 4's ANSI default (zero-filled missing embeddings are
+          // common in real corpora; the oracle filter mirrors this)
+          .filter(col("mx") > 0.0)
           .withColumn("qi", expr(
             "transform(e, x -> CAST(floor(x / mx * 127.0 + 0.5) AS BIGINT))"))
           .withColumn("qn", expr(
@@ -657,7 +662,7 @@ object Similarity {
            |  list_max(list_transform(e, x -> abs(x))) AS mx FROM v0),
            |vq AS (SELECT vec_id,
            |  list_transform(e, x -> CAST(floor(x / mx * 127.0 + 0.5) AS BIGINT))
-           |    AS qi FROM m),
+           |    AS qi FROM m WHERE mx > 0.0),
            |n AS (SELECT vec_id, qi,
            |  sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
            |    list_transform(qi, x -> x * x)), (acc, x) -> acc + x) AS DOUBLE))

@@ -357,11 +357,17 @@ object Composite {
       (s, dir) => {
         val cand = t(s, dir, "customer")
           .filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
-        val avgBal = cand.filter(col("c_acctbal") > 0.0)
+        val avgRow = cand.filter(col("c_acctbal") > 0.0)
           .agg((sum(col("c_acctbal").cast(DecimalType(18, 4))).cast("double") /
             count(lit(1))).as("a"))
-          .head().getDouble(0) // bounded: exactly one row, one double
-        cand.filter(col("c_acctbal") > avgBal)
+          .head() // bounded: exactly one row, one double
+        // no positive balances → NULL average; the oracle's scalar
+        // subquery then filters every row, so mirror that with an
+        // empty result instead of NPE-ing on getDouble
+        val balFilter =
+          if (avgRow.isNullAt(0)) lit(false)
+          else col("c_acctbal") > avgRow.getDouble(0)
+        cand.filter(balFilter)
           .join(t(s, dir, "orders")
               .filter(col("o_orderpriority") === "1-URGENT"),
             col("c_custkey") === col("o_custkey"), "left_anti")
