@@ -221,4 +221,36 @@ object EventStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
   }
+
+  final case class AdmitEvent(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp)
+  final case class AdmitOut(event_id: Long, user_id: Long, rank: Long)
+
+  /** Streaming per-key admission cap — the streaming counterpart of
+    * q_sample_quota's "at most N per group": each key admits its first
+    * `n` events and drops the rest, the ingest throttle a collection
+    * pipeline runs at the edge (per-user contribution caps, abuse
+    * limits, bounded sampling of unbounded streams). Admission is
+    * first-come across micro-batches (ordered by event time then id
+    * WITHIN a batch, so replaying a batch is deterministic); state is
+    * ONE counter per key — O(keys), never O(events) — the only
+    * admission-control state shape that survives an unbounded stream. */
+  def admitFirstN(events: Dataset[AdmitEvent], n: Long): Dataset[AdmitOut] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[AdmitEvent],
+        state: GroupState[Long]): Iterator[AdmitOut] = {
+      var admitted = state.getOption.getOrElse(0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[AdmitOut]
+      evs.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (admitted < n) {
+          admitted += 1
+          out += AdmitOut(e.event_id, userId, admitted)
+        }
+      }
+      state.update(admitted)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

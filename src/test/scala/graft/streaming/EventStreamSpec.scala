@@ -120,6 +120,33 @@ class EventStreamSpec extends SparkSuite {
     assert(spark.read.parquet(sink).count() == 3)
   }
 
+  test("admitFirstN caps each key across micro-batches with O(keys) state") {
+    import EventStream.{AdmitEvent, AdmitOut}
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[AdmitEvent](spark)
+    val out = EventStream.admitFirstN(input.toDS(), 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("admit_out")
+      .trigger(Trigger.AvailableNow())
+
+    // batch 1: user 1 over-contributes (3 events), user 2 sends one —
+    // in-batch admission must follow (ts, id) order, not arrival order
+    input.addData(Seq(AdmitEvent(13L, 1L, ts(3)), AdmitEvent(11L, 1L, ts(1)),
+      AdmitEvent(12L, 1L, ts(2)), AdmitEvent(21L, 2L, ts(1))))
+    assert(q.start().awaitTermination(60000))
+    // batch 2: user 1 is already at the cap (state carries the count);
+    // user 2 admits exactly one more
+    input.addData(Seq(AdmitEvent(14L, 1L, ts(4)), AdmitEvent(22L, 2L, ts(5)),
+      AdmitEvent(23L, 2L, ts(6))))
+    assert(q.start().awaitTermination(60000))
+
+    val got = spark.table("admit_out").as[AdmitOut].collect()
+      .map(a => (a.event_id, a.user_id, a.rank)).toSet
+    assert(got == Set((11L, 1L, 1L), (12L, 1L, 2L), // 13 dropped: over cap
+      (21L, 2L, 1L), (22L, 2L, 2L))) // 14, 23 dropped
+  }
+
   test("stream-stream join == batch join, matching across micro-batches") {
     import org.apache.spark.sql.Row
     // modern base time: epoch-adjacent event times sit below the initial
