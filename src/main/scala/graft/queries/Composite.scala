@@ -508,6 +508,51 @@ object Composite {
               |GROUP BY year(o_orderdate)
               |ORDER BY o_year""".stripMargin)),
 
+    // ── TPC-H Q21 shape: suppliers who kept orders waiting ──
+    // The hardest classic correlation: count a supplier's late lines
+    // (shipped > 30 days after the order date, standing in for the
+    // missing receipt/commit dates) on multi-supplier orders where it
+    // was the ONLY late supplier — EXISTS becomes a left-semi join on
+    // the order key (another supplier exists), NOT EXISTS a left-anti
+    // join whose condition carries the outer row's order date (another
+    // LATE supplier must not exist). Both correlations are hash joins
+    // on l_orderkey — never per-row subqueries.
+    Q("q_tpch_q21",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val late1 = li
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        val l3 = li.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+          col("l_shipdate").as("d3"))
+        late1
+          .join(l2, col("l_orderkey") === col("k2") &&
+            col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("k3") &&
+            col("l_suppkey") =!= col("s3") &&
+            col("d3") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_anti")
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM lineitem l1
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |JOIN supplier ON s_suppkey = l1.l_suppkey
+             |WHERE l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
+
     // ── TPC-H Q19 shape: disjunctive bracketed predicates ──
     // Three (brand, size-range, quantity-range) brackets OR'd together
     // over the part join — the planner must push the common p/l
