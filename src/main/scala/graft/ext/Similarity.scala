@@ -815,7 +815,59 @@ object Similarity {
           emb(s, dir).select("vec_id", "e", "nrm").filter(col("vec_id") < 64),
           idx, 5)
       },
-      Some(duckLshMultiTopK))
+      Some(duckLshMultiTopK)),
+
+    // ── incremental embedding dedup: the daily probe for vectors — ──
+    // completes the {exact, near-text, embedding} × {full-corpus,
+    // incremental} matrix. The increment (vec_id % 10 = 7 as the
+    // deterministic stand-in for "today's batch") hashes ONLY its own
+    // vectors into sign buckets and equi-joins the corpus-side
+    // PREBUILT index ([[buildLshIndex]] over the corpus partition, a
+    // Scratch artifact); candidates are cosine-verified at the
+    // q_dedup_embed threshold. Candidate volume tracks increment ×
+    // bucket density, never increment × corpus — and the corpus is
+    // never re-bucketed per batch.
+    Q("q_dedup_embed_incremental",
+      (s, dir) => {
+        val all = emb(s, dir).select("vec_id", "e", "nrm")
+        val idx = graft.engine.Scratch.cached("lsh_idx_corpus", dir) { path =>
+          buildLshIndex(
+            all.filter(col("vec_id") % 10 =!= 7).localCheckpoint(true), path)
+        }
+        val inc = all.filter(col("vec_id") % 10 === 7)
+        val bc = s.read.parquet(s"$idx/buckets")
+        val corpus = s.read.parquet(s"$idx/vectors")
+        val ib = multiTableBuckets(inc).withColumnRenamed("vec_id", "inc_id")
+        bc.join(ib, Seq("bucket"))
+          .select(col("inc_id"), col("vec_id").as("dup_of")).distinct()
+          .join(corpus.select(col("vec_id").as("dup_of"), col("e").as("ce"),
+            col("nrm").as("cn")), "dup_of")
+          .join(inc.select(col("vec_id").as("inc_id"), col("e").as("qe"),
+            col("nrm").as("qn")), "inc_id")
+          .withColumn("cos", cosine(col("qe"), col("qn"), col("ce"), col("cn")))
+          .filter(col("cos") >= 0.4)
+          .select(col("inc_id").as("vec_id"), col("dup_of"), col("cos"))
+          .orderBy("vec_id", "dup_of")
+      },
+      Some(
+        s"""WITH v AS ($duckEmb),
+           |b AS (SELECT vec_id, unnest([$duckSigList]) AS bucket FROM v
+           |      WHERE vec_id % 10 <> 7),
+           |bc AS (SELECT vec_id, bucket FROM (
+           |  SELECT vec_id, bucket,
+           |    row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+           |  FROM b) WHERE rn <= $lshBucketCap),
+           |ib AS (SELECT vec_id AS inc_id, unnest([$duckSigList]) AS bucket
+           |       FROM v WHERE vec_id % 10 = 7),
+           |pairs AS (SELECT DISTINCT inc_id, bc.vec_id AS dup_of
+           |  FROM bc JOIN ib USING (bucket)),
+           |scored AS (SELECT p.inc_id AS vec_id, p.dup_of,
+           |  ${duckDot("qv.e", "nv.e")} / (qv.nrm * nv.nrm) AS cos
+           |  FROM pairs p
+           |  JOIN v qv ON qv.vec_id = p.inc_id
+           |  JOIN v nv ON nv.vec_id = p.dup_of)
+           |SELECT vec_id, dup_of, cos FROM scored WHERE cos >= 0.4
+           |ORDER BY vec_id, dup_of""".stripMargin))
   )
 
   /** DuckDB twin of the multi-table LSH top-k relation — shared by the
