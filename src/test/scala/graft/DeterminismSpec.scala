@@ -14,7 +14,12 @@ class DeterminismSpec extends SparkSuite {
 
   test("representative queries are invariant to shuffle partition count") {
     val names = Seq("q_groupby_sum", "q_dedup_minhash", "q_asof_join",
-      "q_window_rank", "q_ann_lsh", "q_chain")
+      "q_window_rank", "q_ann_lsh", "q_chain",
+      // round-4 additions: hash-order quota window, integer-dot ANN,
+      // fixed-point-normalized shares, decimal HAVING, inverted-index
+      // span scoring — each a distinct determinism mechanism
+      "q_sample_quota", "q_ann_quantized", "q_mix_weights",
+      "q_tpch_q18", "q_dedup_substring")
     val base = names.map(n => n -> collectAll(spark, n)).toMap
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
