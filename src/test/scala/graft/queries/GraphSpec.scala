@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** PageRank unit tests over hand-built edge lists, checked against a
+  * local reference simulator running the SAME micro-unit integer
+  * arithmetic as the distributed loop (and the DuckDB oracle). */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Local fixed-point PageRank with identical integer semantics. */
+  private def localPr(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val sums = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => r(src) / deg(src) }.sum).toMap
+      r = nodes.map(n => n -> (150000L + 85L * sums.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  private def distPr(edges: Seq[(String, String)], iters: Int): Map[String, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(String, Long)].collect().toMap
+
+  test("3-node symmetric path matches the local simulator") {
+    // a — b — c (undirected): b is the hub and must outrank a and c
+    val e = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b")
+    val got = distPr(e, 3)
+    assert(got == localPr(e, 3))
+    assert(got("b") > got("a") && got("a") == got("c"))
+  }
+
+  test("star graph: hub rank dominates and leaves stay symmetric") {
+    val leaves = (1 to 5).map(i => s"l$i")
+    val e = leaves.flatMap(l => Seq("hub" -> l, l -> "hub"))
+    val got = distPr(e, 3)
+    assert(got == localPr(e, 3))
+    assert(leaves.map(got).distinct.size == 1)
+    assert(got("hub") > got("l1"))
+  }
+
+  test("directed chain with un-reached node: left join keeps base rank") {
+    // x → y → z, plus isolated self-pointing w (w → w keeps outdeg ≥ 1).
+    val e = Seq("x" -> "y", "y" -> "z", "z" -> "x", "w" -> "w")
+    val got = distPr(e, 2)
+    assert(got == localPr(e, 2))
+  }
+}
