@@ -494,6 +494,54 @@ object Pipeline {
            |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
            |  FROM surv)
            |SELECT lang, rk, doc_id FROM r WHERE rk <= 50
-           |ORDER BY lang, rk""".stripMargin))
+           |ORDER BY lang, rk""".stripMargin)),
+
+    // ── MERGE INTO (upsert): CDC refresh of a per-user profile table ──
+    // target = last-event profile from the first half of the month,
+    // updates = same profile over the second half; Merge.upsert gives
+    // the current table — matched users take the update row wholesale
+    // (last-write-wins), new users insert. One full-outer shuffle on
+    // the key; at 100 TB the target side is bucketed so only the
+    // increment ships (engine/Merge.scala scaladoc).
+    Q("q_merge_upsert",
+      (s, dir) => {
+        val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+        def profile(part: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          part
+            .withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+            .filter(col("rn") === 1)
+            .select(col("user_id"), col("ts").as("last_ts"),
+              col("event_type").as("last_type"), col("n"))
+        }
+        val ev = t(s, dir, "events")
+        graft.engine.Merge.upsert(
+          profile(ev.filter(col("ts") < cutoff)),
+          profile(ev.filter(col("ts") >= cutoff)),
+          Seq("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH tp AS (SELECT user_id, ts AS last_ts, event_type AS last_type, n
+             |  FROM (SELECT user_id, ts, event_type,
+             |          row_number() OVER (PARTITION BY user_id
+             |            ORDER BY ts DESC, event_id DESC) AS rn,
+             |          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+             |        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+             |  WHERE rn = 1),
+             |up AS (SELECT user_id, ts AS last_ts, event_type AS last_type, n
+             |  FROM (SELECT user_id, ts, event_type,
+             |          row_number() OVER (PARTITION BY user_id
+             |            ORDER BY ts DESC, event_id DESC) AS rn,
+             |          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+             |        FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+             |  WHERE rn = 1)
+             |SELECT COALESCE(u.user_id, t.user_id) AS user_id,
+             |  CASE WHEN u.user_id IS NOT NULL THEN u.last_ts ELSE t.last_ts END AS last_ts,
+             |  CASE WHEN u.user_id IS NOT NULL THEN u.last_type ELSE t.last_type END AS last_type,
+             |  CASE WHEN u.user_id IS NOT NULL THEN u.n ELSE t.n END AS n
+             |FROM tp t FULL OUTER JOIN up u ON t.user_id = u.user_id
+             |ORDER BY user_id""".stripMargin))
   )
 }

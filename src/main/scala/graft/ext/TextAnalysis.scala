@@ -231,6 +231,78 @@ object TextAnalysis {
               |SELECT doc_id,
               |list_reduce(list_prepend(CAST(0 AS BIGINT), ${graft.functions.TokenHash.duck("ws")}),
               |  (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fp
-              |FROM t ORDER BY doc_id""".stripMargin))
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ── inverted index: token → document-frequency + sorted postings ──
+    // The search-engine build step as one keyed shuffle: explode word
+    // tokens, distinct (token, doc), group by token. Postings cap at 8
+    // ids per token (`slice`) — the full list is the real artifact, the
+    // cap keeps the oracle row bounded. 100 TB shape: the (token, doc)
+    // relation shuffles once on token (hot stopword tokens stay bounded
+    // because `collect_list` runs AFTER the per-token distinct, and a
+    // production build would shard tokens over (token, doc_id div B)
+    // exactly like capBuckets does for band buckets).
+    Q("q_inverted_index",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("token"))
+          .distinct()
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("df"),
+               // string-joined postings: the driver's compare (and
+               // check.py) hashes scalar cells, not nested arrays
+               concat_ws(",",
+                 slice(sort_array(collect_list(col("doc_id"))), 1, 8)).as("postings"))
+          .orderBy("token"),
+      Some("""WITH ex AS (SELECT doc_id,
+             |  unnest(regexp_extract_all(text, '[a-z]+')) AS token FROM documents),
+             |tok AS (SELECT DISTINCT doc_id, token FROM ex)
+             |SELECT token, count(*) AS df,
+             |       array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS postings
+             |FROM tok GROUP BY token ORDER BY token""".stripMargin)),
+
+    // ── tf-idf top-5 terms per document (rational-idf fixed point) ──
+    // Classic two-statistic ranking: tf per (doc, token), df per token,
+    // score = tf · N/df. The idf stays RATIONAL (score_fp = tf·N·10⁴/df,
+    // truncating BIGINT division) instead of tf·ln(N/df): libm log is
+    // not correctly-rounded and differs across engines in the last ulp,
+    // while the rational form is bit-exact in both — same monotone
+    // ordering per fixed tf, deterministic hash. Top-5 via row_number
+    // with a total tiebreak; the rnk<=5 filter plans as WindowGroupLimit
+    // (partial per-shuffle-side top-k, the scalable shape).
+    Q("q_tfidf",
+      (s, dir) => {
+        val ex = docs(s, dir)
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("token"))
+        val tf = ex.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df = ex.select("doc_id", "token").distinct()
+          .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val n = docs(s, dir).agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score_fp").desc, col("token"))
+        tf.join(df, "token")
+          .crossJoin(broadcast(n))
+          .withColumn("score_fp", expr("(tf * n * 10000) div df"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("score_fp"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH ex AS (SELECT doc_id,
+             |  unnest(regexp_extract_all(text, '[a-z]+')) AS token FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY doc_id, token),
+             |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM ex GROUP BY token),
+             |sc AS (SELECT t.doc_id, t.token, t.tf,
+             |         CAST((t.tf * n.n * 10000) // d.df AS BIGINT) AS score_fp
+             |       FROM tf t JOIN df d ON t.token = d.token
+             |       CROSS JOIN (SELECT count(*) AS n FROM documents) n),
+             |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             |         ORDER BY score_fp DESC, token) AS BIGINT) AS rnk FROM sc)
+             |SELECT doc_id, rnk, token, tf, score_fp FROM rk
+             |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin))
   )
 }

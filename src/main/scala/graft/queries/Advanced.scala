@@ -346,6 +346,85 @@ object Advanced {
           .orderBy("q")
       },
       Some("""SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound
-             |FROM (VALUES (0.1), (0.5), (0.9)) t(q) ORDER BY q""".stripMargin))
+             |FROM (VALUES (0.1), (0.5), (0.9)) t(q) ORDER BY q""".stripMargin)),
+
+    // ── time-series gap fill: dense hourly grid + forward fill ──
+    // The resample/ffill primitive: per-user hourly sums, a generated
+    // dense hour grid between each user's first and last activity, and
+    // last-observation-carried-forward via the ANSI count-over trick
+    // (grp = running count of non-nulls → within (user, grp) exactly
+    // one row is non-null, so max() broadcasts it to the gap rows —
+    // no IGNORE NULLS dependence, identical in both engines). Hours
+    // before a user's first observation keep NULL + is_gap. Scale: the
+    // grid is |users| × their own active span (never the global span),
+    // sequence/explode is per-row, and both windows partition by
+    // user_id — no global window, no driver loop.
+    Q("q_gapfill",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(Core.dsum(col("value"), 6, "psum"))
+        val grid = hourly.groupBy(col("user_id"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val wRun = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wGrp = Window.partitionBy(col("user_id"), col("grp"))
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("grp", count(col("psum")).over(wRun))
+          .withColumn("filled", max(col("psum")).over(wGrp))
+          .withColumn("is_gap", col("psum").isNull)
+          .select(col("user_id"), col("h"), col("filled"), col("is_gap"))
+          .orderBy("user_id", "h")
+      },
+      Some(s"""WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+              |  ${Core.dsumSql("value", 6, "psum")}
+              |  FROM events GROUP BY 1, 2),
+              |b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+              |grid AS (SELECT user_id,
+              |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+              |j AS (SELECT g.user_id, g.h, hr.psum
+              |  FROM grid g LEFT JOIN hourly hr
+              |    ON hr.user_id = g.user_id AND hr.h = g.h),
+              |x AS (SELECT *, count(psum) OVER (PARTITION BY user_id ORDER BY h
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM j)
+              |SELECT user_id, h,
+              |  max(psum) OVER (PARTITION BY user_id, grp) AS filled,
+              |  psum IS NULL AS is_gap
+              |FROM x ORDER BY user_id, h""".stripMargin)),
+
+    // ── blocked fuzzy join (record linkage): edit-distance ≤ 1 match ──
+    // The classic entity-resolution shape: never levenshtein the cross
+    // product — join on a cheap blocking key (here the first 6 digits
+    // of the 9-digit name suffix), then verify the survivors with the
+    // exact distance. Candidates stay linear in the block occupancy
+    // (the LSH-band pattern from Dedup, with a code prefix as the
+    // band); at 100 TB the blocks are the shuffle key and a skewed
+    // block caps exactly like capBuckets. Spark and DuckDB both
+    // implement unit-cost Levenshtein, so the verify predicate is
+    // engine-identical.
+    Q("q_fuzzy_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"),
+          expr("substring(c_name, 10)").as("c_sfx"),
+          expr("substring(c_name, 10, 6)").as("blk"))
+        val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+          expr("substring(s_name, 10)").as("s_sfx"),
+          expr("substring(s_name, 10, 6)").as("blk"))
+        c.join(sup, "blk")
+          .withColumn("dist", levenshtein(col("c_sfx"), col("s_sfx")).cast("long"))
+          .filter(col("dist") <= 1)
+          .select(col("c_custkey"), col("s_suppkey"), col("dist"))
+          .orderBy("c_custkey", "s_suppkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey, substring(c_name, 10) AS c_sfx,
+             |            substring(c_name, 10, 6) AS blk FROM customer),
+             |s AS (SELECT s_suppkey, substring(s_name, 10) AS s_sfx,
+             |       substring(s_name, 10, 6) AS blk FROM supplier)
+             |SELECT c_custkey, s_suppkey, CAST(levenshtein(c_sfx, s_sfx) AS BIGINT) AS dist
+             |FROM c JOIN s USING (blk)
+             |WHERE levenshtein(c_sfx, s_sfx) <= 1
+             |ORDER BY c_custkey, s_suppkey""".stripMargin))
   )
 }
