@@ -100,6 +100,20 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static dimension enrichment: left-join each event against
+    * a static (batch) dimension table. THE daily-pipeline join — events
+    * are unbounded, the dimension is a lookup table — and the one join
+    * Structured Streaming runs stateless: the static side re-resolves
+    * per micro-batch and, broadcast, ships to every task, so the
+    * unbounded side is never shuffled and no join state accrues (the
+    * EventStreamSpec pins BroadcastHashJoin in the micro-batch plan).
+    * At 100 TB-of-events scale that is the difference between a
+    * watermark-bounded stateful join and a free map-side lookup;
+    * dimensions too big to broadcast belong in `correlate` instead. */
+  def enrich(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Watermarked stream-stream inner join: correlate each left event
     * with the same user's right events in the following `windowMinutes`
     * — e.g. view→purchase attribution. Both sides carry watermarks and

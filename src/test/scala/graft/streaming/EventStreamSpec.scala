@@ -178,6 +178,39 @@ class EventStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment == batch join, broadcast in the batch plan") {
+    val dir = Files.createTempDirectory("graft-enrich-stream").toString
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").parquet(dir)
+    val dim = Tables(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+    val q = EventStream.enrich(EventStream.readEvents(spark, dir), dim,
+        "user_id", "c_custkey")
+      .select(col("event_id"), col("c_mktsegment"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "streaming query did not terminate")
+      // the static side must broadcast: no shuffle on the unbounded side,
+      // no stateful join operator in the micro-batch plan
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming
+          .runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(!plan.contains("StreamingSymmetricHashJoin"), plan.take(2000))
+    } finally q.stop()
+
+    val streamed = spark.table("enrich_out")
+      .as[(Long, String)].collect().toSet
+    val batch = Tables(spark, "/root/testdata/sf0.001", "events")
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("c_mktsegment"))
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("streaming dedup == batch dropDuplicates on static input") {
     // stage the static events table as a stream; dedup on
     // (user_id, event_type) must match the batch distinct-key count
