@@ -542,6 +542,40 @@ object Pipeline {
              |  CASE WHEN u.user_id IS NOT NULL THEN u.last_type ELSE t.last_type END AS last_type,
              |  CASE WHEN u.user_id IS NOT NULL THEN u.n ELSE t.n END AS n
              |FROM tp t FULL OUTER JOIN up u ON t.user_id = u.user_id
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ── SCD Type-2 history build: per-user event_type change intervals ──
+    // The dimension-history twin of q_merge_upsert: collapse the event
+    // stream into versioned validity intervals (valid_from inclusive,
+    // valid_to exclusive, NULL = current). Change-point detection via
+    // lag over (ts, event_id), then version numbering and lead() for
+    // the closing timestamp — two window passes, both partitioned by
+    // user_id (no global window), one shuffle total since they share
+    // the partitioning. The 100 TB shape of "build the SCD2 dimension
+    // from CDC logs" — the heavy input collapses to O(change points)
+    // before the second pass.
+    Q("q_scd2",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val changes = t(s, dir, "events")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        changes
+          .withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type,
+             |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |c AS (SELECT user_id, event_id, ts, event_type FROM x
+             |      WHERE prev_type IS NULL OR prev_type <> event_type)
+             |SELECT user_id,
+             |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+             |  event_type, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+             |FROM c ORDER BY user_id, version""".stripMargin))
   )
 }

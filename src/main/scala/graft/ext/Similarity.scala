@@ -867,7 +867,50 @@ object Similarity {
            |  JOIN v qv ON qv.vec_id = p.inc_id
            |  JOIN v nv ON nv.vec_id = p.dup_of)
            |SELECT vec_id, dup_of, cos FROM scored WHERE cos >= 0.4
-           |ORDER BY vec_id, dup_of""".stripMargin))
+           |ORDER BY vec_id, dup_of""".stripMargin)),
+
+    // ── cluster-balanced curation (SemDeDup / DoReMi-style mixing) ──
+    // Semantic clusters as sampling strata: assign every vector to its
+    // IVF cell (the SAME persisted sampled-fit index q_ann_ivf_sampled
+    // probes — built once per (JVM, corpus), zero training in-query),
+    // then cap each cell at 20 by the md5 hash order (the q_sample_hash
+    // reproducibility idiom). Over-represented semantic neighborhoods
+    // are clipped, sparse ones survive whole — the cluster-balancing
+    // step of a curation pipeline, riding the vector index it already
+    // maintains. Per-cell counts ship alongside so the mixing decision
+    // is auditable. One keyed shuffle over the cells relation; the
+    // WindowGroupLimit shape caps partial per shuffle side.
+    Q("q_cluster_balance",
+      (s, dir) => {
+        val v = emb(s, dir).select("vec_id", "e", "nrm")
+        val idx = graft.engine.Scratch.cached("ivf_idx", dir) { path =>
+          buildIvfIndex(v.localCheckpoint(true), path, ivfSampleMod)
+        }
+        val cells = s.read.parquet(s"$idx/cells")
+        val stats = cells.groupBy(col("cid")).agg(count(lit(1)).as("n_cell"))
+        val w = Window.partitionBy(col("cid"))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        cells
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 20)
+          .join(stats, "cid")
+          .select(col("cid"), col("n_cell"), col("rk"), col("vec_id"))
+          .orderBy("cid", "rk")
+      },
+      Some(
+        s"""WITH RECURSIVE v AS ($duckEmb),
+           |vs AS (SELECT vec_id, e FROM v
+           |  WHERE ${graft.functions.HashSample.duck("vec_id", ivfSampleMod)}),
+           |${duckKmeansFor("vs",
+               s"SELECT vec_id, e FROM vs ORDER BY vec_id LIMIT $ivfK")},
+           |stats AS (SELECT cid, count(*) AS n_cell FROM cells GROUP BY cid),
+           |r AS (SELECT cid, vec_id,
+           |  CAST(row_number() OVER (PARTITION BY cid
+           |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+           |  FROM cells)
+           |SELECT r.cid, s.n_cell, r.rk, r.vec_id
+           |FROM r JOIN stats s USING (cid)
+           |WHERE rk <= 20 ORDER BY cid, rk""".stripMargin))
   )
 
   /** DuckDB twin of the multi-table LSH top-k relation — shared by the

@@ -425,6 +425,41 @@ object Advanced {
              |SELECT c_custkey, s_suppkey, CAST(levenshtein(c_sfx, s_sfx) AS BIGINT) AS dist
              |FROM c JOIN s USING (blk)
              |WHERE levenshtein(c_sfx, s_sfx) <= 1
-             |ORDER BY c_custkey, s_suppkey""".stripMargin))
+             |ORDER BY c_custkey, s_suppkey""".stripMargin)),
+
+    // ── approximate heavy hitters: Count-Min sketch with error envelope ──
+    // Same verification pattern as q_approx_distinct/q_approx_percentile:
+    // DuckDB has no Count-Min, so the oracle pins the EXACT top-10 keys
+    // and requires within_bound = TRUE — the sketch guarantee
+    // (exact ≤ est ≤ exact + ε·N at confidence δ) is asserted in-query,
+    // so an envelope escape is a hash mismatch, not a silent pass. The
+    // sketch is one mergeable aggregate (O(width·depth) state per
+    // partition, the streaming/distributed shape); the driver touches
+    // only the serialized sketch + the 10 result rows — both bounded.
+    Q("q_approx_topk",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val aggRow = ev.agg(
+          expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
+          count(lit(1)).as("n")).head()
+        val sk = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(aggRow.getAs[Array[Byte]]("sk")))
+        val slack = math.max(1L, math.ceil(0.001 * aggRow.getAs[Long]("n")).toLong)
+        val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("user_id")).limit(10)
+          .collect() // bounded: exactly 10 rows
+          .map { r =>
+            val (u, cnt) = (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"))
+            val est = sk.estimateCount(u)
+            (u, cnt, est >= cnt && est <= cnt + slack)
+          }.toSeq
+        import s.implicits._
+        top.toDF("user_id", "cnt", "within_bound")
+          .orderBy(col("cnt").desc, col("user_id"))
+      },
+      Some("""SELECT user_id, cnt, TRUE AS within_bound FROM (
+             |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+             |  ORDER BY cnt DESC, user_id LIMIT 10) t
+             |ORDER BY cnt DESC, user_id""".stripMargin))
   )
 }

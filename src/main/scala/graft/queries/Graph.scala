@@ -60,8 +60,15 @@ object Graph {
     */
   private[graft] def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // one materialization, reused by every iteration (and the node list)
-    val ed = edges.join(outdeg, "src").localCheckpoint(true)
+    // The edge relation is computed once and CACHED hash-partitioned
+    // on src: InMemoryRelation preserves its child's output
+    // partitioning, so each iteration's rank join exchanges only the
+    // node-sized rank vector, never the edge relation. (localCheckpoint
+    // is NOT enough — LogicalRDD comes back UnknownPartitioning and
+    // every iteration re-shuffles the edges; measured 6.5 s → see
+    // SCALE.md.) The web-scale shape: ranks are far too big to
+    // broadcast, edges far too big to move more than once.
+    val ed = edges.join(outdeg, "src").repartition(col("src")).cache()
     val nodes = ed.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("r", lit(RankOneU))
     for (_ <- 1 to iters) {
@@ -74,7 +81,11 @@ object Graph {
         .select(col("node"),
           (lit(BaseU) + expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
     }
-    ranks.orderBy("node")
+    // materialize the node-sized result, then release the cache — the
+    // componentsOf discipline: no persisted state outlives the call
+    val out = ranks.orderBy("node").localCheckpoint(true)
+    ed.unpersist()
+    out
   }
 
   /** One unrolled oracle iteration; `prev` names the previous rank CTE. */
