@@ -460,6 +460,49 @@ object Advanced {
       Some("""SELECT user_id, cnt, TRUE AS within_bound FROM (
              |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
              |  ORDER BY cnt DESC, user_id LIMIT 10) t
-             |ORDER BY cnt DESC, user_id""".stripMargin))
+             |ORDER BY cnt DESC, user_id""".stripMargin)),
+
+    // ── ordered funnel: view → click → purchase, strictly in sequence ──
+    // The product-analytics staple. Each stage is one conditional min
+    // per user JOINED against the previous stage's timestamp — the
+    // strict ts ordering ("clicked AFTER first view") is what separates
+    // a funnel from three independent counts. Three keyed aggregations
+    // + two user-keyed joins, all on the same user_id shuffle key; no
+    // windows over the raw stream, so the heavy relation collapses to
+    // per-user scalars at the first aggregate. (The 100 TB shape:
+    // stage relations are user-sized, events are scanned once per
+    // stage with the event_type filter pushed to parquet.)
+    Q("q_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        v.agg(count(lit(1)).as("users")).select(lit("1_view").as("stage"), col("users"))
+          .unionByName(c.agg(count(lit(1)).as("users"))
+            .select(lit("2_click").as("stage"), col("users")))
+          .unionByName(p.agg(count(lit(1)).as("users"))
+            .select(lit("3_purchase").as("stage"), col("users")))
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+             |       WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+             |      JOIN v ON v.user_id = e.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+             |      JOIN c ON c.user_id = e.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             |      GROUP BY e.user_id)
+             |SELECT '1_view' AS stage, count(*) AS users FROM v
+             |UNION ALL SELECT '2_click', count(*) FROM c
+             |UNION ALL SELECT '3_purchase', count(*) FROM p
+             |ORDER BY stage""".stripMargin))
   )
 }

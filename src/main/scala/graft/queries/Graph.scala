@@ -88,6 +88,34 @@ object Graph {
     out
   }
 
+  /** Fixed-depth BFS with min-hop labels: every node reachable from the
+    * seed set within `hops` edge traversals, labeled with its BFS
+    * distance. Each round joins the known frontier (node-sized) against
+    * the cached src-partitioned edge relation and re-minimizes — the
+    * candidate label is the round number, so a node keeps the first
+    * round that reached it. Same cache discipline as [[pageRank]]. */
+  private[graft] def nHop(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    val ed = edges.repartition(col("src")).cache()
+    var d = seeds.withColumn("dist", lit(0L))
+    for (k <- 1 to hops) {
+      val nxt = d.join(ed, d("node") === ed("src"))
+        .select(col("dst").as("node"), lit(k.toLong).as("dist"))
+      d = d.unionByName(nxt).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    val out = d.orderBy("node").localCheckpoint(true)
+    ed.unpersist()
+    out
+  }
+
+  private val seedNodes: Seq[String] = (0 to 9).map(i => s"c$i")
+
+  private def nhopIterSql(k: Int, prev: String): String =
+    s"""d$k AS (SELECT node, MIN(dist) AS dist FROM (
+       |  SELECT node, dist FROM $prev
+       |  UNION ALL
+       |  SELECT e.dst AS node, CAST($k AS BIGINT) AS dist
+       |  FROM $prev p JOIN e ON e.src = p.node) GROUP BY node)""".stripMargin
+
   /** One unrolled oracle iteration; `prev` names the previous rank CTE. */
   private def iterSql(k: Int, prev: String): String =
     s"""r$k AS (
@@ -115,6 +143,26 @@ object Graph {
               |${iterSql(1, "r0")},
               |${iterSql(2, "r1")},
               |${iterSql(3, "r2")}
-              |SELECT node, r FROM r3 ORDER BY node""".stripMargin))
+              |SELECT node, r FROM r3 ORDER BY node""".stripMargin)),
+
+    // ── 3-hop BFS reachability with min-hop labels from a seed set ──
+    Q("q_nhop",
+      (s, dir) => {
+        val edges = custSuppEdges(s, dir)
+        val seeds = edges.select(col("src").as("node")).distinct()
+          .filter(col("node").isin(seedNodes: _*))
+        nHop(edges, seeds, 3)
+      },
+      Some(s"""WITH co AS (
+              |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              |e AS (SELECT a AS src, b AS dst FROM co
+              |      UNION ALL SELECT b AS src, a AS dst FROM co),
+              |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+              |       FROM e WHERE src IN (${seedNodes.map(n => s"'$n'").mkString(", ")})),
+              |${nhopIterSql(1, "d0")},
+              |${nhopIterSql(2, "d1")},
+              |${nhopIterSql(3, "d2")}
+              |SELECT node, dist FROM d3 ORDER BY node""".stripMargin))
   )
 }

@@ -42,6 +42,25 @@ class GraphSpec extends SparkSuite {
     assert(got("hub") > got("l1"))
   }
 
+  test("nHop: min-hop BFS labels on a path, unreachable nodes absent") {
+    // a—b—c—d—e (undirected), seed {a}: dist a=0 b=1 c=2 d=3, e beyond 3 hops
+    val path = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val e = path.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+    val seeds = Seq("a").toDF("node")
+    val got = Graph.nHop(e.toDF("src", "dst"), seeds, 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+  }
+
+  test("nHop: revisiting an already-labeled node keeps the smaller hop") {
+    // triangle a-b-c plus spur c-d; b and c are both dist 1, d is 2
+    val und = Seq("a" -> "b", "b" -> "c", "a" -> "c", "c" -> "d")
+    val e = und.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+    val got = Graph.nHop(e.toDF("src", "dst"), Seq("a").toDF("node"), 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+  }
+
   test("directed chain with un-reached node: left join keeps base rank") {
     // x → y → z, plus isolated self-pointing w (w → w keeps outdeg ≥ 1).
     val e = Seq("x" -> "y", "y" -> "z", "z" -> "x", "w" -> "w")
