@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.HashSample
+
+/** Statistical analytics with the repo's determinism contract.
+  *
+  * The rule that makes these oracle-hashable: accumulate MOMENTS as
+  * exact integers (fixed-point where the input is double), then apply
+  * a FIXED tree of IEEE-correctly-rounded ops (+,−,×,÷,sqrt are all
+  * exactly rounded per IEEE-754 — unlike log/exp, they cannot differ
+  * between engines). Sums commute exactly, the scalar math is written
+  * with identical parenthesization in both engines, so regression
+  * slopes and z-statistics hash-match bit-for-bit.
+  */
+object Stats {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** 2024-01-01 00:00:00 UTC in epoch microseconds (the events table
+    * spans January 2024; rebasing keeps x small enough that every
+    * moment below stays int64-exact). */
+  private val EpochJan2024Us = 1704067200000000L
+
+  val queries: Seq[Q] = Seq(
+
+    // ── per-group OLS: value regressed on hour-of-month ──
+    // slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) over EXACT integer
+    // moments: x = hour offset (0..743), y in fixed-point 1e-4 units
+    // (the floor·10⁴ product idiom). Bounds: Σxy ≤ 744·y_fp·n ~ 1e14,
+    // n·Σxy ~ 1e18 < 2^63 — checked against the sf0.1 magnitudes. The
+    // final slope/intercept are ONE double division each (correctly
+    // rounded, engine-identical). One partial+final aggregate, one
+    // shuffle of 5 moment rows per group — the textbook distributed
+    // regression shape (moments are algebraic, never the raw points).
+    Q("q_linreg",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("x", expr(s"(unix_micros(ts) - ${EpochJan2024Us}L) div 3600000000L"))
+          .withColumn("y_fp", floor(col("value") * lit(10000.0)).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y_fp")).as("sy"), sum(col("x") * col("y_fp")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            (((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) / lit(1e4))
+              .as("slope"),
+            ((col("sy").cast("double") / lit(1e4) -
+              ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / lit(1e4)) *
+                col("sx").cast("double")) / col("n").cast("double")).as("intercept"))
+          .orderBy("event_type"),
+      Some(s"""WITH m AS (
+              |  SELECT event_type, count(*) AS n,
+              |    SUM(x) AS sx, SUM(y_fp) AS sy,
+              |    SUM(x * y_fp) AS sxy, SUM(x * x) AS sxx
+              |  FROM (SELECT event_type,
+              |          (epoch_us(ts) - ${EpochJan2024Us}) // 3600000000 AS x,
+              |          CAST(floor(value * 10000.0) AS BIGINT) AS y_fp
+              |        FROM events) GROUP BY event_type)
+              |SELECT event_type, n,
+              |  CAST(n * sxy - sx * sy AS DOUBLE)
+              |    / CAST(n * sxx - sx * sx AS DOUBLE) / 1e4 AS slope,
+              |  (CAST(sy AS DOUBLE) / 1e4 -
+              |   (CAST(n * sxy - sx * sy AS DOUBLE)
+              |      / CAST(n * sxx - sx * sx AS DOUBLE) / 1e4)
+              |     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+              |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ── two-proportion A/B z-test on hash-split arms ──
+    // Arms from the md5 hash-sample idiom (reproducible, engine-equal
+    // split); conversion = purchase within day 1-3. The z statistic
+    // uses only exactly-rounded ops over exact integer counts, so the
+    // double hashes match. Per-user collapse first (one keyed
+    // aggregate), then a 2-row arm aggregate — at any scale the test
+    // statistic computes from 4 integers.
+    Q("q_ab_test",
+      (s, dir) => {
+        // arm totals as ONE conditional global aggregate — a 1×1
+        // cross of per-arm aggregates would plan the
+        // BroadcastNestedLoopJoin this repo bans (q_approx_percentile
+        // precedent)
+        val u = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          // conversion = purchased within the first 3 days — a rare-enough
+          // event that both arms stay non-degenerate at every test SF
+          // (an "ever purchased" flag saturates to 100% on this data and
+          // the z-statistic would never leave its NULL guard)
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"), 1L)
+            .otherwise(0L)).as("conv"))
+          .withColumn("isa", expr(HashSample.spark("user_id", 2)))
+        val pPool = (col("c_a") + col("c_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")
+        u.agg(
+            sum(when(col("isa"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("isa"), col("conv")).otherwise(0L)).as("c_a"),
+            sum(when(!col("isa"), 1L).otherwise(0L)).as("n_b"),
+            sum(when(!col("isa"), col("conv")).otherwise(0L)).as("c_b"))
+          .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+            // degenerate designs (empty arm, 0% or 100% pooled rate)
+            // have zero variance — NULL z, not an ANSI divide-by-zero
+            when(col("n_a") > 0 && col("n_b") > 0 &&
+                col("c_a") + col("c_b") > 0 &&
+                col("c_a") + col("c_b") < col("n_a") + col("n_b"),
+              (col("c_a").cast("double") / col("n_a").cast("double") -
+                col("c_b").cast("double") / col("n_b").cast("double")) /
+                sqrt(pPool * (lit(1.0) - pPool) *
+                  (lit(1.0) / col("n_a").cast("double") +
+                   lit(1.0) / col("n_b").cast("double")))).as("z"))
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+              |    MAX(CASE WHEN event_type = 'purchase'
+              |              AND ts < TIMESTAMP '2024-01-04 00:00:00'
+              |         THEN 1 ELSE 0 END) AS conv
+              |  FROM events GROUP BY user_id),
+              |ab AS (SELECT
+              |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              |    CAST(SUM(CASE WHEN isa THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+              |    CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+              |    CAST(SUM(CASE WHEN NOT isa THEN conv ELSE 0 END) AS BIGINT) AS c_b
+              |  FROM (SELECT conv, ${HashSample.duck("user_id", 2)} AS isa FROM u))
+              |SELECT n_a, c_a, n_b, c_b,
+              |  CASE WHEN n_a > 0 AND n_b > 0 AND c_a + c_b > 0
+              |            AND c_a + c_b < n_a + n_b THEN
+              |  (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+              |   CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+              |  sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+              |       (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+              |       (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+              |  ELSE NULL END AS z
+              |FROM ab""".stripMargin))
+  )
+}
