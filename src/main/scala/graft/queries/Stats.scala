@@ -134,6 +134,33 @@ object Stats {
               |       (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
               |       (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
               |  ELSE NULL END AS z
-              |FROM ab""".stripMargin))
+              |FROM ab""".stripMargin)),
+
+    // ── cohort retention: users active k weeks after their first week ──
+    // The activation/retention triangle. The heavy stream collapses to
+    // distinct (user, week) FIRST (one keyed shuffle, partial distinct
+    // per partition); cohort assignment is a user-keyed min; the final
+    // count groups a user-week-sized relation. Integer week indexes
+    // ((ts − epoch_2024) // 1 week) keep every value BIGINT-exact.
+    Q("q_cohort",
+      (s, dir) => {
+        val uw = t(s, dir, "events")
+          .select(col("user_id"),
+            expr(s"(unix_micros(ts) - ${EpochJan2024Us}L) div 604800000000L").as("w"))
+          .distinct()
+        val ch = uw.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+        uw.join(ch, "user_id")
+          .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
+          .agg(count(lit(1)).as("users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some(s"""WITH uw AS (SELECT DISTINCT user_id,
+              |    (epoch_us(ts) - ${EpochJan2024Us}) // 604800000000 AS w
+              |  FROM events),
+              |ch AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id)
+              |SELECT ch.cw AS cohort_week, uw.w - ch.cw AS week_offset,
+              |  count(*) AS users
+              |FROM uw JOIN ch USING (user_id)
+              |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
   )
 }

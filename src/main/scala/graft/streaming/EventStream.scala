@@ -139,6 +139,38 @@ object EventStream {
       .select("a_id", "b_id", "user_id", "a_type", "b_type", "a_ts", "b_ts")
   }
 
+  /** Streaming MERGE INTO: maintain a keyed parquet table from a
+    * stream via per-micro-batch upsert (`foreachBatch` + Merge.upsert)
+    * — the streaming CDC-apply pattern. `profile` collapses each
+    * micro-batch to one row per key (e.g. last event per user); the
+    * batch then upserts into `targetDir` read-eagerly (localCheckpoint
+    * BEFORE the overwrite — reading lazily from the dir being
+    * rewritten would race). Restart safety: foreachBatch can REPLAY a
+    * batch after a crash; a per-key last-write-wins profile makes the
+    * re-apply idempotent, which is exactly-once for the table. At
+    * scale the target is a bucketed table and only touched buckets
+    * rewrite (engine/Merge.scala scaladoc); the relational core and
+    * the idempotency argument are unchanged. */
+  def upsertSink(updates: DataFrame, targetDir: String, keys: Seq[String],
+      checkpointDir: String)(profile: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val upd = profile(batch.toDF())
+        val fs = new org.apache.hadoop.fs.Path(targetDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(targetDir))) {
+            val tgt = spark.read.parquet(targetDir).localCheckpoint(true)
+            graft.engine.Merge.upsert(tgt, upd, keys)
+          } else upd
+        merged.write.mode("overwrite").parquet(targetDir)
+        ()
+      }
+      .start()
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long,

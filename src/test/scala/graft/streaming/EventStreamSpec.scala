@@ -211,6 +211,39 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("upsertSink maintains a keyed table across micro-batches (streaming CDC apply)") {
+    import org.apache.spark.sql.Row
+    def ev(id: Long, user: Long, min: Long, typ: String) =
+      Row(id, new java.sql.Timestamp(1700000000000L + min * 60000L), user, typ, 0.0, "{}")
+    implicit val enc = org.apache.spark.sql.Encoders.row(EventStream.eventSchema)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Row](spark)
+    val target = Files.createTempDirectory("graft-upsert-target").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-upsert-ckpt").toString
+
+    // per-batch profile: last event per user (ts, then event_id tiebreak)
+    def profile(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("last_ts"), col("event_type").as("last_type"))
+    }
+    val q = EventStream.upsertSink(src.toDF(), target, Seq("user_id"), ckpt)(profile)
+    try {
+      src.addData(Seq(ev(1, 1L, 0, "view"), ev(2, 2L, 5, "click")))
+      q.processAllAvailable()
+      src.addData(Seq(ev(3, 1L, 10, "purchase"), ev(4, 3L, 12, "signup")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(target)
+      .select(col("user_id"), col("last_type"))
+      .as[(Long, String)].collect().toSet
+    // user 1 updated by batch 2, user 2 carried over, user 3 inserted
+    assert(got == Set((1L, "purchase"), (2L, "click"), (3L, "signup")))
+  }
+
   test("streaming dedup == batch dropDuplicates on static input") {
     // stage the static events table as a stream; dedup on
     // (user_id, event_type) must match the batch distinct-key count
