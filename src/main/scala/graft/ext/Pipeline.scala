@@ -576,6 +576,36 @@ object Pipeline {
              |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
              |  event_type, ts AS valid_from,
              |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
-             |FROM c ORDER BY user_id, version""".stripMargin))
+             |FROM c ORDER BY user_id, version""".stripMargin)),
+
+    // ── key-skew diagnostic: the "should this join be salted?" probe ──
+    // Distribution profile of per-key frequencies for a join/agg key:
+    // key count, max, exact p50/p90/p99, and max/median skew ratio.
+    // This is the measurement the saltedJoin policy (MapleJuice
+    // hot-key-only salting) acts on — run it BEFORE burning a shuffle
+    // on salting everything. Two aggregates: the keyed count collapses
+    // the fact table to key-cardinality, the global profile runs over
+    // that (exact percentile is fine there — keys, not rows). Same
+    // percentile↔quantile_cont parity as q_percentile.
+    Q("q_skew_profile",
+      (s, dir) => {
+        val c = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+        c.agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"),
+            expr("percentile(cnt, 0.5)").as("med_cnt"),
+            expr("percentile(cnt, 0.9)").as("p90_cnt"),
+            expr("percentile(cnt, 0.99)").as("p99_cnt"))
+          .select(col("n_keys"), col("max_cnt"), col("med_cnt"),
+            col("p90_cnt"), col("p99_cnt"),
+            (col("max_cnt").cast("double") / col("med_cnt")).as("skew_ratio"))
+      },
+      Some("""WITH c AS (SELECT l_suppkey, count(*) AS cnt
+             |  FROM lineitem GROUP BY l_suppkey)
+             |SELECT count(*) AS n_keys, max(cnt) AS max_cnt,
+             |  quantile_cont(cnt, 0.5) AS med_cnt,
+             |  quantile_cont(cnt, 0.9) AS p90_cnt,
+             |  quantile_cont(cnt, 0.99) AS p99_cnt,
+             |  CAST(max(cnt) AS DOUBLE) / quantile_cont(cnt, 0.5) AS skew_ratio
+             |FROM c""".stripMargin))
   )
 }
