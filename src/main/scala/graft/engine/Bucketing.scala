@@ -48,6 +48,26 @@ object Bucketing {
     * nothing, so missing tables are re-registered (rebuilt into the
     * same scratch path; synchronized so concurrent detectors don't
     * race the overwrite). */
+  /** Generic build-once bucketed artifact: `build` computes the
+    * relation, it persists bucketed+sorted by `key` into the catalog
+    * (once per (JVM, `dirKey`), re-registered if a fresh session lost
+    * the catalog entry), and the returned table name scans with
+    * HashPartitioning(key) — every downstream join/aggregate on `key`
+    * is exchange-free. The [[tpchTables]] discipline, reusable for any
+    * derived relation (e.g. the graph edge list). */
+  def cachedTable(s: SparkSession, prefix: String, dirKey: String,
+      key: String, nBuckets: Int)(build: => DataFrame): String = {
+    def name(id: String) = s"graft_bkt_${prefix}_$id"
+    def doBuild(p: String): Unit =
+      writeBucketed(build, key, nBuckets, name(p.split('/').last), s"$p/$prefix")
+    val path = Scratch.cached(s"bucketed_$prefix", dirKey)(doBuild)
+    val t = name(path.split('/').last)
+    this.synchronized {
+      if (!s.catalog.tableExists(t)) doBuild(path)
+    }
+    t
+  }
+
   def tpchTables(s: SparkSession, dir: String): (String, String) = {
     def names(id: String) =
       (s"graft_bkt_orders_$id", s"graft_bkt_lineitem_$id")

@@ -280,13 +280,15 @@ object TextAnalysis {
           .agg(count(lit(1)).as("tf"))
         val df = ex.select("doc_id", "token").distinct()
           .groupBy(col("token")).agg(count(lit(1)).as("df"))
-        val n = docs(s, dir).agg(count(lit(1)).as("n"))
+        // corpus size as a bounded driver fetch (ONE scalar — the
+        // q_approx_percentile idiom): a 1-row crossJoin would plan the
+        // banned BroadcastNestedLoopJoin
+        val nDocs = docs(s, dir).agg(count(lit(1))).head().getLong(0)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("score_fp").desc, col("token"))
         tf.join(df, "token")
-          .crossJoin(broadcast(n))
-          .withColumn("score_fp", expr("(tf * n * 10000) div df"))
+          .withColumn("score_fp", expr(s"(tf * ${nDocs}L * 10000) div df"))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 5)
           .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("score_fp"))

@@ -12,10 +12,11 @@ import graft.engine.Tables
   * `workloads/Workloads.scala`); this module carries the natural next
   * step a graph user asks for — PageRank — as a declared, oracle-checked
   * query. The rank loop is the same shape a 1000-executor job would run:
-  * the edge list is a build-once Scratch artifact, the edge+degree
-  * relation is cached hash-partitioned on the join key and reused by
-  * every iteration, each iteration exchanges only the node-sized rank
-  * vector plus one dst-keyed aggregation — nothing driver-side.
+  * the edge list is a build-once BUCKETED catalog artifact clustered on
+  * the join key, so degree counts and every iteration's rank join are
+  * exchange-free on the edge side; each iteration moves only the
+  * node-sized rank vector plus one dst-keyed aggregation — nothing
+  * driver-side.
   *
   * Determinism contract: ranks are BIGINT micro-units (1.0 ≡ 10⁶), all
   * updates are integer multiply/floor-divide (`div` in Spark, `//` in
@@ -36,13 +37,16 @@ object Graph {
     * for every (customer, supplier) pair that shares at least one order.
     * Prefixes keep the two key spaces disjoint in one string node id.
     *
-    * Persisted as a Scratch artifact: the edge list is a derived table
-    * every graph query starts from — a deployment materializes it once
-    * per corpus version (the orders⋈lineitem distinct is ~40% of a
-    * cold pageRank run); here it builds on first use per (JVM, corpus)
-    * and q_pagerank/q_nhop and every later bench pass read the parquet. */
+    * Persisted as a BUCKETED catalog artifact (Bucketing.cachedTable,
+    * bucketed by src): the edge list is the derived table every graph
+    * query starts from, and the bucket layout is its one-time shuffle
+    * — every scan comes back HashPartitioning(src), so the per-query
+    * repartition+cache this replaced (and its re-materialization every
+    * bench pass) disappears entirely. A deployment materializes the
+    * same table per corpus version in its metastore. */
   private def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
-    val path = graft.engine.Scratch.cached("graph_edges", dir) { p =>
+    val table = graft.engine.Bucketing.cachedTable(
+      s, "graph_edges", dir, "src", 16) {
       val pairs = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
@@ -51,9 +55,8 @@ object Graph {
         .distinct()
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .write.parquet(p)
     }
-    s.read.parquet(path)
+    s.table(table)
   }
 
   /** Fixed-iteration PageRank on a symmetric edge list. The symmetric
@@ -69,17 +72,20 @@ object Graph {
     * tree — at the fixed 3 iterations here the lineage stays shallow.
     */
   private[graft] def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    // Partitioning contract: `edges` should already be CLUSTERED on
+    // src — the query path passes the bucketed artifact, whose scans
+    // report HashPartitioning(src), so the out-degree aggregate, the
+    // degree join, and every iteration's rank join run with ZERO
+    // exchange on the edge side; only the node-sized rank vector and
+    // the per-iteration dst-keyed contribution sum move. (The earlier
+    // designs measured worse: localCheckpoint loses partitioning and
+    // re-shuffles edges per iteration; repartition+cache re-pays the
+    // materialization every invocation — see SCALE.md.) The web-scale
+    // shape: ranks are too big to broadcast, edges too big to move
+    // even once when the layout already clusters them.
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // The edge relation is computed once and CACHED hash-partitioned
-    // on src: InMemoryRelation preserves its child's output
-    // partitioning, so each iteration's rank join exchanges only the
-    // node-sized rank vector, never the edge relation. (localCheckpoint
-    // is NOT enough — LogicalRDD comes back UnknownPartitioning and
-    // every iteration re-shuffles the edges; measured 6.5 s → see
-    // SCALE.md.) The web-scale shape: ranks are far too big to
-    // broadcast, edges far too big to move more than once.
-    val ed = edges.join(outdeg, "src").repartition(col("src")).cache()
-    val nodes = ed.select(col("src").as("node")).distinct()
+    val ed = edges.join(outdeg, "src")
+    val nodes = edges.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("r", lit(RankOneU))
     for (_ <- 1 to iters) {
       val contrib = ed
@@ -91,30 +97,25 @@ object Graph {
         .select(col("node"),
           (lit(BaseU) + expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
     }
-    // materialize the node-sized result, then release the cache — the
-    // componentsOf discipline: no persisted state outlives the call
-    val out = ranks.orderBy("node").localCheckpoint(true)
-    ed.unpersist()
-    out
+    // node-sized result, materialized so the caller never replays the
+    // iteration lineage
+    ranks.orderBy("node").localCheckpoint(true)
   }
 
   /** Fixed-depth BFS with min-hop labels: every node reachable from the
     * seed set within `hops` edge traversals, labeled with its BFS
     * distance. Each round joins the known frontier (node-sized) against
-    * the cached src-partitioned edge relation and re-minimizes — the
-    * candidate label is the round number, so a node keeps the first
-    * round that reached it. Same cache discipline as [[pageRank]]. */
+    * the src-clustered edge relation (zero edge-side exchange off the
+    * bucketed artifact) and re-minimizes — the candidate label is the
+    * round number, so a node keeps the first round that reached it. */
   private[graft] def nHop(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
-    val ed = edges.repartition(col("src")).cache()
     var d = seeds.withColumn("dist", lit(0L))
     for (k <- 1 to hops) {
-      val nxt = d.join(ed, d("node") === ed("src"))
+      val nxt = d.join(edges, d("node") === edges("src"))
         .select(col("dst").as("node"), lit(k.toLong).as("dist"))
       d = d.unionByName(nxt).groupBy(col("node")).agg(min(col("dist")).as("dist"))
     }
-    val out = d.orderBy("node").localCheckpoint(true)
-    ed.unpersist()
-    out
+    d.orderBy("node").localCheckpoint(true)
   }
 
   private val seedNodes: Seq[String] = (0 to 9).map(i => s"c$i")
