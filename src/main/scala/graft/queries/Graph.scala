@@ -44,7 +44,7 @@ object Graph {
     * repartition+cache this replaced (and its re-materialization every
     * bench pass) disappears entirely. A deployment materializes the
     * same table per corpus version in its metastore. */
-  private def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
     val table = graft.engine.Bucketing.cachedTable(
       s, "graph_edges", dir, "src", 16) {
       val pairs = t(s, dir, "orders")
@@ -71,7 +71,14 @@ object Graph {
     * the componentsOf RDD-rebase idiom (Dedup.scala:369) bounds the plan
     * tree — at the fixed 3 iterations here the lineage stays shallow.
     */
-  private[graft] def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  private[graft] def pageRank(edges: DataFrame, iters: Int): DataFrame =
+    // node-sized result, materialized so the caller never replays the
+    // iteration lineage
+    rankLoop(edges, iters).localCheckpoint(true)
+
+  /** The lazy rank-iteration plan (exposed for the plan-contract spec —
+    * the materialized [[pageRank]] result hides it). */
+  private[queries] def rankLoop(edges: DataFrame, iters: Int): DataFrame = {
     // Partitioning contract: `edges` should already be CLUSTERED on
     // src — the query path passes the bucketed artifact, whose scans
     // report HashPartitioning(src), so the out-degree aggregate, the
@@ -97,9 +104,7 @@ object Graph {
         .select(col("node"),
           (lit(BaseU) + expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
     }
-    // node-sized result, materialized so the caller never replays the
-    // iteration lineage
-    ranks.orderBy("node").localCheckpoint(true)
+    ranks.orderBy("node")
   }
 
   /** Fixed-depth BFS with min-hop labels: every node reachable from the

@@ -61,6 +61,19 @@ class GraphSpec extends SparkSuite {
     assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
   }
 
+  test("bucketed edge artifact: rank loop has zero edge-side exchanges") {
+    // the bucketed layout IS the shuffle — degree agg, degree join, and
+    // every iteration's rank join must consume HashPartitioning(src)
+    // from the scan; only rank-vector (node/dst-keyed) exchanges and
+    // the final sort may move data
+    val edges = Graph.custSuppEdges(spark, "/root/testdata/sf0.001")
+    val plan = Graph.rankLoop(edges, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(src"),
+      s"edge-side exchange found:\n${plan.take(4000)}")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"expected a bucketed scan:\n${plan.take(2000)}")
+  }
+
   test("directed chain with un-reached node: left join keeps base rank") {
     // x → y → z, plus isolated self-pointing w (w → w keeps outdeg ≥ 1).
     val e = Seq("x" -> "y", "y" -> "z", "z" -> "x", "w" -> "w")
