@@ -37,17 +37,6 @@ object Bucketing {
     * that agreement is the contract the catalog enforces). */
   val tpchBuckets = 8
 
-  /** Co-bucketed (orders, lineitem) tables for `dir`, both bucketed by
-    * their orderkey, built once per (JVM, dir); returns the catalog
-    * table names. The build is the pay-once shuffle; every caller
-    * after the first gets the co-located layout for free.
-    *
-    * The Scratch memo outlives any single SparkSession, but the
-    * catalog registration lives in the session's SharedState — a fresh
-    * SparkContext in the same JVM would resolve the memoized names to
-    * nothing, so missing tables are re-registered (rebuilt into the
-    * same scratch path; synchronized so concurrent detectors don't
-    * race the overwrite). */
   /** Generic build-once bucketed artifact: `build` computes the
     * relation, it persists bucketed+sorted by `key` into the catalog
     * (once per (JVM, `dirKey`), re-registered if a fresh session lost
@@ -68,6 +57,17 @@ object Bucketing {
     t
   }
 
+  /** Co-bucketed (orders, lineitem) tables for `dir`, both bucketed by
+    * their orderkey, built once per (JVM, dir); returns the catalog
+    * table names. The build is the pay-once shuffle; every caller
+    * after the first gets the co-located layout for free.
+    *
+    * The Scratch memo outlives any single SparkSession, but the
+    * catalog registration lives in the session's SharedState — a fresh
+    * SparkContext in the same JVM would resolve the memoized names to
+    * nothing, so missing tables are re-registered (rebuilt into the
+    * same scratch path; synchronized so concurrent detectors don't
+    * race the overwrite). */
   def tpchTables(s: SparkSession, dir: String): (String, String) = {
     def names(id: String) =
       (s"graft_bkt_orders_$id", s"graft_bkt_lineitem_$id")

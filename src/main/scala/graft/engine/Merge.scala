@@ -31,9 +31,16 @@ object Merge {
     * `(targetCol, updateCol) => merged` — it also sees unmatched rows
     * (one side null), so write it total, e.g. additive counters as
     * `(t, u) => coalesce(t, lit(0L)) + coalesce(u, lit(0L))`.
-    */
+    *
+    * `updates` must also be key-UNIQUE (one row per key) — duplicate
+    * update keys fan out matched target rows through the full-outer
+    * join. The relational contract can't be checked for free at scale,
+    * so it is opt-in: `checkUniqueKeys = true` spends one aggregate
+    * over the (increment-sized) update side and fails fast instead of
+    * silently multiplying rows. */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
-      combine: Map[String, (Column, Column) => Column] = Map.empty): DataFrame = {
+      combine: Map[String, (Column, Column) => Column] = Map.empty,
+      checkUniqueKeys: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "merge keys required")
     val tCols = target.columns.toSeq
     val uCols = updates.columns.toSet
@@ -44,6 +51,13 @@ object Merge {
     val badCombine = combine.keySet.filterNot(c => uCols(c) && !keys.contains(c))
     require(badCombine.isEmpty,
       s"combine must name non-key update columns: ${badCombine.mkString(", ")}")
+    if (checkUniqueKeys) {
+      val dup = updates.groupBy(keys.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        s"updates side is not key-unique on (${keys.mkString(", ")}) — " +
+          "a duplicate update key would fan out matched target rows")
+    }
 
     val t = target.alias("t")
     val u = updates.alias("u")

@@ -112,7 +112,9 @@ object EventStream {
     * dimensions too big to broadcast belong in `correlate` instead. */
   def enrich(events: DataFrame, dim: DataFrame,
       eventKey: String, dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+    // dataset-qualified keys: bare col() would be ambiguous whenever
+    // both sides share the key's name (the most natural call)
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
 
   /** Watermarked stream-stream inner join: correlate each left event
     * with the same user's right events in the following `windowMinutes`
@@ -159,14 +161,31 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val upd = profile(batch.toDF())
-        val fs = new org.apache.hadoop.fs.Path(targetDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val target = new org.apache.hadoop.fs.Path(targetDir)
+        // staged swap: a direct overwrite deletes the old table BEFORE
+        // the new write commits, so a mid-write crash loses the table.
+        // Writing to a staging dir first means a crash during the write
+        // leaves the live table untouched; after the staging write is
+        // COMPLETE the swap is delete+rename. A crash between those two
+        // leaves a complete staging dir and no target — recovered below
+        // (partial staging can never be recovered: target still exists
+        // then, so the recovery branch is unreachable for it).
+        val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
+        val fs = target.getFileSystem(conf)
+        if (!fs.exists(target) && fs.exists(staging))
+          fs.rename(staging, target) // finish an interrupted swap
         val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(targetDir))) {
+          if (fs.exists(target)) {
             val tgt = spark.read.parquet(targetDir).localCheckpoint(true)
-            graft.engine.Merge.upsert(tgt, upd, keys)
+            // the increment is batch-sized — the key-uniqueness check is
+            // cheap here and a duplicate-key profile would otherwise
+            // compound duplicates into the table every micro-batch
+            graft.engine.Merge.upsert(tgt, upd, keys, checkUniqueKeys = true)
           } else upd
-        merged.write.mode("overwrite").parquet(targetDir)
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(target, true)
+        fs.rename(staging, target)
         ()
       }
       .start()

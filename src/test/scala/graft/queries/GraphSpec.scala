@@ -8,10 +8,13 @@ import graft.SparkSuite
 class GraphSpec extends SparkSuite {
   import spark.implicits._
 
-  /** Local fixed-point PageRank with identical integer semantics. */
+  /** Local fixed-point PageRank with identical integer semantics —
+    * including the node universe: rankLoop derives nodes from SRC only
+    * (its callers guarantee outdeg ≥ 1 via symmetric construction), so
+    * the simulator must too, or a pure-sink node would diverge. */
   private def localPr(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
     val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val nodes = edges.map(_._1).distinct
     var r = nodes.map(_ -> 1000000L).toMap
     for (_ <- 1 to iters) {
       val sums = edges.groupBy(_._2).view.mapValues(
