@@ -318,6 +318,47 @@ object Similarity {
        |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** Exact brute-force cosine top-k relation (query_id, neighbor_id,
+    * rnk, cos) for queries `vec_id < maxQ` — one corpus scan, queries
+    * broadcast. Shared by q_ann_bruteforce and the RRF fusion. */
+  private def bruteRank(v: DataFrame, maxQ: Int, k: Int): DataFrame = {
+    val q = v.filter(col("vec_id") < maxQ)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val joined = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+  }
+
+  /** Multi-table LSH top-k relation (query_id, neighbor_id, rnk, cos)
+    * for queries `vec_id < maxQ`: capped sign-bucket equi-join
+    * candidates, exact cosine re-rank. `v0` must be materialized by the
+    * caller — it feeds the bucket explode AND both re-rank join-backs
+    * (three lazy references — the componentsOf lesson, SCALE.md round
+    * 3). Shared by q_ann_lsh_multi and the RRF fusion. */
+  private def lshMultiRank(v0: DataFrame, maxQ: Int, k: Int): DataFrame = {
+    val b = multiTableBuckets(v0)
+    val bc = Dedup.capBuckets(b, Seq("bucket"), "vec_id", lshBucketCap)
+    val qb = b.filter(col("vec_id") < maxQ)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val pairs = bc.join(qb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val scored = pairs
+      .join(v0, "vec_id")
+      .join(v0.select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn")), "query_id")
+      .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+  }
+
   /** Spark-side sign-bucket from the shipped planes. */
   private def bucketCol: Column = bucketColFor(planes, col("e"))
 
@@ -533,19 +574,9 @@ object Similarity {
 
     // ── brute-force cosine top-k (the exact baseline) ──
     Q("q_ann_bruteforce",
-      (s, dir) => {
-        val v = emb(s, dir).select("vec_id", "e", "nrm")
-        val q = v.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-        val joined = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
-          .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        joined.withColumn("rnk", row_number().over(w).cast(LongType))
-          .filter(col("rnk") <= 10)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
-          .orderBy("query_id", "rnk")
-      },
+      (s, dir) =>
+        bruteRank(emb(s, dir).select("vec_id", "e", "nrm"), 8, 10)
+          .orderBy("query_id", "rnk"),
       Some(
         s"""WITH v AS ($duckEmb),
            |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 8),
@@ -772,28 +803,8 @@ object Similarity {
     // re-rank; corpus-side buckets skew-capped like q_ann_lsh.
     Q("q_ann_lsh_multi",
       (s, dir) => {
-        // materialized once: v0 feeds the bucket explode AND both
-        // re-rank join-backs (three lazy references — the componentsOf
-        // lesson, SCALE.md round 3)
         val v0 = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
-        val b = multiTableBuckets(v0)
-        val bc = Dedup.capBuckets(b, Seq("bucket"), "vec_id", lshBucketCap)
-        val qb = b.filter(col("vec_id") < 64)
-          .select(col("vec_id").as("query_id"), col("bucket"))
-        val pairs = bc.join(qb, Seq("bucket"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select("query_id", "vec_id").distinct()
-        val scored = pairs
-          .join(v0, "vec_id")
-          .join(v0.select(col("vec_id").as("query_id"), col("e").as("qe"),
-            col("nrm").as("qn")), "query_id")
-          .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        scored.withColumn("rnk", row_number().over(w).cast(LongType))
-          .filter(col("rnk") <= 5)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
-          .orderBy("query_id", "rnk")
+        lshMultiRank(v0, 64, 5).orderBy("query_id", "rnk")
       },
       Some(duckLshMultiTopK)),
 
@@ -910,14 +921,76 @@ object Similarity {
            |  FROM cells)
            |SELECT r.cid, s.n_cell, r.rk, r.vec_id
            |FROM r JOIN stats s USING (cid)
-           |WHERE rk <= 20 ORDER BY cid, rk""".stripMargin))
+           |WHERE rk <= 20 ORDER BY cid, rk""".stripMargin)),
+
+    // ── reciprocal-rank fusion: ensemble of retrievers (hybrid search) ──
+    // The standard way to combine rankings that score on incomparable
+    // scales: fused(d) = Σ_lists 1/(60 + rank_list(d)). Here the exact
+    // brute-force top-10 fuses with the multi-table LSH top-5 (both
+    // relations shared verbatim with their standalone queries) — a
+    // retriever ensemble where the cheap approximate list can promote
+    // what the other ranks low, the shape hybrid dense+lexical search
+    // uses. The RRF contribution is FIXED-POINT (10⁹ div (60+rnk),
+    // exact BIGINT) so the fused scores hash-match; ranks, not scores,
+    // enter the formula, so no float comparability assumptions at all.
+    // Cost: the two retrievals (corpus scan + bucket equi-join) plus
+    // one (query, neighbor)-keyed aggregate over ≤15 rows per query.
+    Q("q_rank_fusion",
+      (s, dir) => {
+        val v0 = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
+        val dense = bruteRank(v0, 8, 10)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"))
+        val sparse = lshMultiRank(v0, 64, 5).filter(col("query_id") < 8)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"))
+        val fused = dense.unionByName(sparse)
+          .withColumn("c", expr("1000000000L div (60 + rnk)"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(sum(col("c")).as("rrf_fp"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_fp").desc, col("neighbor_id"))
+        fused.withColumn("fused_rank", row_number().over(w).cast(LongType))
+          .filter(col("fused_rank") <= 5)
+          .select(col("query_id"), col("fused_rank"), col("neighbor_id"), col("rrf_fp"))
+          .orderBy("query_id", "fused_rank")
+      },
+      Some(
+        s"""WITH $duckLshMultiCtes,
+           |bq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v
+           |       WHERE vec_id < 8),
+           |bp AS (SELECT q.query_id, v2.vec_id AS neighbor_id,
+           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  FROM v v2 JOIN bq q ON v2.vec_id <> q.query_id),
+           |br AS (SELECT query_id, neighbor_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+           |    AS rnk FROM bp),
+           |un AS (SELECT query_id, neighbor_id, rnk FROM br WHERE rnk <= 10
+           |  UNION ALL
+           |  SELECT query_id, neighbor_id, rnk FROM r
+           |  WHERE rnk <= 5 AND query_id < 8),
+           |f AS (SELECT query_id, neighbor_id,
+           |  CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_fp
+           |  FROM un GROUP BY query_id, neighbor_id),
+           |fr AS (SELECT query_id, neighbor_id, rrf_fp,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rrf_fp DESC, neighbor_id) AS BIGINT) AS fused_rank
+           |  FROM f)
+           |SELECT query_id, fused_rank, neighbor_id, rrf_fp FROM fr
+           |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin))
   )
 
   /** DuckDB twin of the multi-table LSH top-k relation — shared by the
     * in-query and prebuilt-index variants (the index is deterministic,
     * so both compute the identical relation). */
   private lazy val duckLshMultiTopK: String =
-    s"""WITH v AS ($duckEmb),
+    s"""WITH $duckLshMultiCtes
+       |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** The CTE chain of [[duckLshMultiTopK]] without the final SELECT —
+    * reused by the RRF fusion oracle (which also needs the shared `v`
+    * embedding CTE and the ranked relation `r`). */
+  private lazy val duckLshMultiCtes: String =
+    s"""v AS ($duckEmb),
        |b AS (SELECT vec_id, unnest([$duckSigList]) AS bucket FROM v),
        |bc AS (SELECT vec_id, bucket FROM (
        |  SELECT vec_id, bucket,
@@ -933,7 +1006,5 @@ object Similarity {
        |  JOIN v nv ON nv.vec_id = p.vec_id),
        |r AS (SELECT query_id, neighbor_id, cos,
        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
-       |    AS rnk FROM scored)
-       |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
-       |ORDER BY query_id, rnk""".stripMargin
+       |    AS rnk FROM scored)""".stripMargin
 }
