@@ -161,6 +161,30 @@ object Stats {
               |SELECT ch.cw AS cohort_week, uw.w - ch.cw AS week_offset,
               |  count(*) AS users
               |FROM uw JOIN ch USING (user_id)
-              |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // ── day-over-day deltas: the daily-report staple ──
+    // Daily counts per type, then lag() along the day axis (window
+    // partitioned by type — never a global window). First day's delta
+    // is NULL, not zero: absence of a prior day is not a zero change.
+    Q("q_dod_delta",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day"))
+        daily
+          .withColumn("delta", col("cnt") - lag(col("cnt"), 1).over(w))
+          .select(col("event_type"), col("day"), col("cnt"), col("delta"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    event_type, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, day, cnt,
+             |  cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS delta
+             |FROM d ORDER BY event_type, day""".stripMargin))
   )
 }

@@ -244,6 +244,43 @@ class EventStreamSpec extends SparkSuite {
     assert(got == Set((1L, "purchase"), (2L, "click"), (3L, "signup")))
   }
 
+  test("upsertSink recovers an interrupted staged swap") {
+    import org.apache.spark.sql.Row
+    def ev(id: Long, user: Long, min: Long, typ: String) =
+      Row(id, new java.sql.Timestamp(1700000000000L + min * 60000L), user, typ, 0.0, "{}")
+    implicit val enc = org.apache.spark.sql.Encoders.row(EventStream.eventSchema)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Row](spark)
+    val target = Files.createTempDirectory("graft-upsert-rec").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-upsert-rec-ckpt").toString
+    def profile(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"))
+    }
+    val q = EventStream.upsertSink(src.toDF(), target, Seq("user_id"), ckpt)(profile)
+    try {
+      src.addData(Seq(ev(1, 1L, 0, "view")))
+      q.processAllAvailable()
+      // simulate a crash between delete(target) and rename(staging):
+      // the COMPLETE table sits at .staging, target is gone
+      val conf = spark.sparkContext.hadoopConfiguration
+      val tp = new org.apache.hadoop.fs.Path(target)
+      val sp = new org.apache.hadoop.fs.Path(target + ".staging")
+      val fs = tp.getFileSystem(conf)
+      assert(fs.rename(tp, sp), "test setup: could not stage the table")
+      // next batch must first finish the swap, then merge on top of it
+      src.addData(Seq(ev(2, 2L, 5, "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(target)
+      .as[(Long, String)].collect().toSet
+    // user 1 survived the interrupted swap, user 2 merged in after it
+    assert(got == Set((1L, "view"), (2L, "click")))
+  }
+
   test("streaming dedup == batch dropDuplicates on static input") {
     // stage the static events table as a stream; dedup on
     // (user_id, event_type) must match the batch distinct-key count
