@@ -71,10 +71,21 @@ object Bench {
     val passTotals = passes.map(_.values.filter(_ >= 0).sum)
     // failed queries are named explicitly — a breaking query must never
     // read as a smaller (faster-looking) total with a clean exit
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"iters":$iters,""" +
       s""""pass_total_min":${passTotals.min},"pass_total_max":${passTotals.max},""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(json)
+    // the driver captures only the stdout TAIL, which truncated ~60 of
+    // 126 per-query medians out of round 4's artifact — the file copy
+    // is the complete record (best-effort: a read-only cwd must not
+    // fail the bench itself)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

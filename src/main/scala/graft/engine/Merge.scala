@@ -52,11 +52,20 @@ object Merge {
     require(badCombine.isEmpty,
       s"combine must name non-key update columns: ${badCombine.mkString(", ")}")
     if (checkUniqueKeys) {
-      val dup = updates.groupBy(keys.map(col): _*)
-        .count().filter(col("count") > 1).limit(1).count()
-      require(dup == 0,
-        s"updates side is not key-unique on (${keys.mkString(", ")}) — " +
-          "a duplicate update key would fan out matched target rows")
+      // one aggregate checks BOTH halves of the key contract: duplicate
+      // keys (fan out matched target rows) and null keys (the matched-
+      // row test rides on keys.head being non-null, so a null-keyed
+      // update row silently INSERTS instead of matching — and groupBy
+      // treats null as a key, so it is visible to this same aggregate)
+      val bad = updates.groupBy(keys.map(col): _*)
+        .count()
+        .filter(col("count") > 1 || keys.map(col(_).isNull).reduce(_ || _))
+        .head(1)
+      require(bad.isEmpty,
+        s"updates side violates the merge-key contract on " +
+          s"(${keys.mkString(", ")}): offending key ${bad.headOption.orNull} — " +
+          "duplicate keys fan out matched target rows; null keys insert " +
+          "instead of matching")
     }
 
     val t = target.alias("t")

@@ -1,48 +1,97 @@
 package graft.engine
 
-import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-/** Per-process scratch space for derived artifacts (partitioned
-  * layouts, dedup band indexes, IVF codebooks): built ONCE per
-  * (prefix, key) per JVM, reused by every later invocation, deleted
-  * whole on JVM exit.
+/** Scratch space for derived artifacts (partitioned layouts, dedup
+  * band indexes, IVF codebooks, bucketed tables): built ONCE per
+  * (prefix, key), reused by every later invocation.
   *
-  * This is the local stand-in for a deployment's persisted-artifact
-  * store: the build step that runs here at first use is exactly the
-  * build-once job a 100 TB pipeline schedules (and points at durable
-  * storage instead of a temp dir). Keying by the INPUT path keeps the
-  * artifact deterministic — same input, same artifact — so reuse
-  * within a process (a multi-pass bench, a Verify run) is safe, and a
-  * bounded number of distinct inputs bounds disk.
+  * Two modes:
+  *   - default: a per-(JVM, prefix) temp dir deleted whole on JVM
+  *     exit — artifacts live as long as the process (the test/bench
+  *     shape);
+  *   - durable: `GRAFT_SCRATCH_DIR` points at a persistent root, and
+  *     artifacts SURVIVE the process — a completion marker written
+  *     after each successful build lets a later JVM find and reuse a
+  *     prior JVM's artifact instead of re-paying the build (the
+  *     deployment shape: the reference's SDFS files likewise persist
+  *     across jobs and node restarts, `SdfsServer.java:620-644`).
+  *
+  * Artifact paths are DETERMINISTIC — `root/md5(key)[0,16)` — so the
+  * same (prefix, key) resolves to the same path in every process, and
+  * derived names (e.g. catalog table names keyed on the path leaf)
+  * stay stable across restarts. The marker (`<leaf>.done`, holding the
+  * full key) is written only after `build` returns, so a crash
+  * mid-build leaves no marker and the next process clears the partial
+  * dir and rebuilds; it also guards the truncated hash against
+  * collision (mismatched key text fails loudly instead of serving the
+  * wrong artifact).
   */
 object Scratch {
 
   private val roots = new ConcurrentHashMap[String, Path]()
   private val built =
     new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
-  private val seq = new AtomicLong(0)
+  private val builds = new AtomicLong(0)
 
-  /** One scratch root per (JVM, prefix), deleted recursively on exit. */
+  /** Builds executed by THIS process (not satisfied from a marker or
+    * the in-memory memo) — the durability proof reads it: a second
+    * process over the same durable root must report 0. */
+  def buildCount: Long = builds.get()
+
+  /** Test hook: overrides GRAFT_SCRATCH_DIR (env vars can't be set
+    * in-JVM). Production code never touches it. */
+  private[engine] var durableRootOverride: Option[String] = None
+
+  private def durableRoot: Option[String] =
+    durableRootOverride.orElse(sys.env.get("GRAFT_SCRATCH_DIR"))
+
+  /** Test hook simulating a process restart: drops the in-memory memo
+    * and root cache (disk state — artifacts and markers — survives,
+    * exactly like a real restart under a durable root). */
+  private[engine] def resetForTest(): Unit = {
+    roots.clear()
+    built.clear()
+    builds.set(0)
+  }
+
+  private def deleteTree(r: Path): Unit =
+    if (Files.exists(r)) {
+      val s = Files.walk(r)
+      try s.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+
+  /** One scratch root per (JVM, prefix): durable subdir if configured,
+    * else a temp dir deleted recursively on exit. */
   private def root(prefix: String): Path =
     roots.computeIfAbsent(prefix, { p =>
-      val r = Files.createTempDirectory(s"graft_${p}_")
-      sys.addShutdownHook {
-        if (Files.exists(r)) {
-          val s = Files.walk(r)
-          try s.sorted(Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-          finally s.close()
-        }
+      durableRoot match {
+        case Some(d) =>
+          val r = Paths.get(d, p)
+          Files.createDirectories(r)
+          r
+        case None =>
+          val r = Files.createTempDirectory(s"graft_${p}_")
+          sys.addShutdownHook(deleteTree(r))
+          r
       }
-      r
     })
 
-  /** Path of the (prefix, key) artifact, running `build` exactly once
-    * per JVM for it. `build` must fully materialize the artifact at
-    * the given path before returning.
+  private def leafOf(key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(key.getBytes(UTF_8)).map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Path of the (prefix, key) artifact, running `build` at most once
+    * per (root, key) — exactly once per JVM in temp mode, at most once
+    * EVER under a durable root. `build` must fully materialize the
+    * artifact at the given path before returning.
     *
     * Memoized as a per-key future claimed with putIfAbsent and BUILT
     * OUTSIDE the map — builds are long Spark jobs, and running them
@@ -58,10 +107,29 @@ object Scratch {
     if (prior != null) prior.join()
     else
       try {
-        val path = s"${root(prefix)}/${seq.incrementAndGet()}"
-        build(path)
-        fresh.complete(path)
-        path
+        val r = root(prefix)
+        val leaf = leafOf(key)
+        val path = r.resolve(leaf)
+        val marker = r.resolve(s"$leaf.done")
+        if (Files.exists(marker)) {
+          val recorded = new String(Files.readAllBytes(marker), UTF_8)
+          // truncated-hash collision is ~2^-64 per pair but would
+          // silently serve the WRONG artifact — the marker carries the
+          // key so it can never happen quietly
+          if (recorded != key)
+            throw new IllegalStateException(
+              s"scratch leaf collision under $r: '$recorded' vs '$key'")
+          // built by an earlier process under this durable root
+        } else {
+          // no marker + existing dir = a crashed build; clear it so
+          // builders without overwrite semantics can't trip on debris
+          deleteTree(path)
+          builds.incrementAndGet()
+          build(path.toString)
+          Files.write(marker, key.getBytes(UTF_8))
+        }
+        fresh.complete(path.toString)
+        path.toString
       } catch {
         case e: Throwable =>
           fresh.completeExceptionally(e)

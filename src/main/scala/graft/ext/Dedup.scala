@@ -480,10 +480,12 @@ object Dedup {
     val path = graft.engine.Scratch.cached("hash_corpus", dir)(build)
     val tbl = name(path.split('/').last)
     // the Scratch memo outlives any single SparkSession but the
-    // catalog entry doesn't — re-register if a fresh session's catalog
-    // doesn't know the memoized name (see Bucketing.tpchTables)
+    // catalog entry doesn't — re-register over the existing data if a
+    // fresh session's catalog doesn't know the memoized name (see
+    // Bucketing.registerExisting; rebuilding would re-pay the shuffle)
     this.synchronized {
-      if (!s.catalog.tableExists(tbl)) build(path)
+      if (!s.catalog.tableExists(tbl))
+        graft.engine.Bucketing.registerExisting(s, tbl, "h", 8, s"$path/data")
     }
     tbl
   }

@@ -168,13 +168,25 @@ object EventStream {
         // Writing to a staging dir first means a crash during the write
         // leaves the live table untouched; after the staging write is
         // COMPLETE the swap is delete+rename. A crash between those two
-        // leaves a complete staging dir and no target — recovered below
-        // (partial staging can never be recovered: target still exists
-        // then, so the recovery branch is unreachable for it).
+        // leaves a complete staging dir and no target — recovered below.
+        // Completeness is judged by the committer's _SUCCESS marker
+        // (written last): on the FIRST-ever batch no target exists yet,
+        // so "no target + staging present" alone cannot distinguish an
+        // interrupted swap from a crash mid-staging-write — promoting a
+        // footer-less partial dir would wedge every replay's read.
         val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
         val fs = target.getFileSystem(conf)
-        if (!fs.exists(target) && fs.exists(staging))
-          fs.rename(staging, target) // finish an interrupted swap
+        val stagingDone =
+          new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
+        if (!fs.exists(target) && fs.exists(stagingDone))
+          require(fs.rename(staging, target),
+            s"recovery rename $staging -> $target failed")
+        // stale staging (partial write, or complete-but-target-exists
+        // from an interrupted delete) is dead weight either way: the
+        // batch below recomputes from the live table + replayed input
+        if (fs.exists(staging))
+          require(fs.delete(staging, true),
+            s"could not clear stale staging dir $staging")
         val merged =
           if (fs.exists(target)) {
             val tgt = spark.read.parquet(targetDir).localCheckpoint(true)
@@ -184,8 +196,12 @@ object EventStream {
             graft.engine.Merge.upsert(tgt, upd, keys, checkUniqueKeys = true)
           } else upd
         merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(target, true)
-        fs.rename(staging, target)
+        // a silently-failed swap step would surface batches later as a
+        // confusing recovery case — fail THIS batch loudly instead
+        if (fs.exists(target))
+          require(fs.delete(target, true), s"delete of $target failed")
+        require(fs.rename(staging, target),
+          s"swap rename $staging -> $target failed")
         ()
       }
       .start()

@@ -281,6 +281,44 @@ class EventStreamSpec extends SparkSuite {
     assert(got == Set((1L, "view"), (2L, "click")))
   }
 
+  test("upsertSink discards a PARTIAL staging dir instead of promoting it") {
+    // the first-ever batch has no target yet, so "no target + staging
+    // present" alone cannot distinguish an interrupted swap from a
+    // crash mid-staging-write — only a staging dir with the committer's
+    // _SUCCESS marker may be promoted; a footer-less partial dir must
+    // be cleared (promoting it would wedge every replay's read)
+    import org.apache.spark.sql.Row
+    def ev(id: Long, user: Long, min: Long, typ: String) =
+      Row(id, new java.sql.Timestamp(1700000000000L + min * 60000L), user, typ, 0.0, "{}")
+    implicit val enc = org.apache.spark.sql.Encoders.row(EventStream.eventSchema)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Row](spark)
+    val target = Files.createTempDirectory("graft-upsert-part").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-upsert-part-ckpt").toString
+    // simulate the crash BEFORE any batch: partial parquet write (no
+    // _SUCCESS, truncated file), no target
+    val stagingDir = java.nio.file.Paths.get(target + ".staging")
+    java.nio.file.Files.createDirectories(stagingDir)
+    java.nio.file.Files.write(stagingDir.resolve("part-00000.parquet"),
+      "not a parquet footer".getBytes)
+    def profile(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"))
+    }
+    val q = EventStream.upsertSink(src.toDF(), target, Seq("user_id"), ckpt)(profile)
+    try {
+      src.addData(Seq(ev(1, 1L, 0, "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(target)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "view")))
+    assert(!java.nio.file.Files.exists(stagingDir), "stale staging must be cleared")
+  }
+
   test("streaming dedup == batch dropDuplicates on static input") {
     // stage the static events table as a stream; dedup on
     // (user_id, event_type) must match the batch distinct-key count
