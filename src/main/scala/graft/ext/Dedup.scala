@@ -445,6 +445,44 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/shingles")
   }
 
+  /** Scratch-cached [[buildBandIndex]] artifact over the corpus
+    * partition (doc_id % 10 ≠ 7) of `dir` — ONE artifact shared by
+    * every daily-probe consumer (q_dedup_incremental_idx and the
+    * incremental curation funnel), durable across processes under a
+    * GRAFT_SCRATCH_DIR root. */
+  def corpusBandIndex(s: SparkSession, dir: String): String =
+    graft.engine.Scratch.cached("band_idx", dir) { path =>
+      buildBandIndex(docs(s, dir).filter(col("doc_id") % 10 =!= 7), path)
+    }
+
+  /** Scratch-cached [[buildBandIndex]] artifact over the WHOLE corpus
+    * of `dir` — the self-dedup twin of [[corpusBandIndex]], consumed
+    * by the batch curation funnel's near-dup stage. */
+  def fullBandIndex(s: SparkSession, dir: String): String =
+    graft.engine.Scratch.cached("band_idx_all", dir) { path =>
+      buildBandIndex(docs(s, dir), path)
+    }
+
+  /** [[verifiedPairs]] computed from a PREBUILT [[buildBandIndex]]
+    * artifact instead of re-shingling the corpus in-query: candidates
+    * from the persisted (already skew-capped) bucket table self-joined
+    * on (band, sig), verified against the persisted shingle table.
+    * The index is deterministic in the corpus, so the relation — and
+    * any oracle hash over it — is IDENTICAL to the in-query path; the
+    * per-token md5 pass (the dominant cost) is paid once per corpus
+    * version instead of once per query. */
+  def verifiedPairsFromIndex(s: SparkSession, indexPath: String,
+      threshold: Double): DataFrame = {
+    val capped = s.read.parquet(s"$indexPath/buckets")
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val sh = s.read.parquet(s"$indexPath/shingles")
+    jaccardVerify(cand, sh, sh, "id1", "id2", threshold)
+  }
+
   /** Increment probed against a PREBUILT [[buildBandIndex]] artifact:
     * the daily-pipeline fast path. Unlike [[incrementalNearDups]]
     * (which shingles + buckets the corpus in-query), the corpus-side
@@ -523,6 +561,33 @@ object Dedup {
        |SELECT doc_id, dup_of, CAST(inter AS DOUBLE) / (la + lb - inter) AS jac
        |FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
        |ORDER BY doc_id, dup_of""".stripMargin
+
+  /** CTE bodies (expects `h` from [[duckHashedShingles]] in scope)
+    * computing `nd(doc_id, dup_of)`: verified near-dups of the probe
+    * docs (ids from the `probeIds` CTE, column doc_id) against the
+    * skew-capped corpus-side (doc_id % 10 ≠ 7) band buckets — the
+    * oracle twin of [[incrementalNearDupsAgainst]] over
+    * [[corpusBandIndex]], parameterized on the probe set so the
+    * curation funnel can probe with its gated survivors. */
+  private[ext] def duckIncrementalNearBodies(probeIds: String): String =
+    s"""mh AS (SELECT doc_id, $duckMinhashList FROM h),
+       |bands AS (SELECT doc_id, unnest([$duckBandList]) AS sig,
+       |          unnest(range($nBands)) AS band FROM mh),
+       |bi AS (SELECT doc_id, band, sig FROM bands
+       |       WHERE doc_id IN (SELECT doc_id FROM $probeIds)),
+       |bcap AS (SELECT doc_id, band, sig FROM (
+       |  SELECT doc_id, band, sig,
+       |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+       |  FROM bands WHERE doc_id % 10 <> 7) WHERE rn <= $bucketCap),
+       |ndcand AS (SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS dup_of
+       |  FROM bi i JOIN bcap c ON i.band = c.band AND i.sig = c.sig),
+       |nd AS (SELECT doc_id, dup_of FROM (
+       |  SELECT ndcand.doc_id, ndcand.dup_of,
+       |    len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS inter,
+       |    len(a.hs) AS la, len(b.hs) AS lb
+       |  FROM ndcand JOIN h a ON a.doc_id = ndcand.doc_id
+       |              JOIN h b ON b.doc_id = ndcand.dup_of)
+       |  WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8)""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -697,14 +762,11 @@ object Dedup {
     // oracle is shared; BandIndexSpec separately pins that the probe
     // plan's corpus-side scans hit the index, not `documents`.
     Q("q_dedup_incremental_idx",
-      (s, dir) => {
-        val idx = graft.engine.Scratch.cached("band_idx", dir) { path =>
-          buildBandIndex(docs(s, dir).filter(col("doc_id") % 10 =!= 7), path)
-        }
+      (s, dir) =>
         incrementalNearDupsAgainst(
-          docs(s, dir).filter(col("doc_id") % 10 === 7), idx, 0.8)
-          .orderBy("doc_id", "dup_of")
-      },
+          docs(s, dir).filter(col("doc_id") % 10 === 7),
+          corpusBandIndex(s, dir), 0.8)
+          .orderBy("doc_id", "dup_of"),
       Some(duckIncrementalNear)),
 
     // ── benchmark-contamination check: the pre-training audit every ──
