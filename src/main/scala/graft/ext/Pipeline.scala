@@ -457,6 +457,45 @@ object Pipeline {
              |FROM w
              |ORDER BY source""".stripMargin)),
 
+    // ── mix weights under TOKENIZER-faithful budgets: the q_mix_weights ──
+    // recipe with the whitespace counter swapped for the VocabTok
+    // greedy longest-match subword count (q_tok_vocab). Whitespace
+    // budgets under-count CJK by an order of magnitude, so the two
+    // variants disagree most exactly where quota-balancing matters —
+    // the measured zh share delta is recorded in SCALE.md. Same
+    // fixed-point temperature weighting, same oracle discipline (the
+    // tokenizer is cross-engine exact, see VocabTok).
+    Q("q_mix_weights_tok",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .withColumn("n_tok",
+            regexp_count(col("text"),
+              lit(graft.functions.VocabTok.sparkPattern)).cast("long"))
+          .groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("n_tokens"))
+          .withColumn("w",
+            floor(sqrt(col("n_tokens").cast("double")) * lit(1e6))
+              .cast(DecimalType(28, 0)))
+        toks
+          .withColumn("w_total", sum(col("w")).over(Window.partitionBy()))
+          .withColumn("share",
+            col("w").cast("double") / col("w_total").cast("double"))
+          .select(col("source"), col("n_tokens"), col("share"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT source,
+             |    CAST(SUM(${graft.functions.VocabTok.duck("text")}) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents GROUP BY source),
+             |w AS (SELECT source, n_tokens,
+             |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS DECIMAL(28,0)) AS w
+             |  FROM toks)
+             |SELECT source, n_tokens,
+             |  CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS share
+             |FROM w
+             |ORDER BY source""".stripMargin)),
+
     // ── the end-to-end curation funnel: corpus in, training set out ──
     // ONE declared lazy plan chaining the stages a production pipeline
     // runs before tokenization: quality gate (curationScored) → exact-

@@ -167,6 +167,35 @@ object TextAnalysis {
              |  AS bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── tokenizer-faithful token accounting: greedy longest-match ──
+    // over the inlined VocabTok subword vocabulary. The run-based
+    // q_text_tokens counter above lumps a CJK sentence into ONE token
+    // per script run — systematically under-budgeting exactly the
+    // languages quota-balancing protects; here CJK counts one token
+    // per character and English words split into BPE-ish subword
+    // units. Greedy longest-match compiles to a longest-first regex
+    // alternation, identical under Java regex and RE2 (VocabTok
+    // scaladoc), so the count is fully oracle-checked — no golden-file
+    // fallback. tok_per_word (one IEEE-exact division) is the
+    // under-count diagnostic: ~1 for en/de, ≫1 for zh.
+    Q("q_tok_vocab",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("ws_tokens", expr("size(split(text, ' '))").cast("long"))
+          .withColumn("vocab_tokens",
+            regexp_count(col("text"),
+              lit(graft.functions.VocabTok.sparkPattern)).cast("long"))
+          .withColumn("tok_per_word",
+            col("vocab_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .select("doc_id", "lang", "ws_tokens", "vocab_tokens", "tok_per_word")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |${graft.functions.VocabTok.duck("text")} AS vocab_tokens,
+             |CAST(${graft.functions.VocabTok.duck("text")} AS DOUBLE) /
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_per_word
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── rolling-hash document fingerprint (md5-seeded polynomial) ──
     // Token hashes materialize once (transform), the fold is then pure
     // integer arithmetic.
