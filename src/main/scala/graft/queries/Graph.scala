@@ -107,6 +107,84 @@ object Graph {
     ranks.orderBy("node")
   }
 
+  /** Epsilon-terminated PageRank on an ARBITRARY directed edge list —
+    * the general form of [[pageRank]]: iterates until no rank moved by
+    * more than `epsUnits` micro-units, and handles DANGLING nodes
+    * (nodes with no out-edges — the fixed-iteration query sidesteps
+    * them because its symmetric edge construction guarantees outdeg ≥
+    * 1). Dangling mass is redistributed uniformly each round:
+    * r'(n) = base + damping · (Σ contrib(n) + danglingSum div N),
+    * all integer micro-unit arithmetic, so the iterates — and the
+    * fixed point — are exactly reproducible (GraphConvergenceSpec pins
+    * them against a scalar reference executing the identical map).
+    *
+    * Choosing `epsUnits`: integer flooring makes each edge contribute
+    * up to 1 micro-unit of quantization jitter, so a node of in-degree
+    * k can oscillate by O(k) units forever — set the epsilon ABOVE the
+    * graph's max in-degree (the default 1000 covers in-degrees the
+    * damped geometric convergence reaches within the round budget;
+    * measured: the sf0.001 supplier hub graph floors out at ~400). An
+    * epsilon below the noise floor fails loudly via the round budget
+    * rather than returning a non-converged labeling.
+    *
+    * Scale shape per round: the big edge relation joins the node-sized
+    * rank vector (zero edge-side exchange when `edges` is the bucketed
+    * artifact), one dst-keyed aggregate, and two bounded driver
+    * scalars (dangling-mass sum, max delta — 1 row each, the
+    * `.head()` idiom, never a collect of the vector). Deep iteration
+    * counts stay safe because each round REBASES the rank vector onto
+    * its RDD (the componentsOf idiom, Dedup.scala) — the per-round
+    * plan is constant-size, so convergence depth can't blow up the
+    * plan tree. */
+  private[graft] def pageRankConverged(edges: DataFrame,
+      epsUnits: Long = 1000L, maxRounds: Int = 64): DataFrame = {
+    val s = edges.sparkSession
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().cache()
+    val nNodes = nodes.count()
+    require(nNodes > 0, "pageRankConverged needs a non-empty graph")
+    val ed = edges.join(outdeg, "src")
+    val dangling = nodes
+      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .cache()
+    var ranks = nodes.select(col("node"), lit(RankOneU).as("r"),
+      lit(RankOneU).as("prev")).cache()
+    var delta = Long.MaxValue
+    var round = 0
+    while (delta > epsUnits && round < maxRounds) {
+      val dSum = dangling.join(ranks, "node")
+        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      val dShare = dSum / nNodes
+      val contrib = ed
+        .join(ranks.select(col("node"), col("r")), ed("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      val nextPlan = nodes
+        .join(sums, nodes("node") === sums("dst"), "left")
+        .join(ranks.select(col("node").as("pn"), col("r").as("pr")),
+          nodes("node") === col("pn"))
+        .select(nodes("node"),
+          (lit(BaseU) +
+            expr(s"(85 * (coalesce(cs, 0L) + $dShare)) div 100")).as("r"),
+          col("pr").as("prev"))
+      val next = s.createDataFrame(nextPlan.toDF().rdd, nextPlan.schema).cache()
+      delta = next.agg(max(abs(col("r") - col("prev")))).head().getLong(0)
+      ranks.unpersist()
+      ranks = next
+      round += 1
+    }
+    if (delta > epsUnits) {
+      ranks.unpersist(); nodes.unpersist(); dangling.unpersist()
+    }
+    require(delta <= epsUnits,
+      s"pageRankConverged did not converge in $maxRounds rounds " +
+        s"(last max delta $delta micro-units > $epsUnits)")
+    val out = ranks.select("node", "r").localCheckpoint(true)
+    ranks.unpersist(); nodes.unpersist(); dangling.unpersist()
+    out
+  }
+
   /** Fixed-depth BFS with min-hop labels: every node reachable from the
     * seed set within `hops` edge traversals, labeled with its BFS
     * distance. Each round joins the known frontier (node-sized) against
