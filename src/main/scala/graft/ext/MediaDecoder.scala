@@ -7,8 +7,9 @@ import javax.imageio.ImageIO
 /** Pure-JVM media decoding for multimodal columns — real codecs, zero
   * external dependencies:
   *
-  *   - images: `javax.imageio` (PNG / BMP / GIF ship with the JDK) —
-  *     dimensions + mean-luminance feature from the decoded pixels;
+  *   - images: `javax.imageio` (PNG / BMP / GIF / JPEG ship with the
+  *     JDK) — dimensions + mean-luminance feature from the decoded
+  *     pixels;
   *   - audio: a hand-rolled RIFF/WAVE chunk parser (fmt + data) —
   *     sample rate, channels, frame count, duration, mean |amplitude|
   *     for 16-bit PCM;
@@ -65,6 +66,11 @@ object MediaDecoder {
       Some("gif")
     else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
       Some("bmp")
+    else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+        (p(2) & 0xff) == 0xff)
+      // the format a real multimodal corpus is mostly made of; the JDK
+      // ships both the reader and (for the fixture) the writer
+      Some("jpeg")
     else None
 
   // ── images: JDK ImageIO ──

@@ -57,6 +57,22 @@ class MultimodalSpec extends SparkSuite {
     assert(math.abs(gray.feature(2) - 128.0) < 1e-9)
   }
 
+  test("golden JPEG: sniffed by magic, dimensions exact, luminance within lossy band") {
+    // JPEG is the format a real multimodal corpus is mostly made of —
+    // covered as evidence, not an assumption. Dimensions survive the
+    // lossy codec exactly; a uniform mid-gray field compresses to DC
+    // coefficients only, so decoded luminance stays within a narrow
+    // band of 128 (not bit-exact like PNG).
+    val m = MediaDecoder.decode(imageBytes("jpg", 6, 4, 0x808080))
+    assert(m.format == "jpeg", s"sniffed as ${m.format}")
+    assert(m.width == 6 && m.height == 4)
+    assert(m.sample_rate == -1 && m.n_frames == -1L)
+    assert(math.abs(m.feature(2) - 128.0) < 2.0, s"jpeg lum ${m.feature(2)}")
+    // truncated JPEG must fall back, not throw
+    val trunc = MediaDecoder.decode(imageBytes("jpg", 6, 4, 0x808080).take(8))
+    assert(trunc.format == "unknown")
+  }
+
   test("golden WAV: RIFF parse recovers rate/channels/frames/duration") {
     val samples = Array.tabulate(16000)(i => (i % 256 - 128).toShort)
     val m = MediaDecoder.decode(MediaDecoder.wavBytes(16000, 1, samples))

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Copy-on-write contract of the bucketed streaming upsert sink: a
+  * micro-batch must rewrite ONLY the bucket dirs its keys hash into —
+  * untouched buckets stay byte-identical on disk (same files, same
+  * bytes). That rewrite fraction (touched/nBuckets) is the whole point
+  * of the layout at 100 TB: the plain staged-swap sink re-writes the
+  * accumulated table every batch. */
+class BucketedUpsertSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, min: Long, typ: String) =
+    Row(id, new java.sql.Timestamp(1700000000000L + min * 60000L), user, typ, 0.0, "{}")
+
+  private def profile(df: org.apache.spark.sql.DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"))
+  }
+
+  /** (relative file name → size) for every data file under dir. */
+  private def snapshot(dir: Path): Map[String, Long] = {
+    val s = Files.walk(dir)
+    try s.filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .toArray.map(_.asInstanceOf[Path])
+      .map(p => dir.relativize(p).toString -> Files.size(p)).toMap
+    finally s.close()
+  }
+
+  test("second batch rewrites only the touched bucket dirs") {
+    val nBuckets = 8
+    implicit val enc = org.apache.spark.sql.Encoders.row(EventStream.eventSchema)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Row](spark)
+    val base = Files.createTempDirectory("graft-cow-upsert")
+    val target = base.resolve("t")
+    val q = EventStream.upsertSinkBucketed(src.toDF(), target.toString,
+      Seq("user_id"), nBuckets, base.resolve("ckpt").toString)(profile)
+    try {
+      // batch 1: 16 users spread across the bucket space
+      src.addData((1L to 16L).map(u => ev(u, u, u, "view")))
+      q.processAllAvailable()
+      val before = snapshot(target)
+      val dirsBefore = before.keySet.map(_.split('/').head)
+      assert(dirsBefore.size > 1, s"expected several bucket dirs: $dirsBefore")
+
+      // batch 2: update ONE user — exactly one bucket may change
+      src.addData(Seq(ev(100L, 7L, 100, "purchase")))
+      q.processAllAvailable()
+      val after = snapshot(target)
+
+      val touchedBucket = "part_bucket=" + spark.range(1)
+        .select(pmod(hash(lit(7L)), lit(nBuckets))).head().getInt(0)
+      val changed = (before.keySet ++ after.keySet)
+        .filter(k => before.get(k) != after.get(k))
+        .map(_.split('/').head)
+      assert(changed == Set(touchedBucket),
+        s"rewrote $changed, expected only $touchedBucket")
+      // measured rewrite fraction: 1 of nBuckets dirs
+      assert(changed.size * nBuckets <= dirsBefore.size * nBuckets)
+
+      // and the merge itself is correct: user 7 updated, rest intact
+      val got = spark.read.parquet(target.toString)
+        .select(col("user_id"), col("last_type"))
+        .as[(Long, String)].collect().toMap
+      assert(got.size == 16)
+      assert(got(7L) == "purchase")
+      assert((1L to 16L).filter(_ != 7L).forall(got(_) == "view"))
+    } finally q.stop()
+  }
+
+  test("re-delivered batch is idempotent (the replay exactly-once argument)") {
+    // foreachBatch's restart contract is at-least-once delivery: after
+    // a crash the last batch REPLAYS. The exactly-once-for-the-table
+    // argument is that re-applying the same rows is a no-op under a
+    // per-key last-write-wins profile — proven here by delivering the
+    // identical rows twice and requiring the table unchanged.
+    val nBuckets = 4
+    implicit val enc = org.apache.spark.sql.Encoders.row(EventStream.eventSchema)
+    val base = Files.createTempDirectory("graft-cow-replay")
+    val target = base.resolve("t").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Row](spark)
+    val q = EventStream.upsertSinkBucketed(src.toDF(), target,
+      Seq("user_id"), nBuckets, base.resolve("ckpt").toString)(profile)
+    def table() = spark.read.parquet(target)
+      .select(col("user_id"), col("last_type"))
+      .as[(Long, String)].collect().toSet
+    try {
+      src.addData(Seq(ev(1, 1L, 0, "view"), ev(2, 2L, 1, "view")))
+      q.processAllAvailable()
+      src.addData(Seq(ev(3, 1L, 10, "purchase")))
+      q.processAllAvailable()
+      val afterOnce = table()
+      assert(afterOnce == Set((1L, "purchase"), (2L, "view")))
+      // replay: the same rows arrive again
+      src.addData(Seq(ev(3, 1L, 10, "purchase")))
+      q.processAllAvailable()
+      assert(table() == afterOnce, "re-applying the batch changed the table")
+    } finally q.stop()
+  }
+}
