@@ -27,10 +27,13 @@ object DurableCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // every query here rides at least one Scratch artifact; all end in
-    // a deterministic orderBy, so the row-text hash is stable
+    // every query here rides at least one Scratch artifact (layouts,
+    // bucketed tables, band index, IVF codebook, LSH tables, corpus
+    // profile); all end in a deterministic orderBy, so the row-text
+    // hash is stable
     val names = Seq("q_partition_pruned", "q_join_bucketed",
-      "q_dedup_incremental_bkt", "q_dedup_incremental_idx", "q_pagerank")
+      "q_dedup_incremental_bkt", "q_dedup_incremental_idx", "q_pagerank",
+      "q_ann_ivf_sampled", "q_ann_lsh_idx", "q_pipeline_incremental")
     val hashes = names.map { n =>
       val txt = SparkEntry.queries(n)(spark, sfDir)
         .collect().map(_.toString).mkString("\n")

@@ -206,6 +206,68 @@ object Pipeline {
              |CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_id,
              |n_tokens FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ── sequence packing under TOKENIZER budgets: q_pack_sequences ──
+    // with the whitespace counter swapped for the VocabTok greedy
+    // longest-match count. The budget scales with the honest token
+    // count (a CJK doc's real cost, ~3.3× the whitespace count even on
+    // this Latin fixture), so chunks stop overflowing at train time.
+    // Same bucket-parallel window shape; the tokenizer is cross-engine
+    // exact, so the oracle is full-fidelity.
+    Q("q_pack_sequences_tok",
+      (s, dir) => {
+        val budget = 2048
+        val w = Window.partitionBy("bucket").orderBy("doc_id")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            pmod(col("doc_id"), lit(32)).as("bucket"),
+            regexp_count(col("text"),
+              lit(graft.functions.VocabTok.sparkPattern)).cast("long")
+              .as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("chunk_id",
+            floor((col("cum") - col("n_tokens")) / lit(budget)))
+          .select("doc_id", "bucket", "chunk_id", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, doc_id % 32 AS bucket,
+             |  ${graft.functions.VocabTok.duck("text")} AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, bucket, n_tokens,
+             |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+             |    AS cum FROM d)
+             |SELECT doc_id, bucket,
+             |CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_id,
+             |n_tokens FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ── deterministic stratified train/val/test split ──
+    // The assignment every training pipeline needs BEFORE any of the
+    // sampling above matters: each doc lands in a split by its md5
+    // hash bucket (90/5/5 here) — reproducible on any engine and any
+    // cluster size, stable under corpus growth (new docs hash
+    // independently, existing assignments never churn — re-assigning
+    // history is how eval sets leak into training), and stratification
+    // comes free because a uniform hash is uniform within every
+    // language stratum. Per-row relation (no shuffle at all before the
+    // presentation sort); the per-split per-lang counts a pipeline
+    // monitors are one aggregate away.
+    Q("q_split_assign",
+      (s, dir) => {
+        val bucket = graft.functions.HashSample.sparkBucket("doc_id", 100)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr(bucket).as("bucket"),
+            expr(s"CASE WHEN $bucket < 90 THEN 'train' " +
+              s"WHEN $bucket < 95 THEN 'val' ELSE 'test' END").as("split"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bucket = graft.functions.HashSample.duckBucket("doc_id", 100)
+        s"""SELECT doc_id, lang, $bucket AS bucket,
+           |CASE WHEN $bucket < 90 THEN 'train'
+           |     WHEN $bucket < 95 THEN 'val' ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     // ── partition-pruned layout: write-partitioned-by-lang, pruned read ──
     // The storage-layout half of the 100 TB story: a corpus laid out
     // `partitionBy(lang)` turns a language filter into directory

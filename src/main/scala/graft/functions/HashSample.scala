@@ -8,8 +8,17 @@ package graft.functions
   * between q_sample_hash, the sampled IVF fit, and their specs. */
 object HashSample {
   def spark(key: String, mod: Int): String =
-    s"CAST(conv(substr(md5(CAST($key AS STRING)), 1, 8), 16, 10) AS BIGINT) " +
-      s"% $mod = 0"
+    s"${sparkBucket(key, mod)} = 0"
   def duck(key: String, mod: Int): String =
-    s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT % $mod = 0"
+    s"${duckBucket(key, mod)} = 0"
+
+  /** The underlying uniform hash bucket in [0, mod) — the same
+    * construction exposed as a VALUE, for consumers that partition the
+    * keyspace instead of filtering it (train/val/test splits, salting
+    * diagnostics). */
+  def sparkBucket(key: String, mod: Int): String =
+    s"CAST(conv(substr(md5(CAST($key AS STRING)), 1, 8), 16, 10) AS BIGINT) " +
+      s"% $mod"
+  def duckBucket(key: String, mod: Int): String =
+    s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT % $mod"
 }
