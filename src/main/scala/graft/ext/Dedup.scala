@@ -445,6 +445,46 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/shingles")
   }
 
+  /** Absorb an ADMITTED increment into a persisted [[buildBandIndex]]
+    * artifact — the index-maintenance half of the daily loop: without
+    * it, tomorrow's probe can't see today's admissions and near-dups
+    * arriving one day apart slip through. Parquet APPEND of the
+    * increment's band-bucket and shingle rows — increment-sized I/O,
+    * the corpus-sized index files are never rewritten.
+    *
+    * Appends bypass the per-(band, sig) skew cap (a cap is a GLOBAL
+    * rank per bucket — enforcing it on append would mean reading the
+    * bucket back); until the next [[compactBandIndex]] a hot bucket
+    * may exceed the cap, which errs in the benign direction: probes
+    * see a superset of candidates (more verify work, never less
+    * recall). The cap is restored by the periodic compaction. */
+  def appendToBandIndex(inc: DataFrame, indexPath: String): Unit = {
+    val sh = shingled(inc).select(col("doc_id"), col("hs"))
+      .localCheckpoint(true)
+    bandBuckets(sh).repartition(col("band"), col("sig"))
+      .write.mode("append").parquet(s"$indexPath/buckets")
+    sh.repartition(col("doc_id"))
+      .write.mode("append").parquet(s"$indexPath/shingles")
+  }
+
+  /** Periodic maintenance for an append-grown band index: re-rank each
+    * (band, sig) bucket by doc_id, truncate at the cap, rewrite
+    * co-clustered. Because cap membership is the lowest-`cap` doc_ids
+    * of the bucket regardless of arrival order, a compacted
+    * appended-to index is IDENTICAL to one rebuilt from scratch over
+    * the union corpus (BandIndexMaintenanceSpec pins the equality) —
+    * append+compact is the incremental path to the same artifact,
+    * at increment + index cost instead of corpus-reshingle cost. */
+  def compactBandIndex(s: SparkSession, indexPath: String,
+      cap: Int = bucketCap): Unit = {
+    // eager read BEFORE the overwrite rewrites the dir being read
+    val capped = capBuckets(s.read.parquet(s"$indexPath/buckets"),
+        Seq("band", "sig"), "doc_id", cap)
+      .repartition(col("band"), col("sig"))
+      .localCheckpoint(true)
+    capped.write.mode("overwrite").parquet(s"$indexPath/buckets")
+  }
+
   /** Scratch-cached [[buildBandIndex]] artifact over the corpus
     * partition (doc_id % 10 ≠ 7) of `dir` — ONE artifact shared by
     * every daily-probe consumer (q_dedup_incremental_idx and the
