@@ -170,32 +170,37 @@ object MediaDecoder {
     * Guards mirror the RIFF parser: u32/u64 sizes never truncated, a
     * lying size (smaller than its own header, or past the parent box)
     * stops that walk level instead of reading foreign bytes. */
+  // walk the boxes of `p` in [start, end): f(type, bodyStart, boxEnd).
+  // Shared by the metadata walk and the sample-table walk.
+  private def walkBoxes(p: Array[Byte], start: Long, end: Long)(
+      f: (String, Long, Long) => Unit): Unit = {
+    var off = start
+    var continue = true
+    while (continue && off + 8 <= end) {
+      var size = be32(p, off.toInt)
+      var hdr = 8L
+      if (size == 1L && off + 16 <= end) { size = be64(p, off.toInt + 8); hdr = 16L }
+      else if (size == 0L) size = end - off // "extends to end of file"
+      // lying size: smaller than its own header, or overrunning the
+      // parent — stop this level (end - off cannot overflow; off + size
+      // with a crafted 64-bit size could)
+      if (size < hdr || size > end - off) continue = false
+      else {
+        val id = new String(p, off.toInt + 4, 4, "US-ASCII")
+        f(id, off + hdr, off + size)
+        off += size
+      }
+    }
+  }
+
   private def decodeMp4(p: Array[Byte]): Media = {
     var timescale = -1L; var duration = -1L
     var tracks = 0L
     var w = -1; var h = -1
     var codec = ""
 
-    // walk the boxes in [start, end): f(type, bodyStart, boxEnd)
-    def walk(start: Long, end: Long)(f: (String, Long, Long) => Unit): Unit = {
-      var off = start
-      var continue = true
-      while (continue && off + 8 <= end) {
-        var size = be32(p, off.toInt)
-        var hdr = 8L
-        if (size == 1L && off + 16 <= end) { size = be64(p, off.toInt + 8); hdr = 16L }
-        else if (size == 0L) size = end - off // "extends to end of file"
-        // lying size: smaller than its own header, or overrunning the
-        // parent — stop this level (end - off cannot overflow; off + size
-        // with a crafted 64-bit size could)
-        if (size < hdr || size > end - off) continue = false
-        else {
-          val id = new String(p, off.toInt + 4, 4, "US-ASCII")
-          f(id, off + hdr, off + size)
-          off += size
-        }
-      }
-    }
+    def walk(start: Long, end: Long)(f: (String, Long, Long) => Unit): Unit =
+      walkBoxes(p, start, end)(f)
 
     walk(0, p.length) { (id, s, e) =>
       if (id == "moov") walk(s, e) { (id2, s2, e2) =>
@@ -244,6 +249,139 @@ object MediaDecoder {
       Array(tracks.toDouble, timescale.toDouble, durationMs), codec)
   }
 
+  // ── video frame sampling: stts/stsz sample-table walk ──
+
+  /** One sample (frame) from an MP4 sample table: index, presentation
+    * time in media-timescale units (cumulative stts deltas BEFORE this
+    * sample), and byte size (from stsz). */
+  final case class Frame(idx: Int, ptsUnits: Long, size: Long)
+
+  /** A track's frame table: the mdhd media timescale (ticks/second —
+    * pts_ms = ptsUnits * 1000.0 / timescale) and the frames in
+    * presentation order. `timescale == -1` and empty frames means no
+    * parseable sample table was found. */
+  final case class FrameTable(timescale: Int, frames: Array[Frame])
+
+  // crafted entry counts could claim 2^31 samples in a 100-byte box;
+  // every per-sample read is bounds-checked, but cap the expansion so
+  // a lying run-length can't allocate unbounded memory either
+  private val MaxFrames = 1 << 22
+
+  /** Parse the FIRST track's sample table (trak → mdia → mdhd +
+    * minf → stbl → stts/stsz): the frame-sampling entry point. Frames
+    * themselves stay undecoded opaque bytes (no JDK video codec); the
+    * table is what a sampler needs — per-frame pts and size. Malformed
+    * or table-less payloads return an empty [[FrameTable]], never
+    * throw (same contract as [[decode]]'s fallback). */
+  def frames(p: Array[Byte]): FrameTable = try {
+    if (!isMp4(p)) return FrameTable(-1, Array.empty)
+    var mediaTs = -1
+    var deltas: Array[Long] = null // per-sample stts deltas, expanded
+    var sizes: Array[Long] = null
+    var constSize = -1L
+    var done = false // first track with an stts wins
+    walkBoxes(p, 0, p.length) { (id, s, e) =>
+      if (id == "moov") walkBoxes(p, s, e) { (id2, s2, e2) =>
+        if (id2 == "trak" && !done) walkBoxes(p, s2, e2) { (id3, s3, e3) =>
+          if (id3 == "mdia") walkBoxes(p, s3, e3) { (id4, s4, e4) =>
+            if (id4 == "mdhd" && s4 + 4 <= e4) {
+              val v = p(s4.toInt) & 0xff
+              // FullBox: v0 cre(4) mod(4) ts(4) dur(4); v1 cre(8) mod(8) ts(4) dur(8)
+              if (v == 0 && s4 + 16 <= e4) mediaTs = be32(p, s4.toInt + 12).toInt
+              else if (v == 1 && s4 + 24 <= e4) mediaTs = be32(p, s4.toInt + 20).toInt
+            } else if (id4 == "minf") walkBoxes(p, s4, e4) { (id5, s5, e5) =>
+              if (id5 == "stbl") walkBoxes(p, s5, e5) { (id6, s6, e6) =>
+                if (id6 == "stts" && s6 + 8 <= e6 && deltas == null) {
+                  // ver/flags(4) entry_count(4) then (count, delta) pairs
+                  val entries = be32(p, s6.toInt + 4)
+                  val out = Array.newBuilder[Long]
+                  var total = 0L
+                  var i = 0L
+                  var ok = true
+                  while (ok && i < entries) {
+                    val o = s6 + 8 + i * 8
+                    if (o + 8 > e6) ok = false
+                    else {
+                      val count = be32(p, o.toInt)
+                      val delta = be32(p, o.toInt + 4)
+                      if (total + count > MaxFrames) ok = false
+                      else {
+                        var j = 0L
+                        while (j < count) { out += delta; j += 1 }
+                        total += count
+                      }
+                    }
+                    i += 1
+                  }
+                  if (ok) deltas = out.result()
+                } else if (id6 == "stsz" && s6 + 12 <= e6 && sizes == null) {
+                  // ver/flags(4) sample_size(4) sample_count(4) [sizes]
+                  val sampleSize = be32(p, s6.toInt + 4)
+                  val count = be32(p, s6.toInt + 8)
+                  if (sampleSize > 0) constSize = sampleSize
+                  else if (count <= MaxFrames &&
+                      s6 + 12 + count * 4 <= e6) {
+                    sizes = Array.tabulate(count.toInt)(i =>
+                      be32(p, (s6 + 12 + i * 4L).toInt))
+                  }
+                }
+              }
+            }
+          }
+          if (deltas != null) done = true
+        }
+      }
+    }
+    if (deltas == null || mediaTs <= 0) return FrameTable(-1, Array.empty)
+    val n =
+      if (sizes != null) math.min(deltas.length, sizes.length)
+      else deltas.length
+    var pts = 0L
+    val out = new Array[Frame](n)
+    var i = 0
+    while (i < n) {
+      val sz = if (sizes != null) sizes(i) else math.max(constSize, 0L)
+      out(i) = Frame(i, pts, sz)
+      pts += deltas(i)
+      i += 1
+    }
+    FrameTable(mediaTs, out)
+  } catch { case _: Exception => FrameTable(-1, Array.empty) }
+
+  /** Every-`nth`-frame sample of [[frames]] — the frame-sampling
+    * operator's kernel (a keyframe/stride sampler over the table). */
+  def frameSample(p: Array[Byte], nth: Int): FrameTable = {
+    require(nth >= 1, s"stride must be >= 1, got $nth")
+    val ft = frames(p)
+    FrameTable(ft.timescale, ft.frames.filter(_.idx % nth == 0))
+  }
+
+  // ── image resize: nearest-neighbor with integer index mapping ──
+
+  /** Nearest-neighbor resize: target pixel (x, y) samples source pixel
+    * ((x * srcW) / dstW, (y * srcH) / dstH) — pure integer floor
+    * mapping, so the result is bit-deterministic across JVMs (no
+    * float rounding, no interpolation kernel). The per-asset batch
+    * shape lives in [[Multimodal]]; this is the per-image kernel. */
+  def resizeNearest(img: java.awt.image.BufferedImage,
+      dstW: Int, dstH: Int): java.awt.image.BufferedImage = {
+    require(dstW > 0 && dstH > 0, s"target dims must be positive: ${dstW}x$dstH")
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val out = new java.awt.image.BufferedImage(
+      dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dstH) {
+      val sy = (y.toLong * sh / dstH).toInt
+      var x = 0
+      while (x < dstW) {
+        out.setRGB(x, y, img.getRGB((x.toLong * sw / dstW).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // ── fallback: byte-histogram moments (former stub semantics) ──
 
   private def fallback(p: Array[Byte], fmt: String): Media = {
@@ -280,10 +418,19 @@ object MediaDecoder {
   // by tests and the oracle-checked video query to synthesize real
   // ISO-BMFF payloads with analytically-known metadata ──
 
+  /** Sample-table spec for [[mp4Bytes]]'s FIRST track: mdhd media
+    * timescale, constant stts delta, per-sample stsz sizes. */
+  final case class FrameSpec(timescale: Int, delta: Int, sizes: Array[Int])
+
   def mp4Bytes(timescale: Int, duration: Long,
-      trackDims: Seq[(Int, Int)], codecs: Seq[String] = Nil): Array[Byte] = {
+      trackDims: Seq[(Int, Int)], codecs: Seq[String] = Nil,
+      frameSpec: Option[FrameSpec] = None): Array[Byte] = {
     require(codecs.isEmpty || codecs.length == trackDims.length,
       "codecs must be absent or one per track")
+    frameSpec.foreach { fs =>
+      require(fs.timescale > 0 && fs.delta > 0 && fs.sizes.nonEmpty,
+        "frame spec needs positive timescale/delta and at least one sample")
+    }
     require(codecs.forall(c => c.length == 4 && c.forall(_ < 128)),
       "codec fourcc must be 4 ASCII chars")
     // mvhd/tkhd v0 carry duration as u32: the decode side reads it back
@@ -325,16 +472,57 @@ object MediaDecoder {
       // mdia → minf → stbl → stsd with one sample entry: FullBox(4) +
       // entry_count(4), then the entry box (8-byte SampleEntry base:
       // 6 reserved + 2 data_reference_index) whose type IS the codec
-      val mdia = codecs.lift(i).map { c =>
+      val stsdOpt = codecs.lift(i).map { c =>
         val entry = box(c, Array[Byte](0, 0, 0, 0, 0, 0, 0, 1))
-        val stsd = box("stsd", {
+        box("stsd", {
           val b = java.nio.ByteBuffer.allocate(8 + entry.length)
           b.putInt(0).putInt(1).put(entry) // ver/flags, entry_count, entry
           b.array()
         })
-        box("mdia", box("minf", box("stbl", stsd)))
       }
-      box("trak", tkhd ++ mdia.getOrElse(Array.emptyByteArray))
+      // sample tables (first track only): stts as one run-length entry,
+      // stsz with explicit per-sample sizes, stco with the single mdat
+      // chunk offset — plus an mdhd carrying the MEDIA timescale the
+      // pts arithmetic runs in (distinct from the mvhd movie timescale)
+      val fsOpt = if (i == 0) frameSpec else None
+      val tables = fsOpt.map { fs =>
+        val n = fs.sizes.length
+        val stts = box("stts", {
+          val b = java.nio.ByteBuffer.allocate(16)
+          b.putInt(0).putInt(1).putInt(n).putInt(fs.delta)
+          b.array()
+        })
+        val stsz = box("stsz", {
+          val b = java.nio.ByteBuffer.allocate(12 + 4 * n)
+          b.putInt(0).putInt(0).putInt(n) // ver/flags, sample_size=0, count
+          fs.sizes.foreach(b.putInt)
+          b.array()
+        })
+        val stco = box("stco", {
+          val b = java.nio.ByteBuffer.allocate(12)
+          b.putInt(0).putInt(1).putInt(32) // one chunk: mdat body offset
+          b.array()
+        })
+        stts ++ stsz ++ stco
+      }
+      val mdhd = fsOpt.map { fs =>
+        box("mdhd", {
+          val b = java.nio.ByteBuffer.allocate(24) // v0 body
+          b.putInt(0) // version 0 + flags
+          b.putInt(0).putInt(0) // creation, modification
+          b.putInt(fs.timescale)
+          b.putInt(fs.delta * fs.sizes.length) // duration in media units
+          b.putShort(0x55c4.toShort).putShort(0) // language "und", pre_defined
+          b.array()
+        })
+      }
+      val stblKids = stsdOpt.getOrElse(Array.emptyByteArray) ++
+        tables.getOrElse(Array.emptyByteArray)
+      val mdia =
+        if (stblKids.isEmpty) Array.emptyByteArray
+        else box("mdia", mdhd.getOrElse(Array.emptyByteArray) ++
+          box("minf", box("stbl", stblKids)))
+      box("trak", tkhd ++ mdia)
     }
     val ftyp = box("ftyp",
       "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++

@@ -148,6 +148,116 @@ object Multimodal {
              |(['avc1', 'hev1', 'mp4a'])[CAST(doc_id % 3 AS INT) + 1] AS codec
              |FROM documents ORDER BY asset_id""".stripMargin)),
 
+    // Frame sampling: MP4 payloads synthesized per row with REAL
+    // stts/stsz/stco sample tables (analytically-known deltas and
+    // sizes), pushed through the actual sample-table walk
+    // (MediaDecoder.frames), every 3rd frame kept — the keyframe/
+    // stride sampler a video corpus runs before feature extraction.
+    // DuckDB recomputes the expected table from the construction
+    // arithmetic: a run-length expansion bug, a pts accumulation bug,
+    // or an off-by-one in the stsz walk breaks the hash match.
+    Q("q_multimodal_frames",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val decoder = MediaDecoder // per-partition codec handle
+            it.flatMap { id =>
+              val mts = 1000 + (id % 4).toInt * 500 // media timescale
+              val n = 10 + (id % 7).toInt
+              val delta = 100 + (id % 3).toInt * 50
+              val sizes = Array.tabulate(n)(i => ((id * 17 + i * 13) % 999 + 1).toInt)
+              val p = decoder.mp4Bytes(600, 0L, Seq((320, 240)), Seq("avc1"),
+                Some(decoder.FrameSpec(mts, delta, sizes)))
+              val ft = decoder.frames(p)
+              ft.frames.iterator.filter(_.idx % 3 == 0).map { f =>
+                // pts exact: ptsUnits = idx*delta <= 4000 (integer-exact
+                // in double), one multiply + one divide, same tree as SQL
+                (id, f.idx, f.ptsUnits * 1000.0 / ft.timescale, f.size)
+              }
+            }
+          }
+          .toDF("asset_id", "frame_idx", "pts_ms", "frame_bytes")
+          .orderBy("asset_id", "frame_idx")
+      },
+      Some("""SELECT d.doc_id AS asset_id,
+             |  CAST(i.i AS INT) AS frame_idx,
+             |  (i.i * (100 + (d.doc_id % 3) * 50) * 1000.0)
+             |    / (1000 + (d.doc_id % 4) * 500) AS pts_ms,
+             |  CAST((d.doc_id * 17 + i.i * 13) % 999 + 1 AS BIGINT) AS frame_bytes
+             |FROM documents d, generate_series(0, 15) i(i)
+             |WHERE i.i < 10 + d.doc_id % 7 AND i.i % 3 = 0
+             |ORDER BY asset_id, frame_idx""".stripMargin)),
+
+    // Nearest-neighbor resize: BMP payloads synthesized per row with an
+    // analytic pixel function, decoded by the REAL ImageIO path,
+    // resized by the integer floor mapping (x*srcW/dstW) — the
+    // thumbnail/normalize step of an image corpus. The oracle
+    // recomputes both checksums (value sum + position-weighted sum)
+    // straight from the pixel function over the target grid: a wrong
+    // index mapping, a channel swap, or a lossy round-trip breaks it.
+    Q("q_multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val sw = 16 + (id % 5).toInt
+              val sh = 12 + (id % 7).toInt
+              val img = new java.awt.image.BufferedImage(
+                sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < sh) {
+                var x = 0
+                while (x < sw) {
+                  val g = ((x * 7 + y * 13 + id * 31) % 256).toInt
+                  img.setRGB(x, y, g * 0x010101) // gray: R=G=B=g, lossless in BMP
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "bmp", out)
+              val dec = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(out.toByteArray))
+              val r = MediaDecoder.resizeNearest(dec, 8, 6)
+              var sumv = 0L
+              var pos = 0L
+              var yy = 0
+              while (yy < 6) {
+                var xx = 0
+                while (xx < 8) {
+                  val v = (r.getRGB(xx, yy) & 0xff).toLong // blue == gray
+                  sumv += v
+                  pos += v * (yy * 8 + xx + 1)
+                  xx += 1
+                }
+                yy += 1
+              }
+              (id, sw, sh, 8, 6, sumv, pos)
+            }
+          }
+          .toDF("asset_id", "src_w", "src_h", "dst_w", "dst_h",
+            "pix_sum", "pix_pos")
+          .orderBy("asset_id")
+      },
+      Some("""SELECT d.doc_id AS asset_id,
+             |  CAST(16 + d.doc_id % 5 AS INT) AS src_w,
+             |  CAST(12 + d.doc_id % 7 AS INT) AS src_h,
+             |  CAST(8 AS INT) AS dst_w, CAST(6 AS INT) AS dst_h,
+             |  CAST(SUM((((x.x * (16 + d.doc_id % 5)) // 8) * 7
+             |          + ((y.y * (12 + d.doc_id % 7)) // 6) * 13
+             |          + d.doc_id * 31) % 256) AS BIGINT) AS pix_sum,
+             |  CAST(SUM(((((x.x * (16 + d.doc_id % 5)) // 8) * 7
+             |           + ((y.y * (12 + d.doc_id % 7)) // 6) * 13
+             |           + d.doc_id * 31) % 256) * (y.y * 8 + x.x + 1)) AS BIGINT) AS pix_pos
+             |FROM documents d,
+             |     generate_series(0, 7) x(x), generate_series(0, 5) y(y)
+             |GROUP BY d.doc_id
+             |ORDER BY asset_id""".stripMargin)),
+
     Q("q_multimodal_meta",
       (s, dir) =>
         Tables(s, dir, "documents")

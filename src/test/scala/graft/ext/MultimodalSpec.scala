@@ -137,6 +137,70 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaDecoder.decode(truncatedPng).format == "unknown")
   }
 
+  test("golden frame table: stts run-length expands, pts accumulates, stsz sizes") {
+    val p = MediaDecoder.mp4Bytes(600, 300, Seq((320, 240)), Seq("avc1"),
+      Some(MediaDecoder.FrameSpec(1000, 100, Array(5, 6, 7))))
+    val ft = MediaDecoder.frames(p)
+    assert(ft.timescale == 1000, s"media timescale ${ft.timescale}")
+    assert(ft.frames.map(f => (f.idx, f.ptsUnits, f.size)).toSeq ==
+      Seq((0, 0L, 5L), (1, 100L, 6L), (2, 200L, 7L)))
+    // the sample tables didn't disturb the metadata walk
+    val m = MediaDecoder.decode(p)
+    assert(m.sample_rate == 600 && m.codec == "avc1" && m.width == 320)
+    // stride sampler keeps every nth frame by index
+    val s2 = MediaDecoder.frameSample(p, 2)
+    assert(s2.frames.map(_.idx).toSeq == Seq(0, 2))
+    // a table-less payload (the old construction) yields an empty table
+    val bare = MediaDecoder.frames(MediaDecoder.mp4Bytes(600, 300, Seq((320, 240))))
+    assert(bare.timescale == -1 && bare.frames.isEmpty)
+    // garbage / truncated payloads never throw
+    assert(MediaDecoder.frames(Array[Byte](1, 2, 3)).frames.isEmpty)
+    assert(MediaDecoder.frames(p.take(40)).frames.isEmpty)
+  }
+
+  test("adversarial frame tables: lying entry counts cannot allocate unbounded") {
+    // stts claiming 2^30 samples in one run-length entry — the expansion
+    // cap must reject it (empty table), not try to materialize 2^30 longs
+    val p = MediaDecoder.mp4Bytes(600, 300, Seq((320, 240)), Seq("avc1"),
+      Some(MediaDecoder.FrameSpec(1000, 100, Array(5))))
+    // locate the stts box and rewrite its sample_count to 2^30
+    val idx = {
+      var i = -1
+      var o = 0
+      while (i < 0 && o + 4 <= p.length) {
+        if (p(o) == 's' && p(o + 1) == 't' && p(o + 2) == 't' && p(o + 3) == 's') i = o
+        o += 1
+      }
+      i
+    }
+    assert(idx > 0, "stts box present in the fixture")
+    val evil = p.clone()
+    // body starts at idx+4: ver/flags(4) entry_count(4) count(4) delta(4)
+    val countOff = idx + 4 + 8
+    evil(countOff) = 0x40; evil(countOff + 1) = 0; evil(countOff + 2) = 0; evil(countOff + 3) = 0
+    assert(MediaDecoder.frames(evil).frames.isEmpty)
+  }
+
+  test("golden resize: integer nearest mapping, exact pixels") {
+    // 4x2 source with distinct pixels; resize to 2x2 samples src
+    // columns (0*4/2, 1*4/2) = (0, 2) and rows (0*2/2, 1*2/2) = (0, 1)
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, (y * 4 + x) * 0x010101)
+    val r = MediaDecoder.resizeNearest(img, 2, 2)
+    assert(r.getWidth == 2 && r.getHeight == 2)
+    assert((r.getRGB(0, 0) & 0xff) == 0 && (r.getRGB(1, 0) & 0xff) == 2)
+    assert((r.getRGB(0, 1) & 0xff) == 4 && (r.getRGB(1, 1) & 0xff) == 6)
+    // identity resize is a pixel-exact copy
+    val id = MediaDecoder.resizeNearest(img, 4, 2)
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert(id.getRGB(x, y) == img.getRGB(x, y))
+    // upscale replicates: 2x1 -> 4x1 maps x*2/4 = (0,0,1,1)
+    val up = MediaDecoder.resizeNearest(
+      { val i2 = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+        i2.setRGB(0, 0, 0x0a0a0a); i2.setRGB(1, 0, 0x141414); i2 }, 4, 1)
+    assert((0 until 4).map(up.getRGB(_, 0) & 0xff) == Seq(10, 10, 20, 20))
+  }
+
   test("adversarial RIFF chunk sizes terminate (no sign-flip loop/OOB)") {
     // chunk size 0xFFFFFFF8: as Int this is -8 and a naive `off += 8+size`
     // walk spins forever; as u32 Long it runs past the payload and stops
