@@ -812,6 +812,53 @@ object Pipeline {
              |  quantile_cont(cnt, 0.9) AS p90_cnt,
              |  quantile_cont(cnt, 0.99) AS p99_cnt,
              |  CAST(max(cnt) AS DOUBLE) / quantile_cont(cnt, 0.5) AS skew_ratio
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // ── sliding-window chunking with stride overlap ──
+    // The context-length chunker that turns long documents into
+    // training sequences: fixed 32-token windows every 24 tokens
+    // (8-token overlap so no span is ever split across a boundary
+    // without a witness chunk containing it whole). Per-row explode —
+    // chunk count is linear in tokens, zero shuffle before the
+    // presentation sort, so at 100 TB this is a map-only pass. Each
+    // chunk carries its md5 so downstream chunk-level dedup can run
+    // without re-materializing text; the oracle recomputes every hash
+    // from DuckDB's own slice of the same token array — an off-by-one
+    // in the start index, the tail-chunk length, or the join
+    // separator breaks the hash match.
+    Q("q_chunk_stride",
+      (s, dir) => {
+        val maxTok = 32L
+        val stride = 24L
+        t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+          // docs are non-empty (n >= 1), so (n-1)/stride >= 0 and the
+          // sequence never runs backwards
+          .withColumn("chunk_idx", explode(sequence(lit(0L),
+            ((col("n") - 1L) / lit(stride)).cast("long"))))
+          .withColumn("start_tok", col("chunk_idx") * stride)
+          .withColumn("chunk_tokens",
+            least(lit(maxTok), col("n") - col("start_tok")))
+          .withColumn("chunk_hash", md5(concat_ws(" ",
+            slice(col("toks"), (col("start_tok") + 1L).cast("int"),
+              col("chunk_tokens").cast("int")))))
+          .select("doc_id", "chunk_idx", "start_tok", "chunk_tokens",
+            "chunk_hash")
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents)
+             |SELECT d.doc_id, CAST(i.i AS BIGINT) AS chunk_idx,
+             |  CAST(i.i * 24 AS BIGINT) AS start_tok,
+             |  CAST(LEAST(32, n - i.i * 24) AS BIGINT) AS chunk_tokens,
+             |  md5(array_to_string(
+             |    toks[CAST(i.i * 24 + 1 AS BIGINT)
+             |         : CAST(i.i * 24 + LEAST(32, n - i.i * 24) AS BIGINT)],
+             |    ' ')) AS chunk_hash
+             |FROM d, generate_series(0, 8) i(i)
+             |WHERE i.i <= (n - 1) // 24
+             |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

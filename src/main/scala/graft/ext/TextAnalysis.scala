@@ -334,6 +334,37 @@ object TextAnalysis {
              |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
              |         ORDER BY score_fp DESC, token) AS BIGINT) AS rnk FROM sc)
              |SELECT doc_id, rnk, token, tf, score_fp FROM rk
-             |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin))
+             |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // ── BPE merge-candidate ranking: corpus bigram frequencies ──
+    // The counting step a tokenizer-training run does every merge
+    // round: adjacent token pairs over the whole corpus, ranked by
+    // frequency with a total tiebreak (count desc, pair asc). The
+    // pair expansion is a per-row transform (linear in tokens, no
+    // shuffle); the count is ONE keyed aggregate with partial
+    // (map-side) combine; the top-20 plans as TakeOrderedAndProject —
+    // never a full sort. At 100 TB the shuffled relation is the
+    // distinct-bigram vocabulary, not the corpus.
+    Q("q_vocab_bigrams",
+      (s, dir) => {
+        docs(s, dir)
+          .select(split(col("text"), " ").as("toks"))
+          // n = 1 would make sequence(1, 0) run BACKWARDS (Spark's
+          // default step is -1 when start > stop) — gate it out
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+              .stripMargin)).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+             |p AS (SELECT toks[i.i] || ' ' || toks[i.i + 1] AS pair
+             |      FROM d, generate_series(1, 99) i(i)
+             |      WHERE i.i <= len(toks) - 1)
+             |SELECT pair, count(*) AS cnt FROM p
+             |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin))
   )
 }
