@@ -218,6 +218,36 @@ object Advanced {
              | AND CAST(e.ts AS DATE) <= CAST(o.o_orderdate AS DATE) + 6
              |ORDER BY event_id, o_orderkey""".stripMargin)),
 
+    // ── bloom runtime-prefiltered join ──
+    // A selective dim (15 of 100 suppliers) collapses to ONE
+    // 128Kbit bloom scalar that drops non-matching lineitem rows
+    // BEFORE the join shuffle — at 100 TB the exchange carries the
+    // matching ~15% instead of the whole fact table. The exact join
+    // that follows removes bloom false positives, so the oracle is
+    // the plain join: the bloom buys shuffle reduction, never
+    // semantics. BloomJoinSpec pins might_contain below the exchange.
+    Q("q_join_bloom",
+      (s, dir) => {
+        val dim = t(s, dir, "supplier")
+          .filter(col("s_nationkey") < 5)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val fact = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_extendedprice"))
+        graft.functions.BloomJoin
+          .prefilter(fact, col("l_suppkey"), dim, col("s_suppkey"),
+            estItems = 1024L, numBits = 131072L)
+          .join(dim, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+               sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE s_nationkey < 5
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // ── policy-conform salting: hot keys only (none on this corpus, ──
     // so the plan degenerates to the plain join — the point: zero
     // salting cost on unskewed data, same oracle as q_join_salted)
