@@ -171,6 +171,31 @@ object Pipeline {
            |     AND lang IN ('en','de','es','fr','zh') AS INT) AS kept
            |FROM cq ORDER BY doc_id""".stripMargin)),
 
+    // ── relative-threshold quality gate: keep the corpus's top ──
+    // quartile. Absolute thresholds (q_curation's 0.7) drift as the
+    // corpus mix shifts; real curation gates on the DISTRIBUTION —
+    // "keep the best 25%" stays meaningful across crawls. Two passes:
+    // the exact p75 collapses to ONE driver scalar (the q_tfidf
+    // bounded-fetch idiom — a 1-row crossJoin would plan the banned
+    // BroadcastNestedLoopJoin), then a map-only filter against it.
+    // Same interpolation on both engines (percentile ↔ quantile_cont
+    // over identical doubles — the q_percentile parity), so the
+    // boundary compare is exact.
+    Q("q_quality_gate_rel",
+      (s, dir) => {
+        val scored = curationScored(t(s, dir, "documents"))
+        val p75 = scored.agg(expr("percentile(quality, 0.75)"))
+          .head().getDouble(0)
+        scored.filter(col("quality") >= p75)
+          .select(col("doc_id"), col("lang"), col("quality"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $duckCurationScored,
+           |thr AS (SELECT quantile_cont(quality, 0.75) AS p75 FROM cq)
+           |SELECT doc_id, lang, quality FROM cq, thr
+           |WHERE quality >= thr.p75 ORDER BY doc_id""".stripMargin)),
+
     // ── sequence packing: assign docs to fixed token-budget chunks ──
     // The pre-tokenization packing pass every training pipeline runs:
     // documents fill 2048-token chunks contiguously (chunk = floor of

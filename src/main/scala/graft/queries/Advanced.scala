@@ -93,6 +93,44 @@ object Advanced {
              | ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order
              |FROM events e ORDER BY event_id""".stripMargin)),
 
+    // ── forward as-of join with tolerance: the NEXT order within ──
+    // 7 days of each event (pandas merge_asof direction='forward').
+    // Same union+window shape as q_asof_join (one shuffle on the key,
+    // no row explosion): the forward match is first-non-null over the
+    // currentRow→following frame, and the tolerance is a post-filter
+    // on the matched order's own timestamp carried through a struct —
+    // a match outside the window nulls out instead of dropping the row.
+    Q("q_asof_join_fwd",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          col("event_id"), col("user_id").as("k"), col("ts").as("t"),
+          lit(null).cast(LongType).as("okey"), lit(0).as("tag"))
+        val or = t(s, dir, "orders").select(
+          lit(null).cast(LongType).as("event_id"), col("o_custkey").as("k"),
+          col("o_orderdate").as("t"), col("o_orderkey").as("okey"), lit(1).as("tag"))
+        // at equal t the event (tag 0) sorts BEFORE the order (tag 1),
+        // so an order at exactly the event time is inside the frame
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("t"), col("tag"), col("okey"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev.unionByName(or)
+          .withColumn("nxt", first(
+            when(col("tag") === 1, struct(col("t").as("ot"), col("okey"))),
+            ignoreNulls = true).over(w))
+          .filter(col("tag") === 0)
+          .select(col("event_id"), col("k").as("user_id"),
+            when(col("nxt.ot") <= col("t") + expr("INTERVAL 7 DAYS"),
+              col("nxt.okey")).as("next_order"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |(SELECT o.o_orderkey FROM orders o
+             | WHERE o.o_custkey = e.user_id
+             |   AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts
+             |   AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts + INTERVAL 7 DAY
+             | ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS next_order
+             |FROM events e ORDER BY event_id""".stripMargin)),
+
     // ── sessionization: 30-min-gap sessions per user (lag + cum-sum) ──
     Q("q_sessionize",
       (s, dir) => {
@@ -333,6 +371,43 @@ object Advanced {
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_cnt,
              |TRUE AS within_bound
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ── mergeable sketch rollup: per-day HLL sketches → weekly union ──
+    // The at-scale pattern for distinct counts over rollups: build the
+    // DataSketches HLL once per day, then answer the WEEKLY distinct by
+    // unioning day sketches — the re-aggregation consumes days × ~KB of
+    // sketch bytes, never the events again. At 100 TB the daily sketch
+    // build is the only full scan; every coarser rollup (week, month,
+    // all-time) rides the persisted sketches. The exact arm re-scans
+    // only to verify the envelope in-query (the q_approx_distinct
+    // discipline: DuckDB can't hash-match an estimate, so the oracle
+    // pins the exact count and requires within_bound = TRUE).
+    Q("q_sketch_rollup",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(to_date(col("ts")).as("d"), col("user_id"))
+          .withColumn("wk", floor(datediff(col("d"),
+            lit(java.sql.Date.valueOf("2024-01-01"))) / 7).cast("long"))
+        val daily = ev.groupBy(col("wk"), col("d"))
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val est = daily.groupBy(col("wk"))
+          .agg(count(lit(1)).as("n_days"),
+               expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_users"))
+        val exact = ev.groupBy(col("wk"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        est.join(exact, "wk")
+          .select(col("wk"), col("n_days"), col("exact_users"),
+            (abs(col("est_users") - col("exact_users")) <=
+              col("exact_users") * lit(0.05)).as("within_bound"))
+          .orderBy("wk")
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id,
+             |  CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS wk
+             |  FROM events)
+             |SELECT wk, CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  TRUE AS within_bound
+             |FROM e GROUP BY wk ORDER BY wk""".stripMargin)),
 
     // ── approximate percentiles (GK sketch) with a rank-error bound ──
     // The principled envelope for a quantile sketch is on RANK, not
