@@ -775,6 +775,84 @@ object Pipeline {
              |FROM tp t FULL OUTER JOIN up u ON t.user_id = u.user_id
              |ORDER BY user_id""".stripMargin)),
 
+    // ── table reconciliation: symmetric diff with per-column drill ──
+    // The CDC-validation operator: given two snapshots of the same
+    // keyed table (here the q_merge_upsert profile at mid-month vs
+    // month-end), report every key that is only in one side or
+    // changed, naming WHICH columns moved. One full-outer shuffle on
+    // the key (bucketed snapshots make it exchange-free — the
+    // q_join_bucketed artifact pattern); null-safe compares so a
+    // null-vs-value move is a reported diff, not a silent match. The
+    // column list is emitted in fixed schema order on both engines.
+    Q("q_table_diff",
+      (s, dir) => {
+        val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+        def profile(part: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          part
+            .withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+            .filter(col("rn") === 1)
+            .select(col("user_id"), col("ts").as("last_ts"),
+              col("event_type").as("last_type"), col("n"))
+        }
+        val ev = t(s, dir, "events")
+        val a = profile(ev.filter(col("ts") < cutoff))
+        val b = profile(ev)
+        val diffs = array(
+          when(!(col("a.last_ts") <=> col("b.last_ts")), lit("last_ts")),
+          when(!(col("a.last_type") <=> col("b.last_type")), lit("last_type")),
+          when(!(col("a.n") <=> col("b.n")), lit("n")))
+        a.as("a").join(b.as("b"),
+            col("a.user_id") === col("b.user_id"), "full_outer")
+          .select(
+            coalesce(col("a.user_id"), col("b.user_id")).as("user_id"),
+            when(col("a.user_id").isNull, lit("only_b"))
+              .when(col("b.user_id").isNull, lit("only_a"))
+              .when(!(col("a.last_ts") <=> col("b.last_ts")) ||
+                !(col("a.last_type") <=> col("b.last_type")) ||
+                !(col("a.n") <=> col("b.n")), lit("diff"))
+              .otherwise(lit("same")).as("status"),
+            when(col("a.user_id").isNull || col("b.user_id").isNull, lit(""))
+              .otherwise(concat_ws(",",
+                filter(diffs, x => x.isNotNull))).as("changed_cols"))
+          .filter(col("status") =!= "same")
+          .orderBy("user_id")
+      },
+      Some("""WITH tp AS (SELECT user_id, ts AS last_ts, event_type AS last_type, n
+             |  FROM (SELECT user_id, ts, event_type,
+             |          row_number() OVER (PARTITION BY user_id
+             |            ORDER BY ts DESC, event_id DESC) AS rn,
+             |          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+             |        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+             |  WHERE rn = 1),
+             |up AS (SELECT user_id, ts AS last_ts, event_type AS last_type, n
+             |  FROM (SELECT user_id, ts, event_type,
+             |          row_number() OVER (PARTITION BY user_id
+             |            ORDER BY ts DESC, event_id DESC) AS rn,
+             |          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+             |        FROM events)
+             |  WHERE rn = 1),
+             |j AS (SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             |  CASE WHEN a.user_id IS NULL THEN 'only_b'
+             |       WHEN b.user_id IS NULL THEN 'only_a'
+             |       WHEN a.last_ts IS DISTINCT FROM b.last_ts
+             |         OR a.last_type IS DISTINCT FROM b.last_type
+             |         OR a.n IS DISTINCT FROM b.n THEN 'diff'
+             |       ELSE 'same' END AS status,
+             |  CASE WHEN a.user_id IS NULL OR b.user_id IS NULL THEN ''
+             |       ELSE ltrim(
+             |         CASE WHEN a.last_ts IS DISTINCT FROM b.last_ts
+             |              THEN ',last_ts' ELSE '' END ||
+             |         CASE WHEN a.last_type IS DISTINCT FROM b.last_type
+             |              THEN ',last_type' ELSE '' END ||
+             |         CASE WHEN a.n IS DISTINCT FROM b.n
+             |              THEN ',n' ELSE '' END, ',') END AS changed_cols
+             |FROM tp a FULL OUTER JOIN up b ON a.user_id = b.user_id)
+             |SELECT user_id, status, changed_cols FROM j
+             |WHERE status <> 'same' ORDER BY user_id""".stripMargin)),
+
     // ── SCD Type-2 history build: per-user event_type change intervals ──
     // The dimension-history twin of q_merge_upsert: collapse the event
     // stream into versioned validity intervals (valid_from inclusive,

@@ -93,43 +93,44 @@ object Advanced {
              | ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order
              |FROM events e ORDER BY event_id""".stripMargin)),
 
-    // ── forward as-of join with tolerance: the NEXT order within ──
-    // 7 days of each event (pandas merge_asof direction='forward').
-    // Same union+window shape as q_asof_join (one shuffle on the key,
-    // no row explosion): the forward match is first-non-null over the
-    // currentRow→following frame, and the tolerance is a post-filter
-    // on the matched order's own timestamp carried through a struct —
-    // a match outside the window nulls out instead of dropping the row.
+    // ── forward as-of join with tolerance: each view matched to the ──
+    // same user's NEXT purchase within 7 days (pandas merge_asof
+    // direction='forward' — the attribution join). Same union+window
+    // shape as the backward q_asof_join (one shuffle on the key, no
+    // row explosion, no per-row subquery): the forward match is
+    // first-non-null over the currentRow→following frame, and the
+    // tolerance is a post-filter on the matched row's own timestamp
+    // carried through a struct — a match outside the window nulls out
+    // instead of dropping the row.
     Q("q_asof_join_fwd",
       (s, dir) => {
-        val ev = t(s, dir, "events").select(
-          col("event_id"), col("user_id").as("k"), col("ts").as("t"),
-          lit(null).cast(LongType).as("okey"), lit(0).as("tag"))
-        val or = t(s, dir, "orders").select(
-          lit(null).cast(LongType).as("event_id"), col("o_custkey").as("k"),
-          col("o_orderdate").as("t"), col("o_orderkey").as("okey"), lit(1).as("tag"))
-        // at equal t the event (tag 0) sorts BEFORE the order (tag 1),
-        // so an order at exactly the event time is inside the frame
+        val ev = t(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_id"), col("user_id").as("k"), col("ts").as("t"),
+            // at equal ts the view (tag 0) sorts BEFORE the purchase
+            // (tag 1), so a same-instant purchase is inside the frame
+            when(col("event_type") === "purchase", 1).otherwise(0).as("tag"))
         val w = Window.partitionBy(col("k"))
-          .orderBy(col("t"), col("tag"), col("okey"))
+          .orderBy(col("t"), col("tag"), col("event_id"))
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        ev.unionByName(or)
+        ev
           .withColumn("nxt", first(
-            when(col("tag") === 1, struct(col("t").as("ot"), col("okey"))),
+            when(col("tag") === 1, struct(col("t").as("pt"), col("event_id").as("pid"))),
             ignoreNulls = true).over(w))
           .filter(col("tag") === 0)
           .select(col("event_id"), col("k").as("user_id"),
-            when(col("nxt.ot") <= col("t") + expr("INTERVAL 7 DAYS"),
-              col("nxt.okey")).as("next_order"))
+            when(col("nxt.pt") <= col("t") + expr("INTERVAL 7 DAYS"),
+              col("nxt.pid")).as("next_purchase"))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id, user_id,
-             |(SELECT o.o_orderkey FROM orders o
-             | WHERE o.o_custkey = e.user_id
-             |   AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts
-             |   AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts + INTERVAL 7 DAY
-             | ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS next_order
-             |FROM events e ORDER BY event_id""".stripMargin)),
+      Some("""SELECT v.event_id, v.user_id,
+             |(SELECT p.event_id FROM events p
+             | WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+             |   AND p.ts >= v.ts
+             |   AND p.ts <= v.ts + INTERVAL 7 DAY
+             | ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase
+             |FROM events v WHERE v.event_type = 'view'
+             |ORDER BY v.event_id""".stripMargin)),
 
     // ── sessionization: 30-min-gap sessions per user (lag + cum-sum) ──
     Q("q_sessionize",
