@@ -466,11 +466,27 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Scratch-cached [[cosineVerifiedPairs]] artifact (threshold 0.4)
+    * over the whole embedding corpus of `dir` — the embedding twin of
+    * `Dedup.fullBandIndex`: the LSH bucket explode + O(collisions)
+    * verify joins are paid once per corpus version, every consumer
+    * (pair report, cluster resolve) probes the persisted relation.
+    * The pair relation is deterministic in the corpus (seed-pinned
+    * planes, IEEE-exact cosine), so riding the artifact leaves every
+    * oracle hash unchanged. */
+  def fullVectorPairs(s: SparkSession, dir: String): String =
+    graft.engine.Scratch.cached("vec_pairs", dir) { path =>
+      val v = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
+      cosineVerifiedPairs(v, 0.4).select("id1", "id2", "cos")
+        .write.mode("overwrite").parquet(path)
+    }
+
   /** Cosine-verified near-dup pairs (id1, id2, cos ≥ threshold) over
-    * the sign-bucket candidates — ONE definition consumed by both
-    * q_dedup_embed (pairs) and q_dedup_embed_resolve (clusters) so the
-    * verify stage can never drift between them. Expects `v` already
-    * materialized (three lazy references). */
+    * the sign-bucket candidates — ONE definition behind the
+    * [[fullVectorPairs]] artifact both q_dedup_embed (pairs) and
+    * q_dedup_embed_resolve (clusters) probe, so the verify stage can
+    * never drift between them. Expects `v` already materialized
+    * (three lazy references). */
   private def cosineVerifiedPairs(v: DataFrame, threshold: Double): DataFrame =
     lshCandidatePairs(v)
       .join(v.select(col("vec_id").as("id1"),
@@ -529,11 +545,9 @@ object Similarity {
     // RECALL.md quantifies the table/plane trade-off).
     Q("q_dedup_embed",
       (s, dir) => {
-        // materialized once: v feeds the bucket explode and both
-        // verification join-backs (three lazy references)
-        val v = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
-        cosineVerifiedPairs(v, 0.4)
-          .select("id1", "id2", "cos")
+        // probe the persisted pair artifact (built once per corpus —
+        // the first call pays the bucket explode + verify joins)
+        s.read.parquet(fullVectorPairs(s, dir))
           .orderBy("id1", "id2")
       },
       Some(
@@ -550,10 +564,9 @@ object Similarity {
     // sign buckets to the per-cluster keep bit.
     Q("q_dedup_embed_resolve",
       (s, dir) => {
-        val v = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
         val comp = Dedup.componentsOf(
-          cosineVerifiedPairs(v, 0.4).select("id1", "id2"))
-        v.select(col("vec_id"))
+          s.read.parquet(fullVectorPairs(s, dir)).select("id1", "id2"))
+        emb(s, dir).select(col("vec_id"))
           .join(comp.withColumnRenamed("n", "vec_id"), Seq("vec_id"), "left")
           .withColumn("keep_id", coalesce(col("lbl"), col("vec_id")))
           .withColumn("is_kept", col("keep_id") === col("vec_id"))
