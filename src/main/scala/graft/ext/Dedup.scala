@@ -893,6 +893,74 @@ object Dedup {
            |SELECT doc_id, n_grams, n_shared,
            |  CAST(n_shared AS DOUBLE) / n_grams AS dup_frac
            |FROM m ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ── entity resolution: fuzzy pairs → components → canonical row ──
+    // Record linkage ACROSS sources as the full three-stage pipeline:
+    // (1) candidate pairs by blocked edit distance (the q_fuzzy_join
+    // discipline — block on a cheap key, levenshtein only inside
+    // blocks, never the cross product) over a UNIFIED id space
+    // (customers as-is, suppliers offset by 10^6 — disjoint by
+    // construction since custkeys stay far below it); (2) transitive
+    // clustering with [[componentsOf]] (a fuzzy match is not
+    // transitive — A~B and B~C links A and C into one entity even if
+    // lev(A,C) = 2, exactly what the closure expresses and a plain
+    // pair list does not); (3) canonical election: the min-id member
+    // (the component label) wins, and every row reports its cluster
+    // and size. The block is the 8-digit prefix of the 9-digit name
+    // suffix: these ids are DENSE and sequential, so any wider
+    // edit-distance ball chains block-to-block until the closure
+    // swallows the table (measured: a 6-digit block collapses 1,600
+    // records into 2 "entities") — real-name typos are sparse where
+    // synthetic ids are not, and the tight block is what keeps
+    // cluster size bounded (≤ 11 here) while the lev verify still
+    // guards the match contract. Scale shape: blocks are the shuffle
+    // key, the pair graph is match-sized, the CC rounds are
+    // edge-keyed shuffles — the tables themselves never cross-join.
+    Q("q_entity_resolve",
+      (s, dir) => {
+        def src(table: String, key: String, name: String, off: Long) =
+          Tables(s, dir, table).select(
+            (col(key).cast("long") + lit(off)).as("eid"),
+            lit(if (off == 0L) "c" else "s").as("src"),
+            expr(s"substring($name, 10)").as("sfx"),
+            expr(s"substring($name, 10, 8)").as("blk"))
+        val e = src("customer", "c_custkey", "c_name", 0L)
+          .unionByName(src("supplier", "s_suppkey", "s_name", 1000000L))
+          .localCheckpoint(true) // referenced by both join sides + output
+        val pairs = e.select(col("eid").as("id1"), col("sfx").as("sfx1"),
+            col("blk"))
+          .join(e.select(col("eid").as("id2"), col("sfx").as("sfx2"),
+            col("blk")), "blk")
+          .filter(col("id1") < col("id2") &&
+            levenshtein(col("sfx1"), col("sfx2")) <= 1)
+          .select("id1", "id2")
+        val comp = componentsOf(pairs, hopsPerRound = 1)
+        val byCluster = Window.partitionBy(col("cluster_id"))
+        e.join(comp.withColumnRenamed("n", "eid"), Seq("eid"), "left")
+          .withColumn("cluster_id", coalesce(col("lbl"), col("eid")))
+          .withColumn("is_canonical", col("cluster_id") === col("eid"))
+          .withColumn("n_members", count(lit(1)).over(byCluster))
+          .select("eid", "src", "cluster_id", "is_canonical", "n_members")
+          .orderBy("eid")
+      },
+      Some(s"""WITH RECURSIVE e AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS eid, 'c' AS src,
+             |    substring(c_name, 10) AS sfx, substring(c_name, 10, 8) AS blk
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT CAST(s_suppkey + 1000000 AS BIGINT), 's',
+             |    substring(s_name, 10), substring(s_name, 10, 8)
+             |  FROM supplier),
+             |p AS (SELECT a.eid AS id1, b.eid AS id2
+             |      FROM e a JOIN e b ON a.blk = b.blk AND a.eid < b.eid
+             |      WHERE levenshtein(a.sfx, b.sfx) <= 1),
+             |${duckClosure("p")}
+             |SELECT e.eid, e.src, coalesce(c.lbl, e.eid) AS cluster_id,
+             |  coalesce(c.lbl, e.eid) = e.eid AS is_canonical,
+             |  CAST(count(*) OVER (PARTITION BY coalesce(c.lbl, e.eid))
+             |    AS BIGINT) AS n_members
+             |FROM e LEFT JOIN comp c ON c.n = e.eid
+             |ORDER BY e.eid""".stripMargin))
   )
 }

@@ -962,6 +962,86 @@ object Pipeline {
              |    ' ')) AS chunk_hash
              |FROM d, generate_series(0, 8) i(i)
              |WHERE i.i <= (n - 1) // 24
-             |ORDER BY doc_id, chunk_idx""".stripMargin))
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ── incremental view maintenance: fold of increments == recompute ──
+    // The algebra a warehouse's incremental refresh rests on: per-key
+    // additive aggregates maintained by folding dated increments into
+    // the running state via Merge.upsert's combine hooks (counter +=
+    // delta, decimal-exact sum += delta) must equal a from-scratch
+    // recompute over the union — the oracle IS that recompute, so any
+    // drift in the fold (a dropped slice, a non-associative combine, a
+    // null mishandled on an unmatched side) is a hash mismatch. Sums
+    // accumulate in DECIMAL so the three-way fold and the one-shot
+    // aggregate round identically (the dsum discipline); the cast to
+    // double happens ONCE at the end. Each fold is one full-outer
+    // shuffle on user_id over state- and increment-sized relations —
+    // at 100 TB the state is the bucketed corpus profile and only
+    // increments move (the q_merge_upsert deployment story).
+    Q("q_ivm_counts",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def incr(lo: String, hi: String): DataFrame = ev
+          .filter(col("ts") >= lit(lo).cast("timestamp") &&
+            col("ts") < lit(hi).cast("timestamp"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).as("v_dec"))
+        val slices = Seq(
+          incr("2024-01-01 00:00:00", "2024-01-11 00:00:00"),
+          incr("2024-01-11 00:00:00", "2024-01-21 00:00:00"),
+          incr("2024-01-21 00:00:00", "2024-02-01 00:00:00"))
+        val folded = slices.reduce { (state, inc) =>
+          graft.engine.Merge.upsert(state, inc, Seq("user_id"), combine = Map(
+            "n_events" -> ((st, u) =>
+              coalesce(st, lit(0L)) + coalesce(u, lit(0L))),
+            "v_dec" -> ((st, u) =>
+              coalesce(st, lit(0).cast(DecimalType(18, 6))) +
+                coalesce(u, lit(0).cast(DecimalType(18, 6))))))
+        }
+        folded
+          .select(col("user_id"), col("n_events"),
+            col("v_dec").cast("double").as("v_sum"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v_sum
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ── weighted sampling: deterministic hash-lottery priorities ──
+    // Weighted sampling without replacement, reproducible across runs,
+    // engines, and cluster sizes (rand() is none of those): each row
+    // gets `w` lottery tickets, its priority is the MIN of `w`
+    // independent md5 draws — computed per-row inside ONE array
+    // expression (no explode, no shuffle), so higher-weight rows hold
+    // stochastically smaller priorities and the global top-k is the
+    // weighted sample. The top-50 plans as TakeOrderedAndProject
+    // (per-partition partial top-k, driver merges 50-row heaps — never
+    // a full sort). The md5 hex strings compare identically in both
+    // engines, so the selected set is hash-exact. The upweighted
+    // languages here are exactly the quota-protected ones (en for
+    // coverage, zh for the tokenizer-budget story — q_mix_weights).
+    Q("q_sample_weighted",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("w", expr(
+            """CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 3
+              |  WHEN 'de' THEN 2 ELSE 1 END""".stripMargin).cast("long"))
+          .withColumn("pri", expr(
+            """array_min(transform(sequence(1L, w),
+              |  i -> md5(concat(cast(doc_id AS STRING), ':',
+              |                  cast(i AS STRING)))))""".stripMargin))
+          .select(col("doc_id"), col("lang"), col("w"), col("pri"))
+          .orderBy(col("pri"))
+          .limit(50),
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |  CAST(CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 3
+             |    WHEN 'de' THEN 2 ELSE 1 END AS BIGINT) AS w FROM documents),
+             |p AS (SELECT doc_id, lang, w,
+             |  list_min(list_transform(generate_series(1, w),
+             |    i -> md5(doc_id::VARCHAR || ':' || i::VARCHAR))) AS pri
+             |  FROM t)
+             |SELECT doc_id, lang, w, pri FROM p
+             |ORDER BY pri LIMIT 50""".stripMargin))
   )
 }

@@ -365,6 +365,72 @@ object TextAnalysis {
              |      FROM d, generate_series(1, 99) i(i)
              |      WHERE i.i <= len(toks) - 1)
              |SELECT pair, count(*) AS cnt FROM p
-             |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin))
+             |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)),
+
+    // ── bigram-LM likelihood scoring: the perplexity-filter shape ──
+    // The KenLM-style quality gate every curation pipeline runs: train
+    // a language model ON the corpus, score each document by how
+    // likely the model finds it, drop the tail. Here the model is a
+    // corpus-trained bigram table with Laplace smoothing, and the
+    // score is kept RATIONAL (fp = (c2+1)·10⁶ div (c1+V), truncating
+    // BIGINT division) instead of a log-prob — libm log differs across
+    // engines in the last ulp (the q_tfidf idf discipline), while the
+    // mean transition likelihood is bit-exact in both and orders
+    // documents the same way for a fixed length. Two keyed aggregates
+    // build the model (both dictionary-sized — broadcast back); V is
+    // ONE bounded driver scalar (the q_tfidf nDocs idiom); the scoring
+    // pass is a single scan. At 100 TB the bigram table is
+    // vocabulary²-bounded (and in practice Zipf-small), so the model
+    // broadcast holds while the corpus side never reshuffles.
+    Q("q_lm_quality",
+      (s, dir) => {
+        val bg = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> named_struct('w1', element_at(toks, i),
+              |                    'w2', element_at(toks, i + 1)))""".stripMargin))
+            .as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val v = docs(s, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .agg(count_distinct(col("w"))).head().getLong(0)
+        val scored = bg
+          .join(broadcast(c2), Seq("w1", "w2"))
+          .join(broadcast(c1), Seq("w1"))
+          .withColumn("fp", expr(s"((c2 + 1L) * 1000000L) div (c1 + ${v}L)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_trans"), sum(col("fp")).as("sum_fp"))
+        docs(s, dir).select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .withColumn("n_trans", coalesce(col("n_trans"), lit(0L)))
+          .withColumn("sum_fp", coalesce(col("sum_fp"), lit(0L)))
+          .withColumn("mean_lik",
+            when(col("n_trans") > 0,
+              col("sum_fp").cast("double") / col("n_trans")).otherwise(0.0))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |bg AS (SELECT doc_id, toks[i.i] AS w1, toks[i.i + 1] AS w2
+             |       FROM d, generate_series(1, 99) i(i)
+             |       WHERE i.i <= len(toks) - 1),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+             |v AS (SELECT count(DISTINCT w) AS v FROM
+             |        (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+             |sc AS (SELECT bg.doc_id,
+             |         ((c2.c2 + 1) * 1000000) // (c1.c1 + v.v) AS fp
+             |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+             |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+             |          CAST(sum(fp) AS BIGINT) AS sum_fp FROM sc GROUP BY doc_id)
+             |SELECT dd.doc_id, coalesce(n_trans, 0) AS n_trans,
+             |  coalesce(sum_fp, 0) AS sum_fp,
+             |  CASE WHEN coalesce(n_trans, 0) > 0
+             |       THEN CAST(sum_fp AS DOUBLE) / n_trans ELSE 0.0 END AS mean_lik
+             |FROM documents dd LEFT JOIN agg ON agg.doc_id = dd.doc_id
+             |ORDER BY dd.doc_id""".stripMargin))
   )
 }

@@ -609,6 +609,91 @@ object Advanced {
              |SELECT '1_view' AS stage, count(*) AS users FROM v
              |UNION ALL SELECT '2_click', count(*) FROM c
              |UNION ALL SELECT '3_purchase', count(*) FROM p
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // ── sequence pattern matching: the MATCH_RECOGNIZE analog ──
+    // Order-sensitive behavior detection the funnel above can't
+    // express: "a view, then a click, then a purchase, with NO error
+    // anywhere between" is a REGEX over each user's event-type
+    // sequence, not a conjunction of per-stage aggregates. Each user's
+    // history collapses to a code string once (one keyed shuffle;
+    // array_sort over (ts, event_id, code) structs makes the order
+    // total and engine-identical), then the pattern is a per-row
+    // regexp — new patterns are free plan-wise, they reuse the same
+    // sequence relation. The regex is anchored-free POSIX-safe
+    // (`v[^e]*c[^e]*p` — literals and a negated class only), so Java
+    // regex and DuckDB's RE2 agree. 100 TB shape: state per user is
+    // one bounded string (histories cap at events-per-user), the
+    // corpus shuffles once on user_id, and the match is map-side.
+    Q("q_event_pattern",
+      (s, dir) => {
+        val code = expr(
+          """CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+            |  WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+            |  ELSE 'e' END""".stripMargin)
+        t(s, dir, "events")
+          .select(col("user_id"), struct(col("ts"), col("event_id"),
+            code.as("code")).as("ev"))
+          .groupBy("user_id")
+          .agg(collect_list(col("ev")).as("evs"))
+          .withColumn("seq",
+            expr("array_join(transform(array_sort(evs), x -> x.code), '')"))
+          .withColumn("n_events", expr("size(evs)").cast("long"))
+          .withColumn("converted_clean",
+            expr("seq RLIKE 'v[^e]*c[^e]*p'"))
+          .withColumn("seq_head", expr("substring(seq, 1, 40)"))
+          .select("user_id", "n_events", "seq_head", "converted_clean")
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, ts, event_id,
+             |  CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+             |    WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+             |    ELSE 'e' END AS code FROM events),
+             |sq AS (SELECT user_id,
+             |  string_agg(code, '' ORDER BY ts, event_id) AS seq,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |  FROM c GROUP BY user_id)
+             |SELECT user_id, n_events, substring(seq, 1, 40) AS seq_head,
+             |  regexp_matches(seq, 'v[^e]*c[^e]*p') AS converted_clean
+             |FROM sq ORDER BY user_id""".stripMargin)),
+
+    // ── daily new vs returning users + cumulative uniques ──
+    // The growth-accounting staple, computed WITHOUT a count(distinct)
+    // over a growing window (which reshuffles the whole history every
+    // day): a user's first-ever day comes from one per-user min, daily
+    // new = count of first days landing on that day, cumulative uniques
+    // = running sum of daily new — so every relation after the first
+    // two aggregates is DAY-sized. The final window runs over ~30 rows
+    // (one per day) — a single-partition WindowExec over a day-count
+    // relation, not over events. Exact integer arithmetic throughout.
+    Q("q_new_returning",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val active = ev.distinct()
+        val firsts = active.groupBy("user_id").agg(min(col("d")).as("fd"))
+        val nActive = active.groupBy("d").agg(count(lit(1)).as("n_active"))
+        val nNew = firsts.groupBy(col("fd").as("d"))
+          .agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        nActive.join(nNew, Seq("d"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .withColumn("n_returning", col("n_active") - col("n_new"))
+          .withColumn("cum_users", sum(col("n_new")).over(w))
+          .select("d", "n_active", "n_new", "n_returning", "cum_users")
+          .orderBy("d")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+             |f AS (SELECT user_id, min(d) AS fd FROM a GROUP BY user_id),
+             |na AS (SELECT d, CAST(count(*) AS BIGINT) AS n_active FROM a GROUP BY d),
+             |nn AS (SELECT fd AS d, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY fd)
+             |SELECT na.d, n_active, coalesce(n_new, 0) AS n_new,
+             |  n_active - coalesce(n_new, 0) AS n_returning,
+             |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY na.d
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_users
+             |FROM na LEFT JOIN nn ON nn.d = na.d
+             |ORDER BY na.d""".stripMargin))
   )
 }
