@@ -694,6 +694,55 @@ object Advanced {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              |    AS cum_users
              |FROM na LEFT JOIN nn ON nn.d = na.d
-             |ORDER BY na.d""".stripMargin))
+             |ORDER BY na.d""".stripMargin)),
+
+    // ── association rules: support / confidence / lift over baskets ──
+    // Market-basket mining, the A-Priori candidate-pair step at its
+    // core: baskets are customers, items the suppliers they buy from.
+    // The pair expansion is the per-basket self-join — quadratic ONLY
+    // in basket size (bounded by a customer's supplier breadth, ~40
+    // here; a production run caps or samples oversized baskets), then
+    // ONE keyed aggregate with map-side combine collapses it to the
+    // distinct-pair relation. Metrics stay RATIONAL (truncating BIGINT
+    // fixed-point — support·10⁶, confidence·10⁶, lift·10⁴) so the
+    // ranking is bit-exact cross-engine; n is a bounded driver scalar
+    // (the q_tfidf idiom). Top-20 by lift plans as
+    // TakeOrderedAndProject — never a full sort of the pair relation.
+    Q("q_assoc_rules",
+      (s, dir) => {
+        val cs = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct()
+        val n = cs.select(col("c")).distinct().count()
+        val c1 = cs.groupBy(col("s")).agg(count(lit(1)).as("c1"))
+        val pairs = cs.select(col("c"), col("s").as("s1"))
+          .join(cs.select(col("c"), col("s").as("s2")), "c")
+          .filter(col("s1") < col("s2"))
+          .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("w"))
+        pairs
+          .join(broadcast(c1.select(col("s").as("s1"), col("c1").as("n1"))), "s1")
+          .join(broadcast(c1.select(col("s").as("s2"), col("c1").as("n2"))), "s2")
+          .withColumn("support_fp", expr(s"(w * 1000000L) div ${n}L"))
+          .withColumn("conf_fp", expr("(w * 1000000L) div n1"))
+          .withColumn("lift_fp", expr(s"(w * ${n}L * 10000L) div (n1 * n2)"))
+          .select("s1", "s2", "w", "support_fp", "conf_fp", "lift_fp")
+          .orderBy(col("lift_fp").desc, col("s1"), col("s2"))
+          .limit(20)
+      },
+      Some("""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |nb AS (SELECT count(DISTINCT c) AS n FROM cs),
+             |c1 AS (SELECT s, count(*) AS c1 FROM cs GROUP BY s),
+             |p AS (SELECT a.s AS s1, b.s AS s2, count(*) AS w
+             |      FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+             |      GROUP BY a.s, b.s)
+             |SELECT p.s1, p.s2, p.w,
+             |  CAST((p.w * 1000000) // nb.n AS BIGINT) AS support_fp,
+             |  CAST((p.w * 1000000) // a1.c1 AS BIGINT) AS conf_fp,
+             |  CAST((p.w * nb.n * 10000) // (a1.c1 * a2.c1) AS BIGINT) AS lift_fp
+             |FROM p JOIN c1 a1 ON a1.s = p.s1 JOIN c1 a2 ON a2.s = p.s2
+             |CROSS JOIN nb
+             |ORDER BY lift_fp DESC, s1, s2 LIMIT 20""".stripMargin))
   )
 }

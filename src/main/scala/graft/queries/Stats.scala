@@ -185,6 +185,54 @@ object Stats {
              |  FROM events GROUP BY 1, 2)
              |SELECT event_type, day, cnt,
              |  cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS delta
-             |FROM d ORDER BY event_type, day""".stripMargin))
+             |FROM d ORDER BY event_type, day""".stripMargin)),
+
+    // ── robust outlier detection: median absolute deviation per group ──
+    // The robust-statistics alternative to z-scores (mean/stddev are
+    // dragged by the outliers they're meant to find; median/MAD have a
+    // 50% breakdown point). Three grouped passes: median, then the
+    // deviation median, then the flag count — each a partial+final
+    // aggregate over group-sized relations. Exactness: l_quantity is
+    // integral, so the interpolated medians land on .5 grid points,
+    // deviations on a .25 grid — every value is a short binary
+    // fraction both engines represent exactly (the q_percentile
+    // parity), and the 1.5·MAD threshold compare is exact. A .5-grid
+    // never equals 1.5·(.25-grid) off-grid, so no boundary ulp case
+    // exists. The 1.5 multiplier (vs the usual 3) is tuned to the
+    // corpus: uniform quantities have thin tails, and 3·MAD would gate
+    // out nothing — the mechanism, not the thresholds, is the operator.
+    Q("q_outlier_mad",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val med = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+        val mad = li.join(broadcast(med), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("med")).as("med"),
+            expr("percentile(abs(l_quantity - med), 0.5)").as("mad"),
+            count(lit(1)).as("n"))
+        li.join(broadcast(mad), "l_returnflag")
+          .withColumn("is_out",
+            (abs(col("l_quantity") - col("med")) > col("mad") * 1.5).cast("long"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+            min(col("n")).as("n"), sum(col("is_out")).as("n_outliers"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH med AS (SELECT l_returnflag,
+             |    quantile_cont(l_quantity, 0.5) AS med
+             |  FROM lineitem GROUP BY l_returnflag),
+             |mad AS (SELECT l.l_returnflag, min(m.med) AS med,
+             |    quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+             |  GROUP BY l.l_returnflag)
+             |SELECT d.l_returnflag, min(d.med) AS med, min(d.mad) AS mad,
+             |  min(d.n) AS n,
+             |  CAST(SUM(CASE WHEN abs(l.l_quantity - d.med) > d.mad * 1.5
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM mad d JOIN lineitem l ON l.l_returnflag = d.l_returnflag
+             |GROUP BY d.l_returnflag
+             |ORDER BY d.l_returnflag""".stripMargin))
   )
 }

@@ -392,4 +392,53 @@ object EventStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  final case class PatternEvent(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+  final case class PatternState(stage: Int, hits: Long)
+  final case class PatternHit(user_id: Long, purchase_id: Long, n_hits: Long)
+
+  /** Streaming sequence-pattern detection (CEP) — the streaming twin
+    * of batch `q_event_pattern`: per user, a view → click → purchase
+    * run with no error between completes a conversion; each completion
+    * emits a hit (carrying the finishing purchase's id and the user's
+    * running hit count) and resets the machine for the next run. Where
+    * the batch query materializes the whole history string and runs a
+    * regex, the stream keeps TWO integers per user (stage ∈ {0,1,2},
+    * hit count) — O(keys) state, the only shape an unbounded stream
+    * admits — and the machine is the regex: stage k = "matched the
+    * first k literals with no intervening error" (AnalyticsOpsSpec
+    * pins the machine ≡ regex on batch data; the streaming spec pins
+    * single-batch ≡ multi-batch). Events sort by (event-time,
+    * event_id) WITHIN a micro-batch, so replaying a batch is
+    * deterministic; cross-batch order is arrival order (the documented
+    * streaming residual — a conversion split across batches with a
+    * late error between them resolves by arrival). */
+  def detectPattern(events: Dataset[PatternEvent]): Dataset[PatternHit] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[PatternEvent],
+        state: GroupState[PatternState]): Iterator[PatternHit] = {
+      var st = state.getOption.getOrElse(PatternState(0, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[PatternHit]
+      evs.toArray
+        .sortBy(e => ((e.ts.getTime / 1000L) * 1000000L +
+          e.ts.getNanos / 1000L, e.event_id))
+        .foreach { e =>
+          e.event_type match {
+            case "error" => st = st.copy(stage = 0)
+            case "view" => if (st.stage == 0) st = st.copy(stage = 1)
+            case "click" => if (st.stage == 1) st = st.copy(stage = 2)
+            case "purchase" => if (st.stage == 2) {
+              st = PatternState(0, st.hits + 1)
+              out += PatternHit(userId, e.event_id, st.hits)
+            }
+            case _ => ()
+          }
+        }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }
