@@ -450,6 +450,35 @@ object Pipeline {
              |min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ── ORC source: the columnar interchange format round-trip ──
+    // Unlike CSV/JSONL above, ORC is a real ANALYTICAL format: typed
+    // columns, per-stripe min/max indexes, predicate pushdown and
+    // column pruning — a second warehouse's tables arrive this way and
+    // the engine reads them natively (Spark bundles the reader; no
+    // extra dependency). The aggregate proves full-fidelity transport
+    // (every column, row, and text byte), and the filter exercises the
+    // pushdown path the text formats can't offer. DuckDB reads no ORC,
+    // so the oracle recomputes from the SAME rows' parquet origin —
+    // which is exactly the round-trip claim.
+    Q("q_source_orc",
+      (s, dir) => {
+        val orc = graft.engine.Scratch.cached("orc_src", dir) { p =>
+          t(s, dir, "documents").write.orc(p)
+        }
+        s.read.orc(orc)
+          .filter(col("n_chars") >= 300)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |CAST(sum(length(text)) AS BIGINT) AS sum_len,
+             |min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents WHERE n_chars >= 300
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ── z-ordered layout: the two-dimensional data-skipping variant ──
     // of q_compact_sorted. The derivative is clustered on the morton
     // interleave of (n_chars, doc_id), so THIS box filter — which a

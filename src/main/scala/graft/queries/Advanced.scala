@@ -696,6 +696,44 @@ object Advanced {
              |FROM na LEFT JOIN nn ON nn.d = na.d
              |ORDER BY na.d""".stripMargin)),
 
+    // ── rolling 7-day active users (WAU) + stickiness per day ──
+    // The sliding-window count-distinct: a distinct over a MOVING
+    // window has no partial-aggregate form, so the scalable shape is
+    // the explode-by-window-length trick — each (user, day) activation
+    // contributes itself to the 7 window-end days it falls in (a
+    // map-only ×7 expansion of the DAY-sized activation relation, not
+    // of events), then one distinct + one keyed count per window end.
+    // Trailing phantom days (windows ending after the last event day)
+    // drop out via the inner join with the observed-day DAU relation.
+    // dau/wau is the single-rounding stickiness ratio. At 100 TB the
+    // expansion factor is the window length — tunable, never
+    // data-dependent — and events collapse to activations at the
+    // FIRST aggregate.
+    Q("q_rolling_active",
+      (s, dir) => {
+        val a = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val wau = a
+          .select(col("user_id"),
+            explode(expr("sequence(d, date_add(d, 6))")).as("wd"))
+          .distinct()
+          .groupBy("wd").agg(count(lit(1)).as("wau"))
+        val dau = a.groupBy(col("d").as("wd")).agg(count(lit(1)).as("dau"))
+        dau.join(wau, "wd")
+          .withColumn("stickiness", col("dau").cast("double") / col("wau"))
+          .select("wd", "dau", "wau", "stickiness")
+          .orderBy("wd")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+             |w AS (SELECT DISTINCT user_id,
+             |    CAST(unnest(generate_series(d::TIMESTAMP,
+             |      d::TIMESTAMP + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS wd
+             |  FROM a),
+             |wau AS (SELECT wd, CAST(count(*) AS BIGINT) AS wau FROM w GROUP BY wd),
+             |dau AS (SELECT d AS wd, CAST(count(*) AS BIGINT) AS dau FROM a GROUP BY d)
+             |SELECT wd, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
+             |FROM dau JOIN wau USING (wd) ORDER BY wd""".stripMargin)),
+
     // ── association rules: support / confidence / lift over baskets ──
     // Market-basket mining, the A-Priori candidate-pair step at its
     // core: baskets are customers, items the suppliers they buy from.

@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Plan contracts for the round-5 analytics operators — the scale
+  * claims live in the physical plan, not the row counts. */
+class AnalyticsPlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_sample_weighted plans TakeOrderedAndProject, no exchange") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be a partial heap merge, not a full sort:\n" + p.take(1200))
+    // the lottery priority is a per-row expression — the ONLY data
+    // movement is the driver-side 50-row heap merge
+    assert(!p.contains("Exchange"),
+      "weighted sampling must not shuffle the corpus:\n" + p.take(1200))
+  }
+
+  test("q_lm_quality broadcasts the bigram model, never shuffles docs twice") {
+    val p = plan("q_lm_quality")
+    // both model relations (bigram counts, context counts) come back
+    // as broadcasts — the scoring pass is one scan of the corpus side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "bigram/context model joins must broadcast:\n" + p.take(1500))
+  }
+
+  test("q_assoc_rules: top-k is partial (TakeOrderedAndProject)") {
+    val p = plan("q_assoc_rules")
+    assert(p.contains("TakeOrderedAndProject"),
+      "rule ranking must not full-sort the pair relation:\n" + p.take(1200))
+  }
+
+  test("q_rolling_active expands the day-sized activation relation only") {
+    val df = SparkEntry.queries("q_rolling_active")(spark, sf)
+    // correctness of the window semantics: WAU(d) >= DAU(d) always,
+    // and WAU(d) >= DAU(d-1 .. d-6) users seen that day still count
+    val rows = df.collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dau, wau) =>
+      assert(wau >= dau, s"day $d: wau $wau < dau $dau")
+    }
+    // first observed day: the window covers only that day => wau == dau
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3,
+      s"first day ${first._1}: wau ${first._3} != dau ${first._2}")
+  }
+}
