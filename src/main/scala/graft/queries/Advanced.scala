@@ -781,6 +781,40 @@ object Advanced {
              |  CAST((p.w * nb.n * 10000) // (a1.c1 * a2.c1) AS BIGINT) AS lift_fp
              |FROM p JOIN c1 a1 ON a1.s = p.s1 JOIN c1 a2 ON a2.s = p.s2
              |CROSS JOIN nb
-             |ORDER BY lift_fp DESC, s1, s2 LIMIT 20""".stripMargin))
+             |ORDER BY lift_fp DESC, s1, s2 LIMIT 20""".stripMargin)),
+
+    // ── 2-D skyline (Pareto frontier): min price, max size ──
+    // A part is kept iff no other part has price ≤ AND size ≥ with at
+    // least one strict. Sort-based plan, not the quadratic NOT-EXISTS:
+    // collapse to per-price max size (distributed aggregate), cummax
+    // over the price-sorted group relation, keep rows beating every
+    // strictly-cheaper group (run_prev < size) that also top their own
+    // price group (size = gmax — same-price ties both survive only at
+    // the group max). The single-partition window runs over DISTINCT
+    // prices, already aggregated — O(groups), not O(rows); at 100 TB
+    // the aggregate prunes map-side first (the classic local-skyline →
+    // global-merge shape). The oracle is the INDEPENDENT quadratic
+    // dominance definition, so agreement checks the sort-based
+    // rewrite itself.
+    Q("q_skyline",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val g = p.groupBy(col("p_retailprice")).agg(max(col("p_size")).as("gmax"))
+        val wPrev = Window.orderBy(col("p_retailprice"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val g2 = g.withColumn("run_prev", max(col("gmax")).over(wPrev))
+        p.join(g2, Seq("p_retailprice"))
+          .filter(col("p_size") === col("gmax") &&
+            (col("run_prev").isNull || col("run_prev") < col("p_size")))
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_retailprice, p_size FROM part p
+             |WHERE NOT EXISTS (SELECT 1 FROM part q
+             |  WHERE q.p_retailprice <= p.p_retailprice
+             |    AND q.p_size >= p.p_size
+             |    AND (q.p_retailprice < p.p_retailprice
+             |         OR q.p_size > p.p_size))
+             |ORDER BY p_partkey""".stripMargin))
   )
 }

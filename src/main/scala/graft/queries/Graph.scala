@@ -201,6 +201,60 @@ object Graph {
     d.orderBy("node").localCheckpoint(true)
   }
 
+  /** Triangle count over an ORIENTED edge list — `edges` must be the
+    * (u, v) pairs of an undirected graph with u < v, each undirected
+    * edge exactly once. Returns one row: (tri_cnt, edge_cnt).
+    *
+    * Node-iterator++ shape (Schank-Wagner): build each node's sorted
+    * list of HIGHER neighbors, then for every edge (u, v) count
+    * common elements of adj(u) and adj(v) with the codegen'd
+    * [[graft.functions.SortedIntersectCount]] merge walk — each
+    * triangle {u<v<w} is counted exactly once, at its lowest edge.
+    * 100 TB shape: two keyed shuffles (the adjacency aggregate and
+    * the edge⋈adjacency joins — both on node id, AQE-splittable) and
+    * zero driver state; work is Σ_(u,v)∈E |adj(u)|+|adj(v)|, the
+    * standard bound. Hub safety: orientation alone caps adjacency at
+    * the higher-id side; a degree-ordered orientation (relabel nodes
+    * by degree rank first) tightens the bound to O(E^1.5) when hubs
+    * dominate — the relabel is one extra aggregate, unneeded at this
+    * corpus's density. */
+  private[graft] def triangleCount(edges: DataFrame): DataFrame = {
+    val adj = edges.groupBy(col("u").as("node"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val withU = edges.join(adj.select(col("node").as("au"), col("nbrs").as("nu")),
+      col("u") === col("au"))
+    // the max-id node of a triangle has no higher neighbors → left
+    // join + empty-array default, never a dropped edge
+    val withBoth = withU.join(
+      adj.select(col("node").as("av"), col("nbrs").as("nv")),
+      col("v") === col("av"), "left")
+    withBoth
+      .select(graft.functions.VecOps.sorted_intersect_count(
+        col("nu"), coalesce(col("nv"), array().cast("array<bigint>"))).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("tri_cnt"),
+        count(lit(1)).as("edge_cnt"))
+  }
+
+  /** Supplier co-occurrence graph: an edge (u < v) for every supplier
+    * pair that shares at least `minShared` distinct customers. The
+    * per-customer pair expansion is quadratic in that customer's
+    * supplier set — bounded here by order fan-out (≈ tens); a corpus
+    * with whale customers would cap the per-key set first (the
+    * Dedup.capBuckets discipline) before pairing. */
+  private[queries] def supplierCooc(s: SparkSession, dir: String,
+      minShared: Long): DataFrame = {
+    val cs = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+    cs.select(col("c"), col("sp").as("u"))
+      .join(cs.select(col("c").as("c2"), col("sp").as("v")),
+        col("c") === col("c2") && col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minShared)
+      .select(col("u"), col("v"))
+  }
+
   private val seedNodes: Seq[String] = (0 to 9).map(i => s"c$i")
 
   private def nhopIterSql(k: Int, prev: String): String =
@@ -257,6 +311,25 @@ object Graph {
               |${nhopIterSql(1, "d0")},
               |${nhopIterSql(2, "d1")},
               |${nhopIterSql(3, "d2")}
-              |SELECT node, dist FROM d3 ORDER BY node""".stripMargin))
+              |SELECT node, dist FROM d3 ORDER BY node""".stripMargin)),
+
+    // ── Triangle count on the supplier co-occurrence graph ──
+    // The oracle is an INDEPENDENT formulation (three-way self-join on
+    // the oriented edge list, a<b<c) — agreement means the adjacency
+    // merge-walk and the relational definition count the same set.
+    Q("q_triangles",
+      (s, dir) => triangleCount(supplierCooc(s, dir, minShared = 2L)),
+      Some("""WITH cs AS (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (
+             |  SELECT a.sp AS u, b.sp AS v
+             |  FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+             |  GROUP BY a.sp, b.sp HAVING COUNT(*) >= 2)
+             |SELECT
+             |  (SELECT CAST(COUNT(*) AS BIGINT)
+             |   FROM e e1 JOIN e e2 ON e2.u = e1.v
+             |             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS tri_cnt,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS edge_cnt""".stripMargin))
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.engine.Tables
 import graft.functions.HashSample
@@ -233,6 +234,70 @@ object Stats {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM mad d JOIN lineitem l ON l.l_returnflag = d.l_returnflag
              |GROUP BY d.l_returnflag
-             |ORDER BY d.l_returnflag""".stripMargin))
+             |ORDER BY d.l_returnflag""".stripMargin)),
+
+    // ── First-order Markov transition matrix over user event streams ──
+    // Per user, events ordered by (ts, event_id — the unique
+    // tiebreaker); every adjacent pair is one (src → dst) transition.
+    // One window shuffle on user_id (the sessionize shape), one keyed
+    // aggregate over the tiny (src, dst) domain, one window over src
+    // for the row-normalizing denominator. p is a SINGLE division of
+    // two exact longs — correctly rounded identically in any engine.
+    // 100 TB: state is O(|event_type|²), never O(events); the only
+    // big shuffle keys on user_id, which AQE splits if skewed.
+    Q("q_markov",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("dst", lead(col("event_type"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("denom", sum(col("cnt")).over(Window.partitionBy(col("src"))))
+          .withColumn("p", col("cnt").cast("double") / col("denom").cast("double"))
+          .orderBy("src", "dst"),
+      },
+      Some("""WITH tr AS (
+             |  SELECT event_type AS src,
+             |    LEAD(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS dst
+             |  FROM events),
+             |c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+             |      FROM tr WHERE dst IS NOT NULL GROUP BY src, dst)
+             |SELECT src, dst, cnt,
+             |  CAST(SUM(cnt) OVER (PARTITION BY src) AS BIGINT) AS denom,
+             |  CAST(cnt AS DOUBLE) /
+             |    CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE) AS p
+             |FROM c ORDER BY src, dst""".stripMargin)),
+
+    // ── Exponentially-decayed trending score (half-life = 1 day) ──
+    // weight(e) = 2^(29 − age_days) for events in the trailing 30
+    // days of the corpus — powers of two via integer shiftleft, so
+    // the score is an EXACT int64 sum (max 10⁶ events · 2²⁹ ≈ 5·10¹⁴
+    // < 2⁶³): no float decay drift, any accumulation order. The
+    // anchor date is a 1-row broadcast (never a driver round-trip);
+    // the rest is one partial+final aggregate over event_type.
+    Q("q_decay_trend",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val anchor = ev.agg(max(to_date(col("ts"))).as("maxd"))
+        ev.crossJoin(broadcast(anchor))
+          .withColumn("age", datediff(col("maxd"), to_date(col("ts"))))
+          .filter(col("age") < 30)
+          .groupBy(col("event_type"))
+          .agg(sum(expr("shiftleft(1L, cast(29 - age as int))")).as("score"),
+            count(lit(1)).as("cnt"))
+          .orderBy("event_type")
+      },
+      Some("""WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+             |a AS (
+             |  SELECT event_type,
+             |    datediff('day', CAST(ts AS DATE), maxd) AS age
+             |  FROM events, mx
+             |  WHERE datediff('day', CAST(ts AS DATE), maxd) < 30)
+             |SELECT event_type,
+             |  CAST(SUM(1::BIGINT << CAST(29 - age AS INTEGER)) AS BIGINT) AS score,
+             |  CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
