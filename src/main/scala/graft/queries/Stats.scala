@@ -255,7 +255,7 @@ object Stats {
           .agg(count(lit(1)).as("cnt"))
           .withColumn("denom", sum(col("cnt")).over(Window.partitionBy(col("src"))))
           .withColumn("p", col("cnt").cast("double") / col("denom").cast("double"))
-          .orderBy("src", "dst"),
+          .orderBy("src", "dst")
       },
       Some("""WITH tr AS (
              |  SELECT event_type AS src,
