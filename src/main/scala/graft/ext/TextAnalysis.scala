@@ -431,6 +431,66 @@ object TextAnalysis {
              |  CASE WHEN coalesce(n_trans, 0) > 0
              |       THEN CAST(sum_fp AS DOUBLE) / n_trans ELSE 0.0 END AS mean_lik
              |FROM documents dd LEFT JOIN agg ON agg.doc_id = dd.doc_id
-             |ORDER BY dd.doc_id""".stripMargin))
+             |ORDER BY dd.doc_id""".stripMargin)),
+
+    // ── BM25 ranked retrieval (Okapi, rational fixed-point) ──
+    // The IR ranking the inverted index exists to serve: top-10 docs
+    // for a 3-term query under BM25 with k1=6/5, b=3/4. Everything
+    // stays RATIONAL: the Robertson idf's log is dropped for its
+    // argument (2N−2df+1)/(2df+1) (log is monotone, and libm log is
+    // not cross-engine safe — the q_tfidf discipline), and the tf
+    // normalization is cleared of fractions by multiplying numerator
+    // and denominator by 10·TT (TT = total corpus tokens, avgdl =
+    // TT/N): score_fp = 10⁴·(2N−2df+1)·22·TT·tf /
+    // ((2df+1)·(10·TT·tf + 3·TT + 9·dl·N)), one truncating BIGINT
+    // division per (doc, term), worst factor ≈ 2·10¹⁶ at sf0.1 —
+    // int64-safe. Per-doc totals are INTEGER sums (order-free), so
+    // the final ranking hash-matches the oracle exactly. 100 TB
+    // shape: tf filters to the query terms BEFORE grouping (the scan
+    // prunes to matching tokens), df and the 1-row (N, TT) aggregate
+    // broadcast, dl joins tf on doc_id — one token-keyed shuffle for
+    // dl, one for tf, and TakeOrderedAndProject caps the result.
+    Q("q_bm25",
+      (s, dir) => {
+        val terms = Seq("vector", "filter", "merge")
+        val dtok = docs(s, dir).select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("token"))
+        val dl = dtok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val glob = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tt"))
+        val tf = dtok.filter(col("token").isin(terms: _*))
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), Seq("token"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(glob))
+          .withColumn("score_fp", expr(
+            """(10000L * (2L*nn - 2L*df + 1L) * 22L * tt * tf) div
+              |((2L*df + 1L) * (10L*tt*tf + 3L*tt + 9L*dl*nn))""".stripMargin))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum(col("score_fp")).as("bm25_fp"))
+          .orderBy(col("bm25_fp").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH dtok AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(text, '[a-z]+')) AS token
+             |  FROM documents),
+             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             |       FROM dtok GROUP BY doc_id),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+             |             CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+             |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             |       FROM dtok WHERE token IN ('vector', 'filter', 'merge')
+             |       GROUP BY doc_id, token),
+             |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+             |          FROM tf GROUP BY token),
+             |sc AS (SELECT tf.doc_id,
+             |    (10000 * (2*nn - 2*df + 1) * 22 * tt * tf)
+             |      // ((2*df + 1) * (10*tt*tf + 3*tt + 9*dl*nn)) AS score_fp
+             |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+             |       CROSS JOIN g)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             |       CAST(SUM(score_fp) AS BIGINT) AS bm25_fp
+             |FROM sc GROUP BY doc_id
+             |ORDER BY bm25_fp DESC, doc_id LIMIT 10""".stripMargin))
   )
 }

@@ -241,12 +241,17 @@ object Graph {
     * supplier set — bounded here by order fan-out (≈ tens); a corpus
     * with whale customers would cap the per-key set first (the
     * Dedup.capBuckets discipline) before pairing. */
-  private[queries] def supplierCooc(s: SparkSession, dir: String,
-      minShared: Long): DataFrame = {
-    val cs = t(s, dir, "orders")
+  /** Distinct (customer, supplier) incidence — the bipartite relation
+    * both supplierCooc and the node-similarity operator project. */
+  private def custSupp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
       .distinct()
+
+  private[queries] def supplierCooc(s: SparkSession, dir: String,
+      minShared: Long): DataFrame = {
+    val cs = custSupp(s, dir)
     cs.select(col("c"), col("sp").as("u"))
       .join(cs.select(col("c").as("c2"), col("sp").as("v")),
         col("c") === col("c2") && col("u") < col("v"))
@@ -330,6 +335,49 @@ object Graph {
              |  (SELECT CAST(COUNT(*) AS BIGINT)
              |   FROM e e1 JOIN e e2 ON e2.u = e1.v
              |             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS tri_cnt,
-             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS edge_cnt""".stripMargin))
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS edge_cnt""".stripMargin)),
+
+    // ── node-similarity: neighbor-set Jaccard between suppliers ──
+    // Top-20 supplier pairs by Jaccard of their distinct-customer
+    // sets. Inverted-index shape, never all-pairs: candidate pairs
+    // come from grouping the bipartite incidence by customer (a pair
+    // appears iff it SHARES a customer, and its intersection size IS
+    // its co-occurrence count — one shuffle on the shared key), then
+    // |A∪B| = deg(u)+deg(v)−|A∩B| from a broadcast degree table.
+    // jac_fp = |∩|·10⁶ div |∪| is a truncating integer division —
+    // hash-exact both engines; ties break on (u, v) so the LIMIT cut
+    // is deterministic. 100 TB: per-customer supplier lists are the
+    // skew risk — a whale key expands quadratically, so production
+    // caps the per-key set first (the Dedup.capBuckets discipline);
+    // the driver corpus's fan-out (≈tens) doesn't need it.
+    Q("q_node_jaccard",
+      (s, dir) => {
+        val cs = custSupp(s, dir)
+        val deg = cs.groupBy(col("sp")).agg(count(lit(1)).as("deg"))
+        cs.select(col("c"), col("sp").as("u"))
+          .join(cs.select(col("c").as("c2"), col("sp").as("v")),
+            col("c") === col("c2") && col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("inter"))
+          .join(broadcast(deg.select(col("sp").as("u"), col("deg").as("du"))), Seq("u"))
+          .join(broadcast(deg.select(col("sp").as("v"), col("deg").as("dv"))), Seq("v"))
+          .withColumn("uni", col("du") + col("dv") - col("inter"))
+          .withColumn("jac_fp", expr("inter * 1000000L div uni"))
+          .select("u", "v", "inter", "uni", "jac_fp")
+          .orderBy(col("jac_fp").desc, col("u"), col("v"))
+          .limit(20)
+      },
+      Some("""WITH cs AS (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |deg AS (SELECT sp, CAST(count(*) AS BIGINT) AS deg
+             |        FROM cs GROUP BY sp),
+             |p AS (SELECT a.sp AS u, b.sp AS v,
+             |        CAST(count(*) AS BIGINT) AS inter
+             |      FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+             |      GROUP BY a.sp, b.sp)
+             |SELECT u, v, inter, du.deg + dv.deg - inter AS uni,
+             |  (inter * 1000000) // (du.deg + dv.deg - inter) AS jac_fp
+             |FROM p JOIN deg du ON du.sp = p.u JOIN deg dv ON dv.sp = p.v
+             |ORDER BY jac_fp DESC, u, v LIMIT 20""".stripMargin))
   )
 }

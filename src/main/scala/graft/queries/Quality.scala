@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.Tables
+
+/** Data-profiling and data-quality-validation operators — the
+  * warehouse intake surface: before a table feeds any downstream
+  * query, profile its columns and assert its contracts.
+  *
+  * Both operators follow the repo's determinism rules (exact integer
+  * counts, decimal-exact sums, one final double division) so the
+  * reports hash-match the DuckDB oracle bit-for-bit.
+  */
+object Quality {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** One data-quality check: `viol` is the violating-row relation;
+    * the report row is its count plus the pass verdict. */
+  private def check(name: String, viol: DataFrame): DataFrame =
+    viol.agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+
+  val queries: Seq[Q] = Seq(
+
+    // ── one-pass numeric column profiling (summarize-style) ──
+    // Per column: rows, nulls, exact distinct count, min/max, and a
+    // decimal-exact mean (order-insensitive sum, ONE division at the
+    // end). All 4 columns profile in a SINGLE aggregate pass over the
+    // table — the multi-count-distinct plans as one Expand (4× row
+    // multiplication before the partial aggregate), which is the
+    // standard price of exact multi-column NDV in one scan; a 100 TB
+    // profiler that can tolerate ±2% swaps countDistinct for
+    // approx_count_distinct and the Expand disappears (the sketch
+    // variants are declared separately — q_approx_distinct). The
+    // result is ONE row wide, unpivoted to long form driver-side by
+    // `stack` — no second shuffle.
+    Q("q_profile",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+            countDistinct(col(c)).as(s"${c}_nd"),
+            min(col(c)).as(s"${c}_min"),
+            max(col(c)).as(s"${c}_max"),
+            sum(col(c).cast(DecimalType(18, 6))).as(s"${c}_sum"))
+        }
+        val one = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+        val rows = cols.map { c =>
+          s"'$c', n, ${c}_nn, ${c}_nd, ${c}_min, ${c}_max, " +
+            s"CAST(${c}_sum AS DOUBLE) / CAST(n - ${c}_nn AS DOUBLE)"
+        }.mkString(", ")
+        one.selectExpr(s"stack(${cols.length}, $rows) AS " +
+            "(col_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v)")
+          .orderBy("col_name")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  min($c) AS min_v, max($c) AS max_v,
+             |  CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)
+             |    / CAST(count($c) AS DOUBLE) AS mean_v
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
+
+    // ── data-quality constraint report (Deequ-style validation) ──
+    // Seven declarative contracts over the star schema, each one
+    // relational violation query, unioned into a single report:
+    // primary-key uniqueness, two referential-integrity anti-joins,
+    // not-null, a closed value domain, and two numeric ranges. The
+    // discount check is deliberately STRICTER than the data (max
+    // 0.10 vs the asserted 0.08) so the failure path — a nonzero
+    // count with passed=false — is exercised, not just the green
+    // path. 100 TB shape: each check is one keyed aggregate or one
+    // anti-join on the key it validates (broadcast when the parent
+    // side is a dim); violations never collect to the driver — the
+    // report is counts. The anti-joins are exactly the incremental-
+    // dedup shape, so AQE skew handling applies unchanged.
+    Q("q_dq_checks",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ords = t(s, dir, "orders")
+        val checks = Seq(
+          check("fk_lineitem_orders",
+            li.join(ords.select("o_orderkey"),
+              li("l_orderkey") === ords("o_orderkey"), "left_anti")),
+          check("fk_orders_customer",
+            ords.join(t(s, dir, "customer").select("c_custkey"),
+              ords("o_custkey") === col("c_custkey"), "left_anti")),
+          check("pk_orders_unique",
+            ords.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+              .filter(col("cnt") > 1L)),
+          check("nn_events_value",
+            t(s, dir, "events").filter(col("value").isNull)),
+          check("domain_documents_lang",
+            t(s, dir, "documents")
+              .filter(!col("lang").isin("de", "en", "es", "fr", "zh"))),
+          check("range_lineitem_quantity",
+            li.filter(!(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0))),
+          check("range_lineitem_discount_strict",
+            li.filter(col("l_discount") > 0.08)))
+        checks.reduce(_.unionAll(_)).orderBy("check_name")
+      },
+      Some("""WITH v AS (
+             |SELECT 'fk_lineitem_orders' AS check_name,
+             |  CAST((SELECT count(*) FROM lineitem l
+             |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                          WHERE o.o_orderkey = l.l_orderkey))
+             |    AS BIGINT) AS n_violations
+             |UNION ALL
+             |SELECT 'fk_orders_customer',
+             |  CAST((SELECT count(*) FROM orders o
+             |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |                          WHERE c.c_custkey = o.o_custkey))
+             |    AS BIGINT)
+             |UNION ALL
+             |SELECT 'pk_orders_unique',
+             |  CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+             |        GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)
+             |UNION ALL
+             |SELECT 'nn_events_value',
+             |  CAST((SELECT count(*) FROM events WHERE value IS NULL) AS BIGINT)
+             |UNION ALL
+             |SELECT 'domain_documents_lang',
+             |  CAST((SELECT count(*) FROM documents
+             |        WHERE lang NOT IN ('de','en','es','fr','zh')) AS BIGINT)
+             |UNION ALL
+             |SELECT 'range_lineitem_quantity',
+             |  CAST((SELECT count(*) FROM lineitem
+             |        WHERE NOT (l_quantity >= 1.0 AND l_quantity <= 50.0))
+             |    AS BIGINT)
+             |UNION ALL
+             |SELECT 'range_lineitem_discount_strict',
+             |  CAST((SELECT count(*) FROM lineitem WHERE l_discount > 0.08)
+             |    AS BIGINT))
+             |SELECT check_name, n_violations, n_violations = 0 AS passed
+             |FROM v ORDER BY check_name""".stripMargin))
+  )
+}

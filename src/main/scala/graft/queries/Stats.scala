@@ -298,6 +298,107 @@ object Stats {
              |SELECT event_type,
              |  CAST(SUM(1::BIGINT << CAST(29 - age AS INTEGER)) AS BIGINT) AS score,
              |  CAST(COUNT(*) AS BIGINT) AS cnt
-             |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── chi-square test of independence: event_type × weekend ──
+    // The contingency table is exact integer counts (one keyed
+    // aggregate over the raw events; row/column/grand totals are
+    // window sums over the ≤|event_type|·2 CELLS, never the rows).
+    // Weekend-ness is pure integer epoch arithmetic — (days since
+    // epoch) mod 7 ∈ {2,3} ⇔ Sat/Sun (1970-01-01 was a Thursday) —
+    // because dayofweek() numbering differs between engines. Each
+    // cell's χ² contribution (o−e)²/e is algebraically rearranged to
+    // (o·T − r·c)²/(r·c·T): diff = o·T − r·c stays int64-exact
+    // (≲2·10¹¹ at sf0.1), and the double evaluation
+    // (diff·diff)/(r·c·T) is three IEEE-correctly-rounded ops with an
+    // identical tree in both engines — bit-exact. Per-cell output, no
+    // cross-cell double sum (double addition order is engine-defined;
+    // a consumer sums the ≤10 contributions driver-side). */
+    Q("q_chisq",
+      (s, dir) => {
+        val cell = t(s, dir, "events")
+          .withColumn("is_weekend",
+            expr("(unix_micros(ts) div 86400000000L) % 7 IN (2, 3)"))
+          .groupBy(col("event_type"), col("is_weekend"))
+          .agg(count(lit(1)).as("o"))
+        cell
+          .withColumn("r",
+            sum(col("o")).over(Window.partitionBy(col("event_type"))))
+          .withColumn("c",
+            sum(col("o")).over(Window.partitionBy(col("is_weekend"))))
+          .withColumn("tot", sum(col("o")).over(Window.partitionBy()))
+          .withColumn("diff", col("o") * col("tot") - col("r") * col("c"))
+          .withColumn("chi2_part",
+            (col("diff").cast("double") * col("diff").cast("double")) /
+              (col("r") * col("c") * col("tot")).cast("double"))
+          .select("event_type", "is_weekend", "o", "r", "c", "chi2_part")
+          .orderBy("event_type", "is_weekend")
+      },
+      Some("""WITH cell AS (
+             |  SELECT event_type,
+             |    (epoch_us(ts) // 86400000000) % 7 IN (2, 3) AS is_weekend,
+             |    CAST(count(*) AS BIGINT) AS o
+             |  FROM events GROUP BY 1, 2),
+             |tt AS (SELECT event_type, is_weekend, o,
+             |  CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+             |  CAST(SUM(o) OVER (PARTITION BY is_weekend) AS BIGINT) AS c,
+             |  CAST(SUM(o) OVER () AS BIGINT) AS tot FROM cell)
+             |SELECT event_type, is_weekend, o, r, c,
+             |  (CAST(o * tot - r * c AS DOUBLE) * CAST(o * tot - r * c AS DOUBLE))
+             |    / CAST(r * c * tot AS DOUBLE) AS chi2_part
+             |FROM tt ORDER BY event_type, is_weekend""".stripMargin)),
+
+    // ── autocorrelation of the daily event-count series, lags 1..7 ──
+    // r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², cleared of the rational
+    // mean μ=S/n by multiplying through by n²: every moment (S, ΣXX,
+    // per-lag Σx_t·x_{t+k} and the head/tail partial sums) is an EXACT
+    // int64 (n=30 days, S≲10⁶ at sf0.1 → worst term n·S·2S ≈ 6·10¹³),
+    // and r_k is ONE double division of two exact longs. The daily
+    // series is one keyed aggregate; the 7 lag pairings are joins over
+    // the ~30-row aggregate — cost lives in the first aggregate, the
+    // lag algebra is free. A weekly cycle in the synthetic data would
+    // surface as r_7 > r_1; the oracle recomputes the identical
+    // moments, so agreement pins the clearing algebra itself. */
+    Q("q_acf",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(expr(
+            s"(unix_micros(ts) - ${EpochJan2024Us}L) div 86400000000L").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val glob = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("sxx"))
+        val ks = daily.sparkSession.range(1, 8).select(col("id").as("k"))
+        daily.crossJoin(broadcast(ks)).alias("a")
+          .join(broadcast(daily.select(col("d").as("d2"), col("x").as("x2"))),
+            col("d2") === col("a.d") + col("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("m"), sum(col("a.x") * col("x2")).as("sxy"),
+            sum(col("a.x")).as("head"), sum(col("x2")).as("tail"))
+          .crossJoin(broadcast(glob))
+          .select(col("k"), col("m"),
+            ((col("n") * col("n") * col("sxy") -
+              col("n") * col("s") * (col("head") + col("tail")) +
+              col("m") * col("s") * col("s")).cast("double") /
+              (col("n") * col("n") * col("sxx") -
+                col("n") * col("s") * col("s")).cast("double")).as("acf"))
+          .orderBy("k")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT (epoch_us(ts) - ${EpochJan2024Us}) // 86400000000 AS d,
+              |    CAST(count(*) AS BIGINT) AS x
+              |  FROM events GROUP BY 1),
+              |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |  CAST(SUM(x) AS BIGINT) AS s,
+              |  CAST(SUM(x * x) AS BIGINT) AS sxx FROM daily),
+              |p AS (SELECT k, CAST(count(*) AS BIGINT) AS m,
+              |  CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+              |  CAST(SUM(a.x) AS BIGINT) AS head,
+              |  CAST(SUM(b.x) AS BIGINT) AS tail
+              |  FROM daily a, generate_series(1, 7) t(k), daily b
+              |  WHERE b.d = a.d + k GROUP BY k)
+              |SELECT CAST(k AS BIGINT) AS k, m,
+              |  CAST(n*n*sxy - n*s*(head + tail) + m*s*s AS DOUBLE)
+              |    / CAST(n*n*sxx - n*s*s AS DOUBLE) AS acf
+              |FROM p, g ORDER BY k""".stripMargin))
   )
 }
