@@ -62,7 +62,16 @@ object Bench {
       val ok = passes.map(_(n)).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else median(ok)
     })
+    // per-query MIN alongside the median: the min is the best noise
+    // bound a shared host offers, so a reader can separate regression
+    // (min moved) from noise (only the median moved) without a re-run
+    val mins = names.map(n => n -> {
+      val ok = passes.map(_(n)).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    })
     val qs = med.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a query failing in ANY pass is failed — an intermittent crash
     // must not hide behind the median of its surviving passes
@@ -72,6 +81,7 @@ object Bench {
     // failed queries are named explicitly — a breaking query must never
     // read as a smaller (faster-looking) total with a clean exit
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qsMin,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"iters":$iters,""" +
       s""""pass_total_min":${passTotals.min},"pass_total_max":${passTotals.max},""" +
       s""""sf":"$sfDir"}"""

@@ -15,12 +15,15 @@ import graft.engine.{Grapefruit, MapleJuice, ShuffleOption}
   *   delete <name>                   — SdfsServer.java:379 (S6)
   *   ls <name> | store | global      — SdfsServer.java:181-232 (S7)
   *   maple <exe> <numTasks> <sifPrefix> <srcDir> [exeArgs...]
-  *   juice <exe> <numTasks> <sifPrefix> <destName> <delete 0|1> <hash|range>
+  *   juice <exe> <numTasks> <sifPrefix> <destName> <delete 0|1>
+  *         <hash|range> [stream|files]
   *
   * Executables follow the Hadoop-streaming contract (stdin lines →
-  * stdout lines; juice sees `key,value` sorted by key). The
-  * reference's batch-argv / file-per-key conventions are subsumed by
-  * streaming + the in-engine shuffle; examples in `scripts/exes/`.
+  * stdout lines; juice sees `key,value` sorted by key). The optional
+  * `files` juice mode instead runs the reference's exact file-per-key
+  * argv contract (`exe key valuesFile`, `MapleJuice.java:645-648`) so
+  * a juice exe written for the reference runs unmodified; `stream`
+  * (default) is the scale path. Examples in `scripts/exes/`.
   */
 object Cli {
 
@@ -42,7 +45,8 @@ object Cli {
         out.write.mode("overwrite").text(s"$root/$prefix")
         println(s"maple done -> $prefix")
 
-      case Seq("juice", exe, n, prefix, dest, del, shuffleOpt) =>
+      case "juice" +: exe +: n +: prefix +: dest +: del +: shuffleOpt +: rest
+          if rest.isEmpty || rest == Seq("stream") || rest == Seq("files") =>
         val opt = shuffleOpt match {
           case "range" => ShuffleOption.Range
           case "hash"  => ShuffleOption.Hash
@@ -56,7 +60,13 @@ object Cli {
           val i = l.indexOf(',')
           if (i < 0) (l, "") else (l.substring(0, i), l.substring(i + 1))
         }
-        val out = MapleJuice.pipeJuice(kv, Seq("python3", exe), n.toInt, opt)
+        // `files` = the reference's exact file-per-key argv contract
+        // (`exe key valuesFile`) so reference juice exes run unmodified;
+        // default `stream` = the scale path (one process per partition)
+        val out =
+          if (rest == Seq("files"))
+            MapleJuice.pipeJuiceFiles(kv, Seq("python3", exe), n.toInt, opt)
+          else MapleJuice.pipeJuice(kv, Seq("python3", exe), n.toInt, opt)
         out.write.mode("overwrite").text(s"$root/$dest")
         if (del == "1") gf.sdfs.delete(prefix)
         println(s"juice done -> $dest")

@@ -181,4 +181,60 @@ object MapleJuice {
     val lines = parted.sortWithinPartitions("_1").map { case (k, v) => s"$k,$v" }
     spark.createDataset(lines.rdd.pipe(command))
   }
+
+  /** FILE-PER-KEY external juice — the reference's exact argv contract
+    * (`MapleJuice.java:645-648`: `python3 exe key path-of-values-file`,
+    * one subprocess invocation per key, the file holding that key's
+    * values one per line), so a juice executable written for the
+    * reference runs UNMODIFIED (CliSpec drives the reference's own
+    * `wg_juice.py` through this). [[pipeJuice]] remains the scale
+    * path — one process per PARTITION streaming the Hadoop contract;
+    * this shim forks one process per KEY, so it is gated: each task
+    * counts its keys and fails loudly above `maxKeysPerTask` rather
+    * than silently fork-bombing an executor. Distribution shape is
+    * unchanged (same keyed repartition + in-partition sort; per-key
+    * value files are task-local tmpfs, deleted as soon as the process
+    * exits). */
+  def pipeJuiceFiles(kv: Dataset[(String, String)], command: Seq[String],
+      numPartitions: Int, opt: ShuffleOption = ShuffleOption.Hash,
+      maxKeysPerTask: Int = 10000): Dataset[String] = {
+    val spark = kv.sparkSession
+    import spark.implicits._
+    val parted = opt match {
+      case ShuffleOption.Hash  => kv.repartition(numPartitions, col("_1"))
+      case ShuffleOption.Range => kv.repartitionByRange(numPartitions, col("_1"))
+    }
+    parted.sortWithinPartitions("_1").mapPartitions { it =>
+      var keysSeen = 0
+      // contiguous sorted runs → one temp file + one subprocess per key
+      new Iterator[Iterator[String]] {
+        private val buf = it.buffered
+        def hasNext: Boolean = buf.hasNext
+        def next(): Iterator[String] = {
+          val key = buf.head._1
+          keysSeen += 1
+          require(keysSeen <= maxKeysPerTask,
+            s"pipeJuiceFiles: > $maxKeysPerTask keys in one task — " +
+              "use pipeJuice (streaming contract) or raise maxKeysPerTask")
+          val f = java.nio.file.Files.createTempFile("juice_", "_vals")
+          val w = java.nio.file.Files.newBufferedWriter(f)
+          try {
+            while (buf.hasNext && buf.head._1 == key) {
+              w.write(buf.next()._2); w.newLine()
+            }
+          } finally w.close()
+          try {
+            val p = new ProcessBuilder((command :+ key :+ f.toString): _*)
+              .redirectErrorStream(false).start()
+            p.getOutputStream.close()
+            val out = new String(p.getInputStream.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val rc = p.waitFor()
+            require(rc == 0, s"pipeJuiceFiles: exe exited $rc for key $key")
+            out.split("\n").iterator.filter(_.nonEmpty)
+          } finally java.nio.file.Files.deleteIfExists(f)
+        }
+      }.flatten
+    }
+  }
 }

@@ -29,15 +29,40 @@ object Tables {
     * never at execution. */
   private val tsNative = new ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def eventsNative(spark: SparkSession, path: String): Boolean =
-    tsNative.computeIfAbsent(path, { p =>
-      try {
-        spark.read.parquet(p).schema("ts").dataType match {
-          case TimestampType | TimestampNTZType => true
-          case _ => false
-        }
-      } catch { case _: Exception => false }
-    })
+  /** True only for the ONE failure that selects the raw-nanos fallback:
+    * Spark 4 refusing to map parquet TIMESTAMP(NANOS) into its
+    * microsecond TimestampType at footer-schema conversion
+    * (PARQUET_TYPE_ILLEGAL / "Illegal Parquet type ... NANOS"). Any
+    * other exception — transient IO, a momentarily-absent file — must
+    * PROPAGATE, never silently pick the `div 1000` read: a micros file
+    * flowing through the nanos path yields 1970-era timestamps and
+    * silently empties every absolute-date filter. */
+  private def isNanosRefusal(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    (m.contains("NANOS") &&
+      (m.contains("Parquet") || m.contains("PARQUET"))) ||
+      m.contains("PARQUET_TYPE_ILLEGAL") ||
+      Option(e.getCause).exists(isNanosRefusal)
+  }
+
+  private def eventsNative(spark: SparkSession, path: String): Boolean = {
+    val cached = tsNative.get(path)
+    if (cached != null) cached.booleanValue()
+    else {
+      // probe OUTSIDE the cache insert: a non-NANOS failure rethrows
+      // and leaves the cache empty, so a transient error can't poison
+      // the path's reader choice for the rest of the JVM
+      val native =
+        try {
+          spark.read.parquet(path).schema("ts").dataType match {
+            case TimestampType | TimestampNTZType => true
+            case _ => false
+          }
+        } catch { case e: Exception if isNanosRefusal(e) => false }
+      tsNative.put(path, native)
+      native
+    }
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

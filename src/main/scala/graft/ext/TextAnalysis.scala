@@ -38,6 +38,42 @@ object TextAnalysis {
   /** Small stopword list used by the quality score. */
   val stopwords: Seq[String] = Seq("a", "the", "of", "to", "and", "in")
 
+  /** True-log BM25 twin of `q_bm25` (k1 = 1.2, b = 0.75, double
+    * precision, Lucene idf ln(1 + (2N−2df+1)/(2df+1)) — the +1 keeps
+    * the idf positive when df > N/2, which is exactly the regime the
+    * driver corpus is in: the query terms hit ~77% of docs, so the
+    * RAW Robertson log idf is negative there and inverts the ranking
+    * entirely (measured 0/10 top-10 overlap — the classic negative-idf
+    * pathology every production BM25 patches). Against this Lucene
+    * form the rational variant ranks 9/10 identically (RECALL.md).
+    * NOT oracle-checked: libm `log` is not bit-reproducible across
+    * engines, so fidelity is pinned instead by Bm25Spec — a scalar
+    * recompute of the identical formula must agree to 1e-9 relative.
+    * Same 100 TB shape as q_bm25: tf prunes to the query terms before
+    * grouping, df and the 1-row (N, TT) aggregate broadcast. */
+  def bm25LogScores(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    val dtok = docs(s, dir).select(col("doc_id"),
+      explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("token"))
+    val dl = dtok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val glob = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tt"))
+    val tf = dtok.filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(glob))
+      // avgdl = tt/nn, so b's length norm 1−b+b·dl/avgdl clears to
+      // 0.25 + 0.75·dl·nn/tt; tf·(k1+1) = 2.2·tf
+      .withColumn("score", expr(
+        """ln(1.0D + (2.0D * nn - 2.0D * df + 1.0D) / (2.0D * df + 1.0D)) *
+          |(2.2D * tf) /
+          |(tf + 1.2D * (0.25D + 0.75D * dl * nn / tt))""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("score")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── rarity scoring: corpus-global token statistics broadcast back ──
@@ -433,12 +469,19 @@ object TextAnalysis {
              |FROM documents dd LEFT JOIN agg ON agg.doc_id = dd.doc_id
              |ORDER BY dd.doc_id""".stripMargin)),
 
-    // ── BM25 ranked retrieval (Okapi, rational fixed-point) ──
+    // ── BM25-style ranked retrieval (rational log-free idf variant) ──
     // The IR ranking the inverted index exists to serve: top-10 docs
-    // for a 3-term query under BM25 with k1=6/5, b=3/4. Everything
-    // stays RATIONAL: the Robertson idf's log is dropped for its
-    // argument (2N−2df+1)/(2df+1) (log is monotone, and libm log is
-    // not cross-engine safe — the q_tfidf discipline), and the tf
+    // for a 3-term query with k1=6/5, b=3/4. Everything stays
+    // RATIONAL: the Robertson idf's log is replaced by its argument
+    // (2N−2df+1)/(2df+1) — libm log is not cross-engine safe (the
+    // q_tfidf discipline). NOTE this is a deliberate VARIANT, not
+    // Okapi BM25: the per-term swap is monotone, but the per-doc
+    // score is a SUM across terms, and a monotone transform of each
+    // addend does not preserve the ranking of sums — docs matching
+    // different term subsets can order differently than under the
+    // true-log score. Bm25Spec quantifies the divergence against the
+    // double-precision log twin ([[bm25LogScores]], RECALL.md); this
+    // rational form is the oracle-checked query. The tf
     // normalization is cleared of fractions by multiplying numerator
     // and denominator by 10·TT (TT = total corpus tokens, avgdl =
     // TT/N): score_fp = 10⁴·(2N−2df+1)·22·TT·tf /
@@ -491,6 +534,60 @@ object TextAnalysis {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
              |       CAST(SUM(score_fp) AS BIGINT) AS bm25_fp
              |FROM sc GROUP BY doc_id
-             |ORDER BY bm25_fp DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY bm25_fp DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ── bigram PMI: collocation strength ranking ──
+    // The phrase-mining primitive (PMI = log P(xy)/(P(x)P(y))) with
+    // the log dropped — the ratio itself ranks identically PER PAIR
+    // and stays deterministic: all counts are exact BIGINTs, both
+    // products stay ≪ 2^53 on the driver corpora (vocab 31, tokens
+    // ≤ ~300k: c2·NU² ≲ 4e13, NB·cu1·cu2 ≲ 3e13), so the
+    // decimal→double casts are exact and the ONE double division is
+    // bit-identical in both engines. Support floor c2 ≥ 5 kills the
+    // noise tail. 100 TB shape: the bigram and unigram count tables
+    // are vocabulary-sized (map-side combine does the heavy lifting);
+    // both joins broadcast the unigram dictionary; top-20 plans as
+    // TakeOrderedAndProject, never a full sort.
+    Q("q_pmi",
+      (s, dir) => {
+        val toks = docs(s, dir).select(split(col("text"), " ").as("toks"))
+        val uni = toks.select(explode(col("toks")).as("w"))
+        val cu = uni.groupBy("w").agg(count(lit(1)).as("c"))
+        val bg = toks.filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> struct(element_at(toks, i) AS w1,
+              |              element_at(toks, i + 1) AS w2))""".stripMargin))
+            .as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val glob = uni.agg(count(lit(1)).as("nu"))
+          .crossJoin(bg.agg(count(lit(1)).as("nb")))
+        bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+          .filter(col("c2") >= 5L)
+          .join(broadcast(cu.select(col("w").as("w1"), col("c").as("cu1"))), Seq("w1"))
+          .join(broadcast(cu.select(col("w").as("w2"), col("c").as("cu2"))), Seq("w2"))
+          .crossJoin(broadcast(glob))
+          .withColumn("pmi", expr(
+            "CAST(c2 * nu * nu AS DOUBLE) / CAST(nb * cu1 * cu2 AS DOUBLE)"))
+          .select("w1", "w2", "c2", "cu1", "cu2", "pmi")
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+             |bg AS (SELECT toks[i.i] AS w1, toks[i.i + 1] AS w2
+             |       FROM d, generate_series(1, 99) i(i)
+             |       WHERE i.i <= len(toks) - 1),
+             |u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
+             |g AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg) AS nb,
+             |             (SELECT CAST(count(*) AS BIGINT) FROM u) AS nu),
+             |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg
+             |      GROUP BY w1, w2 HAVING count(*) >= 5)
+             |SELECT w1, w2, c2, cu1.c AS cu1, cu2.c AS cu2,
+             |  CAST(c2 * nu * nu AS DOUBLE)
+             |    / CAST(nb * cu1.c * cu2.c AS DOUBLE) AS pmi
+             |FROM p JOIN cu cu1 ON cu1.w = p.w1
+             |       JOIN cu cu2 ON cu2.w = p.w2 CROSS JOIN g
+             |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))
   )
 }

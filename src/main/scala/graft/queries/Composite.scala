@@ -284,17 +284,29 @@ object Composite {
     // ── TPC-H Q17 shape: small-quantity orders vs per-part average ──
     // The correlated scalar subquery becomes one per-part aggregate
     // joined back on the key — a shuffle on p_partkey, never a
-    // per-row subquery. Threshold math (0.2 × decimal-exact average)
-    // is written in the same op order in both engines.
+    // per-row subquery. The brand filter is pushed BELOW the
+    // threshold aggregate: only ~1/25 of parts are Brand#12, so both
+    // the aggregate and the probe side semi-join to the (tiny,
+    // broadcast) filtered key set first — identical answers (a
+    // non-brand part's threshold is never consulted; the semi-join
+    // keeps EVERY lineitem of a surviving part, so its per-part
+    // average is unchanged), but at 100× scale the unfiltered
+    // full-lineitem aggregate this replaces would dominate the query.
+    // Threshold math (0.2 × decimal-exact average) is written in the
+    // same op order in both engines.
     Q("q_tpch_q17",
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+        val brandKeys = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#12")
+          .select(col("p_partkey"))
+        val liBrand = t(s, dir, "lineitem")
+          .join(broadcast(brandKeys),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+        val thresholds = liBrand.groupBy(col("l_partkey").as("t_partkey"))
           .agg((lit(0.2) *
             (sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") /
               count(lit(1)))).as("qty_threshold"))
-        li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-          .filter(col("p_brand") === "Brand#12")
+        liBrand
           .join(thresholds, col("l_partkey") === col("t_partkey"))
           .filter(col("l_quantity") < col("qty_threshold"))
           .agg((Core.dsum(col("l_extendedprice"), 4, "s") / lit(7.0))

@@ -73,6 +73,57 @@ object Quality {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       }),
 
+    // ── string-column profiling (q_profile's text twin) ──
+    // Same single-pass stack shape as q_profile, over STRING columns:
+    // rows, nulls, empties, exact distinct, min/max length, and a
+    // length mean (exact BIGINT length sum, ONE double division).
+    // Two tables profiled → two single-pass aggregates unioned (a
+    // profiler never pays more than one scan per table); the Expand
+    // for exact multi-NDV carries the same documented approx swap as
+    // q_profile. Empty-count semantics: CASE WHEN c = '' — NULL falls
+    // through to 0 in both engines, so nulls are not empties.
+    Q("q_profile_str",
+      (s, dir) => {
+        def profiled(table: String, cols: Seq[String]): DataFrame = {
+          val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+            Seq(
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+              sum(when(col(c) === "", 1L).otherwise(0L)).as(s"${c}_ne"),
+              countDistinct(col(c)).as(s"${c}_nd"),
+              min(length(col(c)).cast("bigint")).as(s"${c}_minl"),
+              max(length(col(c)).cast("bigint")).as(s"${c}_maxl"),
+              sum(length(col(c)).cast("bigint")).as(s"${c}_suml"))
+          }
+          val one = t(s, dir, table).agg(aggs.head, aggs.tail: _*)
+          val rows = cols.map { c =>
+            s"'$table.$c', n, ${c}_nn, ${c}_ne, ${c}_nd, ${c}_minl, " +
+              s"${c}_maxl, CAST(${c}_suml AS DOUBLE) / CAST(n - ${c}_nn AS DOUBLE)"
+          }.mkString(", ")
+          one.selectExpr(s"stack(${cols.length}, $rows) AS " +
+            "(col_name, n_rows, n_null, n_empty, n_distinct, " +
+            "min_len, max_len, mean_len)")
+        }
+        profiled("documents", Seq("lang", "text"))
+          .unionByName(profiled("events", Seq("event_type", "props")))
+          .orderBy("col_name")
+      },
+      Some {
+        def one(table: String, c: String): String =
+          s"""SELECT '$table.$c' AS col_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS n_null,
+             |  CAST(count(*) FILTER ($c = '') AS BIGINT) AS n_empty,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min(length($c)) AS BIGINT) AS min_len,
+             |  CAST(max(length($c)) AS BIGINT) AS max_len,
+             |  CAST(SUM(CAST(length($c) AS BIGINT)) AS DOUBLE)
+             |    / CAST(count($c) AS DOUBLE) AS mean_len
+             |FROM $table""".stripMargin
+        Seq(one("documents", "lang"), one("documents", "text"),
+          one("events", "event_type"), one("events", "props"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
+
     // ── data-quality constraint report (Deequ-style validation) ──
     // Seven declarative contracts over the star schema, each one
     // relational violation query, unioned into a single report:

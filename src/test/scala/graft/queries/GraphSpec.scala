@@ -77,6 +77,56 @@ class GraphSpec extends SparkSuite {
       s"expected a bucketed scan:\n${plan.take(2000)}")
   }
 
+  test("triangleCount: hand-built graph counts each triangle once") {
+    // 1-2-3 and 2-3-4 are triangles; 4-5 is a pendant edge
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val r = Graph.triangleCount(e).as[(Long, Long)].head()
+    assert(r == ((2L, 6L)))
+  }
+
+  test("q_triangles input graph is non-vacuous (round-6 verdict item 1)") {
+    // the part co-purchase graph must stay SPARSE — the supplier
+    // co-occurrence graph it replaced was the complete K_n, whose
+    // triangle count is C(n,3) with no computation to evidence
+    val edges = Graph.partCoPurchase(spark, "/root/testdata/sf0.001", 2L)
+      .cache()
+    val nEdges = edges.count()
+    val n = edges.select("u")
+      .union(edges.select(org.apache.spark.sql.functions.col("v").as("u")))
+      .distinct().count()
+    val (tris, ecnt) = Graph.triangleCount(edges).as[(Long, Long)].head()
+    edges.unpersist()
+    assert(n > 2 && nEdges > 0 && ecnt == nEdges)
+    val density = 2.0 * nEdges / (n.toDouble * (n - 1))
+    assert(density < 0.5, s"graph density $density is near-complete ($nEdges edges, $n nodes)")
+    val complete = n * (n - 1) * (n - 2) / 6
+    assert(tris < complete, s"triangle count $tris equals the complete graph's C($n,3)")
+  }
+
+  test("kCore: triangle survives 2-core peeling, pendant and path dissolve") {
+    // triangle {1,2,3} + pendant 3-4, plus isolated path 5-6:
+    // 2-core = exactly the triangle, every member at induced degree 2
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("u", "v")
+    val got = Graph.kCore(e, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: fixed rounds report the not-yet-converged frontier deterministically") {
+    // long path 1-2-3-4-5-6: each round peels both endpoints; after 2
+    // rounds nodes 3,4 remain (degree 1 in the induced subgraph —
+    // NOT a 2-core, reported as-is because rounds are fixed)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("u", "v")
+    val got = Graph.kCore(e, k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L, 4L -> 1L))
+    // one more round empties it
+    assert(Graph.kCore(e, k = 2, rounds = 3).count() == 0L)
+  }
+
   test("directed chain with un-reached node: left join keeps base rank") {
     // x → y → z, plus isolated self-pointing w (w → w keeps outdeg ≥ 1).
     val e = Seq("x" -> "y", "y" -> "z", "z" -> "x", "w" -> "w")

@@ -102,8 +102,12 @@ class QualityStatsSpec extends SparkSuite {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     got.foreach { case (id, nTerms, fp) =>
-      val hits = Seq("vector", "filter", "merge")
-        .count(w => s"\\b$w\\b".r.findFirstIn(texts(id)).isDefined)
+      // recount with the QUERY's tokenizer ([a-z]+ runs), not word-
+      // boundary regexes: they disagree when a term abuts a digit or
+      // an uppercase letter ("3filter" tokenizes to "filter" but has
+      // no \b match), which would spuriously fail on fixture drift
+      val toks = "[a-z]+".r.findAllIn(texts(id)).toSet
+      val hits = Seq("vector", "filter", "merge").count(toks.contains)
       assert(hits == nTerms, s"doc $id n_terms $nTerms but text has $hits")
       assert(fp > 0L)
     }
