@@ -258,15 +258,26 @@ object Graph {
     * the per-key set first (the Dedup.capBuckets discipline). */
   private[queries] def partCoPurchase(s: SparkSession, dir: String,
       minShared: Long): DataFrame = {
-    val op = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o").as("o2"), col("p").as("v")),
-        col("o") === col("o2") && col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-      .filter(col("w") >= minShared)
-      .select(col("u"), col("v"))
+    // build-once BUCKETED artifact (the custSuppEdges discipline):
+    // three declared queries (triangles, k-core, label propagation)
+    // consume this same derived graph, so the pairing + aggregation
+    // runs once per (corpus, threshold) and every consumer scans a
+    // u-clustered table — at 100 TB the co-purchase edge list is a
+    // standard derived table a deployment materializes per corpus
+    // version, not a per-query recompute.
+    val table = graft.engine.Bucketing.cachedTable(
+      s, s"part_cooc_ms$minShared", dir, "u", 16) {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      op.select(col("o"), col("p").as("u"))
+        .join(op.select(col("o").as("o2"), col("p").as("v")),
+          col("o") === col("o2") && col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= minShared)
+        .select(col("u"), col("v"))
+    }
+    s.table(table)
   }
 
   /** Fixed-round k-core peeling: repeatedly drop nodes whose degree in
@@ -296,6 +307,31 @@ object Graph {
     induced(active)
       .groupBy(col("s").as("node")).agg(count(lit(1)).as("core_deg"))
       .orderBy("node")
+  }
+
+  /** Fixed-round min-label propagation: every node starts labeled with
+    * its own id; each round takes the min over itself and its
+    * neighbors. After r rounds a node's label is the smallest id
+    * within r hops — run to convergence this is connected components
+    * (the pointer-jumping CC in Dedup halves the round count with 2
+    * edge-hops/round; THIS form is the one-hop textbook variant kept
+    * deliberately oracle-mirrorable with unrolled CTEs). Per round:
+    * one edge⋈label join + one min-aggregate — label vector is
+    * node-sized, edges materialized once. */
+  private[graft] def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("u").as("s"), col("v").as("d"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("d")))
+      .localCheckpoint(true)
+    var labels = und.select(col("s").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      val fromNbrs = und
+        .join(labels, und("s") === labels("node"))
+        .select(col("d").as("node"), col("lbl"))
+      labels = labels.unionByName(fromNbrs)
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+    }
+    labels.orderBy("node")
   }
 
   private val seedNodes: Seq[String] = (0 to 9).map(i => s"c$i")
@@ -407,6 +443,40 @@ object Graph {
              |SELECT s AS node, CAST(count(*) AS BIGINT) AS core_deg
              |FROM ee JOIN a3 x ON s = x.node JOIN a3 y ON d = y.node
              |GROUP BY s ORDER BY node""".stripMargin)),
+
+    // ── min-label propagation (3 rounds) on the co-purchase graph ──
+    // Community-seed labeling: after 3 rounds each part carries the
+    // smallest part id within 3 hops — the label histogram is what a
+    // curation pipeline uses to group related items without running
+    // full CC. Oracle: the same 3 rounds unrolled (the self-label
+    // UNION keeps a node's own label in every round's min).
+    Q("q_labelprop",
+      (s, dir) => labelProp(partCoPurchase(s, dir, minShared = 2L), 3),
+      Some("""WITH op AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e0 AS (
+             |  SELECT a.p AS u, b.p AS v
+             |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+             |ee AS (SELECT u AS s, v AS d FROM e0
+             |       UNION ALL SELECT v AS s, u AS d FROM e0),
+             |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM ee),
+             |l1 AS (SELECT node, MIN(lbl) AS lbl FROM (
+             |  SELECT node, lbl FROM l0
+             |  UNION ALL
+             |  SELECT e.d AS node, l0.lbl FROM ee e JOIN l0 ON l0.node = e.s)
+             |  GROUP BY node),
+             |l2 AS (SELECT node, MIN(lbl) AS lbl FROM (
+             |  SELECT node, lbl FROM l1
+             |  UNION ALL
+             |  SELECT e.d AS node, l1.lbl FROM ee e JOIN l1 ON l1.node = e.s)
+             |  GROUP BY node),
+             |l3 AS (SELECT node, MIN(lbl) AS lbl FROM (
+             |  SELECT node, lbl FROM l2
+             |  UNION ALL
+             |  SELECT e.d AS node, l2.lbl FROM ee e JOIN l2 ON l2.node = e.s)
+             |  GROUP BY node)
+             |SELECT node, lbl FROM l3 ORDER BY node""".stripMargin)),
 
     // ── node-similarity: neighbor-set Jaccard between suppliers ──
     // Top-20 supplier pairs by Jaccard of their distinct-customer

@@ -399,6 +399,113 @@ object Stats {
               |SELECT CAST(k AS BIGINT) AS k, m,
               |  CAST(n*n*sxy - n*s*(head + tail) + m*s*s AS DOUBLE)
               |    / CAST(n*n*sxx - n*s*s AS DOUBLE) AS acf
-              |FROM p, g ORDER BY k""".stripMargin))
+              |FROM p, g ORDER BY k""".stripMargin)),
+
+    // ── per-group z-score standardization (feature scaling) ──
+    // The preprocessing step every numeric feature pipeline runs:
+    // z = (x − μ_g)/σ_g per group, cleared of intermediate divisions:
+    // z = (n·x − s1) / sqrt(n·s2 − s1²). Moments are EXACT — x in
+    // fixed-point 1e-4 units (vfp ≤ 5.6e6 on this data), s1 int64,
+    // s2 = Σvfp² in DECIMAL(38,0) (int64 would overflow at sf0.1's
+    // per-group row counts) — then ONE cast each and one IEEE
+    // division/sqrt, so every z hash-matches. 100 TB shape: the
+    // moment table is one row per group (broadcast back); the scan
+    // stays one pass + one map-side-combined aggregate.
+    Q("q_standardize",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .withColumn("vfp", expr("CAST(floor(value * 10000.0) AS BIGINT)"))
+        val m = e.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("vfp")).as("s1"),
+          sum(expr("CAST(vfp AS DECIMAL(38,0)) * vfp")).as("s2"))
+        e.join(broadcast(m), "event_type")
+          .withColumn("z", expr(
+            """CAST(n * vfp - s1 AS DOUBLE) /
+              |sqrt(CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE))"""
+              .stripMargin))
+          .select("event_id", "event_type", "value", "z")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, value,
+             |    CAST(floor(value * 10000.0) AS BIGINT) AS vfp FROM events),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(vfp) AS BIGINT) AS s1,
+             |    SUM(CAST(vfp AS DECIMAL(38,0)) * vfp) AS s2
+             |  FROM e GROUP BY event_type)
+             |SELECT event_id, e.event_type, value,
+             |  CAST(n * vfp - s1 AS DOUBLE) /
+             |    sqrt(CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)) AS z
+             |FROM e JOIN m USING (event_type)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ── weekly seasonal decomposition of the daily event series ──
+    // The classic-decomposition shape at day grain: daily counts, a
+    // day-of-week seasonal mean (exact integer sum, ONE double
+    // division), residual = observed − seasonal. Detrending is the
+    // caller's composition (q_decay_trend carries the trend op); the
+    // residual column is what an anomaly monitor thresholds. Scale:
+    // the series is day-grain — aggregation collapses the corpus to
+    // O(days) rows before any window/join, so the heavy stage is the
+    // one map-side-combined count.
+    Q("q_seasonal",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(expr(
+            s"(unix_micros(ts) - ${EpochJan2024Us}L) div 86400000000L").as("d"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("dow", expr("d % 7"))
+        val dm = daily.groupBy("dow").agg(
+          (sum(col("cnt")).cast("double") / count(lit(1))).as("dow_mean"))
+        daily.join(broadcast(dm), "dow")
+          .withColumn("residual", col("cnt") - col("dow_mean"))
+          .select("d", "dow", "cnt", "dow_mean", "residual")
+          .orderBy("d")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT (epoch_us(ts) - $EpochJan2024Us) // 86400000000 AS d,
+              |    CAST(count(*) AS BIGINT) AS cnt
+              |  FROM events GROUP BY 1),
+              |dd AS (SELECT *, d % 7 AS dow FROM daily),
+              |dm AS (SELECT dow, CAST(SUM(cnt) AS DOUBLE) / count(*) AS dow_mean
+              |       FROM dd GROUP BY dow)
+              |SELECT d, dd.dow, cnt, dow_mean, cnt - dow_mean AS residual
+              |FROM dd JOIN dm USING (dow) ORDER BY d""".stripMargin)),
+
+    // ── hashing-trick featurization (per-user sparse vectors) ──
+    // The feature-hashing step of a large-scale training pipeline:
+    // categorical features (event type; coarse value bucket) hash into
+    // a fixed 64-slot index space — no dictionary, no vocabulary
+    // shuffle, collisions by design. The hash is the engine's shared
+    // md5-prefix idiom (functions.TokenHash), identical in both
+    // engines; output is the sparse (user, slot, count) triple list a
+    // trainer consumes. 100 TB shape: explode is per-row (map-only),
+    // the only shuffle is the (user, slot)-keyed count with map-side
+    // combine; cardinality is bounded by users × 64.
+    Q("q_feature_hash",
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(col("user_id"), explode(array(
+            concat(lit("et="), col("event_type")),
+            concat(lit("vb="),
+              expr("CAST(CAST(floor(value / 100.0) AS BIGINT) AS STRING)"))))
+            .as("f"))
+          .withColumn("feat_idx",
+            expr("CAST(conv(substr(md5(f), 1, 8), 16, 10) AS BIGINT) % 64"))
+          .groupBy("user_id", "feat_idx").agg(count(lit(1)).as("cnt"))
+          .orderBy("user_id", "feat_idx")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, 'et=' || event_type AS f FROM events
+             |  UNION ALL
+             |  SELECT user_id,
+             |    'vb=' || CAST(CAST(floor(value / 100.0) AS BIGINT) AS VARCHAR)
+             |  FROM events),
+             |h AS (SELECT user_id,
+             |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 64 AS feat_idx FROM f)
+             |SELECT user_id, feat_idx, CAST(count(*) AS BIGINT) AS cnt
+             |FROM h GROUP BY user_id, feat_idx
+             |ORDER BY user_id, feat_idx""".stripMargin))
   )
 }

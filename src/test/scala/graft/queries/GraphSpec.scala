@@ -127,6 +127,16 @@ class GraphSpec extends SparkSuite {
     assert(Graph.kCore(e, k = 2, rounds = 3).count() == 0L)
   }
 
+  test("labelProp: components converge to their min id, rounds bound the hop radius") {
+    // path 1-2-3-4 plus separate edge 10-11
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("u", "v")
+    val r3 = Graph.labelProp(e, 3).as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // 1 round: node 4 has only seen node 3's ORIGINAL label
+    val r1 = Graph.labelProp(e, 1).as[(Long, Long)].collect().toMap
+    assert(r1(4L) == 3L && r1(2L) == 1L && r1(3L) == 2L)
+  }
+
   test("directed chain with un-reached node: left join keeps base rank") {
     // x → y → z, plus isolated self-pointing w (w → w keeps outdeg ≥ 1).
     val e = Seq("x" -> "y", "y" -> "z", "z" -> "x", "w" -> "w")

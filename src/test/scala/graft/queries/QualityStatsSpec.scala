@@ -113,6 +113,46 @@ class QualityStatsSpec extends SparkSuite {
     }
   }
 
+  test("q_standardize: per-group z-scores have zero mean and unit variance") {
+    val rows = SparkEntry.queries("q_standardize")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (et, zs) =>
+      val n = zs.length
+      val mean = zs.map(_._2).sum / n
+      val varr = zs.map(z => z._2 * z._2).sum / n
+      assert(math.abs(mean) < 1e-9, s"$et z mean $mean")
+      assert(math.abs(varr - 1.0) < 1e-6, s"$et z variance $varr")
+    }
+  }
+
+  test("q_seasonal: weekday residuals cancel and observed = seasonal + residual") {
+    val rows = SparkEntry.queries("q_seasonal")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length == 30)
+    rows.foreach { case (_, _, cnt, dm, res) =>
+      assert(math.abs(cnt - dm - res) < 1e-9)
+    }
+    rows.groupBy(_._2).foreach { case (dow, rs) =>
+      assert(math.abs(rs.map(_._5).sum) < 1e-6,
+        s"dow $dow residuals do not cancel")
+    }
+  }
+
+  test("q_feature_hash: per-user counts total 2 features per event, slots in range") {
+    val rows = SparkEntry.queries("q_feature_hash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, idx, _) => idx >= 0 && idx < 64 })
+    val perUser = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val events = graft.engine.Tables(spark, sf, "events")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUser.keySet == events.keySet)
+    perUser.foreach { case (u, c) =>
+      assert(c == 2 * events(u), s"user $u feature count $c vs events ${events(u)}")
+    }
+  }
+
   test("q_node_jaccard: reported pairs carry their exact set Jaccard") {
     val got = SparkEntry.queries("q_node_jaccard")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
