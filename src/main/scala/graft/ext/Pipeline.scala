@@ -293,6 +293,38 @@ object Pipeline {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // ── deterministic training-data shuffle: hash order + shards ──
+    // The "shuffle the corpus before training" step, reproducibly:
+    // each doc's md5-prefix hash (the engine's shared idiom) is its
+    // sort key, shard = hash % 16, position = rank within the shard
+    // by (hash, doc_id). Same order on any engine, any cluster size,
+    // any run — and adding documents never reorders existing pairs
+    // beyond their insertion points (hashes don't churn). 100 TB
+    // shape: the window partitions BY SHARD (never a global
+    // single-partition window) — each shard's rank is independent, so
+    // the op scales with shard count; a trainer reads shard files in
+    // (shard, pos) order.
+    Q("q_shard_shuffle",
+      (s, dir) => {
+        val h = graft.functions.HashSample.sparkRaw("doc_id")
+        t(s, dir, "documents")
+          .select(col("doc_id"), expr(h).as("h"))
+          .withColumn("shard", col("h") % 16)
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard"))
+              .orderBy(col("h"), col("doc_id"))).cast("bigint"))
+          .select("doc_id", "h", "shard", "pos")
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = graft.functions.HashSample.duckRaw("doc_id")
+        s"""WITH d AS (SELECT doc_id, $h AS h FROM documents)
+           |SELECT doc_id, h, h % 16 AS shard,
+           |  CAST(row_number() OVER (PARTITION BY h % 16
+           |    ORDER BY h, doc_id) AS BIGINT) AS pos
+           |FROM d ORDER BY doc_id""".stripMargin
+      }),
+
     // ── partition-pruned layout: write-partitioned-by-lang, pruned read ──
     // The storage-layout half of the 100 TB story: a corpus laid out
     // `partitionBy(lang)` turns a language filter into directory

@@ -17,8 +17,15 @@ object HashSample {
     * keyspace instead of filtering it (train/val/test splits, salting
     * diagnostics). */
   def sparkBucket(key: String, mod: Int): String =
-    s"CAST(conv(substr(md5(CAST($key AS STRING)), 1, 8), 16, 10) AS BIGINT) " +
-      s"% $mod"
+    s"${sparkRaw(key)} % $mod"
   def duckBucket(key: String, mod: Int): String =
-    s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT % $mod"
+    s"${duckRaw(key)} % $mod"
+
+  /** The raw 32-bit hash VALUE (< 2³², always non-negative) — for
+    * consumers that need a total hash ORDER rather than a bucket
+    * (deterministic training-data shuffling). */
+  def sparkRaw(key: String): String =
+    s"CAST(conv(substr(md5(CAST($key AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+  def duckRaw(key: String): String =
+    s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT"
 }

@@ -473,6 +473,42 @@ object Stats {
               |SELECT d, dd.dow, cnt, dow_mean, cnt - dow_mean AS residual
               |FROM dd JOIN dm USING (dow) ORDER BY d""".stripMargin)),
 
+    // ── smoothed target encoding (per-user mean-target feature) ──
+    // The categorical-encoding step a tabular model pipeline runs:
+    // replace a high-cardinality key (user) with its smoothed mean
+    // target, enc = (Σ_target_u + m·μ)/(n_u + m), m = 10 — shrinking
+    // rare users toward the global mean so the feature doesn't
+    // memorize. Division-cleared to ONE double divide over exact
+    // fixed-point moments: enc = (N·s_u + m·S)/(N·(n_u + m)); bounds
+    // at sf0.1: N·s_u ≲ 4e13, m·S ≲ 6e12 — int64-safe. 100 TB shape:
+    // one keyed aggregate (map-side combined) + a broadcast 1-row
+    // global; the encoding table is dictionary-sized, broadcast back
+    // to the feature join in a real pipeline.
+    Q("q_target_encode",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .withColumn("vfp", expr("CAST(floor(value * 10000.0) AS BIGINT)"))
+        val g = e.agg(count(lit(1)).as("nn"), sum(col("vfp")).as("ss"))
+        e.groupBy("user_id")
+          .agg(count(lit(1)).as("n_u"), sum(col("vfp")).as("s_u"))
+          .crossJoin(broadcast(g))
+          .withColumn("enc", expr(
+            """CAST(nn * s_u + 10L * ss AS DOUBLE) /
+              |CAST(nn * (n_u + 10L) AS DOUBLE) / 10000.0""".stripMargin))
+          .select("user_id", "n_u", "enc")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    CAST(floor(value * 10000.0) AS BIGINT) AS vfp FROM events),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+             |    CAST(SUM(vfp) AS BIGINT) AS ss FROM e),
+             |c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_u,
+             |    CAST(SUM(vfp) AS BIGINT) AS s_u FROM e GROUP BY user_id)
+             |SELECT user_id, n_u,
+             |  CAST(nn * s_u + 10 * ss AS DOUBLE)
+             |    / CAST(nn * (n_u + 10) AS DOUBLE) / 10000.0 AS enc
+             |FROM c CROSS JOIN g ORDER BY user_id""".stripMargin)),
+
     // ── hashing-trick featurization (per-user sparse vectors) ──
     // The feature-hashing step of a large-scale training pipeline:
     // categorical features (event type; coarse value bucket) hash into

@@ -153,6 +153,39 @@ class QualityStatsSpec extends SparkSuite {
     }
   }
 
+  test("q_target_encode: encodings shrink user means toward the global mean") {
+    val enc = SparkEntry.queries("q_target_encode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val raw = graft.engine.Tables(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"),
+        (sum(col("value")) / count(lit(1))).as("mean"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val globalMean = graft.engine.Tables(spark, sf, "events")
+      .agg(sum(col("value")) / count(lit(1))).head().getDouble(0)
+    assert(enc.keySet == raw.keySet)
+    enc.foreach { case (u, (n, e)) =>
+      val (rn, rm) = raw(u)
+      assert(n == rn)
+      // smoothing places the encoding strictly between the user's own
+      // mean and the global mean (fixed-point floor gives ≤1e-4 slack)
+      val (lo, hi) = (math.min(rm, globalMean) - 1e-4,
+        math.max(rm, globalMean) + 1e-4)
+      assert(e >= lo && e <= hi, s"user $u enc $e outside [$lo, $hi]")
+    }
+  }
+
+  test("q_shard_shuffle: positions are contiguous ranks in hash order per shard") {
+    val rows = SparkEntry.queries("q_shard_shuffle")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 500)
+    rows.foreach { case (_, h, shard, _) => assert(shard == h % 16) }
+    rows.groupBy(_._3).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._1))
+      assert(sorted.map(_._4).toSeq == (1L to rs.length).toSeq,
+        s"shard $shard positions not a contiguous hash-ordered rank")
+    }
+  }
+
   test("q_node_jaccard: reported pairs carry their exact set Jaccard") {
     val got = SparkEntry.queries("q_node_jaccard")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
