@@ -27,8 +27,10 @@ object Composite {
   private def psum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(floor(e * lit(10000.0)).cast(DecimalType(28, 0))).cast("double") /
       lit(10000.0)
+  // ($e) parenthesized: an additive expression would otherwise bind
+  // the ·10⁴ to its last term only (caught by q_tpch_q9's profit)
   private def psumDuck(e: String): String =
-    s"CAST(SUM(CAST(floor($e * 10000.0) AS DECIMAL(28,0))) AS DOUBLE) / 10000.0"
+    s"CAST(SUM(CAST(floor(($e) * 10000.0) AS DECIMAL(28,0))) AS DOUBLE) / 10000.0"
 
   private val revSpark = psum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
   private val revDuck = psumDuck("l_extendedprice * (1.0 - l_discount)")
@@ -564,6 +566,195 @@ object Composite {
              |                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
              |GROUP BY s_name
              |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
+
+    // ── TPC-H Q9 shape: product-type profit by nation and year ──
+    // (No partsupp: the supply cost's role — a per-part cost scaling
+    // with volume — is played by 0.5 × p_retailprice × quantity.)
+    // The classic 5-way star join filtered by a part-name substring;
+    // profit rides ONE fixed-point product sum per (nation, year).
+    Q("q_tpch_q9",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .filter(col("p_name").contains("red"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast(LongType).as("o_year"))
+          .agg(psum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            lit(0.5) * col("p_retailprice") * col("l_quantity"))
+            .as("sum_profit"), count(lit(1)).as("n_rows"))
+          .orderBy(col("nation"), col("o_year").desc),
+      Some(s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              |${psumDuck("l_extendedprice * (1.0 - l_discount) - 0.5 * p_retailprice * l_quantity")} AS sum_profit,
+              |count(*) AS n_rows
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |WHERE p_name LIKE '%red%'
+              |GROUP BY n_name, year(o_orderdate)
+              |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // ── TPC-H Q11 shape: important stock identification ──
+    // (partsupp value → per-part revenue from the two-nation supplier
+    // scope.) The signature is the scalar-subquery-in-HAVING: a
+    // keyed aggregate filtered against a FRACTION of its own global
+    // sum — here the global is a 1-row broadcast cross join (never a
+    // per-row subquery), the fraction compare one double multiply.
+    Q("q_tpch_q11",
+      (s, dir) => {
+        val scoped = t(s, dir, "lineitem")
+          .join(t(s, dir, "supplier").filter(col("s_nationkey").isin(1, 2)),
+            col("l_suppkey") === col("s_suppkey"))
+        val perPart = scoped.groupBy(col("l_partkey"))
+          .agg(Core.dsum(col("l_extendedprice"), 4, "value"))
+        val total = perPart.agg(sum(col("value").cast(DecimalType(28, 4)))
+          .cast("double").as("total_value"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("value") > lit(0.001) * col("total_value"))
+          .select(col("l_partkey"), col("value"))
+          .orderBy(col("value").desc, col("l_partkey"))
+      },
+      Some("""WITH v AS (
+             |  SELECT l_partkey,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS value
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE s_nationkey IN (1, 2)
+             |  GROUP BY l_partkey),
+             |g AS (SELECT CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+             |        AS total_value FROM v)
+             |SELECT l_partkey, value FROM v CROSS JOIN g
+             |WHERE value > 0.001 * total_value
+             |ORDER BY value DESC, l_partkey""".stripMargin)),
+
+    // ── TPC-H Q16 shape: supplier counts per part attribute ──
+    // (The pseudo-partsupp is the distinct (part, supplier) incidence
+    // from lineitem; the complaints NOT-IN becomes a left-anti hash
+    // join on a supplier-name predicate.) Exact COUNT(DISTINCT) per
+    // narrow group — the Expand is per-group-bounded, never global.
+    Q("q_tpch_q16",
+      (s, dir) => {
+        val complainers = t(s, dir, "supplier")
+          .filter(col("s_name").endsWith("7")).select(col("s_suppkey"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .filter(col("p_brand") =!= "Brand#45" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+          .join(broadcast(complainers),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#45'
+             |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |                        WHERE s_name LIKE '%7')
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // ── TPC-H Q20 shape: suppliers shipping excess volume ──
+    // (availqty → the supplier's all-time quantity of the part; the
+    // nested IN-subqueries become one keyed aggregate with a
+    // conditional sum and a left-semi join back to suppliers.) A
+    // supplier qualifies when 1997 shipments of some part exceed
+    // half its all-time volume of that part.
+    Q("q_tpch_q20",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(Core.dsum(col("l_quantity"), 4, "total_qty"),
+            sum(when(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1998-01-01"),
+              col("l_quantity").cast(DecimalType(18, 4)))
+              .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 4))))
+              .cast("double").as("qty_1997"))
+          .filter(col("qty_1997") > lit(0.5) * col("total_qty"))
+          .select(col("l_suppkey"))
+        t(s, dir, "supplier").filter(col("s_nationkey") === 3)
+          .join(ps, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name
+             |FROM supplier
+             |WHERE s_nationkey = 3
+             |  AND s_suppkey IN (
+             |    SELECT l_suppkey FROM lineitem
+             |    GROUP BY l_suppkey, l_partkey
+             |    HAVING CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+             |                   AND l_shipdate < TIMESTAMP '1998-01-01'
+             |                  THEN l_quantity ELSE 0.0 END AS DECIMAL(18,4)))
+             |           AS DOUBLE)
+             |         > 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ── TPC-H Q2 shape: minimum-cost supplier per part in a region ──
+    // (Supply cost → the part's minimum observed unit price per
+    // supplier, fixed-pointed as floor(extprice·10⁴/qty) so the min
+    // and the equality join-back are exact.) The correlated MIN
+    // subquery becomes a per-part aggregate equi-joined back on the
+    // (part, cost) pair — the Q15 discipline at per-part grain.
+    Q("q_tpch_q2",
+      (s, dir) => {
+        val asiaSupp = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("n_name"))
+        val cost = t(s, dir, "lineitem")
+          .join(asiaSupp.select(col("s_suppkey").as("ck")),
+            col("l_suppkey") === col("ck"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(expr(
+            "CAST(floor(l_extendedprice * 10000.0 / l_quantity) AS BIGINT)"))
+            .as("unit_fp"))
+        val minCost = cost.groupBy(col("l_partkey").as("mk"))
+          .agg(min(col("unit_fp")).as("min_fp"))
+        cost
+          .join(minCost, col("l_partkey") === col("mk") &&
+            col("unit_fp") === col("min_fp"))
+          .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "part").filter(col("p_size") < 10),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("unit_fp"))
+          .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH asupp AS (
+             |  SELECT s_suppkey, s_name, s_acctbal, n_name
+             |  FROM supplier
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'ASIA'),
+             |cost AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    MIN(CAST(floor(l_extendedprice * 10000.0 / l_quantity)
+             |        AS BIGINT)) AS unit_fp
+             |  FROM lineitem
+             |  WHERE l_suppkey IN (SELECT s_suppkey FROM asupp)
+             |  GROUP BY l_partkey, l_suppkey),
+             |mc AS (SELECT l_partkey AS mk, MIN(unit_fp) AS min_fp
+             |       FROM cost GROUP BY l_partkey)
+             |SELECT s_acctbal, s_name, n_name, p_partkey, unit_fp
+             |FROM cost
+             |JOIN mc ON l_partkey = mk AND unit_fp = min_fp
+             |JOIN asupp ON l_suppkey = s_suppkey
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE p_size < 10
+             |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin)),
 
     // ── TPC-H Q19 shape: disjunctive bracketed predicates ──
     // Three (brand, size-range, quantity-range) brackets OR'd together
