@@ -414,6 +414,56 @@ object EventStream {
     * deterministic; cross-batch order is arrival order (the documented
     * streaming residual — a conversion split across batches with a
     * late error between them resolves by arrival). */
+  final case class AnomalyEvent(event_id: Long, event_type: String,
+      ts: java.sql.Timestamp, value: Double)
+  final case class MomentState(n: Long, s1: Long, s2: Long)
+  final case class AnomalyHit(event_id: Long, event_type: String,
+      value: Double, z: Double, n_seen: Long)
+
+  /** Streaming z-score anomaly detection — the streaming twin of batch
+    * `q_standardize`: per event type, maintain running moments and
+    * flag events whose value sits more than `zThreshold` deviations
+    * from the mean of everything SEEN BEFORE them (prequential — the
+    * event never tests against a mean it already moved, so the first
+    * |z|>τ spike after warm-up is caught, not absorbed). State is
+    * three integers per key (n, Σv, Σv² in 1e-4 fixed point) —
+    * O(keys), exact, order-free; z uses the batch operator's cleared
+    * formula z = (n·x − s1)/√(n·s2 − s1²). Int64 horizon: Σv² ≲ 9e18
+    * holds to ~290k max-magnitude events per key; a production stream
+    * widens s2 to a split 128-bit accumulator at the same API.
+    * Warm-up: nothing flags before `minN` observations. Events order
+    * by (event-time, id) within a micro-batch (deterministic replay);
+    * cross-batch order is arrival order, the documented streaming
+    * residual shared with [[detectPattern]]. */
+  def detectAnomalies(events: Dataset[AnomalyEvent], zThreshold: Double,
+      minN: Long = 30L): Dataset[AnomalyHit] = {
+    import events.sparkSession.implicits._
+    def fn(eventType: String, evs: Iterator[AnomalyEvent],
+        state: GroupState[MomentState]): Iterator[AnomalyHit] = {
+      var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
+      evs.toArray
+        .sortBy(e => ((e.ts.getTime / 1000L) * 1000000L +
+          e.ts.getNanos / 1000L, e.event_id))
+        .foreach { e =>
+          val vfp = math.floor(e.value * 10000.0).toLong
+          if (st.n >= minN) {
+            val num = (st.n * vfp - st.s1).toDouble
+            val den = math.sqrt((st.n * st.s2 - st.s1 * st.s1).toDouble)
+            val z = if (den == 0.0) { if (num == 0.0) 0.0 else Double.PositiveInfinity * math.signum(num) }
+              else num / den
+            if (math.abs(z) > zThreshold)
+              out += AnomalyHit(e.event_id, eventType, e.value, z, st.n)
+          }
+          st = MomentState(st.n + 1, st.s1 + vfp, st.s2 + vfp * vfp)
+        }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def detectPattern(events: Dataset[PatternEvent]): Dataset[PatternHit] = {
     import events.sparkSession.implicits._
     def fn(userId: Long, evs: Iterator[PatternEvent],

@@ -147,6 +147,50 @@ class EventStreamSpec extends SparkSuite {
       (21L, 2L, 1L), (22L, 2L, 2L))) // 14, 23 dropped
   }
 
+  test("detectAnomalies flags prequential outliers, state spans micro-batches") {
+    import EventStream.{AnomalyEvent, AnomalyHit}
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[AnomalyEvent](spark)
+    val out = EventStream.detectAnomalies(input.toDS(), zThreshold = 3.0,
+      minN = 8)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("anomaly_out")
+      .trigger(Trigger.AvailableNow())
+
+    // batch 1: 8 calm values (alternating 10/12) warm the moments;
+    // nothing may flag during warm-up even though early z is noisy
+    val calm = (1 to 8).map(i =>
+      AnomalyEvent(i.toLong, "click", ts(i.toLong),
+        if (i % 2 == 0) 12.0 else 10.0))
+    input.addData(calm)
+    assert(q.start().awaitTermination(60000))
+    assert(spark.table("anomaly_out").isEmpty)
+
+    // batch 2: a spike, then more calm, then a second LARGER spike —
+    // both must flag (state carried the batch-1 moments), calm must
+    // not; the second spike needs more magnitude because the first
+    // one legitimately inflated the running variance (masking)
+    input.addData(Seq(
+      AnomalyEvent(9L, "click", ts(9), 100.0),
+      AnomalyEvent(10L, "click", ts(10), 11.0),
+      AnomalyEvent(11L, "click", ts(11), -200.0)))
+    assert(q.start().awaitTermination(60000))
+
+    val got = spark.table("anomaly_out").as[AnomalyHit].collect()
+      .map(h => h.event_id -> h.z).toMap
+    assert(got.keySet == Set(9L, 11L), s"flagged ${got.keySet}")
+    assert(got(9L) > 3.0 && got(11L) < -3.0)
+
+    // scalar re-derivation of event 9's z from the 8 warm-up values
+    val vfp = calm.map(e => math.floor(e.value * 10000.0).toLong)
+    val (n, s1, s2) = (vfp.length.toLong, vfp.sum, vfp.map(v => v * v).sum)
+    val x = math.floor(100.0 * 10000.0).toLong
+    val expected = (n * x - s1).toDouble /
+      math.sqrt((n * s2 - s1 * s1).toDouble)
+    assert(math.abs(got(9L) - expected) < 1e-12)
+  }
+
   test("stream-stream join == batch join, matching across micro-batches") {
     import org.apache.spark.sql.Row
     // modern base time: epoch-adjacent event times sit below the initial
