@@ -226,36 +226,51 @@ object Advanced {
     // ── range join via time-bucketization: the scale pattern for ──
     // interval predicates. A naive range join plans as a broadcast
     // nested loop (or per-row subquery); bucketizing both sides to
-    // weeks makes it a hash EQUI join on (key, week) — the order side
-    // replicates into the ≤2 weeks its 7-day window covers, the
-    // precise interval predicate stays as a residual filter, and each
-    // (event, order) pair matches in exactly one bucket (the event's
-    // week), so no dedup pass is needed.
+    // weeks makes it a hash EQUI join on (key, week) — the follow-up
+    // side replicates into the ≤2 weeks its 7-day look-back covers,
+    // the precise interval predicate stays as a residual filter, and
+    // each pair matches in exactly one bucket (the first order's
+    // week), so no dedup pass is needed. Semantics: repeat purchases
+    // — a customer's order followed by ANOTHER of their orders
+    // strictly within the next 6 days. (The original events↔orders
+    // pairing was STRUCTURALLY empty — events are 2024, orders
+    // 1992–98, the q_asof_join_fwd vacuity SCALE.md records — so the
+    // operator proved nothing; both sides now share an era and the
+    // result is non-empty at every SF: 39 pairs at sf0.001, 402 at
+    // sf0.01.)
     Q("q_join_range",
       (s, dir) => {
         val wb = (c: Column) =>
           floor(datediff(c, lit(java.sql.Date.valueOf("1992-01-01"))) / 7)
-        val ev = t(s, dir, "events")
-          .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
-          .withColumn("wb", wb(col("d")))
-        val ord = t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderdate").cast("date").as("od"))
+        val a = t(s, dir, "orders")
+          .select(col("o_orderkey").as("first_key"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("first_d"))
+          .withColumn("wb", wb(col("first_d")))
+        val b = t(s, dir, "orders")
+          .select(col("o_orderkey").as("next_key"),
+            col("o_custkey").as("cust2"),
+            col("o_orderdate").cast("date").as("next_d"))
           .withColumn("wb2", explode(array_distinct(array(
-            wb(col("od")), wb(date_add(col("od"), 6))))))
-        ev.join(ord,
-            col("user_id") === col("o_custkey") && col("wb") === col("wb2") &&
-              col("d") >= col("od") && col("d") <= date_add(col("od"), 6))
-          .select(col("event_id"), col("o_orderkey"), col("d"), col("od"))
-          .orderBy("event_id", "o_orderkey")
+            wb(col("next_d")), wb(date_sub(col("next_d"), 6))))))
+        a.join(b,
+            col("o_custkey") === col("cust2") && col("wb") === col("wb2") &&
+              col("next_d") > col("first_d") &&
+              col("next_d") <= date_add(col("first_d"), 6))
+          .select(col("first_key"), col("next_key"), col("first_d"),
+            col("next_d"),
+            datediff(col("next_d"), col("first_d")).cast("bigint").as("gap_days"))
+          .orderBy("first_key", "next_key")
       },
-      Some("""SELECT e.event_id, o.o_orderkey, CAST(e.ts AS DATE) AS d,
-             |  CAST(o.o_orderdate AS DATE) AS od
-             |FROM events e JOIN orders o
-             |  ON e.user_id = o.o_custkey
-             | AND CAST(e.ts AS DATE) >= CAST(o.o_orderdate AS DATE)
-             | AND CAST(e.ts AS DATE) <= CAST(o.o_orderdate AS DATE) + 6
-             |ORDER BY event_id, o_orderkey""".stripMargin)),
+      Some("""SELECT a.o_orderkey AS first_key, b.o_orderkey AS next_key,
+             |  CAST(a.o_orderdate AS DATE) AS first_d,
+             |  CAST(b.o_orderdate AS DATE) AS next_d,
+             |  CAST(CAST(b.o_orderdate AS DATE) - CAST(a.o_orderdate AS DATE)
+             |       AS BIGINT) AS gap_days
+             |FROM orders a JOIN orders b
+             |  ON a.o_custkey = b.o_custkey
+             | AND CAST(b.o_orderdate AS DATE) > CAST(a.o_orderdate AS DATE)
+             | AND CAST(b.o_orderdate AS DATE) <= CAST(a.o_orderdate AS DATE) + 6
+             |ORDER BY first_key, next_key""".stripMargin)),
 
     // ── bloom runtime-prefiltered join ──
     // A selective dim (15 of 100 suppliers) collapses to ONE

@@ -420,8 +420,8 @@ object Composite {
           .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
           .join(n1, col("s_nationkey") === col("n1_key"))
           .join(n2, col("c_nationkey") === col("n2_key"))
-          .filter((col("supp_nation") === "NATION_6" && col("cust_nation") === "NATION_7") ||
-            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_6"))
+          .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+            (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).cast(LongType).as("l_year"))
           .agg(revSpark.as("revenue"))
@@ -435,8 +435,8 @@ object Composite {
               |JOIN customer ON o_custkey = c_custkey
               |JOIN nation n1 ON s_nationkey = n1.n_nationkey
               |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-              |WHERE (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_7')
-              |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_6')
+              |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+              |   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
               |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
               |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
 
@@ -608,7 +608,7 @@ object Composite {
     Q("q_tpch_q11",
       (s, dir) => {
         val scoped = t(s, dir, "lineitem")
-          .join(t(s, dir, "supplier").filter(col("s_nationkey").isin(1, 2)),
+          .join(t(s, dir, "supplier").filter(col("s_nationkey").isin(3, 8)),
             col("l_suppkey") === col("s_suppkey"))
         val perPart = scoped.groupBy(col("l_partkey"))
           .agg(Core.dsum(col("l_extendedprice"), 4, "value"))
@@ -623,7 +623,7 @@ object Composite {
              |  SELECT l_partkey,
              |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS value
              |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             |  WHERE s_nationkey IN (1, 2)
+             |  WHERE s_nationkey IN (3, 8)
              |  GROUP BY l_partkey),
              |g AS (SELECT CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
              |        AS total_value FROM v)
