@@ -35,6 +35,44 @@ class AnalyticsPlanSpec extends SparkSuite {
       "rule ranking must not full-sort the pair relation:\n" + p.take(1200))
   }
 
+  test("q_pmi: dictionary joins broadcast, top-20 is partial") {
+    val p = plan("q_pmi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "unigram dictionary joins must broadcast:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"),
+      "PMI top-20 must not full-sort the bigram vocabulary:\n" + p.take(1200))
+  }
+
+  test("q_feature_hash: one shuffle (the keyed count), explode is map-side") {
+    val p = plan("q_feature_hash")
+    // feature expansion + hashing ride the scan; the only exchanges
+    // are the (user, slot) aggregate and the presentation sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"feature hashing grew $exchanges exchanges:\n" + p.take(1500))
+  }
+
+  test("q_standardize and q_target_encode broadcast their moment tables") {
+    Seq("q_standardize", "q_target_encode").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q must broadcast the group moments, not shuffle the fact side:\n" +
+          p.take(1500))
+    }
+  }
+
+  test("graph consumers scan the bucketed co-purchase artifact exchange-free on u") {
+    // the artifact IS the shuffle: adjacency/degree aggregates keyed on
+    // u must consume the bucket layout, not re-exchange the edge list
+    val p = plan("q_triangles")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      "q_triangles must scan the bucketed part_cooc artifact:\n" + p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning(u#") ||
+      !p.contains("Exchange hashpartitioning(u,"),
+      "edge-side exchange on u found:\n" + p.take(1500))
+  }
+
   test("q_rolling_active expands the day-sized activation relation only") {
     val df = SparkEntry.queries("q_rolling_active")(spark, sf)
     // correctness of the window semantics: WAU(d) >= DAU(d) always,
