@@ -478,6 +478,49 @@ object Graph {
              |  GROUP BY node)
              |SELECT node, lbl FROM l3 ORDER BY node""".stripMargin)),
 
+    // ── connected components (run to fixpoint) + component sizes ──
+    // The convergence twin of q_labelprop's fixed 3 rounds: labels run
+    // to the actual fixpoint with the POINTER-JUMPING CC the dedup
+    // surface ships (Dedup.componentsOf — 2 edge-hops per round, RDD
+    // rebase bounds the plan, converged exact). The oracle computes
+    // the same fixpoint independently via a RECURSIVE reachability
+    // CTE (min reachable id ≡ converged min label) — agreement means
+    // the distributed loop's early-exit logic reaches the true
+    // closure, not just "looks converged". Non-vacuous at the gate SF
+    // (9 components at sf0.01; the sf0.001 graph is one component —
+    // density 0.12 — which the sizes column makes visible).
+    Q("q_graph_cc",
+      (s, dir) => {
+        val pairs = partCoPurchase(s, dir, minShared = 2L)
+          .select(col("u").as("id1"), col("v").as("id2"))
+        val labels = graft.ext.Dedup.componentsOf(pairs)
+          .select(col("n").as("node"), col("lbl").as("comp"))
+        val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+        labels.join(sizes, "comp")
+          .select("node", "comp", "comp_size")
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE op AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e0 AS (
+             |  SELECT a.p AS u, b.p AS v
+             |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+             |ee AS (SELECT u AS s, v AS d FROM e0
+             |       UNION ALL SELECT v, u FROM e0
+             |       UNION ALL SELECT u, u FROM e0
+             |       UNION ALL SELECT v, v FROM e0),
+             |r(n, m) AS (
+             |  SELECT s, d FROM ee
+             |  UNION
+             |  SELECT r.n, ee.d FROM r JOIN ee ON r.m = ee.s),
+             |lbl AS (SELECT n AS node, MIN(m) AS comp FROM r GROUP BY n),
+             |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS comp_size
+             |       FROM lbl GROUP BY comp)
+             |SELECT node, lbl.comp, comp_size
+             |FROM lbl JOIN sz ON lbl.comp = sz.comp
+             |ORDER BY node""".stripMargin)),
+
     // ── node-similarity: neighbor-set Jaccard between suppliers ──
     // Top-20 supplier pairs by Jaccard of their distinct-customer
     // sets. Inverted-index shape, never all-pairs: candidate pairs
