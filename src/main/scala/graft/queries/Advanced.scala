@@ -763,10 +763,11 @@ object Advanced {
     // TakeOrderedAndProject — never a full sort of the pair relation.
     Q("q_assoc_rules",
       (s, dir) => {
-        val cs = t(s, dir, "orders")
-          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-          .distinct()
+        // the (customer, supplier) incidence is the SHARED bucketed
+        // artifact (Graph.custSupp, clustered on c) — the basket
+        // self-join below reads co-located buckets on both sides
+        val cs = Graph.custSupp(s, dir)
+          .select(col("c"), col("sp").as("s"))
         val n = cs.select(col("c")).distinct().count()
         val c1 = cs.groupBy(col("s")).agg(count(lit(1)).as("c1"))
         val pairs = cs.select(col("c"), col("s").as("s1"))

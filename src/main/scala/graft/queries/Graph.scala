@@ -236,12 +236,22 @@ object Graph {
   }
 
   /** Distinct (customer, supplier) incidence — the bipartite relation
-    * the node-similarity operator projects. */
-  private def custSupp(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-      .distinct()
+    * the node-similarity AND association-rule operators pair on. A
+    * build-once bucketed artifact clustered on the customer key: the
+    * per-customer self-join both consumers run then reads co-located
+    * buckets on BOTH sides (zero pairing exchange), and the
+    * orders⋈lineitem distinct — the expensive stage — runs once per
+    * corpus instead of once per query. */
+  private[graft] def custSupp(s: SparkSession, dir: String): DataFrame = {
+    val table = graft.engine.Bucketing.cachedTable(
+      s, "cust_supp_inc", dir, "c", 16) {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+    }
+    s.table(table)
+  }
 
   /** Market-basket co-purchase graph: an edge (u < v) for every part
     * pair appearing together in at least `minShared` distinct orders.
