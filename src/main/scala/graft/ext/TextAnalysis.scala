@@ -588,6 +588,62 @@ object TextAnalysis {
              |    / CAST(nb * cu1.c * cu2.c AS DOUBLE) AS pmi
              |FROM p JOIN cu cu1 ON cu1.w = p.w1
              |       JOIN cu cu2 ON cu2.w = p.w2 CROSS JOIN g
-             |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))
+             |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // ── novelty scoring: fraction of a doc's shingles FIRST seen there ──
+    // The marginal-contribution signal a curation pipeline ranks by:
+    // how much of a document's content is new relative to everything
+    // with a smaller doc_id (ingestion order). Per doc: distinct word
+    // 3-grams; a shingle is NOVEL in the doc that owns its corpus-wide
+    // MIN doc_id. novelty_fp = novel·10⁶ div distinct — truncating
+    // BIGINT, hash-exact. Shape: shingle explode is map-only; one
+    // shingle-keyed aggregate builds the first-seen table (inverted
+    // index — the q_contamination machinery); one join back on the
+    // shingle key. Never all-pairs, never a window over the corpus.
+    // Short docs (< 3 tokens) have zero shingles → novelty 0, kept.
+    Q("q_novelty",
+      (s, dir) => {
+        val sh = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 2),
+              |  i -> concat_ws(' ', element_at(toks, i),
+              |    element_at(toks, i + 1), element_at(toks, i + 2)))"""
+              .stripMargin)).as("sh"))
+          .distinct()
+        val firstSeen = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+        val perDoc = sh.join(firstSeen, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+        docs(s, dir).select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+          .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+          .withColumn("novelty_fp",
+            when(col("n_shingles") > 0,
+              expr("n_novel * 1000000L div n_shingles")).otherwise(0L))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    toks[i.i] || ' ' || toks[i.i + 1] || ' ' || toks[i.i + 2] AS sh
+             |  FROM d, generate_series(1, 98) i(i)
+             |  WHERE i.i <= len(toks) - 2),
+             |fs AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+             |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             |    CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_novel
+             |  FROM sh JOIN fs USING (sh) GROUP BY doc_id)
+             |SELECT dd.doc_id, coalesce(n_shingles, 0) AS n_shingles,
+             |  coalesce(n_novel, 0) AS n_novel,
+             |  CASE WHEN coalesce(n_shingles, 0) > 0
+             |       THEN (n_novel * 1000000) // n_shingles ELSE 0 END
+             |    AS novelty_fp
+             |FROM documents dd LEFT JOIN pd ON pd.doc_id = dd.doc_id
+             |ORDER BY dd.doc_id""".stripMargin))
   )
 }

@@ -186,6 +186,27 @@ class QualityStatsSpec extends SparkSuite {
     }
   }
 
+  test("q_novelty: the first doc is fully novel, novel counts partition the vocabulary") {
+    val rows = SparkEntry.queries("q_novelty")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 500)
+    // the smallest doc_id owns every one of its shingles
+    val first = rows.minBy(_._1)
+    assert(first._2 > 0 && first._2 == first._3 && first._4 == 1000000L)
+    rows.foreach { case (id, n, novel, fp) =>
+      assert(novel <= n, s"doc $id novel $novel > shingles $n")
+      assert(fp == (if (n > 0) novel * 1000000L / n else 0L))
+    }
+    // every distinct corpus shingle is novel in EXACTLY one doc
+    val distinctShingles = graft.engine.Tables(spark, sf, "documents")
+      .selectExpr("explode(transform(sequence(1, size(split(text, ' ')) - 2), " +
+        "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
+        "element_at(split(text, ' '), i + 1), " +
+        "element_at(split(text, ' '), i + 2)))) AS sh")
+      .distinct().count()
+    assert(rows.map(_._3).sum == distinctShingles)
+  }
+
   test("q_node_jaccard: reported pairs carry their exact set Jaccard") {
     val got = SparkEntry.queries("q_node_jaccard")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
