@@ -19,7 +19,12 @@ class DeterminismSpec extends SparkSuite {
       // fixed-point-normalized shares, decimal HAVING, inverted-index
       // span scoring — each a distinct determinism mechanism
       "q_sample_quota", "q_ann_quantized", "q_mix_weights",
-      "q_tpch_q18", "q_dedup_substring")
+      "q_tpch_q18", "q_dedup_substring",
+      // round-7 additions: DECIMAL(38) moment accumulation, double
+      // PMI ratio under top-k, converged pointer-jumping labels,
+      // per-shard rank windows, min-doc first-seen attribution
+      "q_standardize", "q_pmi", "q_graph_cc", "q_shard_shuffle",
+      "q_novelty")
     val base = names.map(n => n -> collectAll(spark, n)).toMap
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
