@@ -644,6 +644,49 @@ object TextAnalysis {
              |       THEN (n_novel * 1000000) // n_shingles ELSE 0 END
              |    AS novelty_fp
              |FROM documents dd LEFT JOIN pd ON pd.doc_id = dd.doc_id
-             |ORDER BY dd.doc_id""".stripMargin))
+             |ORDER BY dd.doc_id""".stripMargin)),
+
+    // ── positional phrase / proximity search ──
+    // The retrieval verb the flat inverted index (q_inverted_index)
+    // can't answer: exact phrase occurrences ("part filter" adjacent)
+    // and proximity hits (the terms within 3 positions, in order),
+    // per document. Shape: the positional postings of ONLY the two
+    // query terms (the scan prunes on the token filter — postings
+    // lists, never the corpus), doc-keyed equi join with the position
+    // band as a residual; per-doc occurrence counts in one aggregate.
+    // At 100 TB the positional index is a persisted artifact keyed by
+    // term (the q_inverted_index build extended with posexplode), and
+    // this query touches exactly two postings lists.
+    Q("q_phrase_search",
+      (s, dir) => {
+        val pos = docs(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
+        val t1 = pos.filter(col("w") === "part")
+          .select(col("doc_id"), col("pos").as("p1"))
+        val t2 = pos.filter(col("w") === "filter")
+          .select(col("doc_id").as("d2"), col("pos").as("p2"))
+        t1.join(t2, col("doc_id") === col("d2") &&
+            col("p2") >= col("p1") + 1 && col("p2") <= col("p1") + 3)
+          .groupBy("doc_id")
+          .agg(sum(when(col("p2") === col("p1") + 1, 1L).otherwise(0L))
+            .as("phrase_cnt"), count(lit(1)).as("prox_cnt"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents),
+             |p AS (SELECT doc_id, i.i AS pos, toks[i.i] AS w
+             |      FROM d, generate_series(1, 200) i(i)
+             |      WHERE i.i <= len(toks)),
+             |t1 AS (SELECT doc_id, pos AS p1 FROM p WHERE w = 'part'),
+             |t2 AS (SELECT doc_id, pos AS p2 FROM p WHERE w = 'filter')
+             |SELECT doc_id,
+             |  CAST(SUM(CASE WHEN p2 = p1 + 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS phrase_cnt,
+             |  CAST(count(*) AS BIGINT) AS prox_cnt
+             |FROM t1 JOIN t2 USING (doc_id)
+             |WHERE p2 BETWEEN p1 + 1 AND p1 + 3
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
