@@ -344,7 +344,51 @@ object Graph {
     labels.orderBy("node")
   }
 
+  /** Personalized PageRank: teleportation mass goes ONLY to the seed
+    * set (r₀ = 1.0 on seeds, 0 elsewhere; per iteration r' =
+    * 0.15·[seed] + 0.85·Σ contrib) — the "related to THESE items"
+    * recommendation primitive, vs [[rankLoop]]'s global importance.
+    * Same integer micro-unit arithmetic and the same per-iteration
+    * join shape against the bucketed edge artifact; rank mass decays
+    * with hop distance from the seeds, so scores double as a soft
+    * personalized reachability. */
+  private[queries] def pprLoop(edges: DataFrame, seeds: Seq[String],
+      iters: Int): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(outdeg, "src")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    def isSeed = col("node").isin(seeds: _*)
+    var ranks = nodes.withColumn("r",
+      when(isSeed, lit(RankOneU)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      ranks = nodes
+        .join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(BaseU)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
+    }
+    ranks.orderBy("node").localCheckpoint(true)
+  }
+
   private val seedNodes: Seq[String] = (0 to 9).map(i => s"c$i")
+
+  private def seedListSql: String = seedNodes.map(n => s"'$n'").mkString(", ")
+
+  /** One unrolled PPR oracle iteration (seed-only teleport). */
+  private def pprIterSql(k: Int, prev: String): String =
+    s"""r$k AS (
+       |  SELECT n.node,
+       |         CAST(CASE WHEN n.node IN ($seedListSql) THEN $BaseU ELSE 0 END
+       |              + (85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS r
+       |  FROM n LEFT JOIN (
+       |    SELECT e.dst, SUM(p.r // d.deg) AS cs
+       |    FROM e JOIN d ON e.src = d.src
+       |           JOIN $prev p ON p.node = e.src
+       |    GROUP BY e.dst) s ON s.dst = n.node)""".stripMargin
 
   private def nhopIterSql(k: Int, prev: String): String =
     s"""d$k AS (SELECT node, MIN(dist) AS dist FROM (
@@ -380,6 +424,29 @@ object Graph {
               |${iterSql(1, "r0")},
               |${iterSql(2, "r1")},
               |${iterSql(3, "r2")}
+              |SELECT node, r FROM r3 ORDER BY node""".stripMargin)),
+
+    // ── personalized PageRank from the c0–c9 seed customers ──
+    // Seed-teleport ranking over the same bucketed customer↔supplier
+    // edge artifact: rank mass flows outward from the seeds only —
+    // the "suppliers related to these customers" recommendation
+    // surface. Oracle: the same 3 iterations unrolled with the seed
+    // CASE in every round's base term.
+    Q("q_ppr",
+      (s, dir) => pprLoop(custSuppEdges(s, dir), seedNodes, 3),
+      Some(s"""WITH co AS (
+              |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              |e AS (SELECT a AS src, b AS dst FROM co
+              |      UNION ALL SELECT b AS src, a AS dst FROM co),
+              |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+              |n AS (SELECT DISTINCT src AS node FROM e),
+              |r0 AS (SELECT node,
+              |         CAST(CASE WHEN node IN ($seedListSql)
+              |              THEN $RankOneU ELSE 0 END AS BIGINT) AS r FROM n),
+              |${pprIterSql(1, "r0")},
+              |${pprIterSql(2, "r1")},
+              |${pprIterSql(3, "r2")}
               |SELECT node, r FROM r3 ORDER BY node""".stripMargin)),
 
     // ── 3-hop BFS reachability with min-hop labels from a seed set ──

@@ -137,6 +137,30 @@ class GraphSpec extends SparkSuite {
     assert(r1(4L) == 3L && r1(2L) == 1L && r1(3L) == 2L)
   }
 
+  test("pprLoop: matches a scalar simulator; mass cannot outrun the hop radius") {
+    def localPpr(edges: Seq[(String, String)], seeds: Set[String],
+        iters: Int): Map[String, Long] = {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nodes = edges.map(_._1).distinct
+      var r = nodes.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val sums = edges.groupBy(_._2).view.mapValues(
+          _.map { case (src, _) => r(src) / deg(src) }.sum).toMap
+        r = nodes.map(n => n ->
+          ((if (seeds(n)) 150000L else 0L) + 85L * sums.getOrElse(n, 0L) / 100L)).toMap
+      }
+      r
+    }
+    // path c—x—y—z—w, seed {c}: w is 4 hops out, 3 iterations cannot
+    // reach it; everything nearer carries positive mass
+    val und = Seq("c" -> "x", "x" -> "y", "y" -> "z", "z" -> "w")
+    val e = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val got = Graph.pprLoop(e.toDF("src", "dst"), Seq("c"), 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == localPpr(e, Set("c"), 3))
+    assert(got("w") == 0L && got("z") > 0L && got("c") > 0L)
+  }
+
   test("directed chain with un-reached node: left join keeps base rank") {
     // x → y → z, plus isolated self-pointing w (w → w keeps outdeg ≥ 1).
     val e = Seq("x" -> "y", "y" -> "z", "z" -> "x", "w" -> "w")
