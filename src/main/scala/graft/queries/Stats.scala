@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.Tables
 import graft.functions.HashSample
@@ -508,6 +509,62 @@ object Stats {
              |  CAST(nn * s_u + 10 * ss AS DOUBLE)
              |    / CAST(nn * (n_u + 10) AS DOUBLE) / 10000.0 AS enc
              |FROM c CROSS JOIN g ORDER BY user_id""".stripMargin)),
+
+    // ── RFM segmentation (recency / frequency / monetary quintiles) ──
+    // The classic customer-value segmentation: per customer, days
+    // since last order (vs the corpus anchor 1998-08-01), order
+    // count, and decimal-exact total spend, each cut into quintiles
+    // by ntile(5) with the unique custkey as the tie-break (the cut
+    // is deterministic, so the segment string hash-matches). The
+    // ntile windows are global BUT run over the customer-grain
+    // aggregate — O(customers), the q_skyline discipline — after the
+    // heavy per-order aggregation reduced map-side. At 100 TB the
+    // quintile boundaries would come from approx quantiles instead
+    // of a global sort; the exact cut is the oracle-checkable form.
+    Q("q_rfm",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(
+            datediff(lit("1998-08-01"), max(col("o_orderdate")))
+              .cast("bigint").as("recency_days"),
+            count(lit(1)).as("frequency"),
+            sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double")
+              .as("monetary"))
+        def tile(c: String, asc: Boolean) = ntile(5).over(
+          if (asc) Window.orderBy(col(c).asc, col("o_custkey").asc)
+          else Window.orderBy(col(c).desc, col("o_custkey").asc))
+          .cast("bigint")
+        base
+          .withColumn("r_bin", tile("recency_days", asc = true))
+          .withColumn("f_bin", tile("frequency", asc = false))
+          .withColumn("m_bin", tile("monetary", asc = false))
+          .withColumn("segment",
+            concat(col("r_bin"), lit("-"), col("f_bin"), lit("-"), col("m_bin")))
+          .select("o_custkey", "recency_days", "frequency", "monetary",
+            "r_bin", "f_bin", "m_bin", "segment")
+          .orderBy("o_custkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_custkey,
+             |    CAST(DATE '1998-08-01' - CAST(MAX(o_orderdate) AS DATE)
+             |         AS BIGINT) AS recency_days,
+             |    CAST(count(*) AS BIGINT) AS frequency,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             |      AS monetary
+             |  FROM orders GROUP BY o_custkey),
+             |b AS (SELECT *,
+             |    CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+             |         AS BIGINT) AS r_bin,
+             |    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+             |         AS BIGINT) AS f_bin,
+             |    CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC)
+             |         AS BIGINT) AS m_bin
+             |  FROM base)
+             |SELECT o_custkey, recency_days, frequency, monetary,
+             |  r_bin, f_bin, m_bin,
+             |  r_bin || '-' || f_bin || '-' || m_bin AS segment
+             |FROM b ORDER BY o_custkey""".stripMargin)),
 
     // ── hashing-trick featurization (per-user sparse vectors) ──
     // The feature-hashing step of a large-scale training pipeline:
