@@ -33,7 +33,10 @@ object DurableCheck {
     // hash is stable
     val names = Seq("q_partition_pruned", "q_join_bucketed",
       "q_dedup_incremental_bkt", "q_dedup_incremental_idx", "q_pagerank",
-      "q_ann_ivf_sampled", "q_ann_lsh_idx", "q_pipeline_incremental")
+      "q_ann_ivf_sampled", "q_ann_lsh_idx", "q_pipeline_incremental",
+      // round-7 artifacts: part co-purchase edges (graph consumers)
+      // and the customer-supplier incidence (basket consumers)
+      "q_triangles", "q_assoc_rules")
     val hashes = names.map { n =>
       val txt = SparkEntry.queries(n)(spark, sfDir)
         .collect().map(_.toString).mkString("\n")
