@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.Tables
+
+/** Second batch of statistical analytics (round 7 extension surface):
+  * correlation, two-sample tests (Welch t, Kolmogorov–Smirnov,
+  * Mann–Whitney U), Benford digit audit, and Gini concentration.
+  *
+  * Same determinism contract as [[Stats]]: exact integer / decimal
+  * moments (fixed-point inputs via the floor·10^k idiom), then a FIXED
+  * tree of IEEE-correctly-rounded ops (+,−,×,÷,sqrt) written with
+  * identical parenthesization in Spark and the DuckDB oracle, so every
+  * double hash-matches bit-for-bit. Products that can exceed int64 at
+  * sf0.1×100 go through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
+  * both exact, both correctly rounded on the single final cast to
+  * double.
+  *
+  * Reference analog: Grapefruit's workloads are MapReduce jobs over
+  * numeric CSV columns (see the /root/reference demo jobs); these are the
+  * statistical-audit operators such a pipeline would run, re-expressed
+  * as one-pass moment aggregates.
+  */
+object Stats2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+
+    // ── Pearson correlation per group (qty vs price on lineitem) ──
+    // r = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²)) over
+    // exact cent/centiquantity fixed-point moments. Bounds at sf0.1:
+    // Σxy ≤ 3.2e16 (int64 ok), Σy² ≤ 6.6e19 (OVERFLOWS int64 → the y²
+    // accumulator and all cleared products are DECIMAL(38,0)/HUGEINT).
+    // One map-side-combined aggregate, 6 moment columns per group —
+    // the 100 TB shape: no second pass, no raw-row shuffle, r computes
+    // from 6 numbers per group on the driver-sized result.
+    Q("q_corr",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_quantity") * lit(100.0)).cast("long").as("x"),
+            floor(col("l_extendedprice") * lit(100.0)).cast("long").as("y"))
+          .groupBy("rf")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
+          .select(col("rf"), col("n"),
+            ((col("n").cast(DecimalType(38, 0)) * col("sxy") -
+              col("sx").cast(DecimalType(38, 0)) * col("sy")).cast("double") /
+              sqrt((col("n").cast(DecimalType(38, 0)) * col("sxx") -
+                col("sx").cast(DecimalType(38, 0)) * col("sx")).cast("double")) /
+              sqrt((col("n").cast(DecimalType(38, 0)) * col("syy") -
+                col("sy").cast(DecimalType(38, 0)) * col("sy")).cast("double")))
+              .as("r"))
+          .orderBy("rf"),
+      Some("""WITH m AS (
+             |  SELECT rf, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    SUM(CAST(y AS HUGEINT) * y) AS syy
+             |  FROM (SELECT l_returnflag AS rf,
+             |          CAST(floor(l_quantity * 100.0) AS BIGINT) AS x,
+             |          CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS y
+             |        FROM lineitem) GROUP BY rf)
+             |SELECT rf, n,
+             |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             |    / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+             |    / sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+             |    AS r
+             |FROM m ORDER BY rf""".stripMargin)),
+
+    // ── Welch's unequal-variance t-test (click vs view event values) ──
+    // t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) with mᵢ, vᵢ from exact fixed-point
+    // moments, cleared form vᵢ = (nᵢ·Σy²−(Σy)²)/(nᵢ·(nᵢ−1))/1e8. The
+    // Σy² accumulator and the cleared products are decimal (Σy² ≈
+    // 5e17 at sf0.1 — int64-safe today, decimal for the 100× margin).
+    // ONE conditional global aggregate (the q_ab_test idiom — a per-arm
+    // agg pair would plan the banned 1×1 BroadcastNestedLoopJoin);
+    // the statistic computes from 6 numbers at any scale.
+    Q("q_ttest_welch",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select((col("event_type") === "click").as("isa"),
+            floor(col("value") * lit(10000.0)).cast("long").as("y"))
+        val d = (c: String) => col(c).cast("double")
+        val m1 = d("s1") / d("n1") / lit(1e4)
+        val m2 = d("s2") / d("n2") / lit(1e4)
+        val v1 = (col("n1").cast(DecimalType(38, 0)) * col("q1") -
+          col("s1").cast(DecimalType(38, 0)) * col("s1")).cast("double") /
+          d("n1") / (col("n1") - lit(1L)).cast("double") / lit(1e8)
+        val v2 = (col("n2").cast(DecimalType(38, 0)) * col("q2") -
+          col("s2").cast(DecimalType(38, 0)) * col("s2")).cast("double") /
+          d("n2") / (col("n2") - lit(1L)).cast("double") / lit(1e8)
+        e.agg(
+            sum(when(col("isa"), 1L).otherwise(0L)).as("n1"),
+            sum(when(col("isa"), col("y")).otherwise(0L)).as("s1"),
+            sum(when(col("isa"), col("y").cast(DecimalType(38, 0)) * col("y"))
+              .otherwise(lit(0).cast(DecimalType(38, 0)))).as("q1"),
+            sum(when(!col("isa"), 1L).otherwise(0L)).as("n2"),
+            sum(when(!col("isa"), col("y")).otherwise(0L)).as("s2"),
+            sum(when(!col("isa"), col("y").cast(DecimalType(38, 0)) * col("y"))
+              .otherwise(lit(0).cast(DecimalType(38, 0)))).as("q2"))
+          .select(col("n1"), col("n2"), m1.as("m1"), m2.as("m2"),
+            when(col("n1") > 1 && col("n2") > 1,
+              (m1 - m2) / sqrt(v1 / d("n1") + v2 / d("n2"))).as("t"))
+      },
+      Some("""WITH e AS (SELECT event_type = 'click' AS isa,
+             |    CAST(floor(value * 10000.0) AS BIGINT) AS y
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |m AS (SELECT
+             |  CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |  CAST(SUM(CASE WHEN isa THEN y ELSE 0 END) AS BIGINT) AS s1,
+             |  SUM(CASE WHEN isa THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS q1,
+             |  CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |  CAST(SUM(CASE WHEN NOT isa THEN y ELSE 0 END) AS BIGINT) AS s2,
+             |  SUM(CASE WHEN NOT isa THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS q2
+             |  FROM e)
+             |SELECT n1, n2,
+             |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1e4 AS m1,
+             |  CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1e4 AS m2,
+             |  CASE WHEN n1 > 1 AND n2 > 1 THEN
+             |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1e4
+             |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1e4)
+             |    / sqrt(
+             |      CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+             |        / CAST(n1 AS DOUBLE) / CAST(n1 - 1 AS DOUBLE) / 1e8
+             |        / CAST(n1 AS DOUBLE)
+             |      + CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+             |        / CAST(n2 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE) / 1e8
+             |        / CAST(n2 AS DOUBLE))
+             |  END AS t
+             |FROM m""".stripMargin)),
+
+    // ── two-sample Kolmogorov–Smirnov statistic (click vs view) ──
+    // D = max over the pooled support of |F₁−F₂|, kept EXACT by
+    // clearing the CDFs: D_num = max|c₁·n₂ − c₂·n₁| over cumulative
+    // counts, one final double division chain. Values are binned to
+    // 0.1 (floor·10) BEFORE the cumulative window, so the single-
+    // ordered window (Spark collapses a no-partition window to ONE
+    // task) runs over ≤ ~5k bin rows regardless of input size — the
+    // scan and bin-count aggregate are the only full-data passes.
+    // That is the 100 TB contract: KS on binned data, bin table
+    // driver-sized by construction.
+    Q("q_ks_2samp",
+      (s, dir) => {
+        val cell = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select((col("event_type") === "click").as("isa"),
+            floor(col("value") * lit(10.0)).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("c1"),
+            sum(when(!col("isa"), 1L).otherwise(0L)).as("c2"))
+        val cum = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy()
+        cell
+          .withColumn("f1", sum(col("c1")).over(cum))
+          .withColumn("f2", sum(col("c2")).over(cum))
+          .withColumn("n1", sum(col("c1")).over(all))
+          .withColumn("n2", sum(col("c2")).over(all))
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("d_num"))
+          .select(col("n1"), col("n2"), col("d_num"),
+            (col("d_num").cast("double") / col("n1").cast("double") /
+              col("n2").cast("double")).as("d"))
+      },
+      Some("""WITH cell AS (
+             |  SELECT CAST(floor(value * 10.0) AS BIGINT) AS v,
+             |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+             |  FROM events WHERE event_type IN ('click', 'view') GROUP BY v),
+             |cum AS (SELECT
+             |  CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+             |  CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2,
+             |  CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+             |  CAST(SUM(c2) OVER () AS BIGINT) AS n2
+             |  FROM cell)
+             |SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+             |  MAX(abs(f1 * n2 - f2 * n1)) AS d_num,
+             |  CAST(MAX(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+             |    / CAST(MAX(n1) AS DOUBLE) / CAST(MAX(n2) AS DOUBLE) AS d
+             |FROM cum""".stripMargin)),
+
+    // ── Mann–Whitney U rank-sum test (click vs view) ──
+    // Tie-correct average ranks kept integer by DOUBLING: a bin with
+    // cb predecessors and tot members has 2·avg_rank = 2·cb + tot + 1,
+    // so 2·R₁ = Σ c₁·(2·cb+tot+1) is exact int64 and U = (2R₁ −
+    // n₁(n₁+1))/2 is one final halving. z uses the no-tie normal
+    // approximation √(n₁n₂(n₁+n₂+1)/12) (documented; the tie
+    // correction term is negligible at 5k bins over 40k rows). Same
+    // bounded-bin contract as q_ks_2samp: the only full pass is the
+    // bin-count aggregate; ranks live on the ≤5k-row bin table.
+    Q("q_mannwhitney",
+      (s, dir) => {
+        val cell = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select((col("event_type") === "click").as("isa"),
+            floor(col("value") * lit(10.0)).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("c1"),
+            sum(when(!col("isa"), 1L).otherwise(0L)).as("c2"))
+          .withColumn("tot", col("c1") + col("c2"))
+        val before = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1L)
+        val d = (c: String) => col(c).cast("double")
+        cell
+          .withColumn("cb", coalesce(sum(col("tot")).over(before), lit(0L)))
+          .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+            sum(col("c1") * (col("cb") * 2 + col("tot") + 1)).as("r1_2"))
+          .select(col("n1"), col("n2"),
+            ((col("r1_2") - col("n1") * (col("n1") + 1)).cast("double") / lit(2.0)).as("u"),
+            (((col("r1_2") - col("n1") * (col("n1") + 1)).cast("double") -
+              (col("n1") * col("n2")).cast("double")) / lit(2.0) /
+              sqrt(d("n1") * d("n2") * (col("n1") + col("n2") + 1).cast("double") /
+                lit(12.0))).as("z"))
+      },
+      Some("""WITH cell AS (
+             |  SELECT CAST(floor(value * 10.0) AS BIGINT) AS v,
+             |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+             |  FROM events WHERE event_type IN ('click', 'view') GROUP BY v),
+             |rk AS (SELECT c1, c2, c1 + c2 AS tot,
+             |  COALESCE(CAST(SUM(c1 + c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+             |  FROM cell),
+             |m AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             |  CAST(SUM(c2) AS BIGINT) AS n2,
+             |  CAST(SUM(c1 * (cb * 2 + tot + 1)) AS BIGINT) AS r1_2 FROM rk)
+             |SELECT n1, n2,
+             |  CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u,
+             |  (CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE)) / 2.0
+             |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             |           * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0) AS z
+             |FROM m""".stripMargin)),
+
+    // ── Benford first-significant-digit audit on order totals ──
+    // The fraud/data-quality screen: distribution of the leading
+    // digit of o_totalprice. The digit extracts from exact CENTS via
+    // an integer-division CASE ladder (no log10, no double→string —
+    // both engine-divergent), so the digit itself is exact and the
+    // share is one double division. One aggregate over a projected
+    // scan; 9 result rows at any scale.
+    Q("q_benford",
+      (s, dir) => {
+        val digitSql =
+          """CASE WHEN p < 10 THEN p WHEN p < 100 THEN p div 10
+            | WHEN p < 1000 THEN p div 100 WHEN p < 10000 THEN p div 1000
+            | WHEN p < 100000 THEN p div 10000
+            | WHEN p < 1000000 THEN p div 100000
+            | WHEN p < 10000000 THEN p div 1000000
+            | WHEN p < 100000000 THEN p div 10000000
+            | WHEN p < 1000000000 THEN p div 100000000
+            | WHEN p < 10000000000 THEN p div 1000000000
+            | WHEN p < 100000000000 THEN p div 10000000000
+            | ELSE p div 100000000000 END""".stripMargin
+        t(s, dir, "orders")
+          .select(floor(col("o_totalprice") * lit(100.0)).cast("long").as("p"))
+          .withColumn("digit", expr(digitSql))
+          .groupBy("digit").agg(count(lit(1)).as("cnt"))
+          .withColumn("share",
+            col("cnt").cast("double") /
+              sum(col("cnt")).over(Window.partitionBy()).cast("double"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (
+             |  SELECT CASE WHEN p < 10 THEN p WHEN p < 100 THEN p // 10
+             |    WHEN p < 1000 THEN p // 100 WHEN p < 10000 THEN p // 1000
+             |    WHEN p < 100000 THEN p // 10000
+             |    WHEN p < 1000000 THEN p // 100000
+             |    WHEN p < 10000000 THEN p // 1000000
+             |    WHEN p < 100000000 THEN p // 10000000
+             |    WHEN p < 1000000000 THEN p // 100000000
+             |    WHEN p < 10000000000 THEN p // 1000000000
+             |    WHEN p < 100000000000 THEN p // 10000000000
+             |    ELSE p // 100000000000 END AS digit
+             |  FROM (SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS p
+             |        FROM orders)),
+             |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit)
+             |SELECT digit, cnt,
+             |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE) AS share
+             |FROM c ORDER BY digit""".stripMargin)),
+
+    // ── Gini coefficient of customer revenue per market segment ──
+    // Inequality audit over the revenue distribution: with per-customer
+    // revenue x₍ᵢ₎ sorted ascending (rank i = row_number, ties broken
+    // by custkey — the VALUE at a rank is order-deterministic), G =
+    // (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). Revenue is exact cents; Σi·x
+    // goes through decimal (9e15 at sf0.1 — int64-safe, decimal for
+    // the 100× margin). The rank window partitions BY SEGMENT (no
+    // global sort); customers without orders are excluded by the
+    // inner join (documented — zero-revenue mass would lower G).
+    Q("q_gini",
+      (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+          .groupBy("o_custkey").agg(sum(col("cents")).as("rev"))
+          .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+        val rk = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("rev"), col("o_custkey"))
+        rev.withColumn("i", row_number().over(rk))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
+            sum(col("i").cast(DecimalType(38, 0)) * col("rev")).as("t"))
+          .select(col("c_mktsegment"), col("n"),
+            ((col("t") * 2 - (col("n") + 1).cast(DecimalType(38, 0)) * col("s"))
+              .cast("double") /
+              (col("n").cast(DecimalType(38, 0)) * col("s")).cast("double"))
+              .as("gini"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH rev AS (
+             |  SELECT o_custkey, CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders GROUP BY o_custkey),
+             |rk AS (SELECT c_mktsegment, rev,
+             |  CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY rev, o_custkey) AS BIGINT) AS i
+             |  FROM rev JOIN customer ON o_custkey = c_custkey),
+             |m AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(rev) AS BIGINT) AS s,
+             |  SUM(CAST(i AS HUGEINT) * rev) AS t
+             |  FROM rk GROUP BY c_mktsegment)
+             |SELECT c_mktsegment, n,
+             |  CAST(t * 2 - CAST(n + 1 AS HUGEINT) * s AS DOUBLE)
+             |    / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) AS gini
+             |FROM m ORDER BY c_mktsegment""".stripMargin)))
+}
