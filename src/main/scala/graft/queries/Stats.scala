@@ -437,7 +437,7 @@ object Stats {
              |  FROM e GROUP BY event_type)
              |SELECT event_id, e.event_type, value,
              |  CAST(n * vfp - s1 AS DOUBLE) /
-             |    sqrt(CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)) AS z
+             |    sqrt(CAST(CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS VARCHAR) AS DOUBLE)) AS z
              |FROM e JOIN m USING (event_type)
              |ORDER BY event_id""".stripMargin)),
 

@@ -17,8 +17,12 @@ import graft.engine.Tables
   * identical parenthesization in Spark and the DuckDB oracle, so every
   * double hash-matches bit-for-bit. Products that can exceed int64 at
   * sf0.1×100 go through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
-  * both exact, both correctly rounded on the single final cast to
-  * double.
+  * both exact. The final cast to double is correctly rounded in Spark
+  * (BigDecimal.doubleValue); DuckDB's int128->double conversion is NOT
+  * correctly rounded above 2^63 (two-limb summation), so every oracle
+  * cast of a >int64 integer routes through VARCHAR, whose parse IS
+  * correctly rounded — measured divergence: q_hhi's Σrev² at sf0.1
+  * differed by 1 ulp on the direct cast.
   *
   * Reference analog: Grapefruit's workloads are MapReduce jobs over
   * numeric CSV columns (see the /root/reference demo jobs); these are the
@@ -72,9 +76,9 @@ object Stats2 {
              |          CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS y
              |        FROM lineitem) GROUP BY rf)
              |SELECT rf, n,
-             |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-             |    / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
-             |    / sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+             |  CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+             |    / sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE))
+             |    / sqrt(CAST(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
              |    AS r
              |FROM m ORDER BY rf""".stripMargin)),
 
@@ -132,10 +136,10 @@ object Stats2 {
              |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1e4
              |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1e4)
              |    / sqrt(
-             |      CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+             |      CAST(CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS VARCHAR) AS DOUBLE)
              |        / CAST(n1 AS DOUBLE) / CAST(n1 - 1 AS DOUBLE) / 1e8
              |        / CAST(n1 AS DOUBLE)
-             |      + CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+             |      + CAST(CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS VARCHAR) AS DOUBLE)
              |        / CAST(n2 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE) / 1e8
              |        / CAST(n2 AS DOUBLE))
              |  END AS t
@@ -330,7 +334,219 @@ object Stats2 {
              |  SUM(CAST(i AS HUGEINT) * rev) AS t
              |  FROM rk GROUP BY c_mktsegment)
              |SELECT c_mktsegment, n,
-             |  CAST(t * 2 - CAST(n + 1 AS HUGEINT) * s AS DOUBLE)
-             |    / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) AS gini
-             |FROM m ORDER BY c_mktsegment""".stripMargin)))
+             |  CAST(CAST(t * 2 - CAST(n + 1 AS HUGEINT) * s AS VARCHAR) AS DOUBLE)
+             |    / CAST(CAST(CAST(n AS HUGEINT) * s AS VARCHAR) AS DOUBLE) AS gini
+             |FROM m ORDER BY c_mktsegment""".stripMargin)),
+
+    // ── Herfindahl–Hirschman concentration per market segment ──
+    // HHI = Σ shareᵢ² = Σ revᵢ² / (Σ rev)² over exact cents; rev² is
+    // DECIMAL/HUGEINT (1e18 per term at sf0.1). eff_n = 1/HHI is the
+    // "effective number of equal-size customers". Two keyed aggregates
+    // (customer rollup, then segment rollup) — both map-side-combined;
+    // the statistic computes from 2 numbers per segment.
+    Q("q_hhi",
+      (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+          .groupBy("o_custkey").agg(sum(col("cents")).as("rev"))
+          .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+        val hhi = col("q").cast("double") /
+          col("s").cast(DecimalType(38, 0)).cast("double") /
+          col("s").cast(DecimalType(38, 0)).cast("double")
+        rev.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
+            sum(col("rev").cast(DecimalType(38, 0)) * col("rev")).as("q"))
+          .select(col("c_mktsegment"), col("n"), hhi.as("hhi"),
+            (lit(1.0) / hhi).as("eff_n"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH rev AS (
+             |  SELECT o_custkey, CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders GROUP BY o_custkey),
+             |m AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(rev) AS BIGINT) AS s,
+             |  SUM(CAST(rev AS HUGEINT) * rev) AS q
+             |  FROM rev JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY c_mktsegment)
+             |SELECT c_mktsegment, n,
+             |  CAST(CAST(q AS VARCHAR) AS DOUBLE) / CAST(s AS DOUBLE) / CAST(s AS DOUBLE) AS hhi,
+             |  1.0 / (CAST(CAST(q AS VARCHAR) AS DOUBLE) / CAST(s AS DOUBLE) / CAST(s AS DOUBLE)) AS eff_n
+             |FROM m ORDER BY c_mktsegment""".stripMargin)),
+
+    // ── EWMA of the daily event-count series (α = 1/2, EXACT) ──
+    // s₀ = x₀, sₜ = (xₜ + sₜ₋₁)/2 — closed form sₜ = 2⁻ᵗ·(x₀ +
+    // Σᵢ₌₁..ₜ xᵢ·2ⁱ⁻¹). With α = 1/2 every term is a dyadic rational:
+    // cum = Σ x·w (w = 2^max(i−1,0)) stays < 2⁴⁴ at sf0.1 (x ≤ 2¹²,
+    // t ≤ 30), so ewma = cum/2ᵗ is an EXACT double division of two
+    // exact int64s — no rounding anywhere, hence hash-equal across
+    // engines (the reason α is a power of ½ and not 0.3). The series
+    // is day-indexed by ROW order (gaps collapse — documented). One
+    // keyed aggregate builds the ≤31-row daily table; the window
+    // runs on that bounded table only.
+    Q("q_ewma",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(expr(
+            s"(unix_micros(ts) - ${1704067200000000L}L) div 86400000000L").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val ord = Window.orderBy("d")
+        val cum = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("t", row_number().over(ord) - 1)
+          .withColumn("w", expr("shiftleft(cast(1 as bigint), cast(greatest(t - 1, 0) as int))"))
+          .withColumn("cum", sum(col("x") * col("w")).over(cum))
+          .select(col("d"), col("x"),
+            (col("cum").cast("double") /
+              expr("shiftleft(cast(1 as bigint), cast(t as int))").cast("double"))
+              .as("ewma"))
+          .orderBy("d")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS d,
+              |    CAST(count(*) AS BIGINT) AS x
+              |  FROM events GROUP BY 1),
+              |w AS (SELECT d, x,
+              |  CAST(row_number() OVER (ORDER BY d) - 1 AS INTEGER) AS t
+              |  FROM daily),
+              |c AS (SELECT d, x, t,
+              |  CAST(SUM(x * (CAST(1 AS BIGINT) << CAST(greatest(t - 1, 0) AS INTEGER)))
+              |    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |  FROM w)
+              |SELECT d, x,
+              |  CAST(cum AS DOUBLE) / CAST(CAST(1 AS BIGINT) << t AS DOUBLE) AS ewma
+              |FROM c ORDER BY d""".stripMargin)),
+
+    // ── CUSUM changepoint excursion over the daily count series ──
+    // Cₜ = Σᵢ≤ₜ(xᵢ − μ) cleared of the rational mean μ = S/n by
+    // multiplying through by n: n·Cₜ = n·cumₜ − t·S — EXACT int64
+    // (n=31, cum ≤ 1e5 at sf0.1 → n·cum ≤ 4e6). A sustained rate
+    // shift shows as a monotone excursion with its extremum at the
+    // changepoint; emit the per-day normalized cusum plus the global
+    // max |excursion| as is_peak. Same bounded-table contract as
+    // q_ewma: the full-data pass is the daily aggregate; everything
+    // after runs on ≤31 rows.
+    Q("q_cusum",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(expr(
+            s"(unix_micros(ts) - ${1704067200000000L}L) div 86400000000L").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val cum = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy()
+        daily
+          .withColumn("m", row_number().over(Window.orderBy("d")).cast("long"))
+          .withColumn("cumx", sum(col("x")).over(cum))
+          .withColumn("n", sum(lit(1L)).over(all))
+          .withColumn("stot", sum(col("x")).over(all))
+          .withColumn("num", col("n") * col("cumx") - col("m") * col("stot"))
+          .withColumn("cusum", col("num").cast("double") / col("n").cast("double"))
+          .withColumn("is_peak",
+            abs(col("num")) === max(abs(col("num"))).over(all))
+          .select("d", "x", "cusum", "is_peak")
+          .orderBy("d")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS d,
+              |    CAST(count(*) AS BIGINT) AS x
+              |  FROM events GROUP BY 1),
+              |c AS (SELECT d, x,
+              |  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS m,
+              |  CAST(SUM(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumx,
+              |  CAST(SUM(1) OVER () AS BIGINT) AS n,
+              |  CAST(SUM(x) OVER () AS BIGINT) AS stot
+              |  FROM daily),
+              |e AS (SELECT d, x, n * cumx - m * stot AS num, n FROM c)
+              |SELECT d, x, CAST(num AS DOUBLE) / CAST(n AS DOUBLE) AS cusum,
+              |  abs(num) = MAX(abs(num)) OVER () AS is_peak
+              |FROM e ORDER BY d""".stripMargin)),
+
+    // ── longest consecutive-active-day streak per user ──
+    // Gaps-and-islands: on the DISTINCT (user, day) grid, day −
+    // row_number() is constant within a run of consecutive days, so
+    // a per-(user, grp) count gives streak lengths. Engagement-cohort
+    // primitive for retention pipelines. All integer — trivially
+    // deterministic. Scale: the distinct + windows partition BY USER
+    // (hash-shuffle on the natural key, no global sort); output is
+    // one row per user.
+    Q("q_streak",
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .select(col("user_id"),
+            expr(s"(unix_micros(ts) - ${1704067200000000L}L) div 86400000000L").as("d"))
+          .distinct()
+        val u = Window.partitionBy("user_id").orderBy("d")
+        days
+          .withColumn("grp", col("d") - row_number().over(u))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id"))
+          .agg(max(col("len")).as("max_streak"), sum(col("len")).as("active_days"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH days AS (
+              |  SELECT DISTINCT user_id,
+              |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS d
+              |  FROM events),
+              |g AS (SELECT user_id,
+              |  d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+              |  FROM days),
+              |runs AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+              |  FROM g GROUP BY user_id, grp)
+              |SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+              |  CAST(SUM(len) AS BIGINT) AS active_days
+              |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ── winsorization at exact p05/p95 per group ──
+    // Outlier clamping before modeling: the p-th value is picked by
+    // RANK (k = ceil(p·n) via integer arithmetic) on the cents-sorted
+    // partition — with ties, the VALUE at a rank is order-independent,
+    // so no extra tie-break is needed. Emits the clamp bounds, the
+    // clamped-tail counts, and the winsorized sum (exact cents).
+    // Scale note: the per-group sort is the oracle-able exact twin;
+    // at 100 TB the same query swaps in approx_percentile bounds
+    // (q_approx_percentile) and keeps the clamp/aggregate shape —
+    // bounds-then-clamp is one broadcast join either way.
+    Q("q_winsorize",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"))
+        val w = Window.partitionBy("rf").orderBy("cents")
+        val bounds = li
+          .withColumn("r", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("rf")))
+          .groupBy("rf")
+          .agg(max(when(col("r") === expr("(n * 5 + 99) div 100"), col("cents"))).as("lo"),
+            max(when(col("r") === expr("(n * 95 + 99) div 100"), col("cents"))).as("hi"))
+        li.join(broadcast(bounds), "rf")
+          .groupBy("rf")
+          .agg(count(lit(1)).as("n"),
+            max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+            sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+            sum(greatest(least(col("cents"), col("hi")), col("lo"))).as("sum_w"))
+          .orderBy("rf")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS rf,
+             |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |rk AS (SELECT rf, cents,
+             |  CAST(row_number() OVER (PARTITION BY rf ORDER BY cents) AS BIGINT) AS r,
+             |  CAST(count(*) OVER (PARTITION BY rf) AS BIGINT) AS n
+             |  FROM li),
+             |b AS (SELECT rf,
+             |  MAX(CASE WHEN r = (n * 5 + 99) // 100 THEN cents END) AS lo,
+             |  MAX(CASE WHEN r = (n * 95 + 99) // 100 THEN cents END) AS hi
+             |  FROM rk GROUP BY rf)
+             |SELECT li.rf, CAST(count(*) AS BIGINT) AS n,
+             |  MAX(lo) AS lo, MAX(hi) AS hi,
+             |  CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+             |  CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             |  CAST(SUM(greatest(least(cents, hi), lo)) AS BIGINT) AS sum_w
+             |FROM li JOIN b ON li.rf = b.rf
+             |GROUP BY li.rf ORDER BY li.rf""".stripMargin)))
 }
