@@ -6,6 +6,6 @@ import graft.queries.Q
   * similarity search, text analysis, multimodal plumbing. */
 object Ext {
   def queries: Seq[Q] =
-    Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Pipeline.queries
+    Dedup.queries ++ TextAnalysis.queries ++ TextAnalysis2.queries ++
+      Similarity.queries ++ Multimodal.queries ++ Pipeline.queries
 }

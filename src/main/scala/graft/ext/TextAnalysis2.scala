@@ -1,0 +1,163 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.Tables
+import graft.queries.Q
+
+/** Round-7 text-statistics extension: bigram language-model scoring,
+  * vocabulary coverage curves, and top-k term drift — the corpus-audit
+  * operators a training-data pipeline runs before tokenizer/mixture
+  * decisions. Determinism: every per-token rational goes through the
+  * [[TextAnalysis]] DECIMAL(18,12) fixed-point idiom (identical
+  * quantization in Spark and DuckDB) so order-free sums hash-match;
+  * ranks break ties lexicographically.
+  */
+object TextAnalysis2 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  val queries: Seq[Q] = Seq(
+
+    // ── add-one-smoothed bigram LM score per document ──
+    // The rational (log-free) LM quality signal: avg over a doc's
+    // bigrams of p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V), with c from the
+    // corpus itself and V = |vocab|. Each p is one double division
+    // (identical in both engines) quantized to DECIMAL(18,12) so the
+    // per-doc SUM is order-free-exact; the average is one final cast
+    // + divide. A log-perplexity twin would only differ by the libm
+    // log (the q_bm25 precedent — rational form is the oracle-able
+    // one). Shape at 100 TB: bigram/unigram count tables are
+    // dictionary-sized (V² bound, far smaller in practice) →
+    // broadcast joins back onto the one-pass bigram stream; the
+    // lead() window partitions per doc (no global sort).
+    Q("q_bigram_lm",
+      (s, dir) => {
+        val toks = docs(s, dir).select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val big = toks
+          .withColumn("w2", lead(col("w"), 1).over(byDoc))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("w").as("w1"), col("w2"))
+        val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val v = toks.agg(countDistinct(col("w")).as("v"))
+        big
+          .join(broadcast(c12), Seq("w1", "w2"))
+          .join(broadcast(c1), Seq("w1"))
+          .crossJoin(broadcast(v))
+          .withColumn("p", expr(
+            "CAST(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS DECIMAL(18,12))"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("p")).cast("double") / count(lit(1))).as("avg_p"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents),
+             |big AS (SELECT doc_id, toks[i.i] AS w1, toks[i.i + 1] AS w2
+             |        FROM d, generate_series(1, 200) i(i)
+             |        WHERE i.i <= len(toks) - 1),
+             |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+             |        FROM big GROUP BY w1, w2),
+             |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+             |       FROM big GROUP BY w1),
+             |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM
+             |      (SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(CAST(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)
+             |    AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_p
+             |FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── vocabulary coverage curve (top-k token mass) ──
+    // Tokenizer-design primitive: what fraction of corpus token mass
+    // do the k most frequent terms cover? Terms ranked by (count
+    // desc, term) — the lexicographic tie-break makes the curve
+    // deterministic; coverage = cum/total is one double division per
+    // emitted k. The window runs over the DICTIONARY (vocab-sized —
+    // bounded at any corpus scale), never the token stream; the one
+    // full pass is the term-count aggregate.
+    Q("q_vocab_coverage",
+      (s, dir) => {
+        val freq = docs(s, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val ord = Window.orderBy(col("cnt").desc, col("w"))
+        val cum = Window.orderBy(col("cnt").desc, col("w"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        freq
+          .withColumn("k", row_number().over(ord).cast("long"))
+          .withColumn("cum", sum(col("cnt")).over(cum))
+          .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+          .filter(col("k").isin(1L, 2L, 4L, 8L, 16L, 31L))
+          .select(col("k"), col("w"), col("cnt"), col("cum"),
+            (col("cum").cast("double") / col("total").cast("double"))
+              .as("coverage"))
+          .orderBy("k")
+      },
+      Some("""WITH freq AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM
+             |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  GROUP BY w),
+             |rk AS (SELECT w, cnt,
+             |  CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS k,
+             |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, w
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             |  CAST(SUM(cnt) OVER () AS BIGINT) AS total
+             |  FROM freq)
+             |SELECT k, w, cnt, cum,
+             |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+             |FROM rk WHERE k IN (1, 2, 4, 8, 16, 31) ORDER BY k""".stripMargin)),
+
+    // ── top-k term drift between two corpus shards ──
+    // Distribution-drift monitor: rank the top-10 terms in each
+    // doc_id-parity shard and report the union with both ranks (NULL
+    // = absent from that shard's top-10). The deterministic (count
+    // desc, term) rank makes the drift table stable; downstream, the
+    // NULL pattern IS the drift signal (Jaccard computes from it).
+    // Both rank windows run on vocab-sized tables; the parity split
+    // reuses one scan (conditional aggregation, not two scans).
+    Q("q_topk_drift",
+      (s, dir) => {
+        val cnts = docs(s, dir)
+          .select((col("doc_id") % 2 === 0).as("even"),
+            explode(split(col("text"), " ")).as("w"))
+          .groupBy("w")
+          .agg(sum(when(col("even"), 1L).otherwise(0L)).as("ca"),
+            sum(when(!col("even"), 1L).otherwise(0L)).as("cb"))
+        val ra = Window.orderBy(col("ca").desc, col("w"))
+        val rb = Window.orderBy(col("cb").desc, col("w"))
+        val ranked = cnts
+          .withColumn("rank_a", row_number().over(ra).cast("long"))
+          .withColumn("rank_b", row_number().over(rb).cast("long"))
+        ranked
+          .filter(col("rank_a") <= 10 || col("rank_b") <= 10)
+          .select(col("w"),
+            when(col("rank_a") <= 10, col("rank_a")).as("rank_a"),
+            when(col("rank_b") <= 10, col("rank_b")).as("rank_b"),
+            col("ca"), col("cb"))
+          .orderBy("w")
+      },
+      Some("""WITH cnts AS (
+             |  SELECT w,
+             |    CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN NOT even THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM (SELECT doc_id % 2 = 0 AS even,
+             |          unnest(string_split(text, ' ')) AS w FROM documents)
+             |  GROUP BY w),
+             |rk AS (SELECT w, ca, cb,
+             |  CAST(row_number() OVER (ORDER BY ca DESC, w) AS BIGINT) AS rank_a,
+             |  CAST(row_number() OVER (ORDER BY cb DESC, w) AS BIGINT) AS rank_b
+             |  FROM cnts)
+             |SELECT w,
+             |  CASE WHEN rank_a <= 10 THEN rank_a END AS rank_a,
+             |  CASE WHEN rank_b <= 10 THEN rank_b END AS rank_b,
+             |  ca, cb
+             |FROM rk WHERE rank_a <= 10 OR rank_b <= 10
+             |ORDER BY w""".stripMargin)))
+}

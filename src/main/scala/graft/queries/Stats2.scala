@@ -548,5 +548,46 @@ object Stats2 {
              |  CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
              |  CAST(SUM(greatest(least(cents, hi), lo)) AS BIGINT) AS sum_w
              |FROM li JOIN b ON li.rf = b.rf
-             |GROUP BY li.rf ORDER BY li.rf""".stripMargin)))
+             |GROUP BY li.rf ORDER BY li.rf""".stripMargin)),
+
+    // ── Theil–Sen robust slope of the daily event-count trend ──
+    // Median of all pairwise slopes (xⱼ−xᵢ)/(dⱼ−dᵢ) — the
+    // outlier-robust alternative to q_linreg's OLS. The daily series
+    // is ≤31 rows, so the C(n,2) ≈ 465 pair self-join is a bounded
+    // broadcast product, NEVER the raw events (the one full pass is
+    // the daily aggregate — at 100 TB pairs stay ~465). Each slope is
+    // ONE double division of exact int64s; the (lower) median is
+    // picked by rank with a (slope, dy, dx) tie-break, so the chosen
+    // PAIR — not just the value — is deterministic.
+    Q("q_theilsen",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(expr(
+            s"(unix_micros(ts) - ${1704067200000000L}L) div 86400000000L").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val pairs = daily.alias("a")
+          .crossJoin(broadcast(daily.select(col("d").as("d2"), col("x").as("x2"))))
+          .filter(col("d2") > col("a.d"))
+          .select((col("x2") - col("a.x")).as("dy"),
+            (col("d2") - col("a.d")).as("dx"))
+          .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+        val ord = Window.orderBy(col("slope"), col("dy"), col("dx"))
+        pairs
+          .withColumn("r", row_number().over(ord).cast("long"))
+          .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("r") === expr("(m + 1) div 2"))
+          .select(col("m"), col("dy"), col("dx"), col("slope"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS d,
+              |    CAST(count(*) AS BIGINT) AS x
+              |  FROM events GROUP BY 1),
+              |pairs AS (SELECT b.x - a.x AS dy, b.d - a.d AS dx,
+              |    CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+              |  FROM daily a, daily b WHERE b.d > a.d),
+              |rk AS (SELECT dy, dx, slope,
+              |  CAST(row_number() OVER (ORDER BY slope, dy, dx) AS BIGINT) AS r,
+              |  CAST(count(*) OVER () AS BIGINT) AS m
+              |  FROM pairs)
+              |SELECT m, dy, dx, slope FROM rk WHERE r = (m + 1) // 2""".stripMargin)))
 }
