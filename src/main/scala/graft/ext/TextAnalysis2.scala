@@ -159,5 +159,41 @@ object TextAnalysis2 {
              |  CASE WHEN rank_b <= 10 THEN rank_b END AS rank_b,
              |  ca, cb
              |FROM rk WHERE rank_a <= 10 OR rank_b <= 10
-             |ORDER BY w""".stripMargin)))
+             |ORDER BY w""".stripMargin)),
+
+    // ── Simpson lexical diversity per document source ──
+    // λ = Σ c(c−1) / (n(n−1)) — the probability two tokens drawn
+    // without replacement from a source's stream are the same type.
+    // EXACT integers end to end (c ≤ 14k, Σc(c−1) ≤ 2e8 at sf0.1;
+    // int64 headroom to ~1e5× before decimal is needed), one double
+    // division; 1/λ is the "effective vocabulary". The per-(source,
+    // term) count is the one full pass; the source rollup is
+    // dictionary×sources-sized. The log-free twin of Shannon
+    // diversity — same reason q_bm25 ships its rational idf.
+    Q("q_simpson",
+      (s, dir) => {
+        val c = docs(s, dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val lam = (col("sc").cast("double") /
+          (col("n") * (col("n") - 1)).cast("double"))
+        c.groupBy("source")
+          .agg(sum(col("c")).as("n"), countDistinct(col("w")).as("vocab"),
+            sum(col("c") * (col("c") - 1)).as("sc"))
+          .select(col("source"), col("n"), col("vocab"), lam.as("simpson"),
+            (lit(1.0) / lam).as("eff_vocab"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM
+             |  (SELECT source, unnest(string_split(text, ' ')) AS w
+             |   FROM documents) GROUP BY source, w),
+             |m AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT w) AS BIGINT) AS vocab,
+             |  CAST(SUM(c * (c - 1)) AS BIGINT) AS sc
+             |  FROM c GROUP BY source)
+             |SELECT source, n, vocab,
+             |  CAST(sc AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS simpson,
+             |  1.0 / (CAST(sc AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS eff_vocab
+             |FROM m ORDER BY source""".stripMargin)))
 }

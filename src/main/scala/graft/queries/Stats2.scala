@@ -589,5 +589,117 @@ object Stats2 {
               |  CAST(row_number() OVER (ORDER BY slope, dy, dx) AS BIGINT) AS r,
               |  CAST(count(*) OVER () AS BIGINT) AS m
               |  FROM pairs)
-              |SELECT m, dy, dx, slope FROM rk WHERE r = (m + 1) // 2""".stripMargin)))
+              |SELECT m, dy, dx, slope FROM rk WHERE r = (m + 1) // 2""".stripMargin)),
+
+    // ── burstiness (Fano factor) of daily counts per event type ──
+    // F = σ²/μ over the daily series, cleared of both rational means:
+    // F = (n·Σx² − S²)/((n−1)·S) — EXACT int64 moments (n=31,
+    // Σx² ≤ 1.2e10 at sf0.1), ONE double division. F ≈ 1 is Poisson;
+    // F ≫ 1 flags bursty/incident-driven streams. The daily rollup is
+    // the only full pass; the statistic computes from 3 numbers per
+    // type.
+    Q("q_burstiness",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"), expr(
+            s"(unix_micros(ts) - ${1704067200000000L}L) div 86400000000L").as("d"))
+          .agg(count(lit(1)).as("x"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+              ((col("n") - 1) * col("sx")).cast("double")).as("fano"))
+          .orderBy("event_type"),
+      Some(s"""WITH daily AS (
+              |  SELECT event_type,
+              |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS d,
+              |    CAST(count(*) AS BIGINT) AS x
+              |  FROM events GROUP BY 1, 2),
+              |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+              |  FROM daily GROUP BY event_type)
+              |SELECT event_type, n,
+              |  CAST(n * sxx - sx * sx AS DOUBLE)
+              |    / CAST((n - 1) * sx AS DOUBLE) AS fano
+              |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ── per-user inter-arrival gap statistics ──
+    // Consecutive event gaps per user: the MEAN gap telescopes to
+    // (last − first)/(n−1) — no window needed, 3 exact numbers per
+    // user; the MAX gap needs the lag, computed in a window
+    // PARTITIONED BY USER (hash shuffle on the natural key — no
+    // global sort; per-user partitions are activity-bounded). Gap
+    // values are an invariant of the ts multiset (ties yield zero
+    // gaps wherever they land), so no event-id tie-break is needed.
+    Q("q_interarrival",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        val u = Window.partitionBy("user_id").orderBy("us")
+        e.withColumn("gap", col("us") - lag(col("us"), 1).over(u))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            max(col("gap")).as("max_gap_us"),
+            ((max(col("us")) - min(col("us"))).cast("double") /
+              (count(lit(1)) - 1).cast("double") / lit(1e6)).as("mean_gap_s"))
+          .filter(col("n") > 1)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+             |g AS (SELECT user_id, us,
+             |  us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us) AS gap
+             |  FROM e),
+             |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+             |  CAST(MAX(us) - MIN(us) AS DOUBLE)
+             |    / CAST(count(*) - 1 AS DOUBLE) / 1e6 AS mean_gap_s
+             |  FROM g GROUP BY user_id)
+             |SELECT user_id, n, max_gap_us, mean_gap_s
+             |FROM m WHERE n > 1 ORDER BY user_id""".stripMargin)),
+
+    // ── last-touch attribution for purchases ──
+    // Each purchase credits the latest preceding click/view/signup by
+    // the same user within 3 days; ties break by (ts, event_id) so the
+    // credited CHANNEL is deterministic. The candidate join is an
+    // equi-join ON USER with a time-band predicate (hash-partitioned
+    // both sides; per-user candidates are activity-window-bounded —
+    // never a cross product), and the argmax is a window PARTITIONED
+    // BY PURCHASE. Output is one row per channel: attributed
+    // conversions + share.
+    Q("q_attribution",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pe"), col("user_id").as("pu"),
+            col("ts").as("pts"))
+        val c = e.filter(col("event_type").isin("click", "view", "signup"))
+          .select(col("user_id").as("cu"), col("ts").as("cts"),
+            col("event_id").as("ce"), col("event_type").as("channel"))
+        val byPurchase = Window.partitionBy("pe")
+          .orderBy(col("cts").desc, col("ce").desc)
+        val attr = p.join(c, col("cu") === col("pu") &&
+            col("cts") < col("pts") &&
+            col("cts") >= col("pts") - expr("INTERVAL 3 DAYS"))
+          .withColumn("rn", row_number().over(byPurchase))
+          .filter(col("rn") === 1)
+        attr.groupBy("channel").agg(count(lit(1)).as("conversions"))
+          .withColumn("share", col("conversions").cast("double") /
+            sum(col("conversions")).over(Window.partitionBy()).cast("double"))
+          .orderBy("channel")
+      },
+      Some("""WITH p AS (SELECT event_id AS pe, user_id AS pu, ts AS pts
+             |  FROM events WHERE event_type = 'purchase'),
+             |cand AS (SELECT pe, e.event_type AS channel,
+             |    row_number() OVER (PARTITION BY pe
+             |      ORDER BY e.ts DESC, e.event_id DESC) AS rn
+             |  FROM p JOIN events e ON e.user_id = pu AND e.ts < pts
+             |    AND e.ts >= pts - INTERVAL 3 DAY
+             |    AND e.event_type IN ('click', 'view', 'signup')),
+             |a AS (SELECT channel, CAST(count(*) AS BIGINT) AS conversions
+             |  FROM cand WHERE rn = 1 GROUP BY channel)
+             |SELECT channel, conversions,
+             |  CAST(conversions AS DOUBLE)
+             |    / CAST(SUM(conversions) OVER () AS DOUBLE) AS share
+             |FROM a ORDER BY channel""".stripMargin)))
 }
