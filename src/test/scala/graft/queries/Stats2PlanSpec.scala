@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.execution.SparkPlan
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Plan contracts for the round-7 session operators — each scale claim
+  * in the query docs is pinned against the physical plan:
+  *   - moment statistics are aggregate-only (no join, bounded
+  *     exchanges);
+  *   - every no-partition window consumes a PRE-AGGREGATED (bin- or
+  *     dictionary-sized) input, never the raw scan;
+  *   - model/bounds tables come back as broadcasts;
+  *   - the only nested-loop products are documented bounded
+  *     broadcasts (Theil–Sen's ≤31-row daily self-pair).
+  */
+class Stats2PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  // windows are asserted on the OPTIMIZED LOGICAL plan: AQE wraps the
+  // physical tree in AdaptiveSparkPlanExec, whose collect() sees no
+  // children before execution
+  private def logical(name: String): LogicalPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+
+  test("moment statistics plan no joins and bounded exchanges") {
+    Seq("q_corr", "q_ttest_welch", "q_burstiness").foreach { q =>
+      val p = plan(q).toString
+      assert(!p.contains("Join"), s"$q should be aggregate-only:\n${p.take(1200)}")
+      val ex = "Exchange".r.findAllIn(p).size
+      assert(ex <= 3, s"$q grew $ex exchanges:\n${p.take(1200)}")
+    }
+  }
+
+  test("global windows consume pre-aggregated bounded inputs") {
+    // KS/MW bins, the daily series, the vocab dictionary: a
+    // no-partition WindowExec is only scale-safe if an aggregate
+    // already shrank its input below it
+    Seq("q_ks_2samp", "q_mannwhitney", "q_ewma", "q_cusum", "q_theilsen",
+      "q_vocab_coverage", "q_benford").foreach { q =>
+      val windows = logical(q).collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$q expected a window")
+      windows.foreach { w =>
+        if (w.partitionSpec.isEmpty) {
+          assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+            s"$q has a no-partition window over un-aggregated input:\n" +
+              w.treeString.take(1200))
+        }
+      }
+    }
+  }
+
+  test("per-key windows are partitioned on the natural key") {
+    Seq("q_streak", "q_interarrival", "q_gini", "q_winsorize").foreach { q =>
+      val windows = logical(q).collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$q expected a window")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q window lost its partitioning (single-task sort at scale)"))
+    }
+  }
+
+  test("attribution's rank-1 filter becomes a partial WindowGroupLimit") {
+    // the scalable top-1-per-purchase shape: Catalyst rewrites the
+    // rn = 1 filter into WindowGroupLimit (partial group-limit BEFORE
+    // the exchange — candidates collapse to 1/purchase map-side);
+    // the rank window itself stays partitioned by purchase, and the
+    // only no-partition window (channel share) sits above the 3-row
+    // channel aggregate
+    val lp = logical("q_attribution")
+    assert(lp.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => g
+    }.nonEmpty, "expected the rank-1 WindowGroupLimit rewrite:\n" +
+      lp.treeString.take(1500))
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "rank window must partition by purchase")
+    windows.filter(_.partitionSpec.isEmpty).foreach(w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        "share window must consume the channel aggregate"))
+  }
+
+  test("winsorize clamps through a broadcast bounds join") {
+    val p = plan("q_winsorize").toString
+    assert(p.contains("BroadcastHashJoin"),
+      "p05/p95 bounds must broadcast back onto the scan:\n" + p.take(1500))
+  }
+
+  test("bigram LM broadcasts its count model tables") {
+    val p = plan("q_bigram_lm").toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "bigram + head-count model joins must broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "dictionary-sized model must not shuffle the token stream:\n" + p.take(1500))
+  }
+
+  test("theilsen's pair product is a bounded broadcast; attribution is not a product") {
+    val ts = plan("q_theilsen").toString
+    assert(ts.contains("BroadcastNestedLoopJoin"),
+      "daily self-pairing should be a broadcast product of the ≤31-row series:\n" +
+        ts.take(1500))
+    val at = plan("q_attribution").toString
+    assert(!at.contains("BroadcastNestedLoopJoin") &&
+      !at.contains("CartesianProduct"),
+      "attribution must equi-join on user, never a product:\n" + at.take(1500))
+  }
+}
