@@ -195,5 +195,56 @@ object TextAnalysis2 {
              |SELECT source, n, vocab,
              |  CAST(sc AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS simpson,
              |  1.0 / (CAST(sc AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS eff_vocab
-             |FROM m ORDER BY source""".stripMargin)))
+             |FROM m ORDER BY source""".stripMargin)),
+
+    // ── RAKE keyword extraction (degree/frequency over stopword-split
+    // phrases) ──
+    // Candidate phrases are maximal stopword-free runs (stopwords:
+    // 'a', 'the' in this corpus); a word's degree sums the lengths of
+    // every phrase containing it, and score = degree/freq favors
+    // words that co-occur in long phrases. Phrase ids come from a
+    // CUMULATIVE stopword count per document (a per-doc window — no
+    // global sort); degree/freq are exact ints and the score is one
+    // double division. Both count tables are dictionary-sized, so
+    // the ranking window is bounded at any corpus size.
+    Q("q_rake",
+      (s, dir) => {
+        val stop = Seq("a", "the")
+        val pos = docs(s, dir).select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cw = pos
+          .withColumn("pid",
+            sum(when(col("w").isin(stop: _*), 1L).otherwise(0L)).over(byDoc))
+          .filter(!col("w").isin(stop: _*))
+          .select(col("doc_id"), col("pid"), col("w"))
+        val plen = cw.groupBy("doc_id", "pid").agg(count(lit(1)).as("plen"))
+        cw.join(plen, Seq("doc_id", "pid"))
+          .groupBy("w")
+          .agg(sum(col("plen")).as("degree"), count(lit(1)).as("freq"))
+          .withColumn("score",
+            col("degree").cast("double") / col("freq").cast("double"))
+          .orderBy(col("score").desc, col("w"))
+          .limit(15)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents),
+             |p AS (SELECT doc_id, i.i AS pos, toks[i.i] AS w
+             |      FROM d, generate_series(1, 200) i(i)
+             |      WHERE i.i <= len(toks)),
+             |s AS (SELECT doc_id, pos, w,
+             |  CAST(SUM(CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pid
+             |  FROM p),
+             |cw AS (SELECT doc_id, pid, w FROM s WHERE w NOT IN ('a', 'the')),
+             |plen AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+             |  FROM cw GROUP BY doc_id, pid),
+             |deg AS (SELECT w, CAST(SUM(plen) AS BIGINT) AS degree,
+             |  CAST(count(*) AS BIGINT) AS freq
+             |  FROM cw JOIN plen USING (doc_id, pid) GROUP BY w)
+             |SELECT w, degree, freq,
+             |  CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) AS score
+             |FROM deg ORDER BY score DESC, w LIMIT 15""".stripMargin)))
 }

@@ -701,5 +701,147 @@ object Stats2 {
              |SELECT channel, conversions,
              |  CAST(conversions AS DOUBLE)
              |    / CAST(SUM(conversions) OVER () AS DOUBLE) AS share
-             |FROM a ORDER BY channel""".stripMargin)))
+             |FROM a ORDER BY channel""".stripMargin)),
+
+    // ── Kendall τ-b rank correlation between two daily series ──
+    // Concordance of the click vs view daily-count series: over all
+    // C(n,2) day pairs, τ-b = (C−D)/√(n₀−t_a)/√(n₀−t_b) with tie
+    // counts t — EXACT integer counts (pairs of a ≤31-row series, a
+    // bounded broadcast self-product like q_theilsen), one final
+    // division chain. The daily conditional rollup is the only full
+    // pass at any scale.
+    Q("q_kendall",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(expr(
+            s"(unix_micros(ts) - ${1704067200000000L}L) div 86400000000L").as("d"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+        daily.alias("x")
+          .crossJoin(broadcast(daily.select(col("d").as("d2"),
+            col("a").as("a2"), col("b").as("b2"))))
+          .filter(col("d2") > col("x.d"))
+          .select((col("x.a") - col("a2")).as("da"),
+            (col("x.b") - col("b2")).as("db"))
+          .agg(
+            sum(when(col("da") * col("db") > 0, 1L).otherwise(0L)).as("c"),
+            sum(when(col("da") * col("db") < 0, 1L).otherwise(0L)).as("disc"),
+            sum(when(col("da") === 0 && col("db") =!= 0, 1L).otherwise(0L)).as("ta"),
+            sum(when(col("db") === 0 && col("da") =!= 0, 1L).otherwise(0L)).as("tb"),
+            count(lit(1)).as("n0"))
+          .select(col("c"), col("disc"), col("n0"),
+            ((col("c") - col("disc")).cast("double") /
+              sqrt((col("n0") - col("ta")).cast("double")) /
+              sqrt((col("n0") - col("tb")).cast("double"))).as("tau"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS d,
+              |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS b
+              |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+              |pairs AS (SELECT x.a - y.a AS da, x.b - y.b AS db
+              |  FROM daily x, daily y WHERE y.d > x.d),
+              |m AS (SELECT
+              |  CAST(SUM(CASE WHEN da * db > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+              |  CAST(SUM(CASE WHEN da * db < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+              |  CAST(SUM(CASE WHEN da = 0 AND db <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+              |  CAST(SUM(CASE WHEN db = 0 AND da <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tb,
+              |  CAST(count(*) AS BIGINT) AS n0 FROM pairs)
+              |SELECT c, disc, n0,
+              |  CAST(c - disc AS DOUBLE)
+              |    / sqrt(CAST(n0 - ta AS DOUBLE))
+              |    / sqrt(CAST(n0 - tb AS DOUBLE)) AS tau
+              |FROM m""".stripMargin)),
+
+    // ── Spearman ρ between the same two daily series ──
+    // Pearson correlation of the tie-averaged RANKS, kept integer by
+    // DOUBLING: 2·avg_rank = 2·rank_min + ties − 1 (rank() + a
+    // partition count — both engine-exact). The rank windows order a
+    // ≤31-row aggregate; the correlation reuses the cleared-moment
+    // Pearson form on exact ints ≤ 62.
+    Q("q_spearman",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(expr(
+            s"(unix_micros(ts) - ${1704067200000000L}L) div 86400000000L").as("d"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+        val ranked = daily
+          .withColumn("ra", rank().over(Window.orderBy("a")).cast("long") * 2 +
+            count(lit(1)).over(Window.partitionBy("a")) - 1)
+          .withColumn("rb", rank().over(Window.orderBy("b")).cast("long") * 2 +
+            count(lit(1)).over(Window.partitionBy("b")) - 1)
+        ranked.agg(count(lit(1)).as("n"),
+            sum(col("ra")).as("sx"), sum(col("rb")).as("sy"),
+            sum(col("ra") * col("rb")).as("sxy"),
+            sum(col("ra") * col("ra")).as("sxx"),
+            sum(col("rb") * col("rb")).as("syy"))
+          .select(col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+              .as("rho"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS d,
+              |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS b
+              |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+              |rk AS (SELECT
+              |  CAST(rank() OVER (ORDER BY a) AS BIGINT) * 2
+              |    + CAST(count(*) OVER (PARTITION BY a) AS BIGINT) - 1 AS ra,
+              |  CAST(rank() OVER (ORDER BY b) AS BIGINT) * 2
+              |    + CAST(count(*) OVER (PARTITION BY b) AS BIGINT) - 1 AS rb
+              |  FROM daily),
+              |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |  CAST(SUM(ra) AS BIGINT) AS sx, CAST(SUM(rb) AS BIGINT) AS sy,
+              |  CAST(SUM(ra * rb) AS BIGINT) AS sxy,
+              |  CAST(SUM(ra * ra) AS BIGINT) AS sxx,
+              |  CAST(SUM(rb * rb) AS BIGINT) AS syy FROM rk)
+              |SELECT n,
+              |  CAST(n * sxy - sx * sy AS DOUBLE)
+              |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+              |FROM m""".stripMargin)),
+
+    // ── sampled join-cardinality estimate (the broadcast-or-not probe) ──
+    // |orders ⋈ lineitem| estimated from the deterministic 1/16
+    // HashSample key slice: est = 16·Σ_sampled c_build·c_probe. The
+    // query emits the estimate, the exact size, and a declared ±25%
+    // envelope the oracle expects TRUE (the q_approx_distinct
+    // pattern: a hash mismatch means the estimator left its envelope
+    // — measured ratios 1.163/1.008/1.0004 across the three SFs).
+    // At scale the estimate touches 1/16 of the KEY DICTIONARY (the
+    // per-key count tables), never the fact rows twice — this is the
+    // planner probe that decides broadcast vs shuffle vs salt before
+    // committing to a join strategy.
+    Q("q_join_cardest",
+      (s, dir) => {
+        val sk = t(s, dir, "orders")
+          .filter(expr(graft.functions.HashSample.spark("o_orderkey", 16)))
+          .select(col("o_orderkey").as("k"))
+        val cb = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("c"))
+        val est = sk.join(cb, "k")
+          .agg((sum(col("c")) * 16).as("est"), count(lit(1)).as("sampled_keys"))
+        val exact = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("exact"))
+        est.crossJoin(broadcast(exact))
+          .select(col("est"), col("exact"), col("sampled_keys"),
+            (abs(col("est") - col("exact")).cast("double") <=
+              col("exact").cast("double") * lit(0.25)).as("within_bound"))
+      },
+      Some(s"""WITH sk AS (SELECT o_orderkey AS k FROM orders
+              |  WHERE ${graft.functions.HashSample.duck("o_orderkey", 16)}),
+              |cb AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+              |  FROM lineitem GROUP BY 1),
+              |e AS (SELECT CAST(SUM(c) * 16 AS BIGINT) AS est,
+              |  CAST(count(*) AS BIGINT) AS sampled_keys FROM sk JOIN cb USING (k)),
+              |x AS (SELECT CAST(count(*) AS BIGINT) AS exact
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+              |SELECT est, exact, sampled_keys, TRUE AS within_bound
+              |FROM e, x""".stripMargin)))
 }

@@ -182,6 +182,69 @@ class Stats2Spec extends SparkSuite {
     assert(top.getLong(1) == best)
   }
 
+  test("q_kendall and q_spearman: match brute-force recomputes on the daily series") {
+    val daily = graft.engine.Tables(spark, sf, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(expr("(unix_micros(ts) - 1704067200000000L) div 86400000000L").as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val pairs = for {
+      i <- daily.indices; j <- daily.indices if i < j
+    } yield (daily(i)._1 - daily(j)._1, daily(i)._2 - daily(j)._2)
+    val c = pairs.count(p => p._1 * p._2 > 0).toLong
+    val disc = pairs.count(p => p._1 * p._2 < 0).toLong
+    val ta = pairs.count(p => p._1 == 0 && p._2 != 0).toLong
+    val tb = pairs.count(p => p._2 == 0 && p._1 != 0).toLong
+    val n0 = pairs.length.toLong
+    val kd = q("q_kendall").collect().head
+    assert(kd.getLong(0) == c && kd.getLong(1) == disc && kd.getLong(2) == n0)
+    assert(kd.getDouble(3) == (c - disc).toDouble /
+      math.sqrt((n0 - ta).toDouble) / math.sqrt((n0 - tb).toDouble))
+    assert(kd.getDouble(3).abs <= 1.0)
+    // spearman: doubled tie-averaged ranks, then Pearson
+    def r2(xs: Seq[Long], v: Long): Long =
+      2 * xs.count(_ < v).toLong + xs.count(_ == v).toLong + 1
+    val as = daily.map(_._1); val bs = daily.map(_._2)
+    val ranked = daily.map { case (a, b) => (r2(as, a), r2(bs, b)) }
+    val n = ranked.length.toLong
+    val sx = ranked.map(_._1).sum; val sy = ranked.map(_._2).sum
+    val sxy = ranked.map(t => t._1 * t._2).sum
+    val sxx = ranked.map(t => t._1 * t._1).sum
+    val syy = ranked.map(t => t._2 * t._2).sum
+    val rho = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble) /
+      math.sqrt((n * syy - sy * sy).toDouble)
+    val sp = q("q_spearman").collect().head
+    assert(sp.getLong(0) == n)
+    assert(sp.getDouble(1) == rho)
+    assert(rho.abs <= 1.0)
+  }
+
+  test("q_join_cardest: estimate is within its declared envelope and exact is exact") {
+    val r = q("q_join_cardest").collect().head
+    val (est, exact, sampled) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(r.getBoolean(3), s"estimator left its ±25% envelope: $est vs $exact")
+    assert(sampled > 0 && est > 0)
+    val li = graft.engine.Tables(spark, sf, "lineitem").count()
+    assert(exact == li, "every lineitem row has a parent order in the fixtures")
+  }
+
+  test("q_rake: scores are degree/freq, stopwords never appear") {
+    val rows = q("q_rake").collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val (w, deg, freq, score) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(w != "a" && w != "the")
+      assert(deg >= freq, "a word's phrase-degree includes itself")
+      assert(score == deg.toDouble / freq.toDouble)
+    }
+    // scores arrive ranked
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+  }
+
   test("q_winsorize: bounds bracket the clamp counts") {
     val rows = q("q_winsorize").collect()
     assert(rows.length == 3)
