@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.Tables
+
+/** Model-evaluation operators — the metrics stage of a training
+  * pipeline (scoring a candidate ranker/classifier against logged
+  * labels), all in the repo's exact-arithmetic discipline: counts and
+  * fixed-point score sums are exact integers, every emitted metric is
+  * a fixed tree of IEEE-exact divisions. The running example scores
+  * events by `value` against the purchase label — deliberately
+  * near-chance on synthetic data; the METRIC algebra, not the model,
+  * is what the oracle certifies.
+  */
+object MlEval {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Binned (label, score) base: label = purchase, score = value in
+    * exact 1e-4 fixed point. One projected scan — every metric below
+    * aggregates this same shape. */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select((col("event_type") === "purchase").as("label"),
+        floor(col("value") * lit(10000.0)).cast("long").as("v"))
+
+  private val scoredSql =
+    """SELECT event_type = 'purchase' AS label,
+      |  CAST(floor(value * 10000.0) AS BIGINT) AS v FROM events""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // ── exact AUC via the rank-sum identity ──
+    // AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with R⁺ the tie-averaged rank
+    // sum of positives — the Mann–Whitney identity, kept integer by
+    // the doubled-rank idiom on score bins: AUC = (2R⁺ − n⁺(n⁺+1)) /
+    // (2·n⁺·n⁻), ONE double division of exact int64s. Ties (shared
+    // bins) get the standard ½ credit through the averaged rank. The
+    // bin table (≤5e6 bins by fixed-point construction; ~5k here)
+    // bounds the rank window at any event count.
+    Q("q_auc",
+      (s, dir) => {
+        val cell = scored(s, dir)
+          .groupBy("v")
+          .agg(sum(when(col("label"), 1L).otherwise(0L)).as("p"),
+            sum(when(!col("label"), 1L).otherwise(0L)).as("q"))
+          .withColumn("tot", col("p") + col("q"))
+        val before = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1L)
+        cell
+          .withColumn("cb", coalesce(sum(col("tot")).over(before), lit(0L)))
+          .agg(sum(col("p")).as("np"), sum(col("q")).as("nq"),
+            sum(col("p") * (col("cb") * 2 + col("tot") + 1)).as("r2"))
+          .select(col("np"), col("nq"),
+            ((col("r2") - col("np") * (col("np") + 1)).cast("double") /
+              (col("np") * col("nq") * 2).cast("double")).as("auc"))
+      },
+      Some(s"""WITH sc AS ($scoredSql),
+              |cell AS (SELECT v,
+              |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p,
+              |  CAST(SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS q,
+              |  CAST(count(*) AS BIGINT) AS tot
+              |  FROM sc GROUP BY v),
+              |rk AS (SELECT p, q, tot,
+              |  COALESCE(CAST(SUM(tot) OVER (ORDER BY v
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+              |  FROM cell),
+              |m AS (SELECT CAST(SUM(p) AS BIGINT) AS np,
+              |  CAST(SUM(q) AS BIGINT) AS nq,
+              |  CAST(SUM(p * (cb * 2 + tot + 1)) AS BIGINT) AS r2 FROM rk)
+              |SELECT np, nq,
+              |  CAST(r2 - np * (np + 1) AS DOUBLE)
+              |    / CAST(np * nq * 2 AS DOUBLE) AS auc
+              |FROM m""".stripMargin)),
+
+    // ── calibration (reliability) bins ──
+    // Deciles of the score as pseudo-probability (value/500 clamped):
+    // per bin, predicted mean vs empirical positive rate — the gap IS
+    // the calibration error. mean_pred = Σv/(n·5e6) from the exact
+    // fixed-point sum; pos_rate = pos/n. 11 result rows at any scale
+    // from one keyed aggregate.
+    Q("q_calibration",
+      (s, dir) =>
+        scored(s, dir)
+          .withColumn("bin", least(expr("v div 500000"), lit(10L)))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+            sum(col("v")).as("sv"))
+          .select(col("bin"), col("n"), col("pos"),
+            (col("sv").cast("double") / col("n").cast("double") / lit(5e6))
+              .as("mean_pred"),
+            (col("pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+          .orderBy("bin"),
+      Some(s"""WITH sc AS ($scoredSql),
+              |b AS (SELECT least(v // 500000, 10) AS bin, label, v FROM sc),
+              |m AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+              |  CAST(SUM(v) AS BIGINT) AS sv
+              |  FROM b GROUP BY bin)
+              |SELECT bin, n, pos,
+              |  CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 5e6 AS mean_pred,
+              |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+              |FROM m ORDER BY bin""".stripMargin)),
+
+    // ── confusion matrix + precision/recall/F1 at a fixed threshold ──
+    // predict = (value ≥ 50): the four cells are ONE conditional
+    // global aggregate; P/R/F1 are division chains over exact counts
+    // with F1 = 2·tp/(2·tp+fp+fn) (the cleared form — never the
+    // p·r/(p+r) compound that would double-round).
+    Q("q_confusion",
+      (s, dir) =>
+        scored(s, dir)
+          .withColumn("pred", col("v") >= lit(500000L))
+          .agg(
+            sum(when(col("label") && col("pred"), 1L).otherwise(0L)).as("tp"),
+            sum(when(!col("label") && col("pred"), 1L).otherwise(0L)).as("fp"),
+            sum(when(col("label") && !col("pred"), 1L).otherwise(0L)).as("fn"),
+            sum(when(!col("label") && !col("pred"), 1L).otherwise(0L)).as("tn"))
+          .select(col("tp"), col("fp"), col("fn"), col("tn"),
+            (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+              .as("precision"),
+            (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+              .as("recall"),
+            ((col("tp") * 2).cast("double") /
+              (col("tp") * 2 + col("fp") + col("fn")).cast("double")).as("f1")),
+      Some(s"""WITH sc AS ($scoredSql),
+              |m AS (SELECT
+              |  CAST(SUM(CASE WHEN label AND v >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              |  CAST(SUM(CASE WHEN NOT label AND v >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              |  CAST(SUM(CASE WHEN label AND v < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              |  CAST(SUM(CASE WHEN NOT label AND v < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              |  FROM sc)
+              |SELECT tp, fp, fn, tn,
+              |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+              |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+              |  CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1
+              |FROM m""".stripMargin)),
+
+    // ── inverse-frequency class weights ──
+    // The imbalance-correction constants a weighted loss consumes:
+    // w_c = n_total / (k · n_c) (sklearn's "balanced" convention) —
+    // exact counts, one division chain; k and n_total ride along via
+    // window totals over the k-row class table.
+    Q("q_class_weights",
+      (s, dir) => {
+        val all = Window.partitionBy()
+        t(s, dir, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("n_c"))
+          .withColumn("k", count(lit(1)).over(all))
+          .withColumn("n_total", sum(col("n_c")).over(all))
+          .select(col("event_type"), col("n_c"),
+            (col("n_total").cast("double") /
+              (col("k") * col("n_c")).cast("double")).as("weight"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_c
+             |  FROM events GROUP BY event_type),
+             |m AS (SELECT event_type, n_c,
+             |  CAST(count(*) OVER () AS BIGINT) AS k,
+             |  CAST(SUM(n_c) OVER () AS BIGINT) AS n_total FROM c)
+             |SELECT event_type, n_c,
+             |  CAST(n_total AS DOUBLE) / CAST(k * n_c AS DOUBLE) AS weight
+             |FROM m ORDER BY event_type""".stripMargin)))
+}
