@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.Tables
+
+/** Third statistics batch: variance decomposition (ANOVA F), a closed-
+  * form 2-variable PCA, the Lorenz concentration curve, and Cramér's V
+  * effect size. New determinism wrinkle handled here: these statistics
+  * SUM RATIONALS with unequal denominators (per-group s²/n terms,
+  * per-cell χ² parts), where double summation order would differ
+  * between engines — each term is quantized to a fixed DECIMAL scale
+  * first (the [[graft.ext.TextAnalysis]] DECIMAL(18,12) idiom), so the
+  * sums are order-free-exact and the final metric is one IEEE-exact
+  * expression over exactly-agreed inputs.
+  */
+object Stats3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+
+    // ── one-way ANOVA F across event types on value ──
+    // F = (SSB/(k−1)) / (SSW/(N−k)) with SSB = Σ_g s_g²/n_g − S²/N and
+    // SSW = Q − Σ_g s_g²/n_g, over exact fixed-point group moments
+    // (s_g int64, q_g decimal). The k per-group s²/n rationals are
+    // quantized to DECIMAL(28,6) before summing (k=5 terms — exact,
+    // order-free); S²/N and Q are exact. Two keyed aggregates (group
+    // moments → 1 row); the F statistic computes from k+3 numbers at
+    // any scale. Units cancel in the SSB/SSW ratio, so the 1e-4
+    // fixed-point scale needs no back-correction.
+    Q("q_anova",
+      (s, dir) => {
+        val g = t(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(10000.0)).cast("long").as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_g"), sum(col("y")).as("s_g"),
+            sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("q_g"))
+        val m = g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("nn"),
+          sum(col("s_g")).as("ss"),
+          sum(col("q_g")).as("qq"),
+          sum(expr(
+            "CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS DECIMAL(28,6))"))
+            .as("bsum"))
+        val bsumD = col("bsum").cast("double")
+        val grand = (col("ss").cast("double") * col("ss").cast("double") /
+          col("nn").cast("double"))
+        val ssb = bsumD - grand
+        val ssw = col("qq").cast("double") - bsumD
+        m.select(col("k"), col("nn").as("n"),
+            ((ssb / (col("k") - 1).cast("double")) /
+              (ssw / (col("nn") - col("k")).cast("double"))).as("f"))
+      },
+      Some("""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+             |    CAST(SUM(y) AS BIGINT) AS s_g,
+             |    SUM(CAST(y AS HUGEINT) * y) AS q_g
+             |  FROM (SELECT event_type,
+             |          CAST(floor(value * 10000.0) AS BIGINT) AS y FROM events)
+             |  GROUP BY event_type),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             |  CAST(SUM(n_g) AS BIGINT) AS nn,
+             |  CAST(SUM(s_g) AS BIGINT) AS ss,
+             |  SUM(q_g) AS qq,
+             |  SUM(CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+             |        / CAST(n_g AS DOUBLE) AS DECIMAL(28,6))) AS bsum
+             |  FROM g)
+             |SELECT k, nn AS n,
+             |  ((CAST(bsum AS DOUBLE)
+             |      - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+             |    / CAST(k - 1 AS DOUBLE))
+             |  / ((CAST(CAST(qq AS VARCHAR) AS DOUBLE) - CAST(bsum AS DOUBLE))
+             |    / CAST(nn - k AS DOUBLE)) AS f
+             |FROM m""".stripMargin)),
+
+    // ── closed-form 2-variable PCA per group (qty vs price) ──
+    // Eigen-decomposition of the 2×2 covariance, cleared of means by
+    // the ×n² trick: with a = n·Σxx−(Σx)², b = n·Σyy−(Σy)², c =
+    // n·Σxy−ΣxΣy (exact decimals, VARCHAR-routed casts), λ± =
+    // ((a+b) ± √((a−b)²+4c²))/2. Emitted scale-free: explained
+    // variance ratio λ₊/(a+b) and the principal-axis slope tan θ =
+    // c/(λ₊−b·n²-units…) — i.e. the fixed expression c/(lam1−b).
+    // One moment aggregate per group; the eigen algebra runs on 6
+    // numbers per group.
+    Q("q_pca2",
+      (s, dir) => {
+        val m = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_quantity") * lit(100.0)).cast("long").as("x"),
+            floor(col("l_extendedprice") * lit(100.0)).cast("long").as("y"))
+          .groupBy("rf")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
+        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+        val a = (dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx"))
+          .cast("double")
+        val b = (dec(col("n")) * col("syy") - dec(col("sy")) * col("sy"))
+          .cast("double")
+        val cc = (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy"))
+          .cast("double")
+        val lam1 = (a + b + sqrt((a - b) * (a - b) + lit(4.0) * cc * cc)) / lit(2.0)
+        m.select(col("rf"), col("n"),
+            (lam1 / (a + b)).as("evr"),
+            (cc / (lam1 - b)).as("axis_t"))
+          .orderBy("rf")
+      },
+      Some("""WITH m AS (
+             |  SELECT rf, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    SUM(CAST(y AS HUGEINT) * y) AS syy
+             |  FROM (SELECT l_returnflag AS rf,
+             |          CAST(floor(l_quantity * 100.0) AS BIGINT) AS x,
+             |          CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS y
+             |        FROM lineitem) GROUP BY rf),
+             |e AS (SELECT rf, n,
+             |  CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS a,
+             |  CAST(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) AS b,
+             |  CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) AS c
+             |  FROM m)
+             |SELECT rf, n,
+             |  ((a + b + sqrt((a - b) * (a - b) + 4.0 * c * c)) / 2.0) / (a + b) AS evr,
+             |  c / ((a + b + sqrt((a - b) * (a - b) + 4.0 * c * c)) / 2.0 - b) AS axis_t
+             |FROM e ORDER BY rf""".stripMargin)),
+
+    // ── Lorenz concentration curve (revenue deciles) ──
+    // Customers ranked ascending by exact-cents revenue; decile d of
+    // customer i is ((i−1)·10) div n + 1, and the curve point is the
+    // cumulative revenue share at each decile boundary. The companion
+    // curve to q_gini (G = 1 − 2·∫Lorenz). The rank window runs on
+    // the CUSTOMER-GRAIN aggregate (dimension-sized — the fact scan
+    // is the only full pass); decile rollup is 10 rows.
+    Q("q_lorenz",
+      (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+          .groupBy("o_custkey").agg(sum(col("cents")).as("rev"))
+        val rk = Window.orderBy(col("rev"), col("o_custkey"))
+        val all = Window.partitionBy()
+        rev
+          .withColumn("i", row_number().over(rk).cast("long"))
+          .withColumn("n", count(lit(1)).over(all))
+          .withColumn("d", expr("((i - 1) * 10) div n + 1"))
+          .groupBy("d")
+          .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("d_rev"))
+          .withColumn("cum_rev", sum(col("d_rev"))
+            .over(Window.orderBy("d")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total", sum(col("d_rev")).over(Window.partitionBy()))
+          .select(col("d"), col("n_cust"),
+            (col("cum_rev").cast("double") / col("total").cast("double"))
+              .as("cum_share"))
+          .orderBy("d")
+      },
+      Some("""WITH rev AS (
+             |  SELECT o_custkey,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders GROUP BY o_custkey),
+             |rk AS (SELECT rev,
+             |  CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i,
+             |  CAST(count(*) OVER () AS BIGINT) AS n FROM rev),
+             |dec AS (SELECT ((i - 1) * 10) // n + 1 AS d,
+             |  CAST(count(*) AS BIGINT) AS n_cust, CAST(SUM(rev) AS BIGINT) AS d_rev
+             |  FROM rk GROUP BY 1),
+             |c AS (SELECT d, n_cust,
+             |  CAST(SUM(d_rev) OVER (ORDER BY d
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev,
+             |  CAST(SUM(d_rev) OVER () AS BIGINT) AS total FROM dec)
+             |SELECT d, n_cust,
+             |  CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+             |FROM c ORDER BY d""".stripMargin)),
+
+    // ── Cramér's V effect size (event type × weekend) ──
+    // V = √(χ²/(N·(min(r,c)−1))) — the scale-free companion to
+    // q_chisq's raw cells. The per-cell χ² parts are rationals with
+    // unequal denominators, so each is quantized to DECIMAL(28,8)
+    // before the order-free sum (10 cells — exact); r, c, N are
+    // exact counts carried through the same 1-row aggregate.
+    Q("q_cramer_v",
+      (s, dir) => {
+        val cell = t(s, dir, "events")
+          .withColumn("is_weekend",
+            expr("(unix_micros(ts) div 86400000000L) % 7 IN (2, 3)"))
+          .groupBy(col("event_type"), col("is_weekend"))
+          .agg(count(lit(1)).as("o"))
+        val withTotals = cell
+          .withColumn("r",
+            sum(col("o")).over(Window.partitionBy(col("event_type"))))
+          .withColumn("c",
+            sum(col("o")).over(Window.partitionBy(col("is_weekend"))))
+          .withColumn("tot", sum(col("o")).over(Window.partitionBy()))
+          .withColumn("part", expr(
+            """CAST((CAST(o * tot - r * c AS DOUBLE) * CAST(o * tot - r * c AS DOUBLE))
+              | / CAST(r * c * tot AS DOUBLE) AS DECIMAL(28,8))""".stripMargin))
+        withTotals
+          .agg(countDistinct(col("event_type")).as("rr"),
+            countDistinct(col("is_weekend")).as("cc"),
+            max(col("tot")).as("n"), sum(col("part")).as("chi2q"))
+          .select(col("rr"), col("cc"), col("n"),
+            col("chi2q").cast("double").as("chi2"),
+            sqrt(col("chi2q").cast("double") /
+              (col("n") * (least(col("rr"), col("cc")) - 1)).cast("double"))
+              .as("v"))
+      },
+      Some("""WITH cell AS (
+             |  SELECT event_type,
+             |    (epoch_us(ts) // 86400000000) % 7 IN (2, 3) AS is_weekend,
+             |    CAST(count(*) AS BIGINT) AS o
+             |  FROM events GROUP BY 1, 2),
+             |tt AS (SELECT event_type, is_weekend, o,
+             |  CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+             |  CAST(SUM(o) OVER (PARTITION BY is_weekend) AS BIGINT) AS c,
+             |  CAST(SUM(o) OVER () AS BIGINT) AS tot FROM cell),
+             |p AS (SELECT event_type, is_weekend, tot,
+             |  CAST((CAST(o * tot - r * c AS DOUBLE) * CAST(o * tot - r * c AS DOUBLE))
+             |    / CAST(r * c * tot AS DOUBLE) AS DECIMAL(28,8)) AS part
+             |  FROM tt),
+             |m AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS rr,
+             |  CAST(count(DISTINCT is_weekend) AS BIGINT) AS cc,
+             |  CAST(MAX(tot) AS BIGINT) AS n, SUM(part) AS chi2q FROM p)
+             |SELECT rr, cc, n, CAST(chi2q AS DOUBLE) AS chi2,
+             |  sqrt(CAST(chi2q AS DOUBLE)
+             |    / CAST(n * (least(rr, cc) - 1) AS DOUBLE)) AS v
+             |FROM m""".stripMargin)))
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Golden recomputes for the variance-decomposition batch: ANOVA F
+  * with the DECIMAL(28,6) quantization replayed in scalar code, PCA
+  * eigen-algebra from raw moments, Lorenz-curve shape laws, and
+  * Cramér's V against a quantized χ² recompute. */
+class Stats3Spec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def quant(x: Double, scale: Int): JBigDecimal =
+    new JBigDecimal(x).setScale(scale, RoundingMode.HALF_UP)
+
+  test("q_anova matches a scalar recompute with replayed quantization") {
+    val raw = graft.engine.Tables(spark, sf, "events")
+      .select(col("event_type"), floor(col("value") * 10000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = raw.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val k = groups.size.toLong
+    val nn = raw.length.toLong
+    val ss = raw.map(_._2).sum
+    val qq = raw.map(r => BigInt(r._2) * r._2).sum
+    var bsum = JBigDecimal.ZERO
+    groups.foreach { g =>
+      val s = g.sum.toDouble
+      bsum = bsum.add(quant(s * s / g.length.toDouble, 6))
+    }
+    val bd = bsum.doubleValue()
+    val grand = ss.toDouble * ss.toDouble / nn.toDouble
+    val ssw = BigDecimal(qq).toDouble - bd
+    val f = ((bd - grand) / (k - 1).toDouble) / (ssw / (nn - k).toDouble)
+    val r = q("q_anova").collect().head
+    assert(r.getLong(0) == k && r.getLong(1) == nn)
+    assert(r.getDouble(2) == f, s"${r.getDouble(2)} vs $f")
+    assert(f > 0.0)
+  }
+
+  test("q_pca2 eigen algebra from raw moments; evr in [1/2, 1]") {
+    val rows = q("q_pca2").collect()
+    assert(rows.length == 3)
+    val raw = graft.engine.Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") * 100).cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val g = raw.filter(_._1 == r.getString(0))
+      val n = g.length.toLong
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val sxx = g.map(t => t._2 * t._2).sum
+      val syy = g.map(t => BigInt(t._3) * t._3).sum
+      val a = BigDecimal(BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+      val b = BigDecimal(BigInt(n) * syy - BigInt(sy) * sy).toDouble
+      val c = BigDecimal(BigInt(n) * sxy - BigInt(sx) * sy).toDouble
+      val lam1 = (a + b + math.sqrt((a - b) * (a - b) + 4.0 * c * c)) / 2.0
+      assert(r.getDouble(2) == lam1 / (a + b))
+      assert(r.getDouble(3) == c / (lam1 - b))
+      // top eigenvalue carries at least half, at most all, of the trace
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("q_lorenz: convex increasing curve ending at 1, deciles partition customers") {
+    val rows = q("q_lorenz").collect()
+    assert(rows.length == 10)
+    val nCust = graft.engine.Tables(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    val shares = rows.map(_.getDouble(2))
+    assert(shares.last == 1.0)
+    assert(shares.zip(shares.tail).forall { case (x, y) => x < y })
+    // below the diagonal (concentration): decile d holds ≤ d/10 of revenue
+    rows.foreach(r => assert(r.getDouble(2) <= r.getLong(0).toDouble / 10 + 1e-9))
+    // marginal decile revenue is non-decreasing (customers are rank-sorted)
+    val marg = shares.head +: shares.zip(shares.tail).map { case (x, y) => y - x }
+    assert(marg.zip(marg.tail).forall { case (x, y) => x <= y + 1e-12 })
+  }
+
+  test("q_cramer_v matches the quantized chi-square recompute; V in [0, 1]") {
+    val cells = graft.engine.Tables(spark, sf, "events")
+      .withColumn("wk", expr("(unix_micros(ts) div 86400000000L) % 7 IN (2, 3)"))
+      .groupBy("event_type", "wk").count()
+      .collect().map(r => ((r.getString(0), r.getBoolean(1)), r.getLong(2))).toMap
+    val rKeys = cells.keys.map(_._1).toSeq.distinct
+    val cKeys = cells.keys.map(_._2).toSeq.distinct
+    val tot = cells.values.sum
+    var chi2q = JBigDecimal.ZERO
+    cells.foreach { case ((et, wk), o) =>
+      val rr = cells.filter(_._1._1 == et).values.sum
+      val cc = cells.filter(_._1._2 == wk).values.sum
+      val diff = (o * tot - rr * cc).toDouble
+      chi2q = chi2q.add(new JBigDecimal(diff * diff / (rr * cc * tot).toDouble)
+        .setScale(8, RoundingMode.HALF_UP))
+    }
+    val r = q("q_cramer_v").collect().head
+    assert(r.getLong(0) == rKeys.length && r.getLong(1) == cKeys.length)
+    assert(r.getLong(2) == tot)
+    assert(r.getDouble(3) == chi2q.doubleValue())
+    val v = math.sqrt(chi2q.doubleValue() /
+      (tot * (math.min(rKeys.length, cKeys.length) - 1)).toDouble)
+    assert(r.getDouble(4) == v)
+    assert(v >= 0.0 && v <= 1.0)
+  }
+}
