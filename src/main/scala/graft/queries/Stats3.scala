@@ -230,5 +230,185 @@ object Stats3 {
              |SELECT rr, cc, n, CAST(chi2q AS DOUBLE) AS chi2,
              |  sqrt(CAST(chi2q AS DOUBLE)
              |    / CAST(n * (least(rr, cc) - 1) AS DOUBLE)) AS v
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    // ── total-variation drift between the two halves of the month ──
+    // TVD(P,Q) = ½·Σ_bins |p_i − q_i|, cleared of both rational
+    // densities: Σ|c₁ᵢ·n₂ − c₂ᵢ·n₁| / (2·n₁·n₂) — EXACT int64
+    // (Σ ≤ 1.2e13 at sf0.1). The log-free drift metric (the PSI
+    // role without PSI's log): 0 = identical, 1 = disjoint. Bins are
+    // the 0.1 fixed-point value grid, so the drift table is bounded
+    // (~5k bins) and the one full pass is the bin-count aggregate.
+    Q("q_tvd",
+      (s, dir) => {
+        val binned = t(s, dir, "events")
+          .select((expr(
+            s"(unix_micros(ts) - ${1704067200000000L}L) div 86400000000L") < 15)
+            .as("h1"),
+            floor(col("value") * lit(10.0)).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("c1"),
+            sum(when(!col("h1"), 1L).otherwise(0L)).as("c2"))
+        val all = Window.partitionBy()
+        binned
+          .withColumn("n1", sum(col("c1")).over(all))
+          .withColumn("n2", sum(col("c2")).over(all))
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("num"))
+          .select(col("n1"), col("n2"),
+            (col("num").cast("double") / lit(2.0) /
+              col("n1").cast("double") / col("n2").cast("double")).as("tvd"))
+      },
+      Some(s"""WITH b AS (
+              |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 < 15 AS h1,
+              |    CAST(floor(value * 10.0) AS BIGINT) AS v
+              |  FROM events),
+              |cell AS (SELECT v,
+              |  CAST(SUM(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              |  CAST(SUM(CASE WHEN NOT h1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+              |  FROM b GROUP BY v),
+              |tt AS (SELECT c1, c2,
+              |  CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+              |  CAST(SUM(c2) OVER () AS BIGINT) AS n2 FROM cell)
+              |SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+              |  CAST(SUM(abs(c1 * n2 - c2 * n1)) AS DOUBLE) / 2.0
+              |    / CAST(MAX(n1) AS DOUBLE) / CAST(MAX(n2) AS DOUBLE) AS tvd
+              |FROM tt""".stripMargin)),
+
+    // ── bottom-k hash sketch per group (distinct sample + NDV probe) ──
+    // The k smallest md5 values of the DISTINCT user set per event
+    // type — simultaneously (a) a uniform sample of distinct users
+    // (mergeable: bottom-k of a union = bottom-k of bottom-ks — the
+    // at-scale re-aggregation never revisits rows) and (b) a
+    // cardinality probe: est = (k−1)·2³²/h₍ₖ₎. k=5 keeps the output
+    // oracle-small and the estimate deliberately noisy (±50% — a
+    // production sketch uses k≈256; the algebra is k-independent);
+    // both engines compute identical values so the gate is the hash
+    // itself, no envelope needed.
+    Q("q_bottomk",
+      (s, dir) => {
+        val h = t(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .withColumn("hv", expr(graft.functions.HashSample.sparkRaw("user_id")))
+        val w = Window.partitionBy("event_type").orderBy(col("hv"), col("user_id"))
+        h.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .withColumn("est_ndv",
+            when(col("rn") === 5, expr("(4 * 4294967296L) div hv")))
+          .select(col("event_type"), col("rn"), col("user_id"), col("hv"),
+            col("est_ndv"))
+          .orderBy("event_type", "rn")
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT event_type, user_id,
+              |    ${graft.functions.HashSample.duckRaw("user_id")} AS hv
+              |  FROM events),
+              |rk AS (SELECT event_type, user_id, hv,
+              |  CAST(row_number() OVER (PARTITION BY event_type
+              |    ORDER BY hv, user_id) AS BIGINT) AS rn
+              |  FROM h)
+              |SELECT event_type, rn, user_id, hv,
+              |  CASE WHEN rn = 5 THEN (4 * 4294967296) // hv END AS est_ndv
+              |FROM rk WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin)),
+
+    // ── delete-one-block jackknife SE of the mean ──
+    // The distributed-native confidence interval: rows hash into 32
+    // blocks; replicate b's mean drops block b (mean_b = (S−s_b)/
+    // (N−n_b) from the 32-row block-moment table), and SE² =
+    // (B−1)/B · Σ(mean_b − m̄)². Replicate means and squared
+    // deviations are doubles quantized to DECIMAL(28,12) before their
+    // 32-term sums (order-free-exact); everything upstream is exact
+    // integers. One keyed aggregate over the scan — the jackknife
+    // itself runs on 32 rows at any scale.
+    Q("q_jackknife",
+      (s, dir) => {
+        val blocks = t(s, dir, "events")
+          .select(floor(col("value") * lit(10000.0)).cast("long").as("y"),
+            expr(graft.functions.HashSample.sparkBucket("event_id", 32)).as("b"))
+          .groupBy("b")
+          .agg(count(lit(1)).as("n_b"), sum(col("y")).as("s_b"))
+        val tot = Window.partitionBy()
+        val rep = blocks
+          .withColumn("nn", sum(col("n_b")).over(tot))
+          .withColumn("ss", sum(col("s_b")).over(tot))
+          .withColumn("mean_b", expr(
+            """CAST(CAST(ss - s_b AS DOUBLE) / CAST(nn - n_b AS DOUBLE) / 1e4
+              | AS DECIMAL(28,12))""".stripMargin))
+        val m = rep
+          // ÷32 runs in DOUBLE (exact: 32 = 2⁵) then re-quantizes —
+          // decimal÷int scale rules differ between engines, double
+          // division does not
+          .withColumn("mbar",
+            (sum(col("mean_b")).over(tot).cast("double") / lit(32.0))
+              .cast(DecimalType(28, 12)))
+          .withColumn("dev2", expr(
+            """CAST(CAST(mean_b - mbar AS DOUBLE) * CAST(mean_b - mbar AS DOUBLE)
+              | AS DECIMAL(28,12))""".stripMargin))
+        m.agg(max(col("nn")).as("n"),
+            max(col("ss")).as("sum_fp"),
+            sum(col("dev2")).as("ssd"))
+          .select(col("n"),
+            (col("sum_fp").cast("double") / col("n").cast("double") / lit(1e4))
+              .as("mean"),
+            sqrt(col("ssd").cast("double") * lit(31.0) / lit(32.0)).as("se"))
+      },
+      Some(s"""WITH blocks AS (
+              |  SELECT ${graft.functions.HashSample.duckBucket("event_id", 32)} AS b,
+              |    CAST(count(*) AS BIGINT) AS n_b,
+              |    CAST(SUM(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT) AS s_b
+              |  FROM events GROUP BY 1),
+              |rep AS (SELECT n_b, s_b,
+              |  CAST(SUM(n_b) OVER () AS BIGINT) AS nn,
+              |  CAST(SUM(s_b) OVER () AS BIGINT) AS ss FROM blocks),
+              |mb AS (SELECT nn, ss,
+              |  CAST(CAST(ss - s_b AS DOUBLE) / CAST(nn - n_b AS DOUBLE) / 1e4
+              |    AS DECIMAL(28,12)) AS mean_b FROM rep),
+              |dv AS (SELECT nn, ss, mean_b,
+              |  CAST(CAST(SUM(mean_b) OVER () AS DOUBLE) / 32.0
+              |    AS DECIMAL(28,12)) AS mbar FROM mb),
+              |d2 AS (SELECT nn, ss,
+              |  CAST(CAST(mean_b - mbar AS DOUBLE) * CAST(mean_b - mbar AS DOUBLE)
+              |    AS DECIMAL(28,12)) AS dev2 FROM dv)
+              |SELECT MAX(nn) AS n,
+              |  CAST(MAX(ss) AS DOUBLE) / CAST(MAX(nn) AS DOUBLE) / 1e4 AS mean,
+              |  sqrt(CAST(SUM(dev2) AS DOUBLE) * 31.0 / 32.0) AS se
+              |FROM d2""".stripMargin)),
+
+    // ── leading-edge debounce (burst collapse preview) ──
+    // Events closer than 5 s to their predecessor (same user)
+    // collapse into the burst head: new-burst flag = gap NULL or
+    // > 5e6 µs, per-user lag window on the natural key. Emits per
+    // event type how many rows survive debouncing — the volume
+    // preview before a pipeline inserts the collapse. Gap flags are
+    // exact integer comparisons; ties produce 0-gaps that collapse
+    // deterministically regardless of tie order only when the head
+    // choice is fixed — the (us, event_id) lag ordering pins it.
+    Q("q_debounce",
+      (s, dir) => {
+        val u = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(u))
+          .withColumn("keep", col("gap").isNull || col("gap") > 5000000L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+          .select(col("event_type"), col("n"), col("kept"),
+            (col("kept").cast("double") / col("n").cast("double"))
+              .as("keep_ratio"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |    epoch_us(ts) AS us FROM events),
+             |g AS (SELECT event_type,
+             |  us - lag(us, 1) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id) AS gap FROM e),
+             |k AS (SELECT event_type,
+             |  CASE WHEN gap IS NULL OR gap > 5000000 THEN 1 ELSE 0 END AS keep
+             |  FROM g)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(keep) AS BIGINT) AS kept,
+             |  CAST(SUM(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_ratio
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

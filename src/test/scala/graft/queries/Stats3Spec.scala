@@ -85,6 +85,89 @@ class Stats3Spec extends SparkSuite {
     assert(marg.zip(marg.tail).forall { case (x, y) => x <= y + 1e-12 })
   }
 
+  test("q_tvd: brute-force recompute; bounded in [0, 1]") {
+    val raw = graft.engine.Tables(spark, sf, "events")
+      .select(expr("(unix_micros(ts) - 1704067200000000L) div 86400000000L < 15"),
+        floor(col("value") * 10).cast("long"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val h1 = raw.filter(_._1).map(_._2)
+    val h2 = raw.filterNot(_._1).map(_._2)
+    val (n1, n2) = (h1.length.toLong, h2.length.toLong)
+    val bins = (h1 ++ h2).distinct
+    val num = bins.map { v =>
+      val c1 = h1.count(_ == v).toLong; val c2 = h2.count(_ == v).toLong
+      (c1 * n2 - c2 * n1).abs
+    }.sum
+    val r = q("q_tvd").collect().head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(r.getDouble(2) ==
+      num.toDouble / 2.0 / n1.toDouble / n2.toDouble)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("q_bottomk: the k minima are the true hash minima; merge law holds") {
+    val rows = q("q_bottomk").collect()
+    val byType = rows.groupBy(_.getString(0))
+    assert(byType.nonEmpty)
+    byType.foreach { case (et, rs) =>
+      assert(rs.length == 5, s"$et expected exactly k=5 rows")
+      val hvs = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(hvs.zip(hvs.tail).forall { case (a, b) => a <= b })
+      // the declared minima really are the smallest hashes of the
+      // type's distinct users
+      val all = graft.engine.Tables(spark, sf, "events")
+        .filter(col("event_type") === et).select("user_id").distinct()
+        .withColumn("hv", expr(graft.functions.HashSample.sparkRaw("user_id")))
+        .collect().map(_.getLong(1)).sorted
+      assert(hvs.toSeq == all.take(5).toSeq)
+      // estimate only on the rank-5 row
+      assert(rs.filter(_.getLong(1) < 5).forall(_.isNullAt(4)))
+      val est = rs.find(_.getLong(1) == 5).get.getLong(4)
+      assert(est == 4L * 4294967296L / hvs.last)
+    }
+    // merge law: global bottom-5 = bottom-5 of the per-type unions
+    val global = graft.engine.Tables(spark, sf, "events")
+      .select("user_id").distinct()
+      .withColumn("hv", expr(graft.functions.HashSample.sparkRaw("user_id")))
+      .collect().map(_.getLong(1)).sorted.take(5)
+    val unionBottom = rows.map(_.getLong(3)).distinct.sorted.take(5)
+    assert(unionBottom.toSeq == global.toSeq)
+  }
+
+  test("q_jackknife: SE has the right scale vs the classical formula") {
+    val r = q("q_jackknife").collect().head
+    val (n, mean, se) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(n == graft.engine.Tables(spark, sf, "events").count())
+    val vals = graft.engine.Tables(spark, sf, "events")
+      .select(col("value")).collect().map(_.getDouble(0))
+    val m = vals.sum / vals.length
+    // the query's mean is over floor(value·1e4) fixed-point — biased
+    // low by at most one 1e-4 quantum
+    assert(mean <= m && m - mean < 1e-4)
+    // classical SE = s/√n; block jackknife must agree within 3×
+    val s2 = vals.map(v => (v - m) * (v - m)).sum / (vals.length - 1)
+    val classical = math.sqrt(s2 / vals.length)
+    assert(se > classical / 3 && se < classical * 3,
+      s"jackknife SE $se implausible vs classical $classical")
+  }
+
+  test("q_debounce: keep counts match a scalar replay of the gap rule") {
+    val rows = q("q_debounce").collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.engine.Tables(spark, sf, "events").count())
+    // scalar replay on one user
+    val ev = graft.engine.Tables(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keptScalar = ev.groupBy(_._1).values.map { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      1 + sorted.zip(sorted.tail).count { case (a, b) => b._2 - a._2 > 5000000L }
+    }.sum
+    assert(rows.map(_.getLong(2)).sum == keptScalar)
+    rows.foreach(r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1).toDouble))
+  }
+
   test("q_cramer_v matches the quantized chi-square recompute; V in [0, 1]") {
     val cells = graft.engine.Tables(spark, sf, "events")
       .withColumn("wk", expr("(unix_micros(ts) div 86400000000L) % 7 IN (2, 3)"))
