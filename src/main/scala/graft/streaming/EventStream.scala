@@ -464,6 +464,47 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class SketchEvent(user_id: Long, event_type: String)
+  final case class BottomKState(hvs: List[Long], users: List[Long])
+  final case class SketchOut(event_type: String, size: Long, h_k: Long,
+      est_ndv: Long, users: Seq[Long])
+
+  /** Streaming bottom-k distinct sketch — the streaming twin of batch
+    * `q_bottomk`, and the proof that the sketch is truly mergeable:
+    * the state after ANY sequence of micro-batches equals the batch
+    * bottom-k of the union (min-k of a set is order-free), so the
+    * streaming answer is exactly the batch answer at every point of
+    * the stream — BottomKStreamSpec pins this against q_bottomk on
+    * the same corpus. State per key is k (hash, user) pairs (k=5 here,
+    * production k≈256 — O(k) bytes per key regardless of stream
+    * length); the hash is the [[graft.functions.HashSample]] md5
+    * construction evaluated JVM-side, bit-identical to the SQL twin.
+    * Emission is Update-mode: one refreshed sketch row per key per
+    * micro-batch, carrying the (k−1)·2³²/h₍ₖ₎ cardinality probe. */
+  def bottomKSketch(events: Dataset[SketchEvent],
+      k: Int = 5): Dataset[SketchOut] = {
+    import events.sparkSession.implicits._
+    def hv(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def fn(et: String, evs: Iterator[SketchEvent],
+        state: GroupState[BottomKState]): SketchOut = {
+      val prev = state.getOption
+        .map(s => s.hvs.zip(s.users)).getOrElse(Nil)
+      val merged = (prev ++ evs.map(e => (hv(e.user_id), e.user_id)))
+        .distinct.sorted.take(k)
+      state.update(BottomKState(merged.map(_._1), merged.map(_._2)))
+      val hk = merged.last._1
+      SketchOut(et, merged.size.toLong, hk,
+        if (merged.size == k) (k - 1).toLong * 4294967296L / hk else -1L,
+        merged.map(_._2))
+    }
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def detectPattern(events: Dataset[PatternEvent]): Dataset[PatternHit] = {
     import events.sparkSession.implicits._
     def fn(userId: Long, evs: Iterator[PatternEvent],
