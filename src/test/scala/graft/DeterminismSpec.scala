@@ -24,7 +24,15 @@ class DeterminismSpec extends SparkSuite {
       // PMI ratio under top-k, converged pointer-jumping labels,
       // per-shard rank windows, min-doc first-seen attribution
       "q_standardize", "q_pmi", "q_graph_cc", "q_shard_shuffle",
-      "q_novelty")
+      "q_novelty",
+      // round-7 session-2 additions, one per new mechanism: wide-
+      // decimal cleared moments (corr), doubled tie-averaged ranks on
+      // a no-partition window (mannwhitney), DECIMAL-quantized
+      // rational sums (anova, bigram LM), bounded pair self-product
+      // argmin (theilsen), WindowGroupLimit rank-1 (attribution),
+      // jackknife block replicates, bottom-k hash minima
+      "q_corr", "q_mannwhitney", "q_anova", "q_bigram_lm",
+      "q_theilsen", "q_attribution", "q_jackknife", "q_bottomk")
     val base = names.map(n => n -> collectAll(spark, n)).toMap
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
