@@ -410,5 +410,139 @@ object Stats3 {
              |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |  CAST(SUM(keep) AS BIGINT) AS kept,
              |  CAST(SUM(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_ratio
-             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── split-conformal 90% interval half-width per group ──
+    // q̂ = the ⌈0.9(n+1)⌉-th smallest |v − mean| per event type, with
+    // the residual CLEARED to an exact integer |n·v_fp − s| (the
+    // z-score numerator — no division before the rank). The rank
+    // picks a VALUE (order-deterministic under ties); one final
+    // division un-clears it. The conformal-prediction calibration
+    // step: mean ± q̂ covers ≥90% of held-out values by construction.
+    // Group moments broadcast back (one aggregate + one rank window
+    // per natural key).
+    Q("q_conformal",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(10000.0)).cast("long").as("v"))
+        val m = e.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        val r = e.join(broadcast(m), "event_type")
+          .withColumn("res", abs(col("n") * col("v") - col("s")))
+        val w = Window.partitionBy("event_type").orderBy("res")
+        r.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") === least(
+            expr("(9 * (n + 1) + 9) div 10"), col("n")))
+          .select(col("event_type"), col("n"),
+            (col("res").cast("double") / col("n").cast("double") / lit(1e4))
+              .as("qhat"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(floor(value * 10000.0) AS BIGINT) AS v FROM events),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(v) AS BIGINT) AS s FROM e GROUP BY event_type),
+             |r AS (SELECT e.event_type, n,
+             |  abs(n * v - s) AS res FROM e JOIN m USING (event_type)),
+             |rk AS (SELECT event_type, n, res,
+             |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY res)
+             |    AS BIGINT) AS rk FROM r)
+             |SELECT event_type, n,
+             |  CAST(res AS DOUBLE) / CAST(n AS DOUBLE) / 1e4 AS qhat
+             |FROM rk WHERE rk = least((9 * (n + 1) + 9) // 10, n)
+             |ORDER BY event_type""".stripMargin)),
+
+    // ── 5% trimmed mean per group (robust location) ──
+    // Drops the bottom/top 5% BY RANK (k05 = ceil(n/20), k95 =
+    // ceil(19n/20)) and averages the exact-cents middle — the robust
+    // companion to q_winsorize's clamping (trimming excludes,
+    // winsorizing saturates). Interior sum and count are exact int64;
+    // the mean is one division. Same per-group rank shape, same
+    // documented approx-quantile swap at the 100 TB tier.
+    Q("q_trimmed_mean",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"))
+        val w = Window.partitionBy("rf").orderBy("cents", "rf")
+        li.withColumn("r", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("rf")))
+          .filter(col("r") > expr("(n + 19) div 20") &&
+            col("r") <= expr("(19 * n + 19) div 20"))
+          .groupBy("rf")
+          .agg(count(lit(1)).as("kept"), sum(col("cents")).as("s"))
+          .select(col("rf"), col("kept"),
+            (col("s").cast("double") / col("kept").cast("double") / lit(100.0))
+              .as("trimmed_mean"))
+          .orderBy("rf")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS rf,
+             |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |rk AS (SELECT rf, cents,
+             |  CAST(row_number() OVER (PARTITION BY rf ORDER BY cents, rf)
+             |    AS BIGINT) AS r,
+             |  CAST(count(*) OVER (PARTITION BY rf) AS BIGINT) AS n FROM li),
+             |mid AS (SELECT rf, cents FROM rk
+             |  WHERE r > (n + 19) // 20 AND r <= (19 * n + 19) // 20),
+             |m AS (SELECT rf, CAST(count(*) AS BIGINT) AS kept,
+             |  CAST(SUM(cents) AS BIGINT) AS s FROM mid GROUP BY rf)
+             |SELECT rf, kept,
+             |  CAST(s AS DOUBLE) / CAST(kept AS DOUBLE) / 100.0 AS trimmed_mean
+             |FROM m ORDER BY rf""".stripMargin)),
+
+    // ── Hellinger distance between the month halves ──
+    // H = √(1 − BC), BC = Σ√(p_i·q_i) = Σ√(c₁ᵢ·c₂ᵢ)/√(n₁·n₂). The
+    // per-bin √(c₁·c₂) doubles are quantized to DECIMAL(28,8) before
+    // the order-free sum (the q_cramer_v mechanism); the final
+    // expression is a fixed √/÷ chain. Complements q_tvd: TVD is the
+    // L1 drift, Hellinger weights small-mass disagreements more —
+    // both on the same bounded 0.1-grid bin table.
+    Q("q_hellinger",
+      (s, dir) => {
+        val cell = t(s, dir, "events")
+          .select((expr(
+            s"(unix_micros(ts) - ${1704067200000000L}L) div 86400000000L") < 15)
+            .as("h1"),
+            floor(col("value") * lit(10.0)).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("c1"),
+            sum(when(!col("h1"), 1L).otherwise(0L)).as("c2"))
+        val all = Window.partitionBy()
+        cell
+          .withColumn("n1", sum(col("c1")).over(all))
+          .withColumn("n2", sum(col("c2")).over(all))
+          .withColumn("bcq", expr(
+            "CAST(sqrt(CAST(c1 * c2 AS DOUBLE)) AS DECIMAL(28,8))"))
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            sum(col("bcq")).as("bcs"))
+          .select(col("n1"), col("n2"),
+            (col("bcs").cast("double") / sqrt(col("n1").cast("double")) /
+              sqrt(col("n2").cast("double"))).as("bc"),
+            sqrt(greatest(lit(0.0),
+              lit(1.0) - col("bcs").cast("double") /
+                sqrt(col("n1").cast("double")) /
+                sqrt(col("n2").cast("double")))).as("h"))
+      },
+      Some(s"""WITH b AS (
+              |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 < 15 AS h1,
+              |    CAST(floor(value * 10.0) AS BIGINT) AS v
+              |  FROM events),
+              |cell AS (SELECT v,
+              |  CAST(SUM(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              |  CAST(SUM(CASE WHEN NOT h1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+              |  FROM b GROUP BY v),
+              |tt AS (SELECT c1, c2,
+              |  CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+              |  CAST(SUM(c2) OVER () AS BIGINT) AS n2,
+              |  CAST(sqrt(CAST(c1 * c2 AS DOUBLE)) AS DECIMAL(28,8)) AS bcq
+              |  FROM cell)
+              |SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+              |  CAST(SUM(bcq) AS DOUBLE) / sqrt(CAST(MAX(n1) AS DOUBLE))
+              |    / sqrt(CAST(MAX(n2) AS DOUBLE)) AS bc,
+              |  sqrt(greatest(0.0, 1.0
+              |    - CAST(SUM(bcq) AS DOUBLE) / sqrt(CAST(MAX(n1) AS DOUBLE))
+              |      / sqrt(CAST(MAX(n2) AS DOUBLE)))) AS h
+              |FROM tt""".stripMargin)))
 }

@@ -168,6 +168,51 @@ class Stats3Spec extends SparkSuite {
       assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1).toDouble))
   }
 
+  test("q_conformal: coverage guarantee holds on the calibration data itself") {
+    val rows = q("q_conformal").collect()
+    val raw = graft.engine.Tables(spark, sf, "events")
+      .select(col("event_type"), floor(col("value") * 10000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val (et, n, qhat) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      val g = raw.filter(_._1 == et).map(_._2)
+      assert(g.length == n)
+      val s = g.sum
+      // in-sample coverage: |v − mean| ≤ qhat for ≥ 90% (rank def)
+      val covered = g.count(v =>
+        math.abs(n * v - s).toDouble / n.toDouble / 1e4 <= qhat)
+      assert(covered >= math.ceil(0.9 * n).toLong - 1, s"$et covers $covered/$n")
+      // qhat is the exact k-th smallest cleared residual
+      val k = math.min((9 * (n + 1) + 9) / 10, n).toInt
+      val res = g.map(v => math.abs(n * v - s)).sorted.apply(k - 1)
+      assert(qhat == res.toDouble / n.toDouble / 1e4)
+    }
+  }
+
+  test("q_trimmed_mean sits inside the winsorize bounds and near the mean") {
+    val tm = q("q_trimmed_mean").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val wz = q("q_winsorize").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    tm.foreach { case (rf, (kept, mean)) =>
+      val (lo, hi) = wz(rf)
+      assert(mean * 100 >= lo && mean * 100 <= hi,
+        s"$rf trimmed mean outside the p05/p95 band")
+      assert(kept > 0)
+    }
+  }
+
+  test("q_hellinger: BC in (0,1], H agrees with TVD's ordering of drift") {
+    val r = q("q_hellinger").collect().head
+    val (bc, h) = (r.getDouble(2), r.getDouble(3))
+    assert(bc > 0.0 && bc <= 1.0)
+    assert(h == math.sqrt(math.max(0.0, 1.0 - bc)))
+    // Hellinger bounds TVD: H² ≤ TVD ≤ H·√2
+    val tvd = q("q_tvd").collect().head.getDouble(2)
+    assert(h * h <= tvd + 1e-12 && tvd <= h * math.sqrt(2.0) + 1e-12,
+      s"H=$h TVD=$tvd violate the Hellinger–TV inequalities")
+  }
+
   test("q_cramer_v matches the quantized chi-square recompute; V in [0, 1]") {
     val cells = graft.engine.Tables(spark, sf, "events")
       .withColumn("wk", expr("(unix_micros(ts) div 86400000000L) % 7 IN (2, 3)"))
