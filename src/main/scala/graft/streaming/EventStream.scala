@@ -505,6 +505,46 @@ object EventStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class BinEvent(key: String, bin: Long)
+  final case class HistState(bins: Map[Long, Long], n: Long)
+  final case class DriftOut(key: String, n: Long, tvd_num: Long, tvd: Double)
+
+  /** Streaming total-variation drift monitor — the streaming twin of
+    * batch `q_tvd`: per key, accumulate a bin histogram in state and
+    * after every micro-batch emit TVD against a FIXED reference
+    * histogram (the training distribution), via the same cleared-
+    * integer form Σ|c·n_ref − r·n| / (2·n_ref·n) with the identical
+    * division order, so the streamed value over the full corpus is
+    * BIT-EQUAL to the batch query (TvdStreamSpec pins it). State is
+    * the bounded fixed-point bin map (≤ ~5k bins by construction) —
+    * O(bins) per key regardless of stream length; the reference rides
+    * the closure (dictionary-sized, a broadcast at scale). */
+  def tvdDrift(events: Dataset[BinEvent],
+      ref: Map[String, Map[Long, Long]]): Dataset[DriftOut] = {
+    import events.sparkSession.implicits._
+    def fn(key: String, evs: Iterator[BinEvent],
+        state: GroupState[HistState]): DriftOut = {
+      val st = state.getOption.getOrElse(HistState(Map.empty, 0L))
+      var bins = st.bins
+      var n = st.n
+      evs.foreach { e =>
+        bins = bins.updated(e.bin, bins.getOrElse(e.bin, 0L) + 1L)
+        n += 1L
+      }
+      state.update(HistState(bins, n))
+      val refH = ref.getOrElse(key, Map.empty)
+      val nRef = refH.values.sum
+      val num = (bins.keySet ++ refH.keySet).toSeq.map { b =>
+        math.abs(refH.getOrElse(b, 0L) * n - bins.getOrElse(b, 0L) * nRef)
+      }.sum
+      // division order matches batch q_tvd exactly: num/2/n_ref/n
+      DriftOut(key, n, num,
+        num.toDouble / 2.0 / nRef.toDouble / n.toDouble)
+    }
+    events.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def detectPattern(events: Dataset[PatternEvent]): Dataset[PatternHit] = {
     import events.sparkSession.implicits._
     def fn(userId: Long, evs: Iterator[PatternEvent],
