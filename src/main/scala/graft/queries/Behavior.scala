@@ -244,5 +244,118 @@ object Behavior {
              |    AS cum FROM c)
              |SELECT day, conv,
              |  CAST(n - cum AS DOUBLE) / CAST(n AS DOUBLE) AS survival
-             |FROM cum, n ORDER BY day""".stripMargin)))
+             |FROM cum, n ORDER BY day""".stripMargin)),
+
+    // ── Wald–Wolfowitz runs test on the daily delta signs ──
+    // Randomness check for the count series: R runs of +/− deltas
+    // (zeros dropped, counted separately), z = (R − μ)/σ with μ =
+    // 2n₁n₂/(n₁+n₂) + 1 and σ² = (μ−1)(μ−2)/(n₁+n₂−1) — exact integer
+    // counts from the ≤31-row daily lag, one fixed double expression.
+    // |z| ≫ 2 means trending/oscillation (too few/many runs) — the
+    // cheap "is this series i.i.d." gate before heavier models.
+    Q("q_runs_test",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(expr(s"(unix_micros(ts) - ${Epoch}L) div 86400000000L").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val ord = Window.orderBy("d")
+        val signs = daily
+          .withColumn("delta", col("x") - lag(col("x"), 1).over(ord))
+          .filter(col("delta").isNotNull && col("delta") =!= 0)
+          .withColumn("sgn", when(col("delta") > 0, 1L).otherwise(-1L))
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        val withPrev = signs
+          .withColumn("chg",
+            when(lag(col("sgn"), 1).over(Window.orderBy("d")).isNull ||
+              lag(col("sgn"), 1).over(Window.orderBy("d")) =!= col("sgn"), 1L)
+              .otherwise(0L))
+        val mu = lit(2.0) * d(col("n1")) * d(col("n2")) /
+          (d(col("n1")) + d(col("n2"))) + lit(1.0)
+        withPrev.agg(
+            sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n2"),
+            sum(col("chg")).as("r"))
+          .select(col("n1"), col("n2"), col("r"),
+            ((d(col("r")) - mu) /
+              sqrt((mu - lit(1.0)) * (mu - lit(2.0)) /
+                (d(col("n1")) + d(col("n2")) - lit(1.0)))).as("z"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT (epoch_us(ts) - $Epoch) // 86400000000 AS d,
+              |    CAST(count(*) AS BIGINT) AS x
+              |  FROM events GROUP BY 1),
+              |sg AS (SELECT d,
+              |  CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sgn
+              |  FROM (SELECT d, x - lag(x, 1) OVER (ORDER BY d) AS delta
+              |        FROM daily)
+              |  WHERE delta IS NOT NULL AND delta <> 0),
+              |ch AS (SELECT sgn,
+              |  CASE WHEN lag(sgn, 1) OVER (ORDER BY d) IS NULL
+              |    OR lag(sgn, 1) OVER (ORDER BY d) <> sgn THEN 1 ELSE 0 END AS chg
+              |  FROM sg),
+              |m AS (SELECT
+              |  CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              |  CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+              |  CAST(SUM(chg) AS BIGINT) AS r FROM ch)
+              |SELECT n1, n2, r,
+              |  (CAST(r AS DOUBLE)
+              |    - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+              |  / sqrt(((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0) - 1.0)
+              |      * ((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0) - 2.0)
+              |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)) AS z
+              |FROM m""".stripMargin)),
+
+    // ── cohort LTV triangle (quarterly) ──
+    // Customers cohorted by first-order quarter; for each (cohort,
+    // tenure) cell, the cohort's cumulative revenue per member — the
+    // growth-analytics LTV curve, exact cents cumulated per cohort
+    // (partitioned window over the ≤27×27 triangle), one division
+    // per cell. Two keyed aggregates (customer first-quarter, then
+    // the cell rollup); the triangle is bounded at any scale.
+    Q("q_cohort_ltv",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            (expr("(year(o_orderdate) - 1995) * 4 + quarter(o_orderdate) - 1"))
+              .cast("long").as("qi"),
+            floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        val first = o.groupBy("o_custkey").agg(min(col("qi")).as("cohort"))
+        val sizes = first.groupBy("cohort")
+          .agg(count(lit(1)).as("cohort_size"))
+        val cells = o.join(first, "o_custkey")
+          .groupBy(col("cohort"), (col("qi") - col("cohort")).as("tenure"))
+          .agg(sum(col("cents")).as("rev"))
+        val cum = Window.partitionBy("cohort").orderBy("tenure")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells
+          .withColumn("cum_rev", sum(col("rev")).over(cum))
+          .join(broadcast(sizes), "cohort")
+          .select(col("cohort"), col("tenure"), col("cohort_size"),
+            (col("cum_rev").cast("double") /
+              col("cohort_size").cast("double") / lit(100.0)).as("ltv"))
+          .orderBy("cohort", "tenure")
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+             |    CAST((year(o_orderdate) - 1995) * 4 + quarter(o_orderdate) - 1
+             |      AS BIGINT) AS qi,
+             |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+             |  FROM orders),
+             |f AS (SELECT o_custkey, CAST(MIN(qi) AS BIGINT) AS cohort
+             |  FROM o GROUP BY o_custkey),
+             |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+             |  FROM f GROUP BY cohort),
+             |cells AS (SELECT cohort, qi - cohort AS tenure,
+             |  CAST(SUM(cents) AS BIGINT) AS rev
+             |  FROM o JOIN f USING (o_custkey) GROUP BY cohort, qi - cohort),
+             |c AS (SELECT cohort, tenure,
+             |  CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY tenure
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_rev FROM cells)
+             |SELECT cohort, tenure, cohort_size,
+             |  CAST(cum_rev AS DOUBLE) / CAST(cohort_size AS DOUBLE) / 100.0
+             |    AS ltv
+             |FROM c JOIN sz USING (cohort) ORDER BY cohort, tenure""".stripMargin)))
 }

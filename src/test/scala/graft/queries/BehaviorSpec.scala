@@ -76,6 +76,43 @@ class BehaviorSpec extends SparkSuite {
     assert(r.getDouble(4).abs < 1.0)
   }
 
+  test("q_runs_test: scalar replay of runs counting and the z formula") {
+    val daily = graft.engine.Tables(spark, sf, "events")
+      .groupBy(expr("(unix_micros(ts) - 1704067200000000L) div 86400000000L").as("d"))
+      .agg(count(lit(1)).as("x")).orderBy("d")
+      .collect().map(_.getLong(1))
+    val signs = daily.zip(daily.tail).map { case (a, b) => b - a }
+      .filter(_ != 0).map(d => if (d > 0) 1 else -1)
+    val n1 = signs.count(_ == 1).toLong
+    val n2 = signs.count(_ == -1).toLong
+    val runs = 1L + signs.zip(signs.tail).count { case (a, b) => a != b }.toLong
+    val r = q("q_runs_test").collect().head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2 && r.getLong(2) == runs)
+    val mu = 2.0 * n1 * n2 / (n1 + n2).toDouble + 1.0
+    val z = (runs.toDouble - mu) /
+      math.sqrt((mu - 1.0) * (mu - 2.0) / (n1 + n2 - 1).toDouble)
+    assert(r.getDouble(3) == z)
+  }
+
+  test("q_cohort_ltv: per-cohort LTV is non-decreasing in tenure; sizes partition") {
+    val rows = q("q_cohort_ltv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, cells) =>
+      val byTenure = cells.sortBy(_._2)
+      val ltvs = byTenure.map(_._4)
+      assert(ltvs.zip(ltvs.tail).forall { case (a, b) => a <= b },
+        s"cohort $cohort LTV decreased")
+      assert(byTenure.head._2 == 0L, s"cohort $cohort lacks a tenure-0 cell")
+      assert(ltvs.head > 0.0)
+    }
+    // cohort sizes sum to the distinct customer count
+    val sizes = rows.groupBy(_._1).map(_._2.head._3).sum
+    val customers = graft.engine.Tables(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(sizes == customers)
+  }
+
   test("q_survival: strictly decreasing from below 1, conv counts close") {
     val rows = q("q_survival").collect()
     assert(rows.nonEmpty)
