@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Link-analysis and recommendation operators over the derived graphs
+  * (round-7 extension batch: HITS, item-item CF, weighted SSSP).
+  *
+  * Same determinism contract as [[Graph]]: every score is integer
+  * arithmetic (BIGINT sums of BIGINT terms, truncating `div` only at
+  * fixed-point emission), so the oracle hash can never drift by a ulp,
+  * and every LIMIT cut carries a total tie-break order.
+  *
+  * Reference analog: the web-graph workload family
+  * (`/root/reference` wg_maple.py/wg_juice.py computes in-degree —
+  * HITS iteration 1's authority vector IS in-degree; these queries
+  * carry the iterated forms a graph user runs next).
+  */
+object Graph2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Weighted part co-purchase edges (u < v, w = distinct orders
+    * containing both). The WEIGHT-KEEPING sibling of
+    * [[Graph.partCoPurchase]] (which drops w after thresholding):
+    * item-item CF needs the co-occurrence count as the cosine
+    * numerator and SSSP uses it as inverse edge cost. Same build-once
+    * BUCKETED artifact discipline — one pairing shuffle per (corpus,
+    * threshold), every consumer scans a u-clustered table. Kept as a
+    * SEPARATE artifact name from part_cooc_ms2 so existing cached
+    * layouts stay valid (cachedTable memoizes by name; silently
+    * changing a name's schema would read a stale layout). */
+  private[queries] def coPurchaseW(s: SparkSession, dir: String,
+      minShared: Long): DataFrame = {
+    val table = graft.engine.Bucketing.cachedTable(
+      s, s"part_cooc_w_ms$minShared", dir, "u", 16) {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      op.select(col("o"), col("p").as("u"))
+        .join(op.select(col("o").as("o2"), col("p").as("v")),
+          col("o") === col("o2") && col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= minShared)
+    }
+    s.table(table)
+  }
+
+  /** Shared oracle prelude: the distinct (order, part) incidence and
+    * the weighted co-purchase edge list, mirrored from the artifact
+    * build above. */
+  private val opEdgeSql: String =
+    """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ew AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS w
+      |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |       GROUP BY a.p, b.p HAVING count(*) >= 2)""".stripMargin
+
+  /** One unrolled Bellman-Ford oracle round over the symmetric
+    * weighted edges (`ee(s, d, cost)`): relax every edge out of the
+    * previous frontier, keep the per-node min. */
+  private def ssspIterSql(k: Int, prev: String): String =
+    s"""d$k AS (SELECT node, MIN(dist) AS dist FROM (
+       |  SELECT node, dist FROM $prev
+       |  UNION ALL
+       |  SELECT e.d AS node, p.dist + e.cost AS dist
+       |  FROM $prev p JOIN ee e ON e.s = p.node) GROUP BY node)""".stripMargin
+
+  /** Two unnormalized HITS iterations over a bipartite incidence
+    * (c, sp): a₁ = in-degree, h₁ = Σ a₁ over a hub's authorities,
+    * a₂ = Σ h₁ over an authority's hubs — every score an exact
+    * BIGINT (see q_hits scaladoc for why normalization is elided). */
+  private[queries] def hitsScores(cs: DataFrame): DataFrame = {
+    val a1 = cs.groupBy(col("sp")).agg(count(lit(1)).as("a1"))
+    val h1 = cs.join(a1, "sp")
+      .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
+    val a2 = cs.join(h1, "c")
+      .groupBy(col("sp")).agg(sum(col("h1")).as("a2"))
+    a1.join(a2, "sp").select(col("sp"), col("a1"), col("a2"))
+  }
+
+  /** Fixed-round Bellman-Ford from a seed set over directed weighted
+    * edges (s, d, cost): after round k each node's dist is the exact
+    * min-cost path using ≤ k edges (nodes unreached in k hops are
+    * absent). Integer costs ⇒ exact BIGINT distances. */
+  private[queries] def ssspLoop(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val und = edges.localCheckpoint(true)
+    var dist = seeds.select(col("node")).withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      val relax = und.join(dist, und("s") === dist("node"))
+        .select(col("d").as("node"), (col("dist") + col("cost")).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ── HITS hubs & authorities (2 fixed iterations, pure integer) ──
+    // Bipartite customer→supplier link graph: hubs = customers,
+    // authorities = suppliers. Unnormalized power iteration keeps
+    // every score an exact BIGINT (a₁ = in-degree; h₁ = Σ a₁ over a
+    // customer's suppliers; a₂ = Σ h₁ over a supplier's customers) —
+    // the per-iteration L2 normalization of textbook HITS only
+    // rescales, so the top-k ORDER is identical and the integers are
+    // hash-exact. 100 TB: each iteration is one join of the bucketed
+    // incidence artifact against a node-sized score vector + one
+    // keyed sum — the custSuppEdges/pageRank shape; at extreme
+    // iteration counts unnormalized scores grow geometrically, so a
+    // deep-iteration deployment switches to micro-unit fixed-point
+    // with per-round max-rescale (the pageRank micro-unit idiom).
+    Q("q_hits",
+      (s, dir) =>
+        hitsScores(Graph.custSupp(s, dir))
+          .orderBy(col("a2").desc, col("sp"))
+          .limit(20),
+      Some("""WITH cs AS (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |a1 AS (SELECT sp, CAST(count(*) AS BIGINT) AS a1
+             |       FROM cs GROUP BY sp),
+             |h1 AS (SELECT c, CAST(SUM(a1.a1) AS BIGINT) AS h1
+             |       FROM cs JOIN a1 ON cs.sp = a1.sp GROUP BY c),
+             |a2 AS (SELECT cs.sp, CAST(SUM(h1.h1) AS BIGINT) AS a2
+             |       FROM cs JOIN h1 ON cs.c = h1.c GROUP BY cs.sp)
+             |SELECT a1.sp, a1.a1, a2.a2
+             |FROM a1 JOIN a2 ON a1.sp = a2.sp
+             |ORDER BY a2.a2 DESC, a1.sp LIMIT 20""".stripMargin)),
+
+    // ── item-item collaborative filtering (co-purchase cosine) ──
+    // The "customers who bought X also bought Y" primitive: cosine
+    // similarity between parts over the order-incidence vectors,
+    // cos²(i,j) = w²ᵢⱼ/(nᵢ·nⱼ) in fixed point — squaring keeps the
+    // score MONOTONE in cosine (all terms non-negative) while staying
+    // entirely in integer arithmetic (no sqrt, no doubles). Inverted-
+    // index shape: pairs come from the bucketed co-purchase artifact
+    // (never all-pairs — candidates require a shared order), the
+    // part-frequency table is broadcast (parts ≪ lineitem; at 100 TB
+    // it stays millions of rows — a few hundred MB — or falls back to
+    // a join on the bucketed u key). w²·10⁶ needs headroom: BIGINT
+    // carries w up to ~3·10⁶ before a production corpus moves the
+    // numerator to DECIMAL(38,0).
+    Q("q_itemcf",
+      (s, dir) => {
+        val ew = coPurchaseW(s, dir, 2L)
+        val op = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val n = op.groupBy(col("p")).agg(count(lit(1)).as("n"))
+        ew.join(broadcast(n.select(col("p").as("u"), col("n").as("nu"))), Seq("u"))
+          .join(broadcast(n.select(col("p").as("v"), col("n").as("nv"))), Seq("v"))
+          .withColumn("cos2_fp", expr("w * w * 1000000L div (nu * nv)"))
+          .select("u", "v", "w", "nu", "nv", "cos2_fp")
+          .orderBy(col("cos2_fp").desc, col("u"), col("v"))
+          .limit(30)
+      },
+      Some(s"""WITH $opEdgeSql,
+              |n AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY p)
+              |SELECT u, v, w, nu.n AS nu, nv.n AS nv,
+              |  (w * w * 1000000) // (nu.n * nv.n) AS cos2_fp
+              |FROM ew JOIN n nu ON nu.p = ew.u JOIN n nv ON nv.p = ew.v
+              |ORDER BY cos2_fp DESC, u, v LIMIT 30""".stripMargin)),
+
+    // ── weighted single-source shortest paths (3 Bellman-Ford rounds) ──
+    // The weighted generalization of q_nhop's BFS: edge cost =
+    // 10⁶ div w (stronger co-purchase = cheaper hop), distances from
+    // the seed parts (id ≤ 20) relax for 3 fixed rounds — after round
+    // k every node holds the exact min-cost path using ≤ k edges
+    // (Bellman-Ford invariant; fixed rounds keep the oracle an
+    // unrolled CTE, the pageRankConverged epsilon-loop is the
+    // production fixpoint form). Integer costs make every distance an
+    // exact BIGINT. Per round: one join of the materialized-once
+    // symmetric edge list against the node-sized frontier + one min
+    // aggregate — edges never recompute, the distance vector is the
+    // only thing that moves.
+    Q("q_sssp",
+      (s, dir) => {
+        val ew = coPurchaseW(s, dir, 2L)
+        val und = ew
+          .select(col("u").as("s"), col("v").as("d"),
+            expr("1000000L div w").as("cost"))
+          .unionByName(ew.select(col("v").as("s"), col("u").as("d"),
+            expr("1000000L div w").as("cost")))
+        val seeds = und.select(col("s").as("node")).distinct()
+          .filter(col("node") <= 20)
+        ssspLoop(und, seeds, 3).orderBy("node")
+      },
+      Some(s"""WITH $opEdgeSql,
+              |ee AS (SELECT u AS s, v AS d, 1000000 // w AS cost FROM ew
+              |       UNION ALL SELECT v AS s, u AS d, 1000000 // w AS cost FROM ew),
+              |d0 AS (SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS dist
+              |       FROM ee WHERE s <= 20),
+              |${ssspIterSql(1, "d0")},
+              |${ssspIterSql(2, "d1")},
+              |${ssspIterSql(3, "d2")}
+              |SELECT node, dist FROM d3 ORDER BY node""".stripMargin))
+  )
+}

@@ -545,6 +545,52 @@ object EventStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class CdcEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String, value: Double)
+  final case class CdcState(n_live: Long, live_since: Long,
+      last_type: String, last_value: Double)
+  final case class CdcOut(user_id: Long, n_live: Long, live_since: Long,
+      last_type: String, last_value: Double)
+
+  /** Streaming CDC fold — the streaming twin of batch `q_cdc_apply`:
+    * per user, fold the changelog into current state with DELETE
+    * tombstones (`error` events clear ALL accumulated state; later
+    * events re-insert). State is four scalars per key — O(1) per
+    * event regardless of history length, the million-key pattern.
+    * Emission is Update-mode: one refreshed state row per user per
+    * micro-batch; a tombstoned user emits n_live = 0 (the retraction
+    * a downstream sink turns into a DELETE).
+    *
+    * Ordering contract: in-batch events sort by (event time,
+    * event_id) — identical to the batch query's window order; ACROSS
+    * micro-batches events apply in arrival order (the standard
+    * streaming-CDC behavior — a source that replays the log in time
+    * order, like the file source over dated files, reproduces the
+    * batch fold exactly; CdcStreamSpec pins that equality). */
+  def cdcApplyStream(events: Dataset[CdcEvent]): Dataset[CdcOut] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[CdcEvent],
+        state: GroupState[CdcState]): CdcOut = {
+      var st = state.getOption.getOrElse(CdcState(0L, 0L, null, 0.0))
+      evs.toArray
+        .sortBy(e => ((e.ts.getTime / 1000L) * 1000000L +
+          e.ts.getNanos / 1000L, e.event_id))
+        .foreach { e =>
+          if (e.event_type == "error") st = CdcState(0L, 0L, null, 0.0)
+          else {
+            val sinceU = (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L
+            st = CdcState(st.n_live + 1L,
+              if (st.n_live == 0L) sinceU else st.live_since,
+              e.event_type, e.value)
+          }
+        }
+      state.update(st)
+      CdcOut(userId, st.n_live, st.live_since, st.last_type, st.last_value)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def detectPattern(events: Dataset[PatternEvent]): Dataset[PatternHit] = {
     import events.sparkSession.implicits._
     def fn(userId: Long, evs: Iterator[PatternEvent],
