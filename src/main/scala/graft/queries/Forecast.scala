@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Forecasting operators (round-7 extension batch).
+  *
+  * Determinism: Holt's recursion uses α = β = 1/2 — every smoothing
+  * step is a multiply-by-0.5 (exact in binary floating point) and
+  * additions of dyadic rationals whose combined magnitude stays far
+  * inside the 53-bit mantissa (daily counts ≤ ~2²⁰ with ≤ ~2⁻³⁵
+  * fractional resolution over a month of days), so the level/trend
+  * iterates are EXACT dyadic rationals on both engines — the hash can
+  * never drift by a ulp. A production deployment wanting arbitrary
+  * α keeps the same shape with fixed-point micro-unit arithmetic
+  * (the pageRank idiom).
+  */
+object Forecast {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+
+    // ── Holt's linear (double-exponential) smoothing per event type ──
+    // Daily event counts fold through level/trend recursion
+    //   l_t = ½·y_t + ½·(l_{t−1} + b_{t−1})
+    //   b_t = ½·(l_t − l_{t−1}) + ½·b_{t−1}
+    // initialized l₁ = y₁, b₁ = 0; output the final state and the
+    // 1-step-ahead forecast l + b per type. The recursion is
+    // inherently sequential IN THE SERIES — but the series is
+    // day-grain (bounded by calendar days, not corpus size), so the
+    // 100 TB shape is: one distributed day×type aggregate over the
+    // events (the only corpus-sized stage), then a per-type
+    // `aggregate()` higher-order fold over a ≤365-element array —
+    // codegen'd, no UDF, no driver loop. The oracle runs the same
+    // recursion as a RECURSIVE CTE over the day index.
+    Q("q_holt",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        daily.groupBy("event_type")
+          .agg(expr("array_sort(collect_list(struct(day, y)))").as("ser"))
+          .withColumn("ys", expr("transform(ser, x -> x.y)"))
+          .withColumn("st", expr(
+            """aggregate(
+              |  slice(ys, 2, size(ys) - 1),
+              |  named_struct('l', ys[0], 'b', cast(0.0 as double)),
+              |  (acc, y) -> named_struct(
+              |    'l', 0.5D * y + 0.5D * (acc.l + acc.b),
+              |    'b', 0.5D * (0.5D * y + 0.5D * (acc.l + acc.b) - acc.l)
+              |         + 0.5D * acc.b),
+              |  acc -> acc)""".stripMargin))
+          .select(col("event_type"), size(col("ys")).cast("long").as("n_days"),
+            col("st.l").as("level"), col("st.b").as("trend"),
+            (col("st.l") + col("st.b")).as("forecast"))
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (SELECT event_type, y,
+             |          row_number() OVER (PARTITION BY event_type
+             |            ORDER BY day) AS i
+             |        FROM d),
+             |hw(event_type, i, l, b) AS (
+             |  -- anchor types BIND the recursion's types in DuckDB: 0.0
+             |  -- unadorned is DECIMAL and would silently quantize every
+             |  -- iterate — cast to DOUBLE explicitly
+             |  SELECT event_type, CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE)
+             |  FROM idx WHERE i = 1
+             |  UNION ALL
+             |  SELECT h.event_type, h.i + 1,
+             |         0.5 * x.y + 0.5 * (h.l + h.b),
+             |         0.5 * (0.5 * x.y + 0.5 * (h.l + h.b) - h.l) + 0.5 * h.b
+             |  FROM hw h JOIN idx x
+             |    ON x.event_type = h.event_type AND x.i = h.i + 1),
+             |fin AS (SELECT event_type, MAX(i) AS n FROM hw GROUP BY 1)
+             |SELECT h.event_type, f.n AS n_days, h.l AS level, h.b AS trend,
+             |       h.l + h.b AS forecast
+             |FROM hw h JOIN fin f
+             |  ON f.event_type = h.event_type AND h.i = f.n
+             |ORDER BY h.event_type""".stripMargin)),
+
+    // ── forecast backtest: mean absolute error vs the naive model ──
+    // The evaluation half of forecasting: walk the same daily series
+    // and score 1-step-ahead Holt (forecast for day t+1 = l_t + b_t)
+    // against the NAIVE forecast (ŷ_{t+1} = y_t) by total absolute
+    // error in exact micro-units. The fold carries (l, b, prev_y,
+    // err_holt, err_naive) through the same dyadic recursion —
+    // errors quantize to BIGINT micro-units at each step, so the
+    // comparison is hash-exact. A model that can't beat naive on
+    // this corpus reads as ratio_fp ≥ 10⁶ honestly rather than
+    // hiding behind float noise.
+    Q("q_holt_backtest",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        daily.groupBy("event_type")
+          .agg(expr("array_sort(collect_list(struct(day, y)))").as("ser"))
+          .withColumn("ys", expr("transform(ser, x -> x.y)"))
+          .withColumn("st", expr(
+            // err accumulators are micro-unit BIGINTs of |forecast − y|;
+            // the forecast for the CURRENT y is the PREVIOUS (l+b) /
+            // prev_y, accumulated before folding y into the state
+            """aggregate(
+              |  slice(ys, 2, size(ys) - 1),
+              |  named_struct('l', ys[0], 'b', cast(0.0 as double),
+              |               'py', ys[0],
+              |               'eh', cast(0L as bigint), 'en', cast(0L as bigint)),
+              |  (acc, y) -> named_struct(
+              |    'l', 0.5D * y + 0.5D * (acc.l + acc.b),
+              |    'b', 0.5D * (0.5D * y + 0.5D * (acc.l + acc.b) - acc.l)
+              |         + 0.5D * acc.b,
+              |    'py', y,
+              |    'eh', acc.eh + cast(floor(abs((acc.l + acc.b) - y) * 1000000D) as bigint),
+              |    'en', acc.en + cast(floor(abs(acc.py - y) * 1000000D) as bigint)),
+              |  acc -> acc)""".stripMargin))
+          .select(col("event_type"),
+            (size(col("ys")) - 1).cast("long").as("n_preds"),
+            col("st.eh").as("abs_err_holt_fp"),
+            col("st.en").as("abs_err_naive_fp"),
+            // ratio < 10⁶ ⇔ Holt beats naive on this series
+            expr("st.eh * 1000000L div greatest(st.en, 1L)").as("ratio_fp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (SELECT event_type, y,
+             |          row_number() OVER (PARTITION BY event_type
+             |            ORDER BY day) AS i
+             |        FROM d),
+             |hw(event_type, i, l, b, py, eh, en) AS (
+             |  SELECT event_type, CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE), y,
+             |         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |  FROM idx WHERE i = 1
+             |  UNION ALL
+             |  SELECT h.event_type, h.i + 1,
+             |         0.5 * x.y + 0.5 * (h.l + h.b),
+             |         0.5 * (0.5 * x.y + 0.5 * (h.l + h.b) - h.l) + 0.5 * h.b,
+             |         x.y,
+             |         h.eh + CAST(floor(abs((h.l + h.b) - x.y) * 1000000) AS BIGINT),
+             |         h.en + CAST(floor(abs(h.py - x.y) * 1000000) AS BIGINT)
+             |  FROM hw h JOIN idx x
+             |    ON x.event_type = h.event_type AND x.i = h.i + 1),
+             |fin AS (SELECT event_type, MAX(i) AS n FROM hw GROUP BY 1)
+             |SELECT h.event_type, f.n - 1 AS n_preds,
+             |       h.eh AS abs_err_holt_fp, h.en AS abs_err_naive_fp,
+             |       (h.eh * 1000000) // greatest(h.en, 1) AS ratio_fp
+             |FROM hw h JOIN fin f
+             |  ON f.event_type = h.event_type AND h.i = f.n
+             |ORDER BY h.event_type""".stripMargin))
+  )
+}

@@ -165,6 +165,34 @@ object Graph2 {
               |FROM ew JOIN n nu ON nu.p = ew.u JOIN n nv ON nv.p = ew.v
               |ORDER BY cos2_fp DESC, u, v LIMIT 30""".stripMargin)),
 
+    // ── degree distribution of the co-purchase graph ──
+    // The graph-profile operator run before choosing any algorithm
+    // parameter (k for k-core, salting for adjacency skew): node
+    // count per exact degree. Two keyed integer aggregates — node-
+    // sized then degree-sized output; the heavy tail (or its absence)
+    // is exactly what the round-6 triangle-vacuity audit had to
+    // establish by hand.
+    Q("q_degree_dist",
+      (s, dir) => {
+        val e = Graph.partCoPurchase(s, dir, 2L)
+        val und = e.select(col("u").as("node"))
+          .unionByName(e.select(col("v").as("node")))
+        und.groupBy("node").agg(count(lit(1)).as("deg"))
+          .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("deg")
+      },
+      Some("""WITH op AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (
+             |  SELECT a.p AS u, b.p AS v
+             |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+             |nd AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+             |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+             |       FROM nd GROUP BY node)
+             |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+             |FROM dg GROUP BY deg ORDER BY deg""".stripMargin)),
+
     // ── weighted single-source shortest paths (3 Bellman-Ford rounds) ──
     // The weighted generalization of q_nhop's BFS: edge cost =
     // 10⁶ div w (stronger co-purchase = cheaper hop), distances from

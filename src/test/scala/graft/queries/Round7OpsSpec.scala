@@ -112,6 +112,31 @@ class Round7OpsSpec extends SparkSuite {
     assert(got.contains((1L, 2L)) && got.contains((4L, 5L)))
   }
 
+  test("setSimProbe equals the all-pairs answer restricted to probe docs") {
+    val docs = Seq(
+      1L -> Seq("a", "b", "c", "d"),
+      2L -> Seq("a", "b", "c", "e"),
+      3L -> Seq("a", "b", "c", "d"),
+      4L -> Seq("x", "y", "z"),
+      5L -> Seq("x", "y", "z", "a"),
+      6L -> Seq("a", "b", "c", "d", "e"))
+    val tok = docs.flatMap { case (id, ts) => ts.map(id -> _) }.toDF("doc_id", "tk")
+    val got = Retrieval.setSimProbe(tok, col("doc_id") % 2 === 0, 1, 2)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (ia, ta) <- docs if ia % 2 == 0
+      (ib, tb) <- docs if ib != ia
+      inter = ta.toSet.intersect(tb.toSet).size
+      uni = ta.toSet.union(tb.toSet).size
+      if inter * 2 >= uni
+    } yield (ia, ib)).toSet
+    assert(got == expected)
+    // direction check: probe side is always da, corpus side db — a
+    // probe→probe match appears in both orientations
+    assert(got.contains((2L, 1L)) && !got.contains((1L, 2L)))
+    assert(got.contains((2L, 6L)) && got.contains((6L, 2L)))
+  }
+
   test("setSimJoin τ=0.9 prunes but still catches exact duplicates") {
     val docs = Seq(
       1L -> (1 to 20).map(i => s"t$i"),
