@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -86,6 +87,52 @@ object Forecast {
              |FROM hw h JOIN fin f
              |  ON f.event_type = h.event_type AND h.i = f.n
              |ORDER BY h.event_type""".stripMargin)),
+
+    // ── trailing-7-day rolling EXACT median of daily revenue ──
+    // The robust-smoothing twin of the mean-based EWMA/Holt surface:
+    // for each order day, the lower median of the trailing ≤7 days'
+    // revenue totals (in exact cents — DECIMAL-scaled BIGINT). The
+    // window is day-grain, so the frame holds ≤7 values: collect,
+    // sort, pick rank (n+1) div 2 — all integer, hash-exact, no
+    // approx-percentile sketch needed at this grain. The corpus-sized
+    // stage is the one day aggregate; the window runs over day-count
+    // rows. The oracle picks the identical rank via a range self-join
+    // (no reliance on any engine's quantile tie/interpolation rule).
+    Q("q_rolling_median",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("cast(o_totalprice as decimal(18,2)) * 100"))
+            .cast("long").as("cents"))
+        // RANGE frame over epoch-day numbers, not a row frame: the
+        // calendar has gaps, and "trailing 7 days" must skip them the
+        // same way the oracle's BETWEEN day-interval join does
+        val w7 = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+        daily
+          .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+          // collect the ≤7-value frame, sort, pick the lower median:
+          // [] indexing is 0-based, rank (n+1) div 2 is 1-based
+          .withColumn("win", sort_array(collect_list(col("cents")).over(w7)))
+          .withColumn("med7_cents",
+            expr("win[(size(win) + 1) div 2 - 1]"))
+          .select(col("day"), col("cents"), col("med7_cents"))
+          .orderBy("day")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+             |              AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |w AS (SELECT a.day, b.cents AS c
+             |      FROM d a JOIN d b
+             |        ON b.day BETWEEN a.day - INTERVAL 6 DAY AND a.day),
+             |r AS (SELECT day, c,
+             |        row_number() OVER (PARTITION BY day ORDER BY c) AS rn,
+             |        count(*) OVER (PARTITION BY day) AS n
+             |      FROM w)
+             |SELECT d.day, d.cents, r.c AS med7_cents
+             |FROM d JOIN r ON r.day = d.day AND r.rn = (r.n + 1) // 2
+             |ORDER BY d.day""".stripMargin)),
 
     // ── forecast backtest: mean absolute error vs the naive model ──
     // The evaluation half of forecasting: walk the same daily series

@@ -98,7 +98,139 @@ object Graph2 {
     dist
   }
 
+  /** Shared oracle CTE: the symmetric co-purchase edge list `ee(s, d)`
+    * (both directions of every u < v edge). */
+  private val symEdgeSql: String =
+    """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT a.p AS u, b.p AS v
+      |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |       GROUP BY a.p, b.p HAVING count(*) >= 2),
+      |ee AS (SELECT u AS s, v AS d FROM e0
+      |       UNION ALL SELECT v AS s, u AS d FROM e0)""".stripMargin
+
   val queries: Seq[Q] = Seq(
+
+    // ── degree assortativity of the co-purchase graph ──
+    // Pearson correlation between the degrees at the two ends of an
+    // edge — positive: hubs link hubs (social-network shape);
+    // negative: hubs link leaves (star/dependency shape). Over the
+    // SYMMETRIC edge list both marginals are identical, so the
+    // denominator n·Σx² − (Σx)² is a plain integer and
+    // r = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is PURE RATIONAL — no
+    // sqrt, emitted as truncating micro-unit fixed point, hash-exact.
+    // One degree aggregate + one edge⋈degree join per side + a 1-row
+    // moment aggregate; numerator headroom is ~n·Σxy·10⁶ ≲ 2⁶³ at
+    // every driver SF (a web-scale corpus moves the moments to
+    // DECIMAL(38,0) — same query shape).
+    Q("q_assortativity",
+      (s, dir) => {
+        val e = Graph.partCoPurchase(s, dir, 2L)
+        val und = e.select(col("u").as("s"), col("v").as("d"))
+          .unionByName(e.select(col("v").as("s"), col("u").as("d")))
+        val deg = und.groupBy(col("s").as("node")).agg(count(lit(1)).as("dg"))
+          .localCheckpoint(true)
+        und
+          .join(broadcast(deg.select(col("node").as("s"), col("dg").as("dx"))), Seq("s"))
+          .join(broadcast(deg.select(col("node").as("d"), col("dg").as("dy"))), Seq("d"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+            sum(col("dx") * col("dy")).as("sxy"),
+            sum(col("dx") * col("dx")).as("sxx"))
+          .select(col("n"),
+            expr("(n * sxy - sx * sy) * 1000000L div (n * sxx - sx * sx)")
+              .as("assort_fp"))
+      },
+      Some(s"""WITH $symEdgeSql,
+              |dg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
+              |       FROM ee GROUP BY s),
+              |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |        CAST(SUM(a.dg) AS BIGINT) AS sx,
+              |        CAST(SUM(b.dg) AS BIGINT) AS sy,
+              |        CAST(SUM(a.dg * b.dg) AS BIGINT) AS sxy,
+              |        CAST(SUM(a.dg * a.dg) AS BIGINT) AS sxx
+              |      FROM ee JOIN dg a ON a.node = ee.s
+              |              JOIN dg b ON b.node = ee.d)
+              |SELECT n, (n * sxy - sx * sy) * 1000000
+              |          // (n * sxx - sx * sx) AS assort_fp
+              |FROM m""".stripMargin)),
+
+    // ── modularity of the 3-round label-propagation communities ──
+    // The quality score for q_labelprop's partition: Q = Σ_c [e_c/m −
+    // (d_c/2m)²] over communities c (e_c = intra-community edges,
+    // d_c = total degree in c, m = |E|). Cleared to integers:
+    // Q = Σ_c (4·m·e_c − d_c²) / (4·m²) — emitted as micro-unit
+    // fixed point, hash-exact. Community stats are two keyed
+    // aggregates against the node-sized label vector; the labels
+    // re-run the SAME 3-round loop as q_labelprop (and the oracle
+    // unrolls the same rounds), so the score evidences THAT declared
+    // partition, not an arbitrary one.
+    Q("q_modularity",
+      (s, dir) => {
+        val e = Graph.partCoPurchase(s, dir, 2L)
+        val labels = Graph.labelProp(e, 3).localCheckpoint(true)
+        // 1-row edge count rides a broadcast, never a driver collect
+        // (the q_argmax_ties idiom)
+        val mdf = e.agg(count(lit(1)).as("m"))
+        val intra = e
+          .join(labels.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
+          .join(labels.select(col("node").as("v"), col("lbl").as("lv")), Seq("v"))
+          .filter(col("lu") === col("lv"))
+          .groupBy(col("lu").as("comm")).agg(count(lit(1)).as("e_in"))
+        val und = e.select(col("u").as("node"))
+          .unionByName(e.select(col("v").as("node")))
+        val dsum = und.groupBy("node").agg(count(lit(1)).as("dg"))
+          .join(labels, "node")
+          .groupBy(col("lbl").as("comm")).agg(sum(col("dg")).as("d_sum"))
+        dsum.join(intra, Seq("comm"), "left")
+          .crossJoin(broadcast(mdf))
+          .withColumn("num",
+            lit(4L) * col("m") * coalesce(col("e_in"), lit(0L)) -
+              col("d_sum") * col("d_sum"))
+          .groupBy("m")
+          .agg(count(lit(1)).as("n_comms"), sum(col("num")).as("num_sum"))
+          .select(col("n_comms"), col("m"), col("num_sum"),
+            expr("num_sum * 1000000L div (4L * m * m)").as("q_fp"))
+      },
+      Some("""WITH op AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e0 AS (SELECT a.p AS u, b.p AS v
+             |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             |       GROUP BY a.p, b.p HAVING count(*) >= 2),
+             |ee AS (SELECT u AS s, v AS d FROM e0
+             |       UNION ALL SELECT v AS s, u AS d FROM e0),
+             |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM ee),
+             |l1 AS (SELECT node, MIN(lbl) AS lbl FROM (
+             |  SELECT node, lbl FROM l0
+             |  UNION ALL
+             |  SELECT e.d AS node, l0.lbl FROM ee e JOIN l0 ON l0.node = e.s)
+             |  GROUP BY node),
+             |l2 AS (SELECT node, MIN(lbl) AS lbl FROM (
+             |  SELECT node, lbl FROM l1
+             |  UNION ALL
+             |  SELECT e.d AS node, l1.lbl FROM ee e JOIN l1 ON l1.node = e.s)
+             |  GROUP BY node),
+             |l3 AS (SELECT node, MIN(lbl) AS lbl FROM (
+             |  SELECT node, lbl FROM l2
+             |  UNION ALL
+             |  SELECT e.d AS node, l2.lbl FROM ee e JOIN l2 ON l2.node = e.s)
+             |  GROUP BY node),
+             |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+             |intra AS (SELECT lu.lbl AS comm, CAST(count(*) AS BIGINT) AS e_in
+             |          FROM e0 JOIN l3 lu ON lu.node = e0.u
+             |                  JOIN l3 lv ON lv.node = e0.v
+             |          WHERE lu.lbl = lv.lbl GROUP BY lu.lbl),
+             |dsum AS (SELECT l3.lbl AS comm, CAST(SUM(dg.dg) AS BIGINT) AS d_sum
+             |         FROM (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
+             |               FROM ee GROUP BY s) dg
+             |         JOIN l3 ON l3.node = dg.node GROUP BY l3.lbl),
+             |terms AS (SELECT d.comm,
+             |            4 * mm.m * COALESCE(i.e_in, 0) - d.d_sum * d.d_sum AS num
+             |          FROM dsum d LEFT JOIN intra i ON i.comm = d.comm
+             |          CROSS JOIN mm)
+             |SELECT CAST(count(*) AS BIGINT) AS n_comms, mm.m AS m,
+             |       CAST(SUM(num) AS BIGINT) AS num_sum,
+             |       CAST(SUM(num) AS BIGINT) * 1000000 // (4 * mm.m * mm.m) AS q_fp
+             |FROM terms CROSS JOIN mm GROUP BY mm.m""".stripMargin)),
 
     // ── HITS hubs & authorities (2 fixed iterations, pure integer) ──
     // Bipartite customer→supplier link graph: hubs = customers,
@@ -150,7 +282,10 @@ object Graph2 {
         val op = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()
+        // parts-sized; materialized ONCE — both broadcast sides read
+        // the checkpoint instead of re-running the distinct+aggregate
         val n = op.groupBy(col("p")).agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
         ew.join(broadcast(n.select(col("p").as("u"), col("n").as("nu"))), Seq("u"))
           .join(broadcast(n.select(col("p").as("v"), col("n").as("nv"))), Seq("v"))
           .withColumn("cos2_fp", expr("w * w * 1000000L div (nu * nv)"))

@@ -68,6 +68,38 @@ class ForecastSpec extends SparkSuite {
     }
   }
 
+  test("q_rolling_median equals a scalar day-range median walk") {
+    val rows = SparkEntry.queries("q_rolling_median")(spark, sf)
+      .as[(Date, Long, Long)].collect()
+      .map { case (d, c, m) => (d.toLocalDate.toEpochDay, c, m) }
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (d, _, med) =>
+      val win = (d - 6 to d).flatMap(byDay.get).sorted
+      assert(win.nonEmpty)
+      assert(med == win((win.size + 1) / 2 - 1),
+        s"day $d: median $med != scalar ${win((win.size + 1) / 2 - 1)}")
+    }
+  }
+
+  test("q_assortativity and q_modularity scores stay in analytic bounds") {
+    val a = SparkEntry.queries("q_assortativity")(spark, sf)
+      .as[(Long, Long)].head()
+    assert(a._1 > 0)
+    assert(a._2 >= -1000000L && a._2 <= 1000000L,
+      s"assortativity ${a._2} outside [-1, 1] micro-units")
+    val m = SparkEntry.queries("q_modularity")(spark, sf)
+      .select("n_comms", "m", "num_sum", "q_fp")
+      .as[(Long, Long, Long, Long)].head()
+    assert(m._1 >= 1 && m._2 > 0)
+    // Q ∈ [−1/2, 1) analytically
+    assert(m._4 >= -500000L && m._4 < 1000000L,
+      s"modularity ${m._4} outside [-0.5, 1) micro-units")
+    // consistency: q_fp is exactly num_sum·10⁶ div 4m² (both engines
+    // truncate toward zero — probed: DuckDB -7//2 = -3, Spark div same)
+    assert(m._4 == m._3 * 1000000L / (4 * m._2 * m._2))
+  }
+
   test("q_degree_dist mass checks: Σ n_nodes = |V|, Σ deg·n = 2|E|") {
     val rows = SparkEntry.queries("q_degree_dist")(spark, sf)
       .as[(Long, Long)].collect()
