@@ -1069,6 +1069,58 @@ object Pipeline {
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v_sum
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ── incremental view maintenance of a JOIN view (bilinear rule) ──
+    // Extends q_ivm_counts' additive fold to a two-relation view:
+    // V = γ(orders ⋈ customer) maintained under increments to BOTH
+    // sides via the bilinear delta rule
+    //   Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    // (ΔA = orders after the cutoff date; ΔB = a customer-key slice
+    // standing in for newly-registered customers). The three delta
+    // joins aggregate to nation grain and fold into the old state
+    // with Merge.upsert's additive combine; the oracle recomputes
+    // γ(A ⋈ B) from scratch, so a missing delta term (the classic
+    // IVM bug is dropping ΔA ⋈ ΔB), a double-counted slice, or a
+    // non-associative combine is a hash mismatch. Counts + DECIMAL
+    // sums keep every fold order-free exact. 100 TB shape: each
+    // delta join is increment × (bucketed base) — the base relations
+    // never rescan in full; the folds are nation-grain upserts.
+    Q("q_ivm_join",
+      (s, dir) => {
+        val cutoff = lit("1997-01-01").cast("date")
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_totalprice"),
+            to_date(col("o_orderdate")).as("od"))
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val aOld = orders.filter(col("od") < cutoff)
+        val dA = orders.filter(col("od") >= cutoff)
+        val bOld = cust.filter(col("c_custkey") % 10 =!= 3)
+        val dB = cust.filter(col("c_custkey") % 10 === 3)
+        def view(o: DataFrame, c: DataFrame): DataFrame = o
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("p_dec"))
+        val state = view(aOld, bOld)
+        val deltas = Seq(view(dA, bOld), view(aOld, dB), view(dA, dB))
+        val folded = deltas.foldLeft(state) { (st, inc) =>
+          graft.engine.Merge.upsert(st, inc, Seq("c_nationkey"), combine = Map(
+            "n_orders" -> ((a, b) =>
+              coalesce(a, lit(0L)) + coalesce(b, lit(0L))),
+            "p_dec" -> ((a, b) =>
+              coalesce(a, lit(0).cast(DecimalType(18, 2))) +
+                coalesce(b, lit(0).cast(DecimalType(18, 2))))))
+        }
+        folded
+          .select(col("c_nationkey"), col("n_orders"),
+            col("p_dec").cast("double").as("p_sum"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS p_sum
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // ── weighted sampling: deterministic hash-lottery priorities ──
     // Weighted sampling without replacement, reproducible across runs,
     // engines, and cluster sizes (rand() is none of those): each row

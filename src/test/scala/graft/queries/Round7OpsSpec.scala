@@ -187,6 +187,35 @@ class Round7OpsSpec extends SparkSuite {
     assert(got == Set((1L, 1L, "click")))
   }
 
+  test("q_ivm_join: folded deltas equal recompute, and ΔA⋈ΔB is load-bearing") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_ivm_join")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    // from-scratch recompute (the oracle's shape, run through Spark)
+    val orders = graft.engine.Tables(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("od"))
+    val cust = graft.engine.Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    def agg(o: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) = o
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("p_sum"))
+    val full = agg(orders, cust).orderBy("c_nationkey")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == full, "folded view must equal the from-scratch recompute")
+    // the classic IVM bug — dropping the cross term — must be VISIBLE:
+    // both delta slices are nonempty and jointly contribute rows
+    val cutoff = lit("1997-01-01").cast("date")
+    val crossRows = agg(orders.filter(col("od") >= cutoff),
+      cust.filter(col("c_custkey") % 10 === 3))
+      .agg(sum("n_orders")).as[Long].head()
+    assert(crossRows > 0,
+      "ΔA⋈ΔB is empty — the bilinear-rule evidence would be vacuous")
+  }
+
   test("q_cdc_netchange: day counts reconcile with the raw log") {
     val df = SparkEntry.queries("q_cdc_netchange")(spark, sf)
     val (ins, upd, del) = df.agg(sum("n_ins"), sum("n_upd"), sum("n_del"))
