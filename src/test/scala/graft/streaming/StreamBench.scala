@@ -73,12 +73,10 @@ object StreamBench {
     run("dedup")(EventStream.dedupEvents(events, Seq("event_id")))
     run("hll_distinct")(EventStream.uniqueUsersPerWindow(events))
     // CDC tombstone fold: per-key O(1) state (4 scalars/user)
-    {
-      import spark.implicits._
-      run("cdc_fold")(EventStream.cdcApplyStream(
-        events.select("user_id", "ts", "event_id", "event_type", "value")
-          .as[EventStream.CdcEvent]).toDF())
-    }
+    import spark.implicits._
+    run("cdc_fold")(EventStream.cdcApplyStream(
+      events.select("user_id", "ts", "event_id", "event_type", "value")
+        .as[EventStream.CdcEvent]).toDF())
     spark.stop()
   }
 }
