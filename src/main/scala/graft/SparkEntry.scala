@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Advanced, Behavior, Changelog, Composite, Core, Forecast, Functions, Graph, Graph2, MlEval, Q, Quality, Retrieval, Stats, Stats2, Stats3}
+import graft.queries.{Advanced, Behavior, Changelog, Composite, Core, Forecast, Functions, Graph, Graph2, Intervals, MlEval, Q, Quality, Retrieval, Stats, Stats2, Stats3}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,7 @@ object SparkEntry {
     val qs = Core.queries ++ Advanced.queries ++ Composite.queries ++
       Functions.queries ++ Graph.queries ++ Graph2.queries ++
       Retrieval.queries ++ Changelog.queries ++ Forecast.queries ++ Stats.queries ++
-      Quality.queries ++ Stats2.queries ++ Stats3.queries ++ MlEval.queries ++ Behavior.queries ++ graft.ext.Ext.queries
+      Quality.queries ++ Stats2.queries ++ Stats3.queries ++ MlEval.queries ++ Behavior.queries ++ Intervals.queries ++ graft.ext.Ext.queries
     // a duplicate name would be silently collapsed by .toMap below and
     // the shadowed query would vanish from the correctness gate
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys

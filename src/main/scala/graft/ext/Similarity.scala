@@ -988,7 +988,66 @@ object Similarity {
            |    ORDER BY rrf_fp DESC, neighbor_id) AS BIGINT) AS fused_rank
            |  FROM f)
            |SELECT query_id, fused_rank, neighbor_id, rrf_fp FROM fr
-           |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin))
+           |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin)),
+
+    // ── k-NN classification (leave-one-out, k = 5) ──
+    // The label-propagation use of the ANN substrate: predict each
+    // probe vector's label by majority vote among its 5 nearest
+    // corpus neighbors (exact cosine, LOO — the probe itself
+    // excluded). Probe set = vec_id % 10 = 0 (the q_setsim_join
+    // probe-vs-corpus shape: at 100 TB the probe batch is the daily
+    // increment and the corpus side flows through the LSH/IVF bucket
+    // routes above — brute force here IS the oracle-grade baseline
+    // those routes are recall-measured against). Vote ties break on
+    // the smaller label; neighbor ranking ties on (cos DESC, vec_id)
+    // — deterministic both sides. Output is per-probe (true, pred,
+    // hit) — the confusion/accuracy heads aggregate it downstream.
+    Q("q_knn_classify",
+      (s, dir) => {
+        val v = emb(s, dir).select("vec_id", "label", "e", "nrm")
+        val q = v.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+            col("e").as("qe"), col("nrm").as("qn"))
+        val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qe"), col("qn"), col("e"), col("nrm")))
+        val wRank = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        val votes = scored
+          .withColumn("rnk", row_number().over(wRank))
+          .filter(col("rnk") <= 5)
+          .groupBy(col("query_id"), col("true_label"), col("label"))
+          .agg(count(lit(1)).as("nvotes"))
+        val wVote = Window.partitionBy("query_id")
+          .orderBy(col("nvotes").desc, col("label"))
+        votes
+          .withColumn("vr", row_number().over(wVote))
+          .filter(col("vr") === 1)
+          .select(col("query_id"), col("true_label"),
+            col("label").cast("long").as("pred_label"),
+            (col("label") === col("true_label")).cast("long").as("hit"))
+          .withColumn("true_label", col("true_label").cast("long"))
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH v AS ($duckEmb),
+           |q AS (SELECT vec_id AS query_id, label AS true_label,
+           |  e AS qe, nrm AS qn FROM v WHERE vec_id % 10 = 0),
+           |p AS (SELECT q.query_id, q.true_label, v.label, v.vec_id,
+           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  FROM v JOIN q ON v.vec_id <> q.query_id),
+           |r AS (SELECT query_id, true_label, label,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, vec_id) AS rnk FROM p),
+           |vt AS (SELECT query_id, true_label, label,
+           |  CAST(count(*) AS BIGINT) AS nvotes
+           |  FROM r WHERE rnk <= 5 GROUP BY query_id, true_label, label),
+           |w AS (SELECT query_id, true_label, label, nvotes,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY nvotes DESC, label) AS vr FROM vt)
+           |SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+           |  CAST(label AS BIGINT) AS pred_label,
+           |  CAST(label = true_label AS BIGINT) AS hit
+           |FROM w WHERE vr = 1 ORDER BY query_id""".stripMargin))
   )
 
   /** DuckDB twin of the multi-table LSH top-k relation — shared by the

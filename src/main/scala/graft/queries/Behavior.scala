@@ -357,5 +357,87 @@ object Behavior {
              |SELECT cohort, tenure, cohort_size,
              |  CAST(cum_rev AS DOUBLE) / CAST(cohort_size AS DOUBLE) / 100.0
              |    AS ltv
-             |FROM c JOIN sz USING (cohort) ORDER BY cohort, tenure""".stripMargin)))
+             |FROM c JOIN sz USING (cohort) ORDER BY cohort, tenure""".stripMargin)),
+
+    // ── funnel inter-stage latency (q_funnel's "how fast", not "how many") ──
+    // For users converting through view→click→purchase (q_funnel's
+    // strictly-ordered first-time chain), the per-transition latency
+    // profile: count, EXACT lower-median (rank-picked under the
+    // (latency, user_id) total order — no sketch), and truncated mean
+    // in micro-units. Two stage joins on user_id (the funnel shape),
+    // then per-transition windows over user-grain rows. The two
+    // branches union as one declared plan; every latency is an exact
+    // int64 difference of event-time micros.
+    Q("q_funnel_time",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"),
+            min(col("t_view")).as("t_view"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c.select(col("user_id"), col("t_click")), "user_id")
+          .filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"),
+            min(col("t_click")).as("t_click"))
+        def profile(df: DataFrame, from: String, to: String,
+            name: String): DataFrame = {
+          val lat = df.select(col("user_id"),
+            (expr(s"unix_micros($to)") - expr(s"unix_micros($from)"))
+              .as("lat"))
+          val w = Window.orderBy("lat", "user_id")
+          val med = lat
+            .withColumn("rn", row_number().over(w).cast("long"))
+            .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+            // Column./ is DOUBLE division even on longs — integer div
+            .filter(col("rn") === expr("(nn + 1) div 2"))
+            .select(col("lat").as("median_us"))
+          lat.agg(count(lit(1)).as("n_users"),
+              expr("sum(lat) div count(1)").as("mean_us"))
+            .crossJoin(broadcast(med))
+            .select(lit(name).as("transition"), col("n_users"),
+              col("median_us"), col("mean_us"))
+        }
+        profile(c, "t_view", "t_click", "1_view_to_click")
+          .unionByName(
+            profile(p, "t_click", "t_purchase", "2_click_to_purchase"))
+          .orderBy("transition")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+             |       WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click,
+             |      min(v.t_view) AS t_view FROM events e
+             |      JOIN v ON v.user_id = e.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase,
+             |      min(c.t_click) AS t_click FROM events e
+             |      JOIN c ON c.user_id = e.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             |      GROUP BY e.user_id),
+             |l1 AS (SELECT user_id,
+             |      epoch_us(t_click) - epoch_us(t_view) AS lat FROM c),
+             |l2 AS (SELECT user_id,
+             |      epoch_us(t_purchase) - epoch_us(t_click) AS lat FROM p),
+             |m1 AS (SELECT lat AS median_us FROM (
+             |      SELECT lat, CAST(row_number() OVER (ORDER BY lat, user_id)
+             |        AS BIGINT) AS rn, CAST(count(*) OVER () AS BIGINT) AS nn
+             |      FROM l1) WHERE rn = (nn + 1) // 2),
+             |m2 AS (SELECT lat AS median_us FROM (
+             |      SELECT lat, CAST(row_number() OVER (ORDER BY lat, user_id)
+             |        AS BIGINT) AS rn, CAST(count(*) OVER () AS BIGINT) AS nn
+             |      FROM l2) WHERE rn = (nn + 1) // 2)
+             |SELECT '1_view_to_click' AS transition,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM l1) AS n_users,
+             |  (SELECT median_us FROM m1) AS median_us,
+             |  (SELECT CAST(SUM(lat) AS BIGINT) // count(*) FROM l1)
+             |    AS mean_us
+             |UNION ALL
+             |SELECT '2_click_to_purchase',
+             |  (SELECT CAST(count(*) AS BIGINT) FROM l2),
+             |  (SELECT median_us FROM m2),
+             |  (SELECT CAST(SUM(lat) AS BIGINT) // count(*) FROM l2)
+             |ORDER BY transition""".stripMargin)))
 }

@@ -360,6 +360,49 @@ object Graph2 {
               |${ssspIterSql(1, "d0")},
               |${ssspIterSql(2, "d1")},
               |${ssspIterSql(3, "d2")}
-              |SELECT node, dist FROM d3 ORDER BY node""".stripMargin))
+              |SELECT node, dist FROM d3 ORDER BY node""".stripMargin)),
+
+    // ── bounded-radius harmonic centrality (radius 2) ──
+    // Harmonic closeness Σ 1/d(u,v) truncated at 2 hops, in exact
+    // micro-units: deg·10⁶ + (|reach≤2| − deg)·5·10⁵. Full closeness
+    // needs all-pairs BFS (quadratic); the radius-bounded form is the
+    // standard curation-grade centrality — the frontier expansion is
+    // ONE self-join of the materialized-once symmetric edge list
+    // (cost Σ deg², bounded; a whale-hub graph caps the adjacency
+    // first — the Dedup.capBuckets discipline), then a distinct and a
+    // count per node. Top-100 head with a deterministic (score, node)
+    // tie-break = TakeOrderedAndProject, never a full result sort.
+    Q("q_harmonic_cent",
+      (s, dir) => {
+        val e = Graph.partCoPurchase(s, dir, 2L)
+        val und = e.select(col("u").as("s"), col("v").as("d"))
+          .unionByName(e.select(col("v").as("s"), col("u").as("d")))
+          .localCheckpoint(true)
+        val hop2 = und.select(col("s").as("a"), col("d").as("m"))
+          .join(und.select(col("s").as("m"), col("d").as("b")), Seq("m"))
+          .filter(col("b") =!= col("a"))
+          .select(col("a").as("s"), col("b").as("d"))
+        val reach = und.unionByName(hop2).distinct()
+          .groupBy("s").agg(count(lit(1)).as("reach2"))
+        val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
+        deg.join(reach, Seq("s"))
+          .select(col("s").as("node"), col("deg"), col("reach2"),
+            (col("deg") * 1000000L + (col("reach2") - col("deg")) * 500000L)
+              .as("harmonic_ppm"))
+          .orderBy(col("harmonic_ppm").desc, col("node"))
+          .limit(100)
+      },
+      Some(s"""WITH $symEdgeSql,
+              |n2 AS (SELECT DISTINCT a.s AS s, b.d AS d
+              |       FROM ee a JOIN ee b ON a.d = b.s WHERE b.d <> a.s),
+              |r AS (SELECT s, d FROM ee UNION SELECT s, d FROM n2),
+              |dg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+              |       FROM ee GROUP BY s),
+              |rc AS (SELECT s, CAST(count(*) AS BIGINT) AS reach2
+              |       FROM r GROUP BY s)
+              |SELECT dg.s AS node, deg, reach2,
+              |  deg * 1000000 + (reach2 - deg) * 500000 AS harmonic_ppm
+              |FROM dg JOIN rc ON dg.s = rc.s
+              |ORDER BY harmonic_ppm DESC, node LIMIT 100""".stripMargin))
   )
 }

@@ -165,5 +165,104 @@ object MlEval {
              |  CAST(SUM(n_c) OVER () AS BIGINT) AS n_total FROM c)
              |SELECT event_type, n_c,
              |  CAST(n_total AS DOUBLE) / CAST(k * n_c AS DOUBLE) AS weight
-             |FROM m ORDER BY event_type""".stripMargin)))
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ── decision stump (best single Gini split) ──
+    // One-level tree: predict lang='en' from three document features
+    // (char count, token count, digit count), choosing the (feature,
+    // threshold) that minimizes weighted Gini impurity. Candidates are
+    // the 9 interior boundaries of a deterministic equi-width 10-bucket
+    // grid per feature. The SCALABLE formulation: aggregate a per-
+    // (feature, bucket) histogram FIRST (one shuffle over ≤ 30 cells —
+    // map-side combinable regardless of corpus size), then evaluate
+    // every split from prefix sums over that tiny table — the data is
+    // scanned once, candidates never multiply rows (the naive
+    // data × candidate cross join would be a 27× corpus blow-up).
+    // Minimizing Σ_side n_s·Gini_s is maximizing
+    // f = Σc_L²/n_L + Σc_R²/n_R — emitted as a double with the
+    // identical expression tree in both engines and a deterministic
+    // (feat, bucket) tie-break (the q_changepoint argmin discipline).
+    Q("q_decision_stump",
+      (s, dir) => {
+        val feats = t(s, dir, "documents")
+          .select((col("lang") === "en").cast("long").as("y"),
+            col("n_chars").as("f_nchars"),
+            expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)")
+              .as("f_ntok"),
+            expr("CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT)")
+              .as("f_ndig"))
+          .select(col("y"), expr(
+            """stack(3, 'nchars', f_nchars, 'ntok', f_ntok,
+              |  'ndig', f_ndig) AS (feat, val)""".stripMargin))
+        val rng = feats.groupBy("feat")
+          .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+        val hist = feats.join(broadcast(rng), Seq("feat"))
+          .withColumn("b", expr("((val - mn) * 10) div (mx - mn + 1)"))
+          .groupBy("feat", "b")
+          .agg(count(lit(1)).as("hn"), sum(col("y")).as("hpos"))
+        val wCum = Window.partitionBy("feat").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("feat")
+        val cand = hist
+          .withColumn("nl", sum(col("hn")).over(wCum))
+          .withColumn("posl", sum(col("hpos")).over(wCum))
+          .withColumn("n", sum(col("hn")).over(wAll))
+          .withColumn("pos", sum(col("hpos")).over(wAll))
+          .filter(col("nl") < col("n"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        val score =
+          (d(col("posl") * col("posl") +
+            (col("nl") - col("posl")) * (col("nl") - col("posl"))) /
+            d(col("nl"))) +
+          (d((col("pos") - col("posl")) * (col("pos") - col("posl")) +
+            (col("n") - col("nl") - col("pos") + col("posl")) *
+              (col("n") - col("nl") - col("pos") + col("posl"))) /
+            d(col("n") - col("nl")))
+        cand.withColumn("score", score)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("score").desc, col("feat"), col("b"))))
+          .filter(col("rn") === 1)
+          .select(col("feat"), col("b").as("thr_bucket"),
+            col("nl").as("n_left"), col("posl").as("pos_left"),
+            (col("n") - col("nl")).as("n_right"),
+            (col("pos") - col("posl")).as("pos_right"), col("score"))
+      },
+      Some("""WITH f0 AS (
+             |  SELECT CAST(lang = 'en' AS BIGINT) AS y,
+             |    n_chars AS f_nchars,
+             |    CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+             |      AS f_ntok,
+             |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             |      AS BIGINT) AS f_ndig
+             |  FROM documents),
+             |m AS (SELECT y, 'nchars' AS feat, f_nchars AS val FROM f0
+             |  UNION ALL SELECT y, 'ntok', f_ntok FROM f0
+             |  UNION ALL SELECT y, 'ndig', f_ndig FROM f0),
+             |rng AS (SELECT feat, MIN(val) AS mn, MAX(val) AS mx
+             |        FROM m GROUP BY feat),
+             |h AS (SELECT m.feat, ((val - mn) * 10) // (mx - mn + 1) AS b,
+             |    CAST(count(*) AS BIGINT) AS hn, CAST(SUM(y) AS BIGINT) AS hpos
+             |  FROM m JOIN rng ON m.feat = rng.feat GROUP BY m.feat, 2),
+             |c AS (SELECT feat, b, hn, hpos,
+             |    SUM(hn) OVER (PARTITION BY feat ORDER BY b
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+             |    SUM(hpos) OVER (PARTITION BY feat ORDER BY b
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posl,
+             |    SUM(hn) OVER (PARTITION BY feat) AS n,
+             |    SUM(hpos) OVER (PARTITION BY feat) AS pos
+             |  FROM h),
+             |sc AS (SELECT feat, b, nl, posl, n, pos,
+             |    CAST(posl * posl + (nl - posl) * (nl - posl) AS DOUBLE)
+             |      / CAST(nl AS DOUBLE) +
+             |    CAST((pos - posl) * (pos - posl) +
+             |      (n - nl - pos + posl) * (n - nl - pos + posl) AS DOUBLE)
+             |      / CAST(n - nl AS DOUBLE) AS score
+             |  FROM c WHERE nl < n),
+             |r AS (SELECT *, row_number() OVER (
+             |    ORDER BY score DESC, feat, b) AS rn FROM sc)
+             |SELECT feat, b AS thr_bucket, CAST(nl AS BIGINT) AS n_left,
+             |  CAST(posl AS BIGINT) AS pos_left,
+             |  CAST(n - nl AS BIGINT) AS n_right,
+             |  CAST(pos - posl AS BIGINT) AS pos_right, score
+             |FROM r WHERE rn = 1""".stripMargin)))
 }

@@ -185,6 +185,80 @@ object Retrieval {
              |       CAST(SUM(hit) AS BIGINT) AS n_hit,
              |       CAST(SUM(rr_fp) AS BIGINT) AS sum_rr_fp,
              |       CAST(SUM(rr_fp) AS BIGINT) // count(*) AS mrr_fp
-             |FROM rr""".stripMargin))
+             |FROM rr""".stripMargin)),
+
+    // ── NDCG@10 (graded ranked-retrieval evaluation) ──
+    // Same query/relevance convention as q_mrr (queries = nations,
+    // candidates rank by acctbal DESC, suppkey) but GRADED: rel 2 for
+    // acctbal > 9000, 1 for > 8000, 0 otherwise; gain = 2^rel − 1.
+    // The log2 discount is a PRECOMPUTED micro-unit constant table for
+    // ranks 1..10 (floor(10^6/log2(r+1)) — inlined IDENTICALLY in both
+    // engines), so DCG/IDCG/NDCG are pure int64: no transcendental
+    // function ever executes in either engine (the BM25 log lesson).
+    // IDCG reranks the same top pool by (gain DESC, then the actual
+    // ranking key) — deterministic total order both sides. Plan: one
+    // window shuffle on the query key, a 25-row aggregate join.
+    Q("q_ndcg",
+      (s, dir) => {
+        val sup = t(s, dir, "supplier")
+          .withColumn("gain",
+            when(col("s_acctbal") > 9000, 3L)
+              .when(col("s_acctbal") > 8000, 1L).otherwise(0L))
+        val actual = sup.withColumn("rnk",
+          row_number().over(Window.partitionBy("s_nationkey")
+            .orderBy(col("s_acctbal").desc, col("s_suppkey"))).cast(LongType))
+        val ideal = sup.withColumn("rnk",
+          row_number().over(Window.partitionBy("s_nationkey")
+            .orderBy(col("gain").desc, col("s_acctbal").desc,
+              col("s_suppkey"))).cast(LongType))
+        def dcgOf(df: DataFrame, alias: String): DataFrame = df
+          .filter(col("rnk") <= 10)
+          .withColumn("disc", expr(DiscCase))
+          .groupBy(col("s_nationkey").as(s"nk_$alias"))
+          .agg(sum(col("gain") * col("disc")).as(alias))
+        dcgOf(actual, "dcg_fp")
+          .join(dcgOf(ideal, "idcg_fp"),
+            col("nk_dcg_fp") === col("nk_idcg_fp"))
+          .select(col("nk_dcg_fp").as("nk"), col("dcg_fp"), col("idcg_fp"),
+            when(col("idcg_fp") > 0L,
+              expr("dcg_fp * 1000000L div idcg_fp")).otherwise(0L)
+              .as("ndcg_ppm"))
+          .orderBy("nk")
+      },
+      Some(s"""WITH g AS (SELECT s_nationkey, s_suppkey, s_acctbal,
+              |    CASE WHEN s_acctbal > 9000 THEN 3
+              |         WHEN s_acctbal > 8000 THEN 1 ELSE 0 END AS gain
+              |  FROM supplier),
+              |a AS (SELECT s_nationkey, gain,
+              |    CAST(row_number() OVER (PARTITION BY s_nationkey
+              |      ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rnk
+              |  FROM g),
+              |i AS (SELECT s_nationkey, gain,
+              |    CAST(row_number() OVER (PARTITION BY s_nationkey
+              |      ORDER BY gain DESC, s_acctbal DESC, s_suppkey) AS BIGINT)
+              |      AS rnk
+              |  FROM g),
+              |da AS (SELECT s_nationkey AS nk,
+              |    CAST(SUM(gain * ($DiscCase)) AS BIGINT) AS dcg_fp
+              |  FROM a WHERE rnk <= 10 GROUP BY s_nationkey),
+              |di AS (SELECT s_nationkey AS nk,
+              |    CAST(SUM(gain * ($DiscCase)) AS BIGINT) AS idcg_fp
+              |  FROM i WHERE rnk <= 10 GROUP BY s_nationkey)
+              |SELECT da.nk AS nk, dcg_fp, idcg_fp,
+              |  CASE WHEN idcg_fp > 0 THEN dcg_fp * 1000000 // idcg_fp
+              |       ELSE 0 END AS ndcg_ppm
+              |FROM da JOIN di ON da.nk = di.nk ORDER BY nk""".stripMargin))
   )
+
+  /** floor(10^6 / log2(r+1)) for ranks 1..10 — the NDCG discount as a
+    * shared fixed-point constant table (identical text in the Spark
+    * expr and the DuckDB oracle; no runtime log in either engine).
+    * A `def` (not a val): the queries Seq interpolates it during
+    * object init, BEFORE a val defined below the Seq would be
+    * assigned — a val here silently bakes "null" into the oracle. */
+  private def DiscCase: String =
+    """CASE rnk WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000
+      | WHEN 4 THEN 430676 WHEN 5 THEN 386852 WHEN 6 THEN 356207
+      | WHEN 7 THEN 333333 WHEN 8 THEN 315464 WHEN 9 THEN 301029
+      | WHEN 10 THEN 289064 ELSE 0 END""".stripMargin.replace("\n", "")
 }

@@ -544,5 +544,125 @@ object Stats3 {
               |  sqrt(greatest(0.0, 1.0
               |    - CAST(SUM(bcq) AS DOUBLE) / sqrt(CAST(MAX(n1) AS DOUBLE))
               |      / sqrt(CAST(MAX(n2) AS DOUBLE)))) AS h
-              |FROM tt""".stripMargin)))
+              |FROM tt""".stripMargin)),
+
+    // ── Wilcoxon signed-rank (paired two-sample test) ──
+    // The PAIRED complement of q_mannwhitney: day i of the month's
+    // first half pairs with day i+15, the test statistic ranks the
+    // |differences| of the paired daily counts. Zero differences drop
+    // (the standard convention); ties share an average rank carried as
+    // DOUBLED integer ranks (2·avg = 2·min_rank + ties − 1 — the
+    // q_spearman doubling trick, so rank arithmetic never leaves
+    // int64). W⁺ and W⁻ are exact; the normal-approximation z is one
+    // identical IEEE expression over them (sqrt is correctly rounded
+    // per IEEE — the q_ab_test precedent). The corpus-sized stage is
+    // the daily aggregate; everything after runs on ≤15 rows.
+    Q("q_wilcoxon",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(expr(s"(unix_micros(ts) - 1704067200000000L)" +
+            " div 86400000000L").as("d"))
+          .agg(count(lit(1)).as("n"))
+        val pr = daily.filter(col("d") < 15)
+          .select(col("d").as("da"), col("n").as("n1"))
+          .join(daily.select(col("d").as("db"), col("n").as("n2")),
+            col("db") === col("da") + 15)
+          .withColumn("diff", col("n2") - col("n1"))
+        val np = pr.agg(count(lit(1)).as("n_pairs"))
+        val nz = pr.filter(col("diff") =!= 0)
+          .withColumn("ad", abs(col("diff")))
+        val ranked = nz
+          .withColumn("rmin", rank().over(Window.orderBy("ad")).cast("long"))
+          .withColumn("ties", count(lit(1)).over(Window.partitionBy("ad")))
+          .withColumn("dr", col("rmin") * 2L + col("ties") - 1L)
+        ranked.agg(count(lit(1)).as("n_eff"),
+            sum(when(col("diff") > 0, col("dr")).otherwise(0L))
+              .as("w_plus_x2"),
+            sum(when(col("diff") < 0, col("dr")).otherwise(0L))
+              .as("w_minus_x2"))
+          .crossJoin(broadcast(np))
+          .select(col("n_pairs"), col("n_eff"), col("w_plus_x2"),
+            col("w_minus_x2"),
+            expr("""(CAST(w_plus_x2 AS DOUBLE) / 2.0
+                 |  - CAST(n_eff * (n_eff + 1) AS DOUBLE) / 4.0)
+                 | / sqrt(CAST(n_eff * (n_eff + 1) * (2 * n_eff + 1)
+                 |   AS DOUBLE) / 24.0)""".stripMargin).as("z"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS d,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |pr AS (SELECT a.d AS da, a.n AS n1, b.n AS n2, b.n - a.n AS diff
+             |  FROM daily a JOIN daily b ON b.d = a.d + 15 WHERE a.d < 15),
+             |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pr),
+             |nz AS (SELECT diff, abs(diff) AS ad FROM pr WHERE diff <> 0),
+             |rk AS (SELECT diff,
+             |    CAST(rank() OVER (ORDER BY ad) AS BIGINT) * 2
+             |      + CAST(count(*) OVER (PARTITION BY ad) AS BIGINT) - 1
+             |      AS dr
+             |  FROM nz),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_eff,
+             |    CAST(SUM(CASE WHEN diff > 0 THEN dr ELSE 0 END) AS BIGINT)
+             |      AS w_plus_x2,
+             |    CAST(SUM(CASE WHEN diff < 0 THEN dr ELSE 0 END) AS BIGINT)
+             |      AS w_minus_x2
+             |  FROM rk)
+             |SELECT n_pairs, n_eff, w_plus_x2, w_minus_x2,
+             |  (CAST(w_plus_x2 AS DOUBLE) / 2.0
+             |    - CAST(n_eff * (n_eff + 1) AS DOUBLE) / 4.0)
+             |  / sqrt(CAST(n_eff * (n_eff + 1) * (2 * n_eff + 1)
+             |    AS DOUBLE) / 24.0) AS z
+             |FROM ag, np""".stripMargin)),
+
+    // ── ABC / Pareto classification ──
+    // Inventory analytics: parts classed A/B/C by cumulative revenue
+    // share (A while cum ≤ 80%, B ≤ 95%, C rest), thresholds compared
+    // CLEARED (cum·100 ≤ tot·80 — no percentage division ever
+    // happens). Revenue is exact cents via the DECIMAL psum recipe;
+    // the cumulative walk sorts once under the (revenue DESC, partkey)
+    // total order. One keyed aggregate + one global-ordered window
+    // over the PART-grain rollup (parts ≪ lineitems; at 100 TB the
+    // part table is the small side by construction) + a 3-row class
+    // aggregate.
+    Q("q_abc",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("rev"))
+        val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev
+          .withColumn("cum", sum(col("rev")).over(wCum))
+          .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
+          .withColumn("cls",
+            when(col("cum") * 100L <= col("tot") * 80L, "A")
+              .when(col("cum") * 100L <= col("tot") * 95L, "B")
+              .otherwise("C"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("rev")).as("revenue_cents"),
+            expr("sum(rev) * 1000000L div max(tot)").as("share_ppm"))
+          .orderBy("cls")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_partkey,
+             |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS rev
+             |  FROM lineitem GROUP BY l_partkey),
+             |c AS (SELECT l_partkey, rev,
+             |    CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum,
+             |    CAST(SUM(rev) OVER () AS BIGINT) AS tot
+             |  FROM rev),
+             |k AS (SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+             |             WHEN cum * 100 <= tot * 95 THEN 'B'
+             |             ELSE 'C' END AS cls, rev, tot
+             |  FROM c)
+             |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+             |  CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+             |  CAST(SUM(rev) AS BIGINT) * 1000000 // MAX(tot) AS share_ppm
+             |FROM k GROUP BY cls ORDER BY cls""".stripMargin)))
 }

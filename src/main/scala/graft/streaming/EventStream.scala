@@ -618,4 +618,41 @@ object EventStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  final case class SweepEvent(nk: Long, d: Long, delta: Long)
+  final case class SweepState(open: Long, peak: Long, peak_day: Long)
+  final case class SweepOut(nk: Long, open: Long, peak_open: Long,
+      peak_day: Long)
+
+  /** Streaming concurrency monitor — the streaming twin of batch
+    * `q_peak_concurrency` (Intervals.sweepPeak): per key, fold dated
+    * ±deltas into (current open, running peak, first day the peak was
+    * reached). State is three scalars per key — O(1) per event, the
+    * million-key pattern. In-batch deltas aggregate to day grain and
+    * fold in day order (the batch sweep's semantics: the peak is a
+    * property of the END-OF-DAY level, so a day's +1s and −1s net
+    * before the comparison — folding raw events individually would
+    * overcount transient intra-day levels the batch query never
+    * sees). Strict `>` on the peak update keeps the EARLIEST peak day
+    * (the batch argmax tie-break). Across micro-batches deltas apply
+    * in arrival order — a source replaying in day order reproduces
+    * batch sweepPeak exactly (SweepStreamSpec pins the equality). */
+  def sweepStream(events: Dataset[SweepEvent]): Dataset[SweepOut] = {
+    import events.sparkSession.implicits._
+    def fn(nk: Long, evs: Iterator[SweepEvent],
+        state: GroupState[SweepState]): SweepOut = {
+      var st = state.getOption.getOrElse(SweepState(0L, Long.MinValue, 0L))
+      evs.toArray.groupBy(_.d).toArray.sortBy(_._1)
+        .foreach { case (d, des) =>
+          val open = st.open + des.map(_.delta).sum
+          st =
+            if (open > st.peak) SweepState(open, open, d)
+            else st.copy(open = open)
+        }
+      state.update(st)
+      SweepOut(nk, st.open, st.peak, st.peak_day)
+    }
+    events.groupByKey(_.nk)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -238,4 +238,49 @@ class Stats3Spec extends SparkSuite {
     assert(r.getDouble(4) == v)
     assert(v >= 0.0 && v <= 1.0)
   }
+
+  test("q_wilcoxon: rank-sum identity, z recompute, n_eff <= n_pairs") {
+    val r = q("q_wilcoxon").collect().head
+    val (np, ne, wp, wm, z) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))
+    assert(ne >= 1 && ne <= np)
+    // doubled ranks over the n_eff nonzero diffs sum to 2·n(n+1)/2
+    assert(wp + wm == ne * (ne + 1), s"wp=$wp wm=$wm ne=$ne")
+    val zExp = (wp.toDouble / 2.0 - (ne * (ne + 1)).toDouble / 4.0) /
+      math.sqrt((ne * (ne + 1) * (2 * ne + 1)).toDouble / 24.0)
+    assert(z == zExp)
+  }
+
+  test("q_abc: classes partition parts, shares telescope to 10^6") {
+    val rows = q("q_abc").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet.subsetOf(Set("A", "B", "C")) && rows.contains("A"))
+    val totalParts = graft.engine.Tables(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.values.map(_._1).sum == totalParts)
+    // truncating div loses < 1 ppm per class
+    val shareSum = rows.values.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.size,
+      s"share_ppm sum $shareSum")
+    // A captures the largest-revenue parts: its per-part revenue mean
+    // must dominate C's (Pareto shape)
+    if (rows.contains("C")) {
+      val (na, ra, _) = rows("A"); val (nc, rc, _) = rows("C")
+      assert(ra * nc > rc * na, "A's mean part revenue must exceed C's")
+    }
+  }
+
+  test("q_funnel_time: counts agree with q_funnel stages, medians bounded") {
+    val ft = q("q_funnel_time").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val fu = q("q_funnel").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ft("1_view_to_click")._1 == fu("2_click"))
+    assert(ft("2_click_to_purchase")._1 == fu("3_purchase"))
+    ft.foreach { case (tr, (n, med, mean)) =>
+      assert(n > 0 && med > 0 && mean > 0, s"$tr: n=$n med=$med mean=$mean")
+    }
+  }
 }
