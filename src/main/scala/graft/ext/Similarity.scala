@@ -1047,7 +1047,74 @@ object Similarity {
            |SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
            |  CAST(label AS BIGINT) AS pred_label,
            |  CAST(label = true_label AS BIGINT) AS hit
-           |FROM w WHERE vr = 1 ORDER BY query_id""".stripMargin))
+           |FROM w WHERE vr = 1 ORDER BY query_id""".stripMargin)),
+
+    // ── simplified silhouette of the IVF clustering (per-cell) ──
+    // Clustering-quality evaluation of the SAME persisted sampled-fit
+    // index q_ann_ivf_sampled probes: per vector, a = distance to its
+    // own centroid, b = distance to the nearest OTHER centroid,
+    // s = (b − a)/max(a, b) — the centroid-based (simplified)
+    // silhouette, which needs one corpus × K broadcast pass instead of
+    // the classic formula's all-pairs distances (quadratic; never at
+    // 100 TB). Distances are IEEE-exact sqrt over the shared
+    // sequential-fold dots; each s quantizes to DECIMAL(18,12) before
+    // the per-cell mean so the sum is order-free (the Stats3 idiom).
+    // The oracle retrains the sampled Lloyd bit-identically — the
+    // evaluation is inside the hash check end to end.
+    Q("q_silhouette",
+      (s, dir) => {
+        // SAME Scratch name as q_ann_ivf_sampled — one shared artifact,
+        // whichever query runs first builds it (identical builder)
+        val v = emb(s, dir).select("vec_id", "e", "nrm")
+        val idx = graft.engine.Scratch.cached("ivf_idx", dir) { path =>
+          buildIvfIndex(v.localCheckpoint(true), path, ivfSampleMod)
+        }
+        val cent = s.read.parquet(s"$idx/cent")
+        val cells = s.read.parquet(s"$idx/cells")
+          .select(col("vec_id"), col("cid").as("own"))
+        val dist = sqrt(greatest(lit(0.0),
+          vec_dot(col("e"), col("e")) - lit(2.0) * vec_dot(col("e"), col("ce"))
+            + vec_dot(col("ce"), col("ce"))))
+        val ab = v.join(cells, "vec_id")
+          .crossJoin(broadcast(cent))
+          .withColumn("dist", dist)
+          .groupBy(col("vec_id"), col("own"))
+          .agg(min(when(col("cid") === col("own"), col("dist"))).as("a"),
+            min(when(col("cid") =!= col("own"), col("dist"))).as("b"))
+        ab.withColumn("sq",
+            when(greatest(col("a"), col("b")) > 0.0,
+              (col("b") - col("a")) / greatest(col("a"), col("b")))
+              .otherwise(0.0).cast("decimal(18,12)"))
+          .groupBy(col("own").as("cid"))
+          .agg(count(lit(1)).as("n_vecs"),
+            (sum(col("sq")).cast("double") /
+              count(lit(1)).cast("double")).as("mean_sil"))
+          .orderBy("cid")
+      },
+      Some(
+        s"""WITH RECURSIVE v AS ($duckEmb),
+           |vs AS (SELECT vec_id, e FROM v
+           |  WHERE ${graft.functions.HashSample.duck("vec_id", ivfSampleMod)}),
+           |${duckKmeansFor("vs",
+               s"SELECT vec_id, e FROM vs ORDER BY vec_id LIMIT $ivfK")},
+           |d AS (SELECT cl.vec_id, cl.cid AS own, c.cid,
+           |    sqrt(greatest(0.0, ${duckDot("v.e", "v.e")}
+           |      - 2.0 * ${duckDot("v.e", "c.ce")}
+           |      + ${duckDot("c.ce", "c.ce")})) AS dist
+           |  FROM cells cl JOIN v ON v.vec_id = cl.vec_id
+           |  CROSS JOIN cent c),
+           |ab AS (SELECT vec_id, own,
+           |    MIN(CASE WHEN cid = own THEN dist END) AS a,
+           |    MIN(CASE WHEN cid <> own THEN dist END) AS b
+           |  FROM d GROUP BY vec_id, own),
+           |sq AS (SELECT own AS cid,
+           |    CAST(CASE WHEN greatest(a, b) > 0.0
+           |         THEN (b - a) / greatest(a, b) ELSE 0.0 END
+           |      AS DECIMAL(18,12)) AS sq
+           |  FROM ab)
+           |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+           |  CAST(SUM(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_sil
+           |FROM sq GROUP BY cid ORDER BY cid""".stripMargin))
   )
 
   /** DuckDB twin of the multi-table LSH top-k relation — shared by the

@@ -205,6 +205,54 @@ object Forecast {
              |       (h.eh * 1000000) // greatest(h.en, 1) AS ratio_fp
              |FROM hw h JOIN fin f
              |  ON f.event_type = h.event_type AND h.i = f.n
-             |ORDER BY h.event_type""".stripMargin))
+             |ORDER BY h.event_type""".stripMargin)),
+
+    // ── OHLC bars (time-series downsampling) ──
+    // The financial-bars / telemetry-downsample operator: per day,
+    // open (first value by the (event time, event_id) total order),
+    // high, low, close (last), and the tick count — the lossy day
+    // grain a dashboard reads instead of raw events. Values in exact
+    // 1e-4 fixed point (the MlEval scored convention). One shuffle on
+    // the day key; both edge picks ride the same sort as window
+    // row_numbers (first/last ≡ rn = 1 ascending/descending — no
+    // argmax structs, no double comparisons). At 100 TB bars are the
+    // canonical incremental rollup: day partitions close and never
+    // recompute (the q_sketch_rollup story, minus the sketch).
+    Q("q_ohlc",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(expr("(unix_micros(ts) - 1704067200000000L)" +
+            " div 86400000000L").as("d"),
+            expr("unix_micros(ts)").as("us"), col("event_id"),
+            floor(col("value") * 10000).cast("long").as("fp"))
+        val wAsc = Window.partitionBy("d").orderBy(col("us"), col("event_id"))
+        val wDesc = Window.partitionBy("d")
+          .orderBy(col("us").desc, col("event_id").desc)
+        e.withColumn("rna", row_number().over(wAsc))
+          .withColumn("rnd", row_number().over(wDesc))
+          .groupBy("d")
+          .agg(max(when(col("rna") === 1, col("fp"))).as("open_fp"),
+            max(col("fp")).as("high_fp"), min(col("fp")).as("low_fp"),
+            max(when(col("rnd") === 1, col("fp"))).as("close_fp"),
+            count(lit(1)).as("n_ticks"))
+          .orderBy("d")
+      },
+      Some("""WITH e AS (
+             |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS d,
+             |    epoch_us(ts) AS us, event_id,
+             |    CAST(floor(value * 10000) AS BIGINT) AS fp
+             |  FROM events),
+             |r AS (SELECT d, fp,
+             |    row_number() OVER (PARTITION BY d
+             |      ORDER BY us, event_id) AS rna,
+             |    row_number() OVER (PARTITION BY d
+             |      ORDER BY us DESC, event_id DESC) AS rnd
+             |  FROM e)
+             |SELECT d, CAST(MAX(CASE WHEN rna = 1 THEN fp END) AS BIGINT)
+             |    AS open_fp,
+             |  MAX(fp) AS high_fp, MIN(fp) AS low_fp,
+             |  CAST(MAX(CASE WHEN rnd = 1 THEN fp END) AS BIGINT) AS close_fp,
+             |  CAST(count(*) AS BIGINT) AS n_ticks
+             |FROM r GROUP BY d ORDER BY d""".stripMargin))
   )
 }

@@ -271,6 +271,56 @@ class Stats3Spec extends SparkSuite {
     }
   }
 
+  test("q_sketch_intersect: estimator identities and the exact-arm envelope") {
+    val r = q("q_sketch_intersect").collect().head
+    val (k, theta, nc, est, exact, na, nb) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(k == 64 && nc <= k && theta > 0 && theta <= 4294967296L)
+    assert(est == nc * 4294967296L / theta, "estimator formula recompute")
+    assert(exact <= math.min(na, nb))
+    // KMV k=64 has ~12.5% relative error; 50% is a loose CI floor that
+    // still rules out a broken estimator (est=0 or est≈|A∪B|)
+    assert(est > 0 && math.abs(est - exact) <= exact / 2,
+      s"est=$est exact=$exact outside the envelope")
+  }
+
+  test("q_ohlc: edge picks match a scalar recount, bounds hold") {
+    val rows = q("q_ohlc").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (o, h, l, c, n) =>
+      assert(l <= o && o <= h && l <= c && c <= h && n > 0)
+    }
+    val ev = graft.engine.Tables(spark, sf, "events")
+      .selectExpr("(unix_micros(ts) - 1704067200000000) div 86400000000 AS d",
+        "unix_micros(ts) AS us", "event_id",
+        "CAST(floor(value * 10000) AS LONG) AS fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.values.map(_._5).sum == ev.length)
+    ev.groupBy(_._1).foreach { case (d, ticks) =>
+      val sorted = ticks.sortBy(t => (t._2, t._3))
+      val (o, h, l, c, n) = rows(d)
+      assert(o == sorted.head._4 && c == sorted.last._4)
+      assert(h == ticks.map(_._4).max && l == ticks.map(_._4).min)
+      assert(n == ticks.length)
+    }
+  }
+
+  test("q_silhouette: scores in [-1, 1], cells partition the corpus") {
+    val rows = q("q_silhouette").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val corpus = graft.engine.Tables(spark, sf, "embeddings").count()
+    assert(rows.map(_._2).sum == corpus, "every vector in exactly one cell")
+    rows.foreach { case (cid, n, sil) =>
+      assert(n > 0 && sil >= -1.0 && sil <= 1.0, s"cell $cid: n=$n sil=$sil")
+    }
+    // a clustering where NO cell beats silhouette 0 would mean the
+    // codebook is no better than random — flag it
+    assert(rows.exists(_._3 > 0.0), "no cell with positive silhouette")
+  }
+
   test("q_funnel_time: counts agree with q_funnel stages, medians bounded") {
     val ft = q("q_funnel_time").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
