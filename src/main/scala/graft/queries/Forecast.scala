@@ -253,6 +253,48 @@ object Forecast {
              |  MAX(fp) AS high_fp, MIN(fp) AS low_fp,
              |  CAST(MAX(CASE WHEN rnd = 1 THEN fp END) AS BIGINT) AS close_fp,
              |  CAST(count(*) AS BIGINT) AS n_ticks
-             |FROM r GROUP BY d ORDER BY d""".stripMargin))
+             |FROM r GROUP BY d ORDER BY d""".stripMargin)),
+
+    // ── TWAP: time-weighted average (q_ohlc's honest mean) ──
+    // A tick's value holds until the NEXT tick (the last of the day
+    // holds to midnight), so the day's average weights each value by
+    // its holding duration — the standard telemetry/market rollup when
+    // ticks arrive unevenly (an unweighted mean over-counts bursts).
+    // dt comes from lead() inside the same (day, time, event_id)
+    // window sort the bars use; TWAP = Σ fp·dt div Σ dt, all int64
+    // (fp ≤ ~10⁵ × Σdt ≤ 8.64·10¹⁰ — within headroom by construction:
+    // Σdt telescopes to day-end − first tick, never more than a day;
+    // Stats3Spec pins the telescoping law and low ≤ TWAP ≤ high).
+    Q("q_twap",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(expr("(unix_micros(ts) - 1704067200000000L)" +
+            " div 86400000000L").as("d"),
+            expr("unix_micros(ts) - 1704067200000000L").as("us"),
+            col("event_id"),
+            floor(col("value") * 10000).cast("long").as("fp"))
+        val wAsc = Window.partitionBy("d").orderBy(col("us"), col("event_id"))
+        e.withColumn("dt",
+            coalesce(lead(col("us"), 1).over(wAsc),
+              (col("d") + 1L) * 86400000000L) - col("us"))
+          .groupBy("d")
+          .agg(count(lit(1)).as("n_ticks"), sum(col("dt")).as("span_us"),
+            expr("sum(fp * dt) div sum(dt)").as("twap_fp"))
+          .orderBy("d")
+      },
+      Some("""WITH e AS (
+             |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS d,
+             |    epoch_us(ts) - 1704067200000000 AS us, event_id,
+             |    CAST(floor(value * 10000) AS BIGINT) AS fp
+             |  FROM events),
+             |w AS (SELECT d, fp,
+             |    COALESCE(lead(us) OVER (PARTITION BY d
+             |      ORDER BY us, event_id), (d + 1) * 86400000000) - us AS dt
+             |  FROM e)
+             |SELECT d, CAST(count(*) AS BIGINT) AS n_ticks,
+             |  CAST(SUM(dt) AS BIGINT) AS span_us,
+             |  CAST(SUM(fp * dt) AS BIGINT) // CAST(SUM(dt) AS BIGINT)
+             |    AS twap_fp
+             |FROM w GROUP BY d ORDER BY d""".stripMargin))
   )
 }

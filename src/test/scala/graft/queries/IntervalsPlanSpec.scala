@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Plan contracts for the round-7 closing batches — each scale claim
+  * in the query docs pinned against the plan:
+  *   - sweep-line/interval windows partition on their natural key
+  *     (supplier / nation / returnflag / purchase), never global over
+  *     the raw scan;
+  *   - the decision stump's candidate evaluation never multiplies the
+  *     corpus (no nested-loop product anywhere in its plan);
+  *   - every no-partition window (ABC's cumulative walk, Wilcoxon's
+  *     rank, the stump argmin, funnel-time medians, sketch ranks)
+  *     consumes an input an Aggregate or selective Filter already
+  *     shrank — the Stats2PlanSpec rule extended to the new batch.
+  */
+class IntervalsPlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def logical(name: String): LogicalPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("interval/sweep windows partition on the natural key") {
+    Seq("q_interval_merge", "q_peak_concurrency", "q_weighted_median",
+      "q_attribution_linear", "q_ndcg").foreach { q =>
+      val windows = logical(q).collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$q expected windows")
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$q has a no-partition window over corpus-sized input")
+    }
+  }
+
+  test("harmonic centrality: top-k head, no products") {
+    val p = physical("q_harmonic_cent")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q_harmonic_cent grew a product:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 head must be TakeOrderedAndProject, not a full sort:\n" +
+        p.take(1500))
+  }
+
+  test("decision stump never multiplies the corpus") {
+    val p = physical("q_decision_stump")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q_decision_stump grew a product:\n${p.take(1500)}")
+    // the candidate argmin is a no-partition window — legal only over
+    // the per-(feature,bucket) histogram, which an Aggregate produced
+    val windows = logical("q_decision_stump").collect { case w: LWindow => w }
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        s"stump argmin window over un-aggregated input:\n" +
+          w.treeString.take(1200))
+    }
+  }
+
+  test("global cumulative walks ride pre-aggregated inputs") {
+    Seq("q_abc", "q_wilcoxon", "q_ohlc").foreach { q =>
+      val windows = logical(q).collect { case w: LWindow => w }
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+          s"$q no-partition window over un-aggregated input:\n" +
+            w.treeString.take(1200))
+      }
+    }
+  }
+}

@@ -307,6 +307,27 @@ class Stats3Spec extends SparkSuite {
     }
   }
 
+  test("q_twap: span telescopes to day-end minus first tick, OHLC bounds hold") {
+    val tw = q("q_twap").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val bars = q("q_ohlc").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val firstTick = graft.engine.Tables(spark, sf, "events")
+      .selectExpr("(unix_micros(ts) - 1704067200000000) div 86400000000 AS d",
+        "unix_micros(ts) - 1704067200000000 AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
+    assert(tw.keySet == bars.keySet)
+    tw.foreach { case (d, (n, span, twap)) =>
+      assert(n > 0)
+      assert(span == (d + 1) * 86400000000L - firstTick(d),
+        s"day $d: span $span does not telescope")
+      val (hi, lo) = bars(d)
+      assert(twap >= lo && twap <= hi, s"day $d: twap $twap outside [$lo,$hi]")
+    }
+  }
+
   test("q_silhouette: scores in [-1, 1], cells partition the corpus") {
     val rows = q("q_silhouette").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
