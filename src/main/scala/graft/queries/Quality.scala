@@ -223,6 +223,76 @@ object Quality {
              |  count(*) AS cnt
              |FROM documents
              |GROUP BY 1, 2, 3 HAVING count(*) < 5
-             |ORDER BY lang, source, len_band""".stripMargin))
+             |ORDER BY lang, source, len_band""".stripMargin)),
+
+    // ── boxplot five-number summary + IQR outlier fences per group ──
+    // The distribution-profile head a dashboard draws: per event type,
+    // min / Q1 / median / Q3 / max picked at EXACT ranks under the
+    // (value, event_id) total order (lower-quartile convention:
+    // Q1 at ⌈n/4⌉, median at ⌈n/2⌉, Q3 at ⌈3n/4⌉ — one fixed integer
+    // formula both engines), Tukey fences at 1.5·IQR in truncating
+    // fixed point, and the outlier counts outside them. Two passes
+    // over the keyed scan (rank picks, then fence counts against the
+    // broadcast 5-row quartile table) — the same shape q_winsorize
+    // ships; values in exact 1e-4 fixed point.
+    Q("q_boxplot",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10000).cast("long").as("fp"),
+            col("event_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("fp"), col("event_id"))
+        val qs = e
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            min(col("fp")).as("vmin"), max(col("fp")).as("vmax"),
+            max(when(col("rn") === expr("(n + 3) div 4"), col("fp")))
+              .as("q1"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("fp")))
+              .as("med"),
+            max(when(col("rn") === expr("(3 * n + 3) div 4"), col("fp")))
+              .as("q3"))
+          .withColumn("lo_fence", expr("q1 - (3 * (q3 - q1)) div 2"))
+          .withColumn("hi_fence", expr("q3 + (3 * (q3 - q1)) div 2"))
+        e.join(broadcast(qs), "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"), max(col("vmin")).as("vmin"),
+            max(col("q1")).as("q1"), max(col("med")).as("med"),
+            max(col("q3")).as("q3"), max(col("vmax")).as("vmax"),
+            sum(when(col("fp") < col("lo_fence"), 1L).otherwise(0L))
+              .as("n_out_low"),
+            sum(when(col("fp") > col("hi_fence"), 1L).otherwise(0L))
+              .as("n_out_high"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(floor(value * 10000) AS BIGINT) AS fp, event_id
+             |  FROM events),
+             |r AS (SELECT event_type, fp,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY fp, event_id) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |  FROM e),
+             |qs AS (SELECT event_type, MAX(n) AS n,
+             |    MIN(fp) AS vmin, MAX(fp) AS vmax,
+             |    MAX(CASE WHEN rn = (n + 3) // 4 THEN fp END) AS q1,
+             |    MAX(CASE WHEN rn = (n + 1) // 2 THEN fp END) AS med,
+             |    MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN fp END) AS q3
+             |  FROM r GROUP BY event_type),
+             |f AS (SELECT *, q1 - (3 * (q3 - q1)) // 2 AS lo_fence,
+             |    q3 + (3 * (q3 - q1)) // 2 AS hi_fence FROM qs)
+             |SELECT e.event_type, MAX(n) AS n, MAX(vmin) AS vmin,
+             |  CAST(MAX(q1) AS BIGINT) AS q1, CAST(MAX(med) AS BIGINT) AS med,
+             |  CAST(MAX(q3) AS BIGINT) AS q3, MAX(vmax) AS vmax,
+             |  CAST(SUM(CASE WHEN fp < lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_out_low,
+             |  CAST(SUM(CASE WHEN fp > hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_out_high
+             |FROM e JOIN f ON e.event_type = f.event_type
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))
   )
 }

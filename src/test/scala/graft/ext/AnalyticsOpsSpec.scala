@@ -112,4 +112,28 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(enSample > enCorpus,
       s"en share $enSample not above corpus share $enCorpus")
   }
+
+  test("q_boxplot: quartile order, fence formula, scalar outlier recount") {
+    val rows = SparkEntry.queries("q_boxplot")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(rows.nonEmpty)
+    val fps = graft.engine.Tables(spark, sf, "events")
+      .selectExpr("event_type", "CAST(floor(value * 10000) AS LONG) AS fp")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+    rows.foreach { case (et, (n, mn, q1, med, q3, mx, nlo, nhi)) =>
+      assert(mn <= q1 && q1 <= med && med <= q3 && q3 <= mx, s"$et order")
+      val xs = fps(et)
+      assert(n == xs.length)
+      val lo = q1 - (3 * (q3 - q1)) / 2
+      val hi = q3 + (3 * (q3 - q1)) / 2
+      assert(nlo == xs.count(_ < lo) && nhi == xs.count(_ > hi),
+        s"$et outlier recount")
+      val sorted = xs.sorted
+      assert(q1 == sorted(((n + 3) / 4 - 1).toInt) &&
+        med == sorted(((n + 1) / 2 - 1).toInt) &&
+        q3 == sorted(((3 * n + 3) / 4 - 1).toInt), s"$et rank picks")
+    }
+  }
 }

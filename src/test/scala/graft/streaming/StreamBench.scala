@@ -77,6 +77,15 @@ object StreamBench {
     run("cdc_fold")(EventStream.cdcApplyStream(
       events.select("user_id", "ts", "event_id", "event_type", "value")
         .as[EventStream.CdcEvent]).toDF())
+    // concurrency sweep monitor: per-user 1-day activity covers
+    // (+1 at the event's day, −1 the day after), 3 scalars of state
+    // per key — the q_peak_concurrency streaming twin at corpus rate
+    val days = events.selectExpr("user_id AS nk",
+      "(unix_micros(ts) - 1704067200000000L) div 86400000000L AS d")
+    run("sweep_monitor")(EventStream.sweepStream(
+      days.selectExpr("nk", "d", "CAST(1 AS LONG) AS delta")
+        .union(days.selectExpr("nk", "d + 1 AS d", "CAST(-1 AS LONG) AS delta"))
+        .as[EventStream.SweepEvent]).toDF())
     spark.stop()
   }
 }
