@@ -1057,10 +1057,16 @@ object Similarity {
     // silhouette, which needs one corpus × K broadcast pass instead of
     // the classic formula's all-pairs distances (quadratic; never at
     // 100 TB). Distances are IEEE-exact sqrt over the shared
-    // sequential-fold dots; each s quantizes to DECIMAL(18,12) before
-    // the per-cell mean so the sum is order-free (the Stats3 idiom).
-    // The oracle retrains the sampled Lloyd bit-identically — the
-    // evaluation is inside the hash check end to end.
+    // sequential-fold dots; each s quantizes to NANO fixed point with
+    // an EXPLICIT floor(s·10⁹) — not a DECIMAL cast: double→DECIMAL
+    // rounds HALF_UP off the exact binary expansion in Spark but
+    // half-even off the shortest decimal in DuckDB, and a sqrt output
+    // landing on a decimal tie diverges by one ulp of the quantum
+    // (caught live on q_cluster_outlier: a = 0.98085612023250002).
+    // floor of the identical IEEE product is engine-exact; integer
+    // sums are order-free. The oracle retrains the sampled Lloyd
+    // bit-identically — the evaluation is inside the hash check end
+    // to end.
     Q("q_silhouette",
       (s, dir) => {
         // SAME Scratch name as q_ann_ivf_sampled — one shared artifact,
@@ -1081,13 +1087,13 @@ object Similarity {
           .groupBy(col("vec_id"), col("own"))
           .agg(min(when(col("cid") === col("own"), col("dist"))).as("a"),
             min(when(col("cid") =!= col("own"), col("dist"))).as("b"))
-        ab.withColumn("sq",
-            when(greatest(col("a"), col("b")) > 0.0,
+        ab.withColumn("sn",
+            floor(when(greatest(col("a"), col("b")) > 0.0,
               (col("b") - col("a")) / greatest(col("a"), col("b")))
-              .otherwise(0.0).cast("decimal(18,12)"))
+              .otherwise(0.0) * 1e9).cast("long"))
           .groupBy(col("own").as("cid"))
           .agg(count(lit(1)).as("n_vecs"),
-            (sum(col("sq")).cast("double") /
+            (sum(col("sn")).cast("double") / lit(1e9) /
               count(lit(1)).cast("double")).as("mean_sil"))
           .orderBy("cid")
       },
@@ -1108,13 +1114,93 @@ object Similarity {
            |    MIN(CASE WHEN cid <> own THEN dist END) AS b
            |  FROM d GROUP BY vec_id, own),
            |sq AS (SELECT own AS cid,
-           |    CAST(CASE WHEN greatest(a, b) > 0.0
-           |         THEN (b - a) / greatest(a, b) ELSE 0.0 END
-           |      AS DECIMAL(18,12)) AS sq
+           |    CAST(floor((CASE WHEN greatest(a, b) > 0.0
+           |         THEN (b - a) / greatest(a, b) ELSE 0.0 END) * 1e9)
+           |      AS BIGINT) AS sn
            |  FROM ab)
            |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
-           |  CAST(SUM(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_sil
-           |FROM sq GROUP BY cid ORDER BY cid""".stripMargin))
+           |  CAST(SUM(sn) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
+           |    AS mean_sil
+           |FROM sq GROUP BY cid ORDER BY cid""".stripMargin)),
+
+    // ── centroid z-score anomaly detection (per IVF cell) ──
+    // Embedding-space outlier gate: a vector is anomalous when its
+    // distance to its OWN centroid exceeds the cell's mean + 2σ — the
+    // distribution-relative threshold a curation pipeline uses to
+    // quarantine junk embeddings (corrupt rows, wrong-modality
+    // vectors) before they poison ANN recall. Linear: one corpus pass
+    // against the broadcast codebook for a, one 16-row stats table,
+    // one join-back to count exceedances (the q_boxplot two-pass
+    // shape). Exactness: a and a² quantize to NANO fixed point with
+    // an explicit floor (see q_silhouette's comment — a DECIMAL cast
+    // diverges on decimal ties, caught live on THIS query) so cell
+    // sums are order-free int64; mean/σ/threshold then compute from
+    // exactly-agreed inputs in one identical IEEE expression tree
+    // (sqrt correctly rounded). Same persisted index as
+    // q_ann_ivf_sampled/q_silhouette — build once, audit free.
+    Q("q_cluster_outlier",
+      (s, dir) => {
+        val v = emb(s, dir).select("vec_id", "e", "nrm")
+        val idx = graft.engine.Scratch.cached("ivf_idx", dir) { path =>
+          buildIvfIndex(v.localCheckpoint(true), path, ivfSampleMod)
+        }
+        val cent = s.read.parquet(s"$idx/cent")
+        val cells = s.read.parquet(s"$idx/cells")
+          .select(col("vec_id"), col("cid"))
+        val aCol = sqrt(greatest(lit(0.0),
+          vec_dot(col("e"), col("e")) - lit(2.0) * vec_dot(col("e"), col("ce"))
+            + vec_dot(col("ce"), col("ce"))))
+        val pts = v.join(cells, "vec_id")
+          .join(broadcast(cent), "cid")
+          .withColumn("a", aCol)
+          .withColumn("an", floor(col("a") * 1e9).cast("long"))
+          .withColumn("a2n", floor(col("a") * col("a") * 1e9).cast("long"))
+          .select("cid", "vec_id", "a", "an", "a2n")
+        val stats = pts.groupBy("cid")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("an")).cast("double") / lit(1e9) /
+              count(lit(1)).cast("double")).as("mean_a"),
+            (sum(col("a2n")).cast("double") / lit(1e9) /
+              count(lit(1)).cast("double")).as("m2"))
+          .withColumn("std_a", sqrt(greatest(lit(0.0),
+            col("m2") - col("mean_a") * col("mean_a"))))
+        pts.join(broadcast(stats.select("cid", "n", "mean_a", "std_a")), "cid")
+          .groupBy(col("cid"))
+          .agg(max(col("n")).as("n_vecs"),
+            max(col("mean_a")).as("mean_a"), max(col("std_a")).as("std_a"),
+            sum(when(col("a") > col("mean_a") + lit(2.0) * col("std_a"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("cid")
+      },
+      Some(
+        s"""WITH RECURSIVE v AS ($duckEmb),
+           |vs AS (SELECT vec_id, e FROM v
+           |  WHERE ${graft.functions.HashSample.duck("vec_id", ivfSampleMod)}),
+           |${duckKmeansFor("vs",
+               s"SELECT vec_id, e FROM vs ORDER BY vec_id LIMIT $ivfK")},
+           |pts AS (SELECT cl.cid, cl.vec_id,
+           |    sqrt(greatest(0.0, ${duckDot("v.e", "v.e")}
+           |      - 2.0 * ${duckDot("v.e", "c.ce")}
+           |      + ${duckDot("c.ce", "c.ce")})) AS a
+           |  FROM cells cl JOIN v ON v.vec_id = cl.vec_id
+           |  JOIN cent c ON c.cid = cl.cid),
+           |ptq AS (SELECT cid, vec_id, a,
+           |    CAST(floor(a * 1e9) AS BIGINT) AS an,
+           |    CAST(floor(a * a * 1e9) AS BIGINT) AS a2n FROM pts),
+           |st AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(an) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
+           |      AS mean_a,
+           |    CAST(SUM(a2n) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
+           |      AS m2
+           |  FROM ptq GROUP BY cid),
+           |sf AS (SELECT cid, n, mean_a,
+           |    sqrt(greatest(0.0, m2 - mean_a * mean_a)) AS std_a FROM st)
+           |SELECT p.cid, MAX(n) AS n_vecs, MAX(mean_a) AS mean_a,
+           |  MAX(std_a) AS std_a,
+           |  CAST(SUM(CASE WHEN p.a > mean_a + 2.0 * std_a THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_outliers
+           |FROM ptq p JOIN sf ON p.cid = sf.cid
+           |GROUP BY p.cid ORDER BY p.cid""".stripMargin))
   )
 
   /** DuckDB twin of the multi-table LSH top-k relation — shared by the

@@ -293,6 +293,38 @@ object Quality {
              |  CAST(SUM(CASE WHEN fp > hi_fence THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_out_high
              |FROM e JOIN f ON e.event_type = f.event_type
-             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    // ── 2-D histogram (weekday × value-band heatmap) ──
+    // The heatmap rollup behind "when do the big values happen":
+    // weekday (2024-01-01 is a Monday, so day-index mod 7 IS the
+    // ISO weekday 0..6) × equi-width value decile band (bounds from
+    // the global max — one broadcast scalar; value ≥ 0 in this table,
+    // probed). Grid cells are bounded (7 × 10) at any corpus size,
+    // and the count aggregate map-side combines — the q_decision_stump
+    // histogram discipline in two dimensions. Margins re-derive
+    // downstream by summing cells, so only cells ship.
+    Q("q_histogram2d",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(expr("(unix_micros(ts) - 1704067200000000L)" +
+            " div 86400000000L % 7").as("dow"),
+            floor(col("value") * 10000).cast("long").as("fp"))
+        val mx = e.agg(max(col("fp")).as("mx"))
+        e.crossJoin(broadcast(mx))
+          .withColumn("band", expr("(fp * 10) div (mx + 1)"))
+          .groupBy("dow", "band")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("dow", "band")
+      },
+      Some("""WITH e AS (
+             |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 % 7
+             |      AS dow,
+             |    CAST(floor(value * 10000) AS BIGINT) AS fp
+             |  FROM events),
+             |m AS (SELECT MAX(fp) AS mx FROM e)
+             |SELECT dow, (fp * 10) // (mx + 1) AS band,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM e, m GROUP BY dow, band ORDER BY dow, band""".stripMargin))
   )
 }

@@ -655,4 +655,44 @@ object EventStream {
     events.groupByKey(_.nk)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
+
+  final case class BarTick(d: Long, us: Long, event_id: Long, fp: Long)
+  final case class BarState(firstKey: (Long, Long), open: Long, high: Long,
+      low: Long, lastKey: (Long, Long), close: Long, n: Long)
+  final case class BarOut(d: Long, open_fp: Long, high_fp: Long,
+      low_fp: Long, close_fp: Long, n_ticks: Long)
+
+  /** Streaming OHLC bars — the streaming twin of batch `q_ohlc`: per
+    * day key, fold ticks into (open, high, low, close, count). State
+    * is seven scalars per key; open/close carry their (time,
+    * event_id) keys so a late-arriving tick still lands in the right
+    * slot (min/max on the TOTAL order, not arrival order — this fold
+    * is therefore arrival-order-INSENSITIVE, unlike the sweep's
+    * prefix sum: any replay order reaches the batch bars, BarsStream
+    * Spec pins equality on a deliberately shuffled replay). The
+    * closed-day emission is what an incremental bar store upserts. */
+  def barsStream(events: Dataset[BarTick]): Dataset[BarOut] = {
+    import events.sparkSession.implicits._
+    def fn(d: Long, evs: Iterator[BarTick],
+        state: GroupState[BarState]): BarOut = {
+      var st = state.getOption.orNull
+      evs.foreach { e =>
+        val k = (e.us, e.event_id)
+        st =
+          if (st == null)
+            BarState(k, e.fp, e.fp, e.fp, k, e.fp, 1L)
+          else BarState(
+            if (Ordering[(Long, Long)].lt(k, st.firstKey)) k else st.firstKey,
+            if (Ordering[(Long, Long)].lt(k, st.firstKey)) e.fp else st.open,
+            math.max(st.high, e.fp), math.min(st.low, e.fp),
+            if (Ordering[(Long, Long)].gt(k, st.lastKey)) k else st.lastKey,
+            if (Ordering[(Long, Long)].gt(k, st.lastKey)) e.fp else st.close,
+            st.n + 1L)
+      }
+      state.update(st)
+      BarOut(d, st.open, st.high, st.low, st.close, st.n)
+    }
+    events.groupByKey(_.d)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
 }

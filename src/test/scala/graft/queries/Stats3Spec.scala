@@ -342,6 +342,31 @@ class Stats3Spec extends SparkSuite {
     assert(rows.exists(_._3 > 0.0), "no cell with positive silhouette")
   }
 
+  test("q_cluster_outlier: cells partition the corpus, threshold algebra holds") {
+    val rows = q("q_cluster_outlier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val corpus = graft.engine.Tables(spark, sf, "embeddings").count()
+    assert(rows.map(_._2).sum == corpus)
+    rows.foreach { case (cid, n, mean, std, out) =>
+      assert(n > 0 && mean >= 0.0 && std >= 0.0, s"cell $cid stats")
+      // Chebyshev: at most 1/4 of a cell can sit beyond mean+2σ —
+      // one-sided is even tighter, so n/4 is a safe ceiling
+      assert(out <= n / 4 + 1, s"cell $cid: $out outliers of $n")
+    }
+    assert(rows.exists(_._5 > 0), "no cell flagged any outlier — vacuous gate")
+  }
+
+  test("q_histogram2d: cells cover all events, grid bounded") {
+    val rows = q("q_histogram2d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = graft.engine.Tables(spark, sf, "events").count()
+    assert(rows.map(_._3).sum == total)
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 6 && r._2 >= 0 && r._2 <= 9))
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
+
   test("q_funnel_time: counts agree with q_funnel stages, medians bounded") {
     val ft = q("q_funnel_time").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
