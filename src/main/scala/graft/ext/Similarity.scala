@@ -1200,7 +1200,118 @@ object Similarity {
            |  CAST(SUM(CASE WHEN p.a > mean_a + 2.0 * std_a THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_outliers
            |FROM ptq p JOIN sf ON p.cid = sf.cid
-           |GROUP BY p.cid ORDER BY p.cid""".stripMargin))
+           |GROUP BY p.cid ORDER BY p.cid""".stripMargin)),
+
+    // ── MMR diversified re-rank (maximal marginal relevance) ──
+    // The search-result diversification head (Carbonell & Goldstein
+    // 1998): greedily pick 5 of the top-8 brute candidates, each step
+    // maximizing relevance MINUS the max similarity to anything
+    // already picked (λ = ½ — scale-free, so the score is just
+    // cos_rel − max_sim). The greedy recursion is BOUNDED (k = 5), so
+    // both engines unroll it: the Spark side loops 4 DataFrame steps
+    // (plan depth fixed, candidate/pair relations checkpointed once),
+    // the oracle unrolls the same 4 steps as generated CTEs (the
+    // ssspIterSql idiom). Per-query work is candidates² = 64 sims —
+    // corpus cost stays the ONE brute/ANN retrieval that feeds it.
+    // All comparisons are on engine-identical doubles with the
+    // (score DESC, neighbor_id) tie-break.
+    Q("q_mmr",
+      (s, dir) => {
+        val v = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
+        val cand = bruteRank(v, 4, 8)
+          .join(v, col("vec_id") === col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), col("cos"),
+            col("e"), col("nrm"))
+          .localCheckpoint(true)
+        val pairs = cand.select(col("query_id").as("pq"),
+            col("neighbor_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
+          .join(cand.select(col("query_id").as("pq"),
+            col("neighbor_id").as("b"), col("e").as("eb"), col("nrm").as("nb")),
+            Seq("pq"))
+          .filter(col("a") =!= col("b"))
+          .select(col("pq"), col("a"), col("b"),
+            cosine(col("ea"), col("na"), col("eb"), col("nb")).as("sim"))
+          .localCheckpoint(true)
+        var selected = cand
+          .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("cos").desc, col("neighbor_id"))))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("neighbor_id").as("nid"),
+            lit(1L).as("step"))
+        for (k <- 2 to 5) {
+          val pen = pairs
+            .join(selected.select(col("query_id").as("pq"),
+              col("nid").as("b")), Seq("pq", "b"))
+            .groupBy(col("pq").as("query_id"), col("a").as("neighbor_id"))
+            .agg(max(col("sim")).as("pen"))
+          val pick = cand
+            .join(selected.select(col("query_id"), col("nid").as("neighbor_id")),
+              Seq("query_id", "neighbor_id"), "left_anti")
+            .join(pen, Seq("query_id", "neighbor_id"))
+            .withColumn("score", col("cos") - col("pen"))
+            .withColumn("rn", row_number().over(Window
+              .partitionBy("query_id")
+              .orderBy(col("score").desc, col("neighbor_id"))))
+            .filter(col("rn") === 1)
+            .select(col("query_id"), col("neighbor_id").as("nid"),
+              lit(k.toLong).as("step"))
+          selected = selected.unionByName(pick).localCheckpoint(true)
+        }
+        selected
+          .join(cand.select(col("query_id"), col("neighbor_id").as("nid"),
+            col("cos")), Seq("query_id", "nid"))
+          .select(col("query_id"), col("step"),
+            col("nid").as("neighbor_id"), col("cos"))
+          .orderBy("query_id", "step")
+      },
+      Some {
+        val steps = (2 to 5).map { k =>
+          s"""pen$k AS (SELECT p.pq AS query_id, p.a AS neighbor_id,
+             |    MAX(p.sim) AS pen
+             |  FROM p JOIN sel${k - 1} s ON p.pq = s.query_id AND p.b = s.nid
+             |  GROUP BY p.pq, p.a),
+             |pick$k AS (SELECT query_id, neighbor_id AS nid FROM (
+             |    SELECT c.query_id, c.neighbor_id,
+             |      row_number() OVER (PARTITION BY c.query_id
+             |        ORDER BY c.cos - pen.pen DESC, c.neighbor_id) AS rn
+             |    FROM c JOIN pen$k pen ON pen.query_id = c.query_id
+             |      AND pen.neighbor_id = c.neighbor_id
+             |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s
+             |      WHERE s.query_id = c.query_id AND s.nid = c.neighbor_id))
+             |  WHERE rn = 1),
+             |sel$k AS (SELECT query_id, nid, step FROM sel${k - 1}
+             |  UNION ALL SELECT query_id, nid, $k FROM pick$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS ($duckEmb),
+           |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v
+           |      WHERE vec_id < 4),
+           |sc AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  FROM v JOIN q ON v.vec_id <> q.query_id),
+           |c AS (SELECT query_id, neighbor_id, cos FROM (
+           |    SELECT query_id, neighbor_id, cos,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+           |  WHERE rnk <= 8),
+           |p AS (SELECT ca.query_id AS pq, ca.neighbor_id AS a,
+           |    cb.neighbor_id AS b,
+           |    ${duckDot("va.e", "vb.e")} / (va.nrm * vb.nrm) AS sim
+           |  FROM c ca JOIN c cb ON ca.query_id = cb.query_id
+           |    AND ca.neighbor_id <> cb.neighbor_id
+           |  JOIN v va ON va.vec_id = ca.neighbor_id
+           |  JOIN v vb ON vb.vec_id = cb.neighbor_id),
+           |sel1 AS (SELECT query_id, neighbor_id AS nid,
+           |    CAST(1 AS BIGINT) AS step FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+           |      AS rn FROM c) WHERE rn = 1),
+           |$steps
+           |SELECT s.query_id, CAST(s.step AS BIGINT) AS step,
+           |  s.nid AS neighbor_id, c.cos
+           |FROM sel5 s JOIN c ON c.query_id = s.query_id
+           |  AND c.neighbor_id = s.nid
+           |ORDER BY s.query_id, s.step""".stripMargin
+      })
   )
 
   /** DuckDB twin of the multi-table LSH top-k relation — shared by the

@@ -113,6 +113,31 @@ class AnalyticsOpsSpec extends SparkSuite {
       s"en share $enSample not above corpus share $enCorpus")
   }
 
+  test("q_mmr: greedy picks are distinct, seeded by top-1, and diversify") {
+    val rows = SparkEntry.queries("q_mmr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 4 && byQ.values.forall(_.length == 5))
+    byQ.foreach { case (qid, picks) =>
+      assert(picks.map(_._3).distinct.length == 5, s"q $qid repeated a pick")
+      // step 1 must be the pure-relevance argmax of the emitted pool
+      val first = picks.minBy(_._2)
+      val maxCos = picks.map(_._4).max
+      assert(first._4 == maxCos ||
+        picks.filter(_._4 == maxCos).map(_._3).min == first._3,
+        s"q $qid step-1 is not the relevance top-1")
+    }
+    // diversification must be REAL on this corpus (probed 3/4 queries
+    // reorder at sf0.001): somewhere the pick order deviates from the
+    // relevance order of the same 5 items
+    val reorders = byQ.values.count { picks =>
+      val byStep = picks.sortBy(_._2).map(_._3).toSeq
+      val byRel = picks.sortBy(p => (-p._4, p._3)).map(_._3).toSeq
+      byStep != byRel
+    }
+    assert(reorders >= 1, "MMR never reordered — vacuous diversification")
+  }
+
   test("q_boxplot: quartile order, fence formula, scalar outlier recount") {
     val rows = SparkEntry.queries("q_boxplot")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
