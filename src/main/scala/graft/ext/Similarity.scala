@@ -1311,7 +1311,86 @@ object Similarity {
            |FROM sel5 s JOIN c ON c.query_id = s.query_id
            |  AND c.neighbor_id = s.nid
            |ORDER BY s.query_id, s.step""".stripMargin
-      })
+      }),
+
+    // ── DBSCAN-style density clustering over the pair artifact ──
+    // Density clustering without k: a vector is CORE when it has ≥ 3
+    // cosine-0.4 neighbors (the ε-graph IS the persisted
+    // [[fullVectorPairs]] artifact — the expensive stage is already
+    // paid and shared with q_dedup_embed/_resolve); clusters are
+    // connected components of the core-core subgraph
+    // (pointer-jumping [[Dedup.componentsOf]]); non-core vectors
+    // with a core neighbor join that neighbor's cluster as BORDER
+    // (min-label tie-break); everything else is NOISE. The ε-graph
+    // comes from LSH candidates, so this is DBSCAN over the
+    // recall-measured approximate neighborhood (RECALL.md) — exactly
+    // how production density clustering runs at corpus scale, and
+    // the oracle replays the same LSH pipeline so the approximation
+    // is inside the hash check. Convention: minPts counts NEIGHBORS
+    // (excludes self) — ≥ 2 here: the near-uniform synthetic
+    // embeddings carry weak cosine structure (RECALL.md), with a max
+    // pair-graph degree of 2/2/4 at the three driver SFs (probed), so
+    // ≥ 3 would make every vector noise (vacuous); ≥ 2 yields a real
+    // core/border/noise mix at every SF and reads as "has at least
+    // two near-duplicates".
+    Q("q_dbscan",
+      (s, dir) => {
+        val pairs = s.read.parquet(fullVectorPairs(s, dir))
+          .select("id1", "id2").localCheckpoint(true)
+        val und = pairs.select(col("id1").as("n"), col("id2").as("d"))
+          .unionByName(pairs.select(col("id2").as("n"), col("id1").as("d")))
+        val core = und.groupBy("n").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= 2).select("n").localCheckpoint(true)
+        val ce = pairs
+          .join(core.select(col("n").as("id1")), Seq("id1"), "left_semi")
+          .join(core.select(col("n").as("id2")), Seq("id2"), "left_semi")
+        val coreLbl = core
+          .join(Dedup.componentsOf(ce), Seq("n"), "left")
+          .withColumn("lbl", coalesce(col("lbl"), col("n")))
+        val borderLbl = und
+          .join(coreLbl.select(col("n").as("d"), col("lbl")), Seq("d"))
+          .join(core, Seq("n"), "left_anti")
+          .groupBy("n").agg(min(col("lbl")).as("blbl"))
+        emb(s, dir).select("vec_id")
+          .join(coreLbl.select(col("n").as("vec_id"),
+            col("lbl").as("clbl")), Seq("vec_id"), "left")
+          .join(borderLbl.select(col("n").as("vec_id"), col("blbl")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("clbl").isNotNull, "core")
+              .when(col("blbl").isNotNull, "border")
+              .otherwise("noise").as("role"),
+            coalesce(col("clbl"), col("blbl"), lit(-1L)).as("cluster"))
+          .orderBy("vec_id")
+      },
+      Some(
+        s"""WITH RECURSIVE v AS ($duckEmb),
+           |$duckLshCandidatePairs,
+           |$duckCosineVerified,
+           |vpt AS (SELECT id1, id2 FROM vp WHERE cos >= 0.4),
+           |und AS (SELECT id1 AS n, id2 AS d FROM vpt
+           |        UNION ALL SELECT id2, id1 FROM vpt),
+           |core AS (SELECT n FROM (
+           |    SELECT n, count(*) AS dg FROM und GROUP BY n)
+           |  WHERE dg >= 2),
+           |ce AS (SELECT id1, id2 FROM vpt
+           |  WHERE id1 IN (SELECT n FROM core)
+           |    AND id2 IN (SELECT n FROM core)),
+           |${Dedup.duckClosure("ce")},
+           |cl AS (SELECT co.n, COALESCE(c.lbl, co.n) AS lbl
+           |       FROM core co LEFT JOIN comp c ON c.n = co.n),
+           |bl AS (SELECT u.n, MIN(cl.lbl) AS blbl FROM und u
+           |       JOIN cl ON cl.n = u.d
+           |       WHERE u.n NOT IN (SELECT n FROM core)
+           |       GROUP BY u.n)
+           |SELECT d.vec_id,
+           |  CASE WHEN cl.lbl IS NOT NULL THEN 'core'
+           |       WHEN bl.blbl IS NOT NULL THEN 'border'
+           |       ELSE 'noise' END AS role,
+           |  COALESCE(cl.lbl, bl.blbl, -1) AS cluster
+           |FROM v d LEFT JOIN cl ON cl.n = d.vec_id
+           |LEFT JOIN bl ON bl.n = d.vec_id
+           |ORDER BY vec_id""".stripMargin))
   )
 
   /** DuckDB twin of the multi-table LSH top-k relation — shared by the

@@ -138,6 +138,30 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(reorders >= 1, "MMR never reordered — vacuous diversification")
   }
 
+  test("q_dbscan: roles partition the corpus, labels are cluster minima") {
+    val rows = SparkEntry.queries("q_dbscan")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val corpus = graft.engine.Tables(spark, sf, "embeddings").count()
+    assert(rows.length == corpus)
+    val byRole = rows.groupBy(_._2)
+    assert(byRole.contains("core") && byRole.contains("noise"),
+      "vacuous clustering — need at least cores and noise")
+    // noise carries the -1 sentinel; clustered vectors carry a label
+    byRole.getOrElse("noise", Array()).foreach(r => assert(r._3 == -1L))
+    val clustered = rows.filter(_._2 != "noise")
+    clustered.foreach(r => assert(r._3 >= 0L))
+    // a cluster's label is the min CORE id in it, and every border's
+    // cluster must also contain a core
+    val coreByCluster = byRole("core").groupBy(_._3)
+    coreByCluster.foreach { case (lbl, cs) =>
+      assert(cs.map(_._1).min == lbl, s"cluster $lbl label not its min core")
+    }
+    byRole.getOrElse("border", Array()).foreach { b =>
+      assert(coreByCluster.contains(b._3),
+        s"border ${b._1} in coreless cluster ${b._3}")
+    }
+  }
+
   test("q_boxplot: quartile order, fence formula, scalar outlier recount") {
     val rows = SparkEntry.queries("q_boxplot")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
