@@ -225,6 +225,44 @@ object Quality {
              |GROUP BY 1, 2, 3 HAVING count(*) < 5
              |ORDER BY lang, source, len_band""".stripMargin)),
 
+    // ── l-diversity audit (q_kanon's homogeneity-attack sibling) ──
+    // k-anonymity alone fails when a quasi-identifier cell is large
+    // but HOMOGENEOUS in the sensitive attribute — every member leaks
+    // it anyway. Here QI = (source, length band), sensitive = lang:
+    // flag cells with < 3 distinct langs, with the dominant-lang
+    // share (attack confidence) in exact ppm. Like q_kanon, the risky
+    // set SHRINKS as the corpus grows (probed: 2 / 6 / 0 cells at the
+    // three SFs — an empty sf0.1 result is the privacy-improves-with-
+    // scale point, not vacuity; sf0.001 stays non-empty for the smoke
+    // floor). Two keyed aggregates, cells bounded by the QI domain.
+    Q("q_ldiversity",
+      (s, dir) => {
+        val cells = Tables(s, dir, "documents")
+          .groupBy(col("source"), expr("n_chars div 200").as("len_band"),
+            col("lang"))
+          .agg(count(lit(1)).as("cl"))
+        cells.groupBy("source", "len_band")
+          .agg(sum(col("cl")).as("n"),
+            count(lit(1)).as("distinct_langs"),
+            max(col("cl")).as("top"))
+          .filter(col("distinct_langs") < 3)
+          .select(col("source"), col("len_band"), col("n"),
+            col("distinct_langs"),
+            expr("top * 1000000L div n").as("top_share_ppm"))
+          .orderBy("source", "len_band")
+      },
+      Some("""WITH cells AS (
+             |  SELECT source, n_chars // 200 AS len_band, lang,
+             |    CAST(count(*) AS BIGINT) AS cl
+             |  FROM documents GROUP BY 1, 2, 3)
+             |SELECT source, len_band, CAST(SUM(cl) AS BIGINT) AS n,
+             |  CAST(count(*) AS BIGINT) AS distinct_langs,
+             |  MAX(cl) * 1000000 // CAST(SUM(cl) AS BIGINT)
+             |    AS top_share_ppm
+             |FROM cells GROUP BY source, len_band
+             |HAVING count(*) < 3
+             |ORDER BY source, len_band""".stripMargin)),
+
     // ── boxplot five-number summary + IQR outlier fences per group ──
     // The distribution-profile head a dashboard draws: per event type,
     // min / Q1 / median / Q3 / max picked at EXACT ranks under the

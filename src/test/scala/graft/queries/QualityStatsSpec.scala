@@ -226,4 +226,26 @@ class QualityStatsSpec extends SparkSuite {
       assert(jac == inter * 1000000L / uni)
     }
   }
+
+  test("q_ldiversity: risky cells recounted from the raw table") {
+    val got = graft.SparkEntry.queries("q_ldiversity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = graft.engine.Tables(spark, sf, "documents")
+      .selectExpr("source", "n_chars div 200 AS b", "lang")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getString(2)))
+    val expect = docs.groupBy(_._1).collect {
+      case (cell, xs) if xs.map(_._2).distinct.length < 3 =>
+        val langs = xs.map(_._2)
+        cell -> (langs.length.toLong, langs.distinct.length.toLong,
+          langs.groupBy(identity).values.map(_.length).max.toLong *
+            1000000L / langs.length)
+    }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "no risky cell at sf0.001 — vacuous audit")
+    got.values.foreach { case (n, dl, share) =>
+      assert(dl < 3 && share >= 1000000L / dl && share <= 1000000L)
+      assert(n >= dl)
+    }
+  }
 }
