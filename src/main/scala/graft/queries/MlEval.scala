@@ -264,5 +264,69 @@ object MlEval {
              |  CAST(posl AS BIGINT) AS pos_left,
              |  CAST(n - nl AS BIGINT) AS n_right,
              |  CAST(pos - posl AS BIGINT) AS pos_right, score
-             |FROM r WHERE rn = 1""".stripMargin)))
+             |FROM r WHERE rn = 1""".stripMargin)),
+
+    // ── cumulative gains / lift chart (targeting-depth curve) ──
+    // "If we act on the top k% by model score, what fraction of all
+    // positives do we capture, and at what lift over random?" Ranked
+    // by (score DESC, then the event id — a total order, so deciles
+    // are row-number-exact, never ntile-implementation-dependent),
+    // cumulated per decile, everything in exact ppm (capture =
+    // cum_pos·10⁶ div total_pos; lift = cum_pos·N·10⁶ div
+    // (total_pos·cum_n)). One window shuffle on the global rank over
+    // the scored base (the q_auc substrate), then a 10-row cum walk.
+    // Near-chance on synthetic scores BY DESIGN — the metric algebra,
+    // not the model, is what the oracle certifies (q_auc's caveat).
+    Q("q_gains",
+      (s, dir) => {
+        val sc = t(s, dir, "events")
+          .select((col("event_type") === "purchase").cast("long").as("y"),
+            floor(col("value") * 10000).cast("long").as("v"),
+            col("event_id"))
+        val ord = Window.orderBy(col("v").desc, col("event_id"))
+        val dec = sc
+          .withColumn("rn", row_number().over(ord).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("decile", expr("((rn - 1) * 10) div n"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("dn"), sum(col("y")).as("dpos"))
+        val wCum = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+        dec
+          .withColumn("cum_n", sum(col("dn")).over(wCum))
+          .withColumn("cum_pos", sum(col("dpos")).over(wCum))
+          .withColumn("tot_n", sum(col("dn")).over(wAll))
+          .withColumn("tot_pos", sum(col("dpos")).over(wAll))
+          .select(col("decile"), col("dn"), col("dpos"), col("cum_pos"),
+            expr("cum_pos * 1000000L div tot_pos").as("capture_ppm"),
+            expr("(cum_pos * tot_n * 1000000L) div (tot_pos * cum_n)")
+              .as("lift_ppm"))
+          .orderBy("decile")
+      },
+      Some("""WITH sc AS (SELECT CAST(event_type = 'purchase' AS BIGINT) AS y,
+             |    CAST(floor(value * 10000) AS BIGINT) AS v, event_id
+             |  FROM events),
+             |rk AS (SELECT y,
+             |    CAST(row_number() OVER (ORDER BY v DESC, event_id)
+             |      AS BIGINT) AS rn,
+             |    CAST(count(*) OVER () AS BIGINT) AS n
+             |  FROM sc),
+             |dec AS (SELECT ((rn - 1) * 10) // n AS decile,
+             |    CAST(count(*) AS BIGINT) AS dn, CAST(SUM(y) AS BIGINT) AS dpos
+             |  FROM rk GROUP BY 1),
+             |c AS (SELECT decile, dn, dpos,
+             |    CAST(SUM(dn) OVER (ORDER BY decile
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_n,
+             |    CAST(SUM(dpos) OVER (ORDER BY decile
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_pos,
+             |    CAST(SUM(dn) OVER () AS BIGINT) AS tot_n,
+             |    CAST(SUM(dpos) OVER () AS BIGINT) AS tot_pos
+             |  FROM dec)
+             |SELECT decile, dn, dpos, cum_pos,
+             |  cum_pos * 1000000 // tot_pos AS capture_ppm,
+             |  (cum_pos * tot_n * 1000000) // (tot_pos * cum_n) AS lift_ppm
+             |FROM c ORDER BY decile""".stripMargin)))
 }

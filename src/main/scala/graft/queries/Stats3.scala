@@ -746,5 +746,67 @@ object Stats3 {
               |   FROM a JOIN b USING (ck)) AS exact_inter,
               |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS ndv_a,
               |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS ndv_b
-              |FROM cm""".stripMargin)))
+              |FROM cm""".stripMargin)),
+
+    // ── cross-correlation function (lead/lag between two series) ──
+    // Does one signal LEAD the other? CCF(ℓ) = corr(views_t,
+    // purchases_{t+ℓ}) for ℓ ∈ [−3, 3] over the daily series — the
+    // does-marketing-predict-sales primitive q_acf can't express
+    // (ACF is one series against itself). Per lag the moments are
+    // exact int64 over the ALIGNED overlap (each lag has its own n —
+    // the standard CCF convention), and r is the same IEEE
+    // expression tree q_corr ships. The corpus-sized stage is ONE
+    // day×type aggregate; the 7-lag×30-day alignment join runs on
+    // the bounded daily table.
+    Q("q_crosscorr",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(expr(s"(unix_micros(ts) - 1704067200000000L)" +
+            " div 86400000000L").as("d"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+          .localCheckpoint(true)
+        val lags = s.range(-3, 4).select(col("id").as("lag"))
+        val aligned = daily.select(col("d"), col("x"))
+          .crossJoin(broadcast(lags))
+          .join(daily.select(col("d").as("d2"), col("y")),
+            col("d2") === col("d") + col("lag"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        aligned.groupBy("lag")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("lag"), col("n"),
+            ((d(col("n") * col("sxy") - col("sx") * col("sy"))) /
+              (sqrt(d(col("n") * col("sxx") - col("sx") * col("sx"))) *
+                sqrt(d(col("n") * col("syy") - col("sy") * col("sy")))))
+              .as("r"))
+          .orderBy("lag")
+      },
+      Some("""WITH daily AS (
+             |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS d,
+             |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS x,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |lags AS (SELECT CAST(i AS BIGINT) AS lag
+             |         FROM generate_series(-3, 3) t(i)),
+             |al AS (SELECT l.lag, a.x, b.y
+             |  FROM daily a CROSS JOIN lags l
+             |  JOIN daily b ON b.d = a.d + l.lag),
+             |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy
+             |  FROM al GROUP BY lag)
+             |SELECT lag, n,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+             |FROM m ORDER BY lag""".stripMargin)))
 }

@@ -76,4 +76,23 @@ class MlEvalSpec extends SparkSuite {
       assert(math.abs(nC * w - nTotal.toDouble / k) < 1e-9)
     }
   }
+
+  test("q_gains: deciles partition, capture is monotone and ends at 10^6") {
+    val rows = graft.SparkEntry.queries("q_gains")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    val e = graft.engine.Tables(spark, sf, "events")
+    assert(rows.map(_._2).sum == e.count())
+    assert(rows.map(_._3).sum ==
+      e.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+        .count())
+    val caps = rows.map(_._5)
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b },
+      "capture must be monotone in depth")
+    assert(caps.last == 1000000L, "full depth must capture everything")
+    // lift telescopes to exactly 1 at full depth
+    assert(rows.last._6 == 1000000L)
+  }
 }

@@ -342,6 +342,35 @@ class Stats3Spec extends SparkSuite {
     assert(rows.exists(_._3 > 0.0), "no cell with positive silhouette")
   }
 
+  test("q_crosscorr: scalar recount per lag, overlap lengths symmetric") {
+    val rows = q("q_crosscorr").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == (-3L to 3L).toSet)
+    val daily = graft.engine.Tables(spark, sf, "events")
+      .selectExpr("(unix_micros(ts) - 1704067200000000) div 86400000000 AS d",
+        "CAST(event_type = 'view' AS LONG) AS x",
+        "CAST(event_type = 'purchase' AS LONG) AS y")
+      .groupBy("d").sum("x", "y")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (-3L to 3L).foreach { lag =>
+      val al = daily.keys.toSeq.sorted.flatMap { d =>
+        daily.get(d + lag).map(b => (daily(d)._1, b._2))
+      }
+      val (n, r) = rows(lag)
+      assert(n == al.length, s"lag $lag overlap")
+      val sx = al.map(_._1).sum; val sy = al.map(_._2).sum
+      val sxy = al.map(p => p._1 * p._2).sum
+      val sxx = al.map(p => p._1 * p._1).sum
+      val syy = al.map(p => p._2 * p._2).sum
+      val exp = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      assert(r == exp, s"lag $lag: $r != $exp")
+      assert(r >= -1.0 && r <= 1.0)
+      assert(rows(lag)._1 == rows(-lag)._1, s"lag $lag overlap asymmetric")
+    }
+  }
+
   test("q_cluster_outlier: cells partition the corpus, threshold algebra holds") {
     val rows = q("q_cluster_outlier").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
