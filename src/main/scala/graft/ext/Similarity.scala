@@ -1390,7 +1390,66 @@ object Similarity {
            |  COALESCE(cl.lbl, bl.blbl, -1) AS cluster
            |FROM v d LEFT JOIN cl ON cl.n = d.vec_id
            |LEFT JOIN bl ON bl.n = d.vec_id
-           |ORDER BY vec_id""".stripMargin))
+           |ORDER BY vec_id""".stripMargin)),
+
+    // ── ANN recall@5 as a DECLARED, oracle-checked query ──
+    // The index-health metric a deployment monitors per corpus
+    // version: per query, how many of the exact brute-force top-5
+    // does the multi-table LSH top-5 recover? Both relations are the
+    // SAME definitions their standalone queries ship (bruteRank /
+    // lshMultiRank — zero drift possible), the per-query recall is
+    // exact ppm, and the corpus-mean rides along (micro-unit div).
+    // RECALL.md's measured tables come from specs; THIS puts the
+    // recall computation itself inside the per-round hash gate, so a
+    // silent index regression (bucket drift, plane change) fails
+    // correctness, not just a spec threshold.
+    Q("q_ann_recall",
+      (s, dir) => {
+        val v0 = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
+        val truth = bruteRank(v0, 8, 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val got = lshMultiRank(v0, 64, 5).filter(col("query_id") < 8)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = truth.join(got, Seq("query_id", "neighbor_id"),
+            "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        val per = truth.select("query_id").distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("hits"),
+            (coalesce(col("h"), lit(0L)) * 200000L).as("recall_ppm"))
+        per
+          .withColumn("mean_recall_ppm",
+            expr("sum(recall_ppm) over ()") /
+              count(lit(1)).over(Window.partitionBy()))
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH $duckLshMultiCtes,
+           |bq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v
+           |       WHERE vec_id < 8),
+           |bp AS (SELECT q.query_id, v2.vec_id AS neighbor_id,
+           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  FROM v v2 JOIN bq q ON v2.vec_id <> q.query_id),
+           |br AS (SELECT query_id, neighbor_id,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, neighbor_id) AS rnk FROM bp),
+           |truth AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= 5),
+           |got AS (SELECT query_id, neighbor_id FROM r
+           |        WHERE rnk <= 5 AND query_id < 8),
+           |h AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS h
+           |  FROM truth t JOIN got g ON g.query_id = t.query_id
+           |    AND g.neighbor_id = t.neighbor_id
+           |  GROUP BY t.query_id),
+           |per AS (SELECT q.query_id,
+           |    CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+           |    CAST(COALESCE(h.h, 0) * 200000 AS BIGINT) AS recall_ppm
+           |  FROM (SELECT DISTINCT query_id FROM truth) q
+           |  LEFT JOIN h ON h.query_id = q.query_id)
+           |SELECT query_id, hits, recall_ppm,
+           |  CAST(SUM(recall_ppm) OVER () AS BIGINT) /
+           |    CAST(count(*) OVER () AS BIGINT) AS mean_recall_ppm
+           |FROM per ORDER BY query_id""".stripMargin))
   )
 
   /** DuckDB twin of the multi-table LSH top-k relation — shared by the

@@ -162,6 +162,19 @@ class AnalyticsOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_ann_recall: per-query recall algebra and the mean identity") {
+    val rows = SparkEntry.queries("q_ann_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 8)
+    rows.foreach { case (q, h, ppm, _) =>
+      assert(h >= 0 && h <= 5 && ppm == h * 200000L, s"query $q")
+    }
+    val mean = rows.map(_._4).distinct
+    assert(mean.length == 1 &&
+      mean.head == rows.map(_._3).sum.toDouble / rows.length,
+      "mean column must be the constant per-query average")
+  }
+
   test("q_boxplot: quartile order, fence formula, scalar outlier recount") {
     val rows = SparkEntry.queries("q_boxplot")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
