@@ -808,5 +808,79 @@ object Stats3 {
              |  CAST(n * sxy - sx * sy AS DOUBLE) /
              |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
              |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
-             |FROM m ORDER BY lag""".stripMargin)))
+             |FROM m ORDER BY lag""".stripMargin)),
+
+    // ── PACF (3 lags, unrolled Durbin–Levinson) ──
+    // The AR-order-selection companion of q_acf: the partial
+    // autocorrelation at lag k strips the influence of lags < k, and
+    // the cutoff pattern is how an AR(p) is identified. Input is the
+    // SAME banded-ACF sequence q_acf declares (identical moment
+    // formula, identical double division); the Durbin–Levinson
+    // recursion is BOUNDED (3 lags) so it unrolls into one identical
+    // IEEE expression tree in both engines — the q_holt
+    // bounded-recursion discipline, no iteration anywhere. Corpus
+    // cost: the one day-grain aggregate; everything else is a 1-row
+    // computation at any scale.
+    Q("q_pacf",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(expr(s"(unix_micros(ts) - 1704067200000000L)" +
+            " div 86400000000L").as("d"))
+          .agg(count(lit(1)).as("x"))
+          .localCheckpoint(true)
+        val glob = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("sxx"))
+        val ks = daily.sparkSession.range(1, 4).select(col("id").as("k"))
+        val acf = daily.crossJoin(broadcast(ks)).alias("a")
+          .join(broadcast(daily.select(col("d").as("d2"), col("x").as("x2"))),
+            col("d2") === col("a.d") + col("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("m"), sum(col("a.x") * col("x2")).as("sxy"),
+            sum(col("a.x")).as("head"), sum(col("x2")).as("tail"))
+          .crossJoin(broadcast(glob))
+          .select(col("k"),
+            ((col("n") * col("n") * col("sxy") -
+              col("n") * col("s") * (col("head") + col("tail")) +
+              col("m") * col("s") * col("s")).cast("double") /
+              (col("n") * col("n") * col("sxx") -
+                col("n") * col("s") * col("s")).cast("double")).as("r"))
+        acf.groupBy()
+          .agg(max(when(col("k") === 1, col("r"))).as("r1"),
+            max(when(col("k") === 2, col("r"))).as("r2"),
+            max(when(col("k") === 3, col("r"))).as("r3"))
+          .selectExpr("r1", "r2", "r3", "r1 AS pacf1",
+            "(r2 - r1 * r1) / (1.0 - r1 * r1) AS pacf2",
+            """(r3 - (r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1) * r2
+              | - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1)
+              | / (1.0 - (r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1) * r1
+              | - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2) AS pacf3"""
+              .stripMargin.replace("\n", ""))
+      },
+      Some("""WITH daily AS (
+             |  SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS d,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(x) AS BIGINT) AS s,
+             |  CAST(SUM(x * x) AS BIGINT) AS sxx FROM daily),
+             |p AS (SELECT k, CAST(count(*) AS BIGINT) AS m,
+             |  CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+             |  CAST(SUM(a.x) AS BIGINT) AS head,
+             |  CAST(SUM(b.x) AS BIGINT) AS tail
+             |  FROM daily a, generate_series(1, 3) t(k), daily b
+             |  WHERE b.d = a.d + k GROUP BY k),
+             |acf AS (SELECT k,
+             |  CAST(n*n*sxy - n*s*(head + tail) + m*s*s AS DOUBLE)
+             |    / CAST(n*n*sxx - n*s*s AS DOUBLE) AS r
+             |  FROM p, g),
+             |w AS (SELECT MAX(CASE WHEN k = 1 THEN r END) AS r1,
+             |  MAX(CASE WHEN k = 2 THEN r END) AS r2,
+             |  MAX(CASE WHEN k = 3 THEN r END) AS r3 FROM acf)
+             |SELECT r1, r2, r3, r1 AS pacf1,
+             |  (r2 - r1 * r1) / (1.0 - r1 * r1) AS pacf2,
+             |  (r3 - (r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1) * r2
+             |   - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1)
+             |  / (1.0 - (r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1) * r1
+             |   - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2) AS pacf3
+             |FROM w""".stripMargin)))
 }

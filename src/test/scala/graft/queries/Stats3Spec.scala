@@ -342,6 +342,23 @@ class Stats3Spec extends SparkSuite {
     assert(rows.exists(_._3 > 0.0), "no cell with positive silhouette")
   }
 
+  test("q_pacf: Durbin-Levinson recount from the emitted ACF values") {
+    val r = q("q_pacf").collect().head
+    val (r1, r2, r3) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    val (p1, p2, p3) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(p1 == r1)
+    val e2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(p2 == e2)
+    val phi21 = r1 - e2 * r1
+    val e3 = (r3 - phi21 * r2 - e2 * r1) / (1.0 - phi21 * r1 - e2 * r2)
+    assert(p3 == e3)
+    // ACF must agree with the declared q_acf at the shared lags
+    val acf = q("q_acf").collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r1 == acf(1L) && r2 == acf(2L) && r3 == acf(3L))
+    Seq(p1, p2, p3).foreach(p => assert(p >= -1.0 && p <= 1.0))
+  }
+
   test("q_crosscorr: scalar recount per lag, overlap lengths symmetric") {
     val rows = q("q_crosscorr").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
