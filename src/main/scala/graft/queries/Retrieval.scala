@@ -144,6 +144,67 @@ object Retrieval {
              |WHERE 10 * inter >= 9 * (sa.n + sb.n - inter)
              |ORDER BY jac_fp DESC, da, db LIMIT 100""".stripMargin)),
 
+    // ── asymmetric CONTAINMENT probe join (the Jaccard blind spot) ──
+    // Snippet detection: a probe doc 90% of whose tokens appear in a
+    // corpus doc is a near-copy even when the corpus doc is much
+    // bigger — exactly the case Jaccard ≥ 0.9 MISSES (measured here:
+    // 1,414 of the 1,684 qualifying containment pairs at sf0.01 fail
+    // the Jaccard gate). Containment C(A,B) = |A∩B|/|A| thresholds on
+    // the PROBE side only, so the probe keeps its τ-prefix (rarest
+    // n − ⌈τn⌉ + 1 tokens — if C ≥ τ, B must hit at least one of
+    // them: fewer than that many misses are allowed in ALL of A) but
+    // the corpus side must index ALL tokens (no symmetric pruning
+    // exists — B's size is unconstrained). The oracle pairs on all
+    // tokens with no prefix, proving the probe prefix lossless.
+    // Candidate growth is capped by the prefix preferring GLOBALLY
+    // RAREST tokens; the whale-token residue is the capBuckets
+    // discipline. Top-100 head under (containment, da, db).
+    Q("q_containment_join",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(expr("array_distinct(regexp_extract_all(text, '[a-z]+', 0))"))
+              .as("tk"))
+        val probePrefix = tauPrefix(tok, 9, 10)
+          .filter(col("doc_id") % 50 === 0)
+        val cand = probePrefix.select(col("tk"), col("doc_id").as("da"))
+          .join(tok.select(col("tk").as("tk2"), col("doc_id").as("db")),
+            col("tk") === col("tk2") && col("da") =!= col("db"))
+          .select("da", "db").distinct()
+        val sets = tok.groupBy("doc_id")
+          .agg(sort_array(collect_set(col("tk"))).as("toks"),
+            count(lit(1)).as("n"))
+        cand
+          .join(sets.select(col("doc_id").as("da"), col("toks").as("ta"),
+            col("n").as("na")), Seq("da"))
+          .join(sets.select(col("doc_id").as("db"), col("toks").as("tb")),
+            Seq("db"))
+          .withColumn("inter",
+            size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+          .filter(col("inter") * 10L >= col("na") * 9L)
+          .select(col("da"), col("db"), col("inter"), col("na"),
+            expr("inter * 1000000L div na").as("cont_fp"))
+          .orderBy(col("cont_fp").desc, col("da"), col("db"))
+          .limit(100)
+      },
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT doc_id,
+             |         unnest(regexp_extract_all(text, '[a-z]+')) AS tk
+             |  FROM documents),
+             |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+             |       FROM tok GROUP BY doc_id),
+             |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+             |        CAST(count(*) AS BIGINT) AS inter
+             |      FROM tok a JOIN tok b ON a.tk = b.tk
+             |        AND a.doc_id <> b.doc_id
+             |      WHERE a.doc_id % 50 = 0
+             |      GROUP BY a.doc_id, b.doc_id)
+             |SELECT da, db, inter, sa.n AS na,
+             |  inter * 1000000 // sa.n AS cont_fp
+             |FROM p JOIN sz sa ON sa.doc_id = da
+             |WHERE inter * 10 >= sa.n * 9
+             |ORDER BY cont_fp DESC, da, db LIMIT 100""".stripMargin)),
+
     // ── mean reciprocal rank (ranked-retrieval evaluation metric) ──
     // Queries = nations; per nation its suppliers rank by
     // (s_acctbal DESC, s_suppkey) and a supplier is "relevant" when

@@ -248,4 +248,26 @@ class Round7OpsSpec extends SparkSuite {
     }.toSet
     assert(got == expected)
   }
+
+  // ── asymmetric containment join ──
+
+  test("q_containment_join: formula recount, and it catches Jaccard's blind spot") {
+    val rows = SparkEntry.queries("q_containment_join")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val toks = graft.engine.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> "[a-z]+".r.findAllIn(t).toSet }.toMap
+    var blindSpot = 0
+    rows.foreach { case (da, db, inter, na, fp) =>
+      assert(da % 50 == 0 && da != db)
+      val (a, b) = (toks(da), toks(db))
+      assert(inter == (a & b).size.toLong && na == a.size.toLong)
+      assert(inter * 10 >= na * 9 && fp == inter * 1000000L / na)
+      val uni = a.size + b.size - inter
+      if (inter * 10 < uni * 9) blindSpot += 1
+    }
+    assert(blindSpot > 0,
+      "no emitted pair fails the Jaccard gate — containment adds nothing here")
+  }
 }
