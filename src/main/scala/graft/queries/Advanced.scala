@@ -831,6 +831,75 @@ object Advanced {
              |    AND q.p_size >= p.p_size
              |    AND (q.p_retailprice < p.p_retailprice
              |         OR q.p_size > p.p_size))
-             |ORDER BY p_partkey""".stripMargin))
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ── growth accounting (new / retained / resurrected / churned) ──
+    // The full DAU decomposition q_new_returning only splits in two:
+    // per day, NEW (first-ever day), RETAINED (also active yesterday),
+    // RESURRECTED (active before, dark yesterday), and CHURNED
+    // (yesterday's actives who went dark today — reported against
+    // today). Conservation laws hold by construction and are
+    // spec-pinned: new+retained+resurrected = active(d), and
+    // retained(d) + churned(d) = active(d−1) for consecutive days.
+    // One distinct user-day relation, one self-join shifted by a day
+    // (user-keyed — the q_seqpat shape), one first-day broadcast.
+    Q("q_growth_acct",
+      (s, dir) => {
+        val active = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("(unix_micros(ts) - 1704067200000000L)" +
+              " div 86400000000L").as("d"))
+          .distinct().localCheckpoint(true)
+        val firsts = active.groupBy("user_id").agg(min(col("d")).as("fd"))
+        val prev = active.select(col("user_id"), (col("d") + 1L).as("d"))
+        val today = active
+          .join(firsts, "user_id")
+          .join(prev.withColumn("was_prev", lit(1L)),
+            Seq("user_id", "d"), "left")
+          .groupBy("d")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("fd") === col("d"), 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("fd") < col("d") && col("was_prev").isNotNull, 1L)
+              .otherwise(0L)).as("n_retained"),
+            sum(when(col("fd") < col("d") && col("was_prev").isNull, 1L)
+              .otherwise(0L)).as("n_resurrected"))
+        val churn = active.select(col("user_id"), col("d"))
+          .join(active.select(col("user_id"),
+            (col("d") - 1L).as("d")).withColumn("again", lit(1L)),
+            Seq("user_id", "d"), "left")
+          .filter(col("again").isNull)
+          .groupBy((col("d") + 1L).as("d"))
+          .agg(count(lit(1)).as("n_churned"))
+        today.join(churn, Seq("d"), "left")
+          .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+          .orderBy("d")
+      },
+      Some("""WITH active AS (
+             |  SELECT DISTINCT user_id,
+             |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS d
+             |  FROM events),
+             |firsts AS (SELECT user_id, MIN(d) AS fd
+             |           FROM active GROUP BY user_id),
+             |today AS (SELECT a.d, CAST(count(*) AS BIGINT) AS n_active,
+             |    CAST(SUM(CASE WHEN f.fd = a.d THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_new,
+             |    CAST(SUM(CASE WHEN f.fd < a.d AND p.user_id IS NOT NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             |    CAST(SUM(CASE WHEN f.fd < a.d AND p.user_id IS NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+             |  FROM active a JOIN firsts f ON f.user_id = a.user_id
+             |  LEFT JOIN active p ON p.user_id = a.user_id
+             |    AND p.d = a.d - 1
+             |  GROUP BY a.d),
+             |churn AS (SELECT a.d + 1 AS d, CAST(count(*) AS BIGINT)
+             |    AS n_churned
+             |  FROM active a LEFT JOIN active n ON n.user_id = a.user_id
+             |    AND n.d = a.d + 1
+             |  WHERE n.user_id IS NULL
+             |  GROUP BY a.d + 1)
+             |SELECT t.d, n_active, n_new, n_retained, n_resurrected,
+             |  CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+             |FROM today t LEFT JOIN churn c ON c.d = t.d
+             |ORDER BY t.d""".stripMargin))
   )
 }

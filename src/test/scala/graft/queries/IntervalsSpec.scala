@@ -153,6 +153,24 @@ class IntervalsSpec extends SparkSuite {
     assert(score > 0.0 && score <= n.toDouble, s"score=$score out of range")
   }
 
+  test("q_growth_acct: conservation laws hold day over day") {
+    val rows = SparkEntry.queries("q_growth_acct")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (d, act, nw, ret, res, _) =>
+      assert(nw + ret + res == act, s"day $d: roles don't partition actives")
+    }
+    // retained(d) + churned(d) = active(d-1) whenever d-1 exists
+    rows.keys.filter(d => rows.contains(d - 1)).foreach { d =>
+      val (_, _, _, ret, _, chn) = rows(d)
+      assert(ret + chn == rows(d - 1)._2,
+        s"day $d: retained+churned != yesterday's actives")
+    }
+    // non-vacuity: resurrection and churn both actually occur
+    assert(rows.values.exists(_._5 > 0) && rows.values.exists(_._6 > 0))
+  }
+
   test("q_knn_classify: predictions come from the label domain, hit is consistent") {
     val labels = graft.engine.Tables(spark, sf, "embeddings")
       .select($"label".cast("long")).as[Long].collect().toSet
