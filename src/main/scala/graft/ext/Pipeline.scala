@@ -457,6 +457,71 @@ object Pipeline {
              |min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ── binaryFile source: one-opaque-asset-per-file ingestion ──
+    // The multimodal landing layout: raw assets as individual files,
+    // read through Spark's binaryFile source (path/length/content —
+    // the scan parallelizes per file, content arrives as an opaque
+    // column exactly like the parquet-binary multimodal plumbing).
+    // Build once (Scratch): the 2% probe docs render to REAL WAV
+    // files via the distributed Hadoop FS API (never a driver loop);
+    // the read path parses the asset id FROM THE FILENAME (the
+    // ingest-manifest contract), pushes the bytes through the
+    // production RIFF parser, and re-derives the sample sum from the
+    // PCM payload. The oracle recomputes every field analytically
+    // from the construction arithmetic (doc text is pure ASCII —
+    // probed, octet_length ≡ length — so the byte-wise sample sum is
+    // a char-wise ord sum in SQL). A header-layout or endianness
+    // regression anywhere in the write→scan→parse chain breaks the
+    // hash.
+    Q("q_source_binaryfile",
+      (s, dir) => {
+        import s.implicits._
+        val bin = graft.engine.Scratch.cached("bin_src", dir) { p =>
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            s.sparkContext.hadoopConfiguration)
+          t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+            .select(col("doc_id"), col("text")).as[(Long, String)]
+            .foreachPartition { (it: Iterator[(Long, String)]) =>
+              val fs = org.apache.hadoop.fs.FileSystem
+                .get(new java.net.URI(p), conf.value)
+              it.foreach { case (id, text) =>
+                val rate = 8000 + (id % 3).toInt * 4000
+                val samples = text.getBytes("UTF-8")
+                  .map(b => ((b & 0xff) * 64).toShort)
+                val bytes = MediaDecoder.wavBytes(rate, 1, samples)
+                val out = fs.create(
+                  new org.apache.hadoop.fs.Path(s"$p/$id.wav"), true)
+                out.write(bytes); out.close()
+              }
+            }
+        }
+        s.read.format("binaryFile").load(s"$bin/*.wav")
+          .select(col("path"), col("length"), col("content"))
+          .as[(String, Long, Array[Byte])]
+          .map { case (path, len, content) =>
+            val id = path.split('/').last.stripSuffix(".wav").toLong
+            val m = MediaDecoder.decode(content)
+            val bb = java.nio.ByteBuffer
+              .wrap(content, 44, content.length - 44)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var sum = 0L
+            while (bb.remaining() >= 2) sum += bb.getShort()
+            (id, len, m.sample_rate, m.n_frames, sum)
+          }
+          .toDF("asset_id", "n_bytes", "sample_rate", "n_frames",
+            "sample_sum")
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  CAST(44 + 2 * octet_length(encode(text)) AS BIGINT)
+             |    AS n_bytes,
+             |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
+             |  CAST(64 * list_sum(list_transform(range(1, length(text) + 1),
+             |    i -> ord(substr(text, i, 1)))) AS BIGINT) AS sample_sum
+             |FROM documents WHERE doc_id % 50 = 0
+             |ORDER BY asset_id""".stripMargin)),
+
     // ── JSONL source: the dominant raw-corpus interchange format ──
     // Same contract as q_source_csv (explicit schema, line-split
     // parallel scan, ingest-only) — JSON escaping carries free text
