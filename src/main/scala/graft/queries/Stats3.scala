@@ -882,5 +882,63 @@ object Stats3 {
              |   - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1)
              |  / (1.0 - (r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1) * r1
              |   - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2) AS pacf3
-             |FROM w""".stripMargin)))
+             |FROM w""".stripMargin)),
+
+    // ── distribution-free median confidence interval ──
+    // Uncertainty on the median WITHOUT a distributional assumption:
+    // the binomial order-statistic interval — ranks
+    // ⌊(n − 1.96√n)/2⌋ and ⌈(n + 1.96√n)/2⌉ + 1 (clamped into
+    // [1, n]) bracket the true median at ~95% for any continuous
+    // distribution. sqrt is IEEE-correctly-rounded and floor/ceil of
+    // the identical expression are deterministic, so the rank
+    // indices — and therefore the picked values — hash-match. One
+    // keyed window sort (shared shape with q_boxplot), one
+    // conditional aggregate; the CI math runs on per-group scalars.
+    Q("q_median_ci",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10000).cast("long").as("fp"),
+            col("event_id"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("fp"), col("event_id"))
+        e.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy("event_type")))
+          .withColumn("lo_rank", expr(
+            "greatest(1L, CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE)))" +
+              " / 2.0) AS BIGINT))"))
+          .withColumn("hi_rank", expr(
+            "least(n, CAST(ceil((n + 1.96 * sqrt(CAST(n AS DOUBLE)))" +
+              " / 2.0) AS BIGINT) + 1)"))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("fp")))
+              .as("median_fp"),
+            max(when(col("rn") === col("lo_rank"), col("fp"))).as("ci_lo_fp"),
+            max(when(col("rn") === col("hi_rank"), col("fp"))).as("ci_hi_fp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(floor(value * 10000) AS BIGINT) AS fp, event_id
+             |  FROM events),
+             |r AS (SELECT event_type, fp,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY fp, event_id) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |  FROM e),
+             |k AS (SELECT event_type, fp, rn, n,
+             |    greatest(1, CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE)))
+             |      / 2.0) AS BIGINT)) AS lo_rank,
+             |    least(n, CAST(ceil((n + 1.96 * sqrt(CAST(n AS DOUBLE)))
+             |      / 2.0) AS BIGINT) + 1) AS hi_rank
+             |  FROM r)
+             |SELECT event_type, MAX(n) AS n,
+             |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN fp END) AS BIGINT)
+             |    AS median_fp,
+             |  CAST(MAX(CASE WHEN rn = lo_rank THEN fp END) AS BIGINT)
+             |    AS ci_lo_fp,
+             |  CAST(MAX(CASE WHEN rn = hi_rank THEN fp END) AS BIGINT)
+             |    AS ci_hi_fp
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

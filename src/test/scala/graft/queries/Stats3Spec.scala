@@ -342,6 +342,28 @@ class Stats3Spec extends SparkSuite {
     assert(rows.exists(_._3 > 0.0), "no cell with positive silhouette")
   }
 
+  test("q_median_ci: bracket order and rank-pick recount") {
+    val rows = q("q_median_ci").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val fps = graft.engine.Tables(spark, sf, "events")
+      .selectExpr("event_type", "CAST(floor(value * 10000) AS LONG) AS fp")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sorted }
+    rows.foreach { case (et, (n, med, lo, hi)) =>
+      assert(lo <= med && med <= hi, s"$et bracket order")
+      val xs = fps(et)
+      assert(n == xs.length)
+      val d = 1.96 * math.sqrt(n.toDouble)
+      val loR = math.max(1L, math.floor((n - d) / 2.0).toLong)
+      val hiR = math.min(n, math.ceil((n + d) / 2.0).toLong + 1)
+      assert(med == xs(((n + 1) / 2 - 1).toInt))
+      assert(lo == xs((loR - 1).toInt) && hi == xs((hiR - 1).toInt),
+        s"$et rank picks")
+    }
+  }
+
   test("q_pacf: Durbin-Levinson recount from the emitted ACF values") {
     val r = q("q_pacf").collect().head
     val (r1, r2, r3) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
