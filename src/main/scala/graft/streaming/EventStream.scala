@@ -695,4 +695,43 @@ object EventStream {
     events.groupByKey(_.d)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
+
+  final case class GrowthEvent(user_id: Long, d: Long)
+  final case class GrowthState(firstDay: Long, lastDay: Long)
+  final case class GrowthOut(user_id: Long, d: Long, role: String)
+
+  /** Streaming growth accounting — the streaming twin of batch
+    * `q_growth_acct`'s new/retained/resurrected roles: per user, TWO
+    * scalars of state (first and last active day) classify every
+    * fresh active day as it arrives ("new" on the first ever,
+    * "retained" when yesterday was active, "resurrected" after a
+    * dark gap). Emissions are per (user, day) — the batch day-grain
+    * counts are one fold over them (GrowthStreamSpec pins equality
+    * on a day-ordered replay). CHURN is deliberately NOT emitted
+    * here: it is an ABSENCE, which a streaming monitor surfaces via
+    * state timeouts (GroupStateTimeout) rather than events — the
+    * batch query stays the churn system of record. In-batch days
+    * fold in day order; duplicate days (multiple events) collapse. */
+  def growthStream(events: Dataset[GrowthEvent]): Dataset[GrowthOut] = {
+    import events.sparkSession.implicits._
+    def fn(uid: Long, evs: Iterator[GrowthEvent],
+        state: GroupState[GrowthState]): Iterator[GrowthOut] = {
+      var st = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[GrowthOut]
+      evs.map(_.d).toArray.distinct.sorted.foreach { d =>
+        if (st == null) {
+          out += GrowthOut(uid, d, "new")
+          st = GrowthState(d, d)
+        } else if (d > st.lastDay) {
+          out += GrowthOut(uid, d,
+            if (d == st.lastDay + 1) "retained" else "resurrected")
+          st = st.copy(lastDay = d)
+        } // d <= lastDay: replayed/duplicate day — already classified
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }
