@@ -25,21 +25,28 @@ object Behavior {
     // ── sequential-pattern support: A then B within one hour ──
     // For every ordered type pair, how many occurrences and how many
     // distinct users show B following A within 3600 s. The candidate
-    // join is per-user time-banded (equi-join on user + band residual
-    // — the q_attribution shape: hash-partitioned, activity-bounded,
-    // no product); support = users-with-pattern / active users. The
-    // sequence-mining primitive behind "what do users do next".
+    // join is per-user AND per-hour-bucket: any B in (usa, usa+1h]
+    // lives in A's hour bucket h or h+1, so the A side explodes to
+    // {h, h+1} and the equi key is (user, bucket) with the exact
+    // time/tie predicate as residual. Each qualifying pair matches in
+    // exactly one bucket (B's own), so no dedup is needed, and the
+    // comparison count is Σ per-user-per-hour² — a bot with 1M events
+    // spread over a month stays bounded instead of going quadratic on
+    // a single user key. support = users-with-pattern / active users.
     Q("q_seqpat",
       (s, dir) => {
         val e = t(s, dir, "events")
           .select(col("user_id"), col("event_type"),
             expr("unix_micros(ts)").as("us"), col("event_id"))
         val a = e.select(col("user_id").as("ua"), col("event_type").as("ta"),
-          col("us").as("usa"), col("event_id").as("ea"))
+            col("us").as("usa"), col("event_id").as("ea"))
+          .withColumn("hba", explode(array(expr("usa div 3600000000L"),
+            expr("usa div 3600000000L + 1L"))))
         val b = e.select(col("user_id").as("ub"), col("event_type").as("tb"),
-          col("us").as("usb"), col("event_id").as("eb"))
+            col("us").as("usb"), col("event_id").as("eb"))
+          .withColumn("hbb", expr("usb div 3600000000L"))
         val users = e.agg(countDistinct(col("user_id")).as("n_users"))
-        a.join(b, col("ua") === col("ub") &&
+        a.join(b, col("ua") === col("ub") && col("hba") === col("hbb") &&
             (col("usb") > col("usa") ||
               (col("usb") === col("usa") && col("eb") > col("ea"))) &&
             col("usb") <= col("usa") + 3600000000L)
@@ -394,9 +401,12 @@ object Behavior {
             // Column./ is DOUBLE division even on longs — integer div
             .filter(col("rn") === expr("(nn + 1) div 2"))
             .select(col("lat").as("median_us"))
+          // LEFT join (not cross): a transition with zero converters
+          // must still emit its row (NULL median/mean), matching the
+          // oracle's always-two-row UNION ALL of scalar subqueries
           lat.agg(count(lit(1)).as("n_users"),
               expr("sum(lat) div count(1)").as("mean_us"))
-            .crossJoin(broadcast(med))
+            .join(broadcast(med), lit(true), "left")
             .select(lit(name).as("transition"), col("n_users"),
               col("median_us"), col("mean_us"))
         }
@@ -432,12 +442,14 @@ object Behavior {
              |SELECT '1_view_to_click' AS transition,
              |  (SELECT CAST(count(*) AS BIGINT) FROM l1) AS n_users,
              |  (SELECT median_us FROM m1) AS median_us,
-             |  (SELECT CAST(SUM(lat) AS BIGINT) // count(*) FROM l1)
+             |  (SELECT CASE WHEN count(*) = 0 THEN NULL
+             |     ELSE CAST(SUM(lat) AS BIGINT) // count(*) END FROM l1)
              |    AS mean_us
              |UNION ALL
              |SELECT '2_click_to_purchase',
              |  (SELECT CAST(count(*) AS BIGINT) FROM l2),
              |  (SELECT median_us FROM m2),
-             |  (SELECT CAST(SUM(lat) AS BIGINT) // count(*) FROM l2)
+             |  (SELECT CASE WHEN count(*) = 0 THEN NULL
+             |     ELSE CAST(SUM(lat) AS BIGINT) // count(*) END FROM l2)
              |ORDER BY transition""".stripMargin)))
 }

@@ -272,8 +272,11 @@ object MlEval {
     // by (score DESC, then the event id — a total order, so deciles
     // are row-number-exact, never ntile-implementation-dependent),
     // cumulated per decile, everything in exact ppm (capture =
-    // cum_pos·10⁶ div total_pos; lift = cum_pos·N·10⁶ div
-    // (total_pos·cum_n)). One window shuffle on the global rank over
+    // cum_pos·10⁶ div total_pos; lift = capture_ppm·N div cum_n —
+    // derived from the already-divided capture so the int64 product
+    // is bounded by 10⁶·N, not cum_pos·N·10⁶, which wraps past ~10M
+    // events with ~1M positives; the one extra div-truncation is
+    // identical on both engines). One window shuffle on the global rank over
     // the scored base (the q_auc substrate), then a 10-row cum walk.
     // Near-chance on synthetic scores BY DESIGN — the metric algebra,
     // not the model, is what the oracle certifies (q_auc's caveat).
@@ -300,7 +303,7 @@ object MlEval {
           .withColumn("tot_pos", sum(col("dpos")).over(wAll))
           .select(col("decile"), col("dn"), col("dpos"), col("cum_pos"),
             expr("cum_pos * 1000000L div tot_pos").as("capture_ppm"),
-            expr("(cum_pos * tot_n * 1000000L) div (tot_pos * cum_n)")
+            expr("((cum_pos * 1000000L div tot_pos) * tot_n) div cum_n")
               .as("lift_ppm"))
           .orderBy("decile")
       },
@@ -327,6 +330,6 @@ object MlEval {
              |  FROM dec)
              |SELECT decile, dn, dpos, cum_pos,
              |  cum_pos * 1000000 // tot_pos AS capture_ppm,
-             |  (cum_pos * tot_n * 1000000) // (tot_pos * cum_n) AS lift_ppm
+             |  ((cum_pos * 1000000 // tot_pos) * tot_n) // cum_n AS lift_ppm
              |FROM c ORDER BY decile""".stripMargin)))
 }

@@ -620,37 +620,55 @@ object EventStream {
   }
 
   final case class SweepEvent(nk: Long, d: Long, delta: Long)
-  final case class SweepState(open: Long, peak: Long, peak_day: Long)
+  final case class SweepState(openPrev: Long, peak: Long, peak_day: Long,
+      curDay: Long, curNet: Long)
   final case class SweepOut(nk: Long, open: Long, peak_open: Long,
       peak_day: Long)
 
   /** Streaming concurrency monitor — the streaming twin of batch
     * `q_peak_concurrency` (Intervals.sweepPeak): per key, fold dated
     * ±deltas into (current open, running peak, first day the peak was
-    * reached). State is three scalars per key — O(1) per event, the
-    * million-key pattern. In-batch deltas aggregate to day grain and
-    * fold in day order (the batch sweep's semantics: the peak is a
-    * property of the END-OF-DAY level, so a day's +1s and −1s net
-    * before the comparison — folding raw events individually would
-    * overcount transient intra-day levels the batch query never
-    * sees). Strict `>` on the peak update keeps the EARLIEST peak day
-    * (the batch argmax tie-break). Across micro-batches deltas apply
-    * in arrival order — a source replaying in day order reproduces
-    * batch sweepPeak exactly (SweepStreamSpec pins the equality). */
+    * reached). State is five scalars per key — O(1) per event, the
+    * million-key pattern. The peak is a property of the END-OF-DAY
+    * level, so the in-progress day is BUFFERED in state as
+    * (curDay, curNet) and folds into the committed peak only when a
+    * later day arrives — a day whose deltas straddle micro-batches
+    * (+3 in one batch, −2 in the next) therefore never commits a
+    * partial level the batch query's net end-of-day level would not
+    * reach. Emissions provisionally close the in-progress day, so
+    * every emitted row equals batch sweepPeak applied to exactly the
+    * prefix of data seen so far (SweepStreamSpec pins the equality,
+    * including a day split across batches). Strict `>` on the peak
+    * update keeps the EARLIEST peak day (the batch argmax tie-break).
+    * Contract: days arrive non-decreasing across micro-batches. */
   def sweepStream(events: Dataset[SweepEvent]): Dataset[SweepOut] = {
     import events.sparkSession.implicits._
+    val NoDay = Long.MinValue
     def fn(nk: Long, evs: Iterator[SweepEvent],
         state: GroupState[SweepState]): SweepOut = {
-      var st = state.getOption.getOrElse(SweepState(0L, Long.MinValue, 0L))
+      var st = state.getOption.getOrElse(
+        SweepState(0L, Long.MinValue, 0L, NoDay, 0L))
       evs.toArray.groupBy(_.d).toArray.sortBy(_._1)
         .foreach { case (d, des) =>
-          val open = st.open + des.map(_.delta).sum
-          st =
-            if (open > st.peak) SweepState(open, open, d)
-            else st.copy(open = open)
+          val net = des.map(_.delta).sum
+          if (st.curDay == NoDay) st = st.copy(curDay = d, curNet = net)
+          else if (d <= st.curDay) st = st.copy(curNet = st.curNet + net)
+          else {
+            val lvl = st.openPrev + st.curNet
+            st =
+              if (lvl > st.peak) SweepState(lvl, lvl, st.curDay, d, net)
+              else SweepState(lvl, st.peak, st.peak_day, d, net)
+          }
         }
       state.update(st)
-      SweepOut(nk, st.open, st.peak, st.peak_day)
+      // provisional close: the in-progress day's net counts as its
+      // end-of-day level for the emission, but stays revisable in state
+      if (st.curDay == NoDay) SweepOut(nk, 0L, st.peak, st.peak_day)
+      else {
+        val lvl = st.openPrev + st.curNet
+        if (lvl > st.peak) SweepOut(nk, lvl, lvl, st.curDay)
+        else SweepOut(nk, lvl, st.peak, st.peak_day)
+      }
     }
     events.groupByKey(_.nk)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)

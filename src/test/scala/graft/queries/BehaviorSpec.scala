@@ -40,6 +40,33 @@ class BehaviorSpec extends SparkSuite {
       usersWith.size.toDouble / byUser.size.toDouble)
   }
 
+  test("q_seqpat: self-join equi keys are (user, hour bucket), band as residual") {
+    // scale contract: the pair join must hash on user AND the hour
+    // bucket so a single hyperactive user cannot make one key
+    // quadratic — comparisons are Σ per-user-per-hour², and the exact
+    // 1-hour/tie predicate stays as a residual filter on the join
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val joins = q("q_seqpat").queryExecution.optimizedPlan
+      .collect { case j: Join => j }
+    val pair = joins.filter(_.condition.isDefined)
+      .map(j => conjuncts(j.condition.get))
+      .filter(cs => cs.exists(_.toString.contains("3600000000")))
+      .head
+    val eqKeys = pair.collect { case e: EqualTo => e }
+    assert(eqKeys.size >= 2,
+      s"pair join needs (user, bucket) equi keys, got: ${pair.mkString(" && ")}")
+    assert(eqKeys.exists(e => e.references.exists(_.name.startsWith("hb"))),
+      s"one equi key must be the hour bucket: ${eqKeys.mkString(" && ")}")
+    // residual band predicate survives alongside the bucket key
+    assert(pair.exists(c => !c.isInstanceOf[EqualTo]),
+      "the exact time band must remain as a residual predicate")
+  }
+
   test("q_changepoint: argmin replayed over every interior split") {
     val daily = graft.engine.Tables(spark, sf, "events")
       .groupBy(expr("(unix_micros(ts) - 1704067200000000L) div 86400000000L").as("d"))

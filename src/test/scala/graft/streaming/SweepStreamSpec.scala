@@ -67,4 +67,33 @@ class SweepStreamSpec extends SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("a day straddling micro-batches never commits a partial level") {
+    // day 0 arrives as +3 then −2 (net 1) split across batches, then
+    // day 1 adds +1 (level 2). Batch sweep: peak 2 at day 1. The old
+    // fold committed day 0's partial level 3 as the peak; the buffered
+    // in-progress day must revise it away.
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SweepEvent](spark)
+    val q = EventStream.sweepStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sweep_straddle")
+      .start()
+    try {
+      Seq(Seq(SweepEvent(1L, 0L, 3L)),
+          Seq(SweepEvent(1L, 0L, -2L)),
+          Seq(SweepEvent(1L, 1L, 1L))).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+      val rows = spark.table("sweep_straddle")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // emissions are batch-sweep-of-prefix: (3,3,d0), (1,1,d0), (2,2,d1)
+      assert(rows.contains((1L, 3L, 3L, 0L)), s"first prefix: $rows")
+      assert(rows.contains((1L, 1L, 1L, 0L)), s"revised prefix: $rows")
+      assert(rows.contains((1L, 2L, 2L, 1L)), s"final must be (2, day 1): $rows")
+      assert(!rows.contains((1L, 2L, 3L, 0L)),
+        "partial level 3 must not have been committed")
+    } finally q.stop()
+  }
 }
