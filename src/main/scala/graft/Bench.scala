@@ -49,7 +49,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts to named queries — targeted
+    // regression timing without the full 269-query sweep; the JSON
+    // shape is unchanged so diff tooling works on partial runs too
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // iterate over full passes (not per-query loops): back-to-back
     // repeats of one query overstate cache warmth; pass-level repeats
     // reproduce the driver's measurement shape
@@ -90,12 +96,15 @@ object Bench {
     // 126 per-query medians out of round 4's artifact — the file copy
     // is the complete record (best-effort: a read-only cwd must not
     // fail the bench itself)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_last.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
-    }
+    // partial (SPARK_GRAFT_ONLY) runs must not clobber the full-run
+    // record the round-over-round diffs depend on
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_last.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+      }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -98,7 +98,7 @@ class Round7OpsSpec extends SparkSuite {
       5L -> Seq("x", "y", "z", "a"))     // J(4,5) = 3/5 = 0.6
     val tok = docs.flatMap { case (id, ts) => ts.map(id -> _) }.toDF("doc_id", "tk")
     // τ = 1/2: every pair with J ≥ 0.5
-    val got = Retrieval.setSimJoin(tok, 1, 2)
+    val got = Retrieval.setSimJoin(Retrieval.toSets(tok), 1, 2)
       .select("da", "db", "jac_fp").as[(Long, Long, Long)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
     val expected = (for {
@@ -121,7 +121,7 @@ class Round7OpsSpec extends SparkSuite {
       5L -> Seq("x", "y", "z", "a"),
       6L -> Seq("a", "b", "c", "d", "e"))
     val tok = docs.flatMap { case (id, ts) => ts.map(id -> _) }.toDF("doc_id", "tk")
-    val got = Retrieval.setSimProbe(tok, col("doc_id") % 2 === 0, 1, 2)
+    val got = Retrieval.setSimProbe(Retrieval.toSets(tok), col("doc_id") % 2 === 0, 1, 2)
       .select("da", "db").as[(Long, Long)].collect().toSet
     val expected = (for {
       (ia, ta) <- docs if ia % 2 == 0
@@ -143,7 +143,7 @@ class Round7OpsSpec extends SparkSuite {
       2L -> (1 to 20).map(i => s"t$i"),           // J = 1.0
       3L -> ((1 to 18).map(i => s"t$i") :+ "q1" :+ "q2")) // J(1,3) = 18/22 < 0.9
     val tok = docs.flatMap { case (id, ts) => ts.map(id -> _) }.toDF("doc_id", "tk")
-    val got = Retrieval.setSimJoin(tok, 9, 10)
+    val got = Retrieval.setSimJoin(Retrieval.toSets(tok), 9, 10)
       .select("da", "db").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
@@ -269,5 +269,44 @@ class Round7OpsSpec extends SparkSuite {
     }
     assert(blindSpot > 0,
       "no emitted pair fails the Jaccard gate — containment adds nothing here")
+  }
+
+  test("q_containment_join: posting index is length-partitioned and the partition is lossless") {
+    // plan contract: the candidate join hashes on (token, size octave)
+    // — postings of corpus docs too short to ever reach the bound are
+    // never compared — with the exact size bound as a residual
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val joins = SparkEntry.queries("q_containment_join")(spark, sf)
+      .queryExecution.optimizedPlan.collect { case j: Join => j }
+    val cand = joins.filter(_.condition.isDefined)
+      .map(j => conjuncts(j.condition.get))
+      .filter(_.exists(c => !c.isInstanceOf[EqualTo]))
+      .maxBy(_.collect { case e: EqualTo => e }.size)
+    val eqs = cand.collect { case e: EqualTo => e }
+    assert(eqs.size >= 2, s"need (tk, octave) equi keys: ${cand.mkString(" && ")}")
+    assert(eqs.exists(_.references.exists(_.name.startsWith("lb"))),
+      s"one equi key must be the size octave: ${eqs.mkString(" && ")}")
+
+    // arithmetic contract: the octave window is conservative — every
+    // nb that can satisfy 10·nb ≥ 9·na has bit-length ≥ the probed
+    // minimum, and every nb below that bit-length is correctly
+    // ineligible (the boundary octave's false admits die to the
+    // residual, never the reverse)
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    (1L to 1000L).foreach { na =>
+      val req = (9 * na + 9) / 10
+      val minOct = bitlen(req)
+      (1L to 1200L).foreach { nb =>
+        if (nb * 10 >= na * 9)
+          assert(bitlen(nb) >= minOct, s"eligible nb=$nb pruned for na=$na")
+        if (bitlen(nb) < minOct)
+          assert(nb * 10 < na * 9, s"octave admitted ineligible nb=$nb na=$na")
+      }
+    }
   }
 }
