@@ -14,16 +14,19 @@ import graft.engine.{Grapefruit, MapleJuice, ShuffleOption}
   *   get <name> <localPath>          — SdfsServer.java:450 (S5)
   *   delete <name>                   — SdfsServer.java:379 (S6)
   *   ls <name> | store | global      — SdfsServer.java:181-232 (S7)
-  *   maple <exe> <numTasks> <sifPrefix> <srcDir> [exeArgs...]
+  *   maple <exe> <numTasks> <sifPrefix> <srcDir> [exeArgs...] [argv]
   *   juice <exe> <numTasks> <sifPrefix> <destName> <delete 0|1>
   *         <hash|range> [stream|files]
   *
   * Executables follow the Hadoop-streaming contract (stdin lines →
   * stdout lines; juice sees `key,value` sorted by key). The optional
   * `files` juice mode instead runs the reference's exact file-per-key
-  * argv contract (`exe key valuesFile`, `MapleJuice.java:645-648`) so
-  * a juice exe written for the reference runs unmodified; `stream`
-  * (default) is the scale path. Examples in `scripts/exes/`.
+  * argv contract (`exe key valuesFile`, `MapleJuice.java:645-648`),
+  * and a trailing `argv` token on maple runs the reference's exact
+  * argv-batch maple contract (50 lines as one argv string,
+  * `MapleJuice.java:408-412`) — together they let BOTH reference
+  * executables run unmodified; `stream` (default) is the scale path
+  * for each. Examples in `scripts/exes/`.
   */
 object Cli {
 
@@ -40,8 +43,14 @@ object Cli {
 
       case "maple" +: exe +: n +: prefix +: srcDir +: exeArgs =>
         val lines = spark.read.textFile(s"$root/$srcDir")
-        val out = MapleJuice.pipeMaple(
-          lines.repartition(n.toInt), Seq("python3", exe) ++ exeArgs)
+        // trailing `argv` = the reference's argv-batch contract so
+        // reference maple exes run unmodified; default = stdin stream
+        val out =
+          if (exeArgs.lastOption.contains("argv"))
+            MapleJuice.pipeMapleArgv(lines.repartition(n.toInt),
+              Seq("python3", exe) ++ exeArgs.dropRight(1))
+          else MapleJuice.pipeMaple(
+            lines.repartition(n.toInt), Seq("python3", exe) ++ exeArgs)
         out.write.mode("overwrite").text(s"$root/$prefix")
         println(s"maple done -> $prefix")
 

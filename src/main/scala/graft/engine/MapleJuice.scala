@@ -165,6 +165,38 @@ object MapleJuice {
     spark.createDataset(ds.rdd.pipe(command))
   }
 
+  /** ARGV-BATCH external maple — the reference's exact maple argv
+    * contract (`MapleJuice.java:41,408-412`: every `LINE_PROCESS` = 50
+    * input lines are passed to the executable as ONE argv string,
+    * newline-joined, one subprocess per batch; its `wg_maple.py` reads
+    * `sys.argv[1]`), so a maple executable written for the reference
+    * runs UNMODIFIED — the pair of [[pipeJuiceFiles]], closing the
+    * exe-contract surface from both stages. [[pipeMaple]] remains the
+    * scale path (one process per PARTITION, stdin streaming); this
+    * shim forks one process per batch, and argv length bounds the
+    * batch size, so it exists for compatibility, not throughput. */
+  def pipeMapleArgv(ds: Dataset[String], command: Seq[String],
+      batchSize: Int = 50): Dataset[String] = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // the reference accumulates `line + "\n"` per line, so the
+        // argv string carries a trailing newline too
+        val arg = batch.mkString("", "\n", "\n")
+        val p = new ProcessBuilder((command :+ arg): _*)
+          .redirectErrorStream(false).start()
+        p.getOutputStream.close()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val rc = p.waitFor()
+        require(rc == 0, s"pipeMapleArgv: exe exited $rc")
+        out.split("\n").iterator.filter(_.nonEmpty)
+      }
+    }
+  }
+
   /** External juice: partition by key (hash or range, D4/D5) so each
     * key's values are contiguous within a partition, sort, then pipe
     * `key,value` lines through the executable — the Hadoop-streaming

@@ -43,6 +43,42 @@ class CliSpec extends SparkSuite {
     assert(result == Seq("1,2", "2,2", "3,1"))
   }
 
+  test("argv maple + files juice run BOTH reference executables unmodified") {
+    // the full reference pipeline with the reference repo's own
+    // scripts, byte-unmodified: wg_maple.py reads sys.argv[1] as a
+    // newline-joined 50-line batch (MapleJuice.java:408-412) and
+    // hardcodes the node range 1..3; wg_juice.py takes
+    // `key valuesFile` argv (MapleJuice.java:645-648)
+    val refMaple = "/root/reference/wg_maple.py"
+    val refJuice = "/root/reference/wg_juice.py"
+    assume(new java.io.File(refMaple).isFile && new java.io.File(refJuice).isFile,
+      "reference checkout not present")
+    val root = Files.createTempDirectory("graft-cli-ref").toString
+    val edges = Files.createTempFile("edges4", ".txt")
+    Files.writeString(edges, "1,2\n2,1\n7,3\n42,1\n9,99\n5,2\n")
+    Cli.run(spark, root, Seq("put", edges.toString, "graph/edges.txt"))
+    Cli.run(spark, root,
+      Seq("maple", refMaple, "4", "wg-int", "graph", "argv"))
+    Cli.run(spark, root,
+      Seq("juice", refJuice, "4", "wg-int", "wg-out", "1", "hash", "files"))
+    val result = spark.read.textFile(s"$root/wg-out").collect().sorted.toSeq
+    assert(result == Seq("1,2", "2,2", "3,1"))
+  }
+
+  test("pipeMapleArgv batches honor the batch boundary and the whole input") {
+    import spark.implicits._
+    // an exe that emits one line per batch invocation: with 7 lines
+    // and batchSize 3 in one partition, exactly ceil(7/3) = 3 forks
+    val lines = (1 to 7).map(i => s"l$i").toDS().repartition(1)
+    val script = Files.createTempFile("count_batch", ".py")
+    Files.writeString(script,
+      "import sys\nprint(len([l for l in sys.argv[1].split('\\n') if l]))\n")
+    val got = graft.engine.MapleJuice.pipeMapleArgv(
+      lines, Seq("python3", script.toString), batchSize = 3)
+      .collect().toSeq.sorted
+    assert(got == Seq("1", "3", "3"))
+  }
+
   test("pipeJuiceFiles gates runaway key cardinality loudly") {
     import spark.implicits._
     val kv = (1 to 50).map(i => (s"k$i", "v")).toDS()
