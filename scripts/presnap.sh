@@ -25,4 +25,18 @@ sbt -batch -error "runMain graft.Verify $SF_DIR $OUT_DIR"
 echo "[presnap] oracle check"
 python3 scripts/check.py "$SF_DIR" "$OUT_DIR"
 
+# Archive the current full-run bench as this round's local artifact
+# (round-7 verdict item 5): the driver's BENCH_r*.json tail capture
+# truncates (~68 of 269 queries visible at r7) and bench_last.json is
+# overwritten every run, so round-over-round per-query diffs need an
+# in-repo, round-numbered copy of the COMPLETE median+min table.
+# Round = max driver correctness round + 1 (CORRECTNESS_rNN appears
+# at the START of round NN+1).
+if [ -f bench_last.json ]; then
+  N=$(ls CORRECTNESS_r*.json 2>/dev/null | sed 's/.*_r0*\([0-9]*\).json/\1/' | sort -n | tail -1)
+  N=$(( ${N:-0} + 1 ))
+  cp bench_last.json "$(printf 'BENCH_LOCAL_r%02d.json' "$N")"
+  echo "[presnap] archived bench_last.json -> $(printf 'BENCH_LOCAL_r%02d.json' "$N")"
+fi
+
 echo "[presnap] OK — safe to snapshot"

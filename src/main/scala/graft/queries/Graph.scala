@@ -213,15 +213,18 @@ object Graph {
     * 100 TB shape: two keyed shuffles (the adjacency aggregate and
     * the edge⋈adjacency joins — both on node id, AQE-splittable) and
     * zero driver state; work is Σ_(u,v)∈E |adj(u)|+|adj(v)|, the
-    * standard bound. Hub safety: orientation alone caps adjacency at
-    * the higher-id side; a degree-ordered orientation (relabel nodes
-    * by degree rank first) tightens the bound to O(E^1.5) when hubs
-    * dominate — the relabel is one extra aggregate, unneeded at this
-    * corpus's density. */
+    * standard bound. Hub safety: edges are re-oriented by the
+    * (degree, id) total order first ([[orientByDegree]]) so every
+    * node's out-adjacency is ≤ √(2E) REGARDLESS of degree skew — a
+    * hub orders after its leaves and collects no out-neighbors; total
+    * work is the O(E^1.5) Schank-Wagner bound, GraphSpec pins the
+    * per-node bound on a star. The count is orientation-invariant
+    * (each triangle is still counted once, at its ≺-lowest edge). */
   private[graft] def triangleCount(edges: DataFrame): DataFrame = {
-    val adj = edges.groupBy(col("u").as("node"))
+    val oriented = orientByDegree(edges)
+    val adj = oriented.groupBy(col("u").as("node"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    val withU = edges.join(adj.select(col("node").as("au"), col("nbrs").as("nu")),
+    val withU = oriented.join(adj.select(col("node").as("au"), col("nbrs").as("nu")),
       col("u") === col("au"))
     // the max-id node of a triangle has no higher neighbors → left
     // join + empty-array default, never a dropped edge
@@ -233,6 +236,26 @@ object Graph {
         col("nu"), coalesce(col("nv"), array().cast("array<bigint>"))).as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("tri_cnt"),
         count(lit(1)).as("edge_cnt"))
+  }
+
+  /** Re-orient an undirected edge list (u < v, each edge once) by the
+    * (degree, id) total order: the endpoint earlier in that order
+    * becomes u. Out-adjacency bound: if |adj(x)| = k then k ≤ deg(x)
+    * and every out-neighbor has degree ≥ deg(x) ≥ k, so ≥ k nodes
+    * carry degree ≥ k and k² ≤ Σdeg = 2E ⇒ k ≤ √(2E) — skew-proof,
+    * where id-orientation lets a low-id hub keep its full degree.
+    * One extra degree aggregate + broadcast-sized joins on node id. */
+  private[graft] def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dx"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    edges
+      .join(deg.select(col("x").as("u"), col("dx").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("dx").as("dv")), Seq("v"))
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("u"),
+        when(uFirst, col("v")).otherwise(col("u")).as("v"))
   }
 
   /** Distinct (customer, supplier) incidence — the bipartite relation

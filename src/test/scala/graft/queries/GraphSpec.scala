@@ -85,6 +85,27 @@ class GraphSpec extends SparkSuite {
     assert(r == ((2L, 6L)))
   }
 
+  test("orientByDegree: hub orders last, adjacency obeys the sqrt(2E) bound") {
+    // star: hub 0 (lowest id, degree 6) + leaves 1..6, plus one
+    // leaf-leaf edge making a single triangle. Id-orientation would
+    // give adj(0) its full degree; degree-orientation must point
+    // every star edge INTO the hub.
+    val e = (1L to 6L).map(l => (0L, l)) :+ (1L, 2L)
+    val edges = e.toDF("u", "v")
+    val oriented = Graph.orientByDegree(edges).as[(Long, Long)].collect()
+    assert(oriented.length == e.length)
+    // undirected edge set preserved
+    assert(oriented.map { case (a, b) => (a min b, a max b) }.sorted.toSeq ==
+      e.map { case (a, b) => (a min b, a max b) }.sorted)
+    oriented.filter(_._2 == 0L).foreach { case (u, _) => assert(u != 0L) }
+    assert(!oriented.exists(_._1 == 0L), "hub must have zero out-neighbors")
+    val maxAdj = oriented.groupBy(_._1).map(_._2.size).max
+    assert(maxAdj <= math.sqrt(2.0 * e.length),
+      s"out-adjacency $maxAdj exceeds sqrt(2E)")
+    val r = Graph.triangleCount(edges).as[(Long, Long)].head()
+    assert(r == ((1L, 7L)), "count must be orientation-invariant")
+  }
+
   test("q_triangles input graph is non-vacuous (round-6 verdict item 1)") {
     // the part co-purchase graph must stay SPARSE — the supplier
     // co-occurrence graph it replaced was the complete K_n, whose
