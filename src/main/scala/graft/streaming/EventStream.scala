@@ -715,41 +715,86 @@ object EventStream {
   }
 
   final case class GrowthEvent(user_id: Long, d: Long)
-  final case class GrowthState(firstDay: Long, lastDay: Long)
+  final case class GrowthEventTs(user_id: Long, d: Long,
+      ets: java.sql.Timestamp)
+  final case class GrowthState(firstDay: Long, lastDay: Long,
+      churnedAt: Long)
   final case class GrowthOut(user_id: Long, d: Long, role: String)
 
   /** Streaming growth accounting — the streaming twin of batch
-    * `q_growth_acct`'s new/retained/resurrected roles: per user, TWO
-    * scalars of state (first and last active day) classify every
-    * fresh active day as it arrives ("new" on the first ever,
-    * "retained" when yesterday was active, "resurrected" after a
-    * dark gap). Emissions are per (user, day) — the batch day-grain
-    * counts are one fold over them (GrowthStreamSpec pins equality
-    * on a day-ordered replay). CHURN is deliberately NOT emitted
-    * here: it is an ABSENCE, which a streaming monitor surfaces via
-    * state timeouts (GroupStateTimeout) rather than events — the
-    * batch query stays the churn system of record. In-batch days
-    * fold in day order; duplicate days (multiple events) collapse. */
+    * `q_growth_acct`, now covering ALL FOUR roles: per user, three
+    * scalars of state (first active day, last active day, last
+    * emitted churn day) classify every fresh active day as it
+    * arrives ("new" on the first ever, "retained" when yesterday was
+    * active, "resurrected" after a dark gap). CHURN is an ABSENCE,
+    * so it emits on one of two triggers, whichever comes first:
+    * (a) an EVENT-TIME TIMEOUT — churn at lastDay+1 is knowable once
+    * the watermark passes the end of day lastDay+1, so each update
+    * arms a timeout there and the dark user's churn emits from state
+    * with no further events; or (b) a resurrecting arrival, which
+    * closes the previous run and emits its churn alongside the
+    * "resurrected" row. `churnedAt` dedups the two paths — each run
+    * end emits exactly once. Emissions are per (user, day) — the
+    * batch day-grain counts are one fold over them; GrowthStreamSpec
+    * pins all four classes to batch q_growth_acct on a day-ordered
+    * replay. In-batch days fold in day order; duplicate days
+    * collapse. The horizon rule matches batch: churn at day d needs
+    * the watermark past d's end, just as the batch query never
+    * reports churn beyond its last observed day. */
   def growthStream(events: Dataset[GrowthEvent]): Dataset[GrowthOut] = {
     import events.sparkSession.implicits._
-    def fn(uid: Long, evs: Iterator[GrowthEvent],
+    val NoChurn = Long.MinValue
+    def fn(uid: Long, evs: Iterator[GrowthEventTs],
         state: GroupState[GrowthState]): Iterator[GrowthOut] = {
-      var st = state.getOption.orNull
       val out = scala.collection.mutable.ArrayBuffer.empty[GrowthOut]
-      evs.map(_.d).toArray.distinct.sorted.foreach { d =>
-        if (st == null) {
-          out += GrowthOut(uid, d, "new")
-          st = GrowthState(d, d)
-        } else if (d > st.lastDay) {
-          out += GrowthOut(uid, d,
-            if (d == st.lastDay + 1) "retained" else "resurrected")
-          st = st.copy(lastDay = d)
-        } // d <= lastDay: replayed/duplicate day — already classified
+      if (state.hasTimedOut) {
+        val st = state.get
+        if (st.churnedAt != st.lastDay + 1) {
+          out += GrowthOut(uid, st.lastDay + 1, "churned")
+          state.update(st.copy(churnedAt = st.lastDay + 1))
+        }
+        // run closed; the next arrival (a resurrection) re-arms
+      } else {
+        var st = state.getOption.orNull
+        evs.map(_.d).toArray.distinct.sorted.foreach { d =>
+          if (st == null) {
+            out += GrowthOut(uid, d, "new")
+            st = GrowthState(d, d, NoChurn)
+          } else if (d > st.lastDay) {
+            if (d == st.lastDay + 1) {
+              out += GrowthOut(uid, d, "retained")
+              st = GrowthState(st.firstDay, d, st.churnedAt)
+            } else {
+              val churnDay = st.lastDay + 1
+              if (st.churnedAt != churnDay)
+                out += GrowthOut(uid, churnDay, "churned")
+              out += GrowthOut(uid, d, "resurrected")
+              st = GrowthState(st.firstDay, d, churnDay)
+            }
+          } // d <= lastDay: replayed/duplicate day — already classified
+        }
+        if (st != null) {
+          state.update(st)
+          // knowable once the watermark passes END of day lastDay+1 =
+          // start of day lastDay+2 (clamped above the watermark: the
+          // API rejects a timeout at or before it)
+          state.setTimeoutTimestamp(math.max(
+            (st.lastDay + 2) * 86400000L,
+            state.getCurrentWatermarkMs() + 1))
+        }
       }
-      if (st != null) state.update(st)
       out.iterator
     }
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    // the event time of an active-day record is the day's CLOSE
+    // ((d+1)·86400): day-0 records would otherwise sit exactly on the
+    // initial watermark (epoch 0) and be dropped as late, and "the
+    // watermark passed day d" reads directly as "day d is over"
+    events
+      .withColumn("ets", expr("timestamp_seconds((d + 1) * 86400)"))
+      .as[GrowthEventTs]
+      .withWatermark("ets", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

@@ -6,9 +6,9 @@ import graft.streaming.EventStream.GrowthEvent
 /** Streaming/batch bridge for growth accounting: replaying the
   * sf0.001 user-days in day order across micro-batches, the streamed
   * per-(user, day) role emissions must fold to exactly batch
-  * q_growth_acct's per-day new/retained/resurrected counts. Churn is
-  * an absence, not an event — asserted OUT of the stream and left to
-  * the batch query (the growthStream scaladoc contract). */
+  * q_growth_acct's per-day counts for ALL FOUR classes — churn
+  * included, emitted via event-time timeout (or a resurrecting
+  * arrival) once the watermark passes the churn day's end. */
 class GrowthStreamSpec extends SparkSuite {
   import spark.implicits._
 
@@ -38,24 +38,74 @@ class GrowthStreamSpec extends SparkSuite {
         input.addData(chunk.toSeq)
         q.processAllAvailable()
       }
+      // a sentinel user one day past the horizon pushes the watermark
+      // over the last real day's end so every knowable churn times
+      // out — batch likewise reports churn only through its last
+      // observed day. Two extra batches: one to advance the
+      // watermark, one to fire the timeouts it unlocked.
+      val maxD = ds.last
+      input.addData(Seq(GrowthEvent(-1L, maxD + 1)))
+      q.processAllAvailable()
+      input.addData(Seq(GrowthEvent(-1L, maxD + 1)))
+      q.processAllAvailable()
+
       val emitted = spark.table("growth_out")
         .as[(Long, Long, String)].collect()
+        .filter(_._1 != -1L)
       // exactly one role per (user, day)
       assert(emitted.map(e => (e._1, e._2)).distinct.length == emitted.length)
-      assert(emitted.length == days.length,
+      val active = emitted.filter(_._3 != "churned")
+      assert(active.length == days.length,
         "every distinct user-day must classify exactly once")
 
       val streamed = emitted.groupBy(e => (e._2, e._3))
         .map { case (k, v) => k -> v.length.toLong }
       val batch = SparkEntry.queries("q_growth_acct")(spark, sf)
         .as[(Long, Long, Long, Long, Long, Long)].collect()
-      batch.foreach { case (d, _, nw, ret, res, _) =>
+      var churnTotal = 0L
+      batch.foreach { case (d, _, nw, ret, res, ch) =>
         assert(streamed.getOrElse((d, "new"), 0L) == nw, s"day $d new")
         assert(streamed.getOrElse((d, "retained"), 0L) == ret,
           s"day $d retained")
         assert(streamed.getOrElse((d, "resurrected"), 0L) == res,
           s"day $d resurrected")
+        assert(streamed.getOrElse((d, "churned"), 0L) == ch,
+          s"day $d churned")
+        churnTotal += ch
       }
+      assert(churnTotal > 0, "corpus must exercise churn (non-vacuous)")
+      // no churn emissions beyond the batch horizon or off batch days
+      val batchDays = batch.map(_._1).toSet
+      emitted.filter(_._3 == "churned")
+        .foreach(e => assert(batchDays.contains(e._2),
+          s"churn at ${e._2} outside batch-reported days"))
+    } finally q.stop()
+  }
+
+  test("churn emits on resurrecting arrival without waiting for a timeout") {
+    // u1 active {1,2,5}: the day-5 arrival closes run {1,2} and must
+    // emit churn-at-3 in the SAME batch; u2 active {1,5} likewise
+    // emits churn-at-2. No churn-at-6 appears: the run is still open
+    // at the horizon (watermark never passes day 6's end).
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GrowthEvent](spark)
+    val q = EventStream.growthStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("growth_arrival")
+      .start()
+    try {
+      Seq(Seq(GrowthEvent(1L, 1L), GrowthEvent(2L, 1L)),
+          Seq(GrowthEvent(1L, 2L)),
+          Seq(GrowthEvent(1L, 5L), GrowthEvent(2L, 5L))).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("growth_arrival")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == Set(
+        (1L, 1L, "new"), (2L, 1L, "new"),
+        (1L, 2L, "retained"),
+        (1L, 3L, "churned"), (2L, 2L, "churned"),
+        (1L, 5L, "resurrected"), (2L, 5L, "resurrected")))
     } finally q.stop()
   }
 }
