@@ -75,6 +75,72 @@ object Behavior {
              |  CAST(users_with AS DOUBLE) / CAST(n_users AS DOUBLE) AS support
              |FROM m, u ORDER BY ta, tb""".stripMargin)),
 
+    // ── per-session depth / revenue distribution ──
+    // Session-grain engagement profile off the q_sessionize session
+    // definition (30-min-gap, (ts, event_id)-ordered): sessions
+    // bucket by depth (event count, 10+ collapsed into one bucket)
+    // and each bucket reports its population, how many sessions
+    // convert (revenue > 0), total and max revenue in exact cents
+    // (floor(value·100) — identical IEEE multiply + floor in both
+    // engines), and truncated mean cents per session (div BEFORE any
+    // scaling — the q_gains overflow lesson: totals stay < 2^63 up to
+    // ~10^16 dollars). Probed non-vacuous at all three SFs before
+    // declaring (depths 1–4 populated, converting sessions and
+    // revenue in every bucket; sf0.1: 91k/4k/194/11 sessions by
+    // depth). Plan: the sessionizer's one user-keyed window shuffle,
+    // a session-grain aggregate, then a ≤10-row histogram — the same
+    // scale shape as q_sessionize itself.
+    Q("q_session_dist",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = t(s, dir, "events")
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+              (expr("unix_micros(ts)") - expr("unix_micros(prev)") >
+                1800L * 1000000L), 1L).otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(wRun))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).as("depth"),
+            sum(when(col("event_type") === "purchase",
+              floor(col("value") * 100).cast("long")).otherwise(0L))
+              .as("rev"))
+        sess
+          .groupBy(least(col("depth"), lit(10L)).as("depth_bucket"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("rev") > 0, 1L).otherwise(0L)).as("n_converting"),
+            sum(col("rev")).as("rev_cents"),
+            max(col("rev")).as("max_rev_cents"))
+          .withColumn("mean_rev_cents",
+            expr("rev_cents div n_sessions"))
+          .orderBy("depth_bucket")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type, value,
+             |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    AS prev FROM events),
+             |y AS (SELECT *, CASE WHEN prev IS NULL
+             |    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+             |  THEN 1 ELSE 0 END AS new_s FROM x),
+             |z AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM y),
+             |s AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS depth,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+             |      AS BIGINT) AS rev
+             |  FROM z GROUP BY 1, 2)
+             |SELECT LEAST(depth, 10) AS depth_bucket,
+             |  CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(SUM(CASE WHEN rev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_converting,
+             |  CAST(SUM(rev) AS BIGINT) AS rev_cents,
+             |  CAST(MAX(rev) AS BIGINT) AS max_rev_cents,
+             |  CAST(SUM(rev) AS BIGINT) // count(*) AS mean_rev_cents
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ── binary-segmentation changepoint on the daily series ──
     // The best single split minimizes SSE_left + SSE_right; cleared
     // form: maximize g(k) = S_L²/k + S_R²/(n−k) over prefix sums —
