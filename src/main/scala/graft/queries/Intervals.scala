@@ -225,21 +225,29 @@ object Intervals {
     // absorbs the remainder, so every attributed purchase contributes
     // EXACTLY 10^6 (Σ credit ≡ 10^6 · attributed purchases — the
     // conservation law a finance-grade attribution report must hold,
-    // asserted in IntervalsSpec). The candidate join is per-user
-    // time-banded (the q_seqpat shape — hash partition on user,
-    // activity-bounded, never a product).
+    // asserted in IntervalsSpec). The candidate join is banded on
+    // (user, 7-day bucket): a touch in [usp−7d, usp) lives in the
+    // purchase's bucket b or b−1, so the purchase side explodes to
+    // {b−1, b} and the exact band is a residual — per-user
+    // comparisons bounded per band (the q_seqpat discipline), each
+    // touch matching in exactly one bucket.
     Q("q_attribution_linear",
       (s, dir) => {
         val e = t(s, dir, "events")
+        val Band = 604800000000L // 7 days in micros
         val p = e.filter(col("event_type") === "purchase")
           .select(col("user_id").as("up"),
             expr("unix_micros(ts)").as("usp"), col("event_id").as("pid"))
+          .withColumn("tb", explode(array(
+            expr(s"usp div ${Band}L - 1L"), expr(s"usp div ${Band}L"))))
         val tch = e.filter(col("event_type").isin("view", "click"))
           .select(col("user_id").as("ut"), col("event_type").as("ttype"),
             expr("unix_micros(ts)").as("ust"), col("event_id").as("tid"))
+          .withColumn("tb2", expr(s"ust div ${Band}L"))
         val joined = p.join(tch,
-          col("up") === col("ut") && col("ust") < col("usp") &&
-            col("ust") >= col("usp") - 604800000000L)
+          col("up") === col("ut") && col("tb") === col("tb2") &&
+            col("ust") < col("usp") &&
+            col("ust") >= col("usp") - Band)
         val perP = Window.partitionBy("pid")
         val recency = Window.partitionBy("pid")
           .orderBy(col("ust").desc, col("tid").desc)

@@ -700,24 +700,33 @@ object Stats2 {
     // ── last-touch attribution for purchases ──
     // Each purchase credits the latest preceding click/view/signup by
     // the same user within 3 days; ties break by (ts, event_id) so the
-    // credited CHANNEL is deterministic. The candidate join is an
-    // equi-join ON USER with a time-band predicate (hash-partitioned
-    // both sides; per-user candidates are activity-window-bounded —
-    // never a cross product), and the argmax is a window PARTITIONED
-    // BY PURCHASE. Output is one row per channel: attributed
-    // conversions + share.
+    // credited CHANNEL is deterministic. The candidate join is banded
+    // on (user, 3-day bucket) — any touch in [pts−3d, pts) lives in
+    // the purchase's bucket b or b−1, so the purchase side explodes
+    // to {b−1, b} and the exact band predicate rides as a residual
+    // (the q_seqpat discipline: per-user comparisons are bounded per
+    // band, so one bot user cannot make a single join key quadratic);
+    // each touch matches in exactly one bucket (its own), so no dedup
+    // is needed. The argmax is a window PARTITIONED BY PURCHASE.
+    // Output is one row per channel: attributed conversions + share.
     Q("q_attribution",
       (s, dir) => {
         val e = t(s, dir, "events")
+        val Band = 259200000000L // 3 days in micros
         val p = e.filter(col("event_type") === "purchase")
           .select(col("event_id").as("pe"), col("user_id").as("pu"),
             col("ts").as("pts"))
+          .withColumn("tb", explode(array(
+            expr(s"unix_micros(pts) div ${Band}L - 1L"),
+            expr(s"unix_micros(pts) div ${Band}L"))))
         val c = e.filter(col("event_type").isin("click", "view", "signup"))
           .select(col("user_id").as("cu"), col("ts").as("cts"),
             col("event_id").as("ce"), col("event_type").as("channel"))
+          .withColumn("tb2", expr(s"unix_micros(cts) div ${Band}L"))
         val byPurchase = Window.partitionBy("pe")
           .orderBy(col("cts").desc, col("ce").desc)
         val attr = p.join(c, col("cu") === col("pu") &&
+            col("tb") === col("tb2") &&
             col("cts") < col("pts") &&
             col("cts") >= col("pts") - expr("INTERVAL 3 DAYS"))
           .withColumn("rn", row_number().over(byPurchase))

@@ -36,6 +36,27 @@ class IntervalsPlanSpec extends SparkSuite {
     }
   }
 
+  test("linear attribution's candidate join is banded on (user, 7-day bucket)") {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val joins = logical("q_attribution_linear").collect {
+      case j: Join => j
+    }
+    val cand = joins.filter(_.condition.isDefined)
+      .map(j => conjuncts(j.condition.get))
+      .filter(_.exists(c => !c.isInstanceOf[EqualTo]))
+      .head
+    val eqs = cand.collect { case e: EqualTo => e }
+    assert(eqs.size >= 2,
+      s"need (user, band) equi keys: ${cand.mkString(" && ")}")
+    assert(eqs.exists(_.references.exists(_.name.startsWith("tb"))),
+      s"one equi key must be the 7-day bucket: ${eqs.mkString(" && ")}")
+  }
+
   test("harmonic centrality: top-k head, no products") {
     val p = physical("q_harmonic_cent")
     assert(!p.contains("CartesianProduct") &&

@@ -98,6 +98,27 @@ class Stats2PlanSpec extends SparkSuite {
       "dictionary-sized model must not shuffle the token stream:\n" + p.take(1500))
   }
 
+  test("attribution's candidate join is banded on (user, 3-day bucket)") {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val joins = logical("q_attribution").collect { case j: Join => j }
+    val cand = joins.filter(_.condition.isDefined)
+      .map(j => conjuncts(j.condition.get))
+      .filter(_.exists(c => !c.isInstanceOf[EqualTo]))
+      .head
+    val eqs = cand.collect { case e: EqualTo => e }
+    assert(eqs.size >= 2,
+      s"need (user, band) equi keys: ${cand.mkString(" && ")}")
+    assert(eqs.exists(_.references.exists(_.name.startsWith("tb"))),
+      s"one equi key must be the 3-day bucket: ${eqs.mkString(" && ")}")
+    assert(cand.exists(c => !c.isInstanceOf[EqualTo]),
+      "the exact band must survive as a residual")
+  }
+
   test("theilsen's pair product is a bounded broadcast; attribution is not a product") {
     val ts = plan("q_theilsen").toString
     assert(ts.contains("BroadcastNestedLoopJoin"),
