@@ -273,7 +273,7 @@ object Similarity {
     * the broadcast codebook, candidates come from the cell equi-join,
     * exact cosine re-rank, top-5. Works identically whether cent/cells
     * were just trained or read from a parquet artifact. */
-  private def ivfProbe(v: DataFrame, cent: DataFrame,
+  private[ext] def ivfProbe(v: DataFrame, cent: DataFrame,
       cells: DataFrame): DataFrame = {
     val probes = explodeCentroids(
         v.filter(col("vec_id") >= 100 && col("vec_id") < 108), cent)

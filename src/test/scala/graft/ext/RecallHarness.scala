@@ -96,11 +96,43 @@ object RecallHarness {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Similarity.emb(spark, dir)
 
+  /** Clustered synthetic embeddings — the REALISTIC structure the
+    * driver corpus lacks (RECALL.md documents its near-uniformity as
+    * the LSH worst case): `nClusters` planted unit centroids (seeded
+    * gaussian, pairwise cosine ≈ ±1/√dim ≈ 0.12) with `perCluster`
+    * points each at centroid + σ·gaussian. σ = 0.05 on 64 dims gives
+    * intra-cluster pair cosine ≈ 1/(1+σ²·dim) ≈ 0.86 vs inter ≈ 0 —
+    * the separation profile of real near-neighbor embeddings.
+    * vec_id INTERLEAVES clusters (vec_id mod nClusters = cluster), so
+    * any query prefix spans all clusters and the IVF first-K seeds
+    * land one per cluster. */
+  def clusteredEmb(spark: SparkSession, nClusters: Int = 16,
+      perCluster: Int = 125, dim: Int = 64,
+      noise: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val rnd = new java.util.Random(13)
+    def gauss(n: Int) = Array.fill(n)(rnd.nextGaussian())
+    def unit(a: Array[Double]) = {
+      val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n)
+    }
+    val cents = Array.fill(nClusters)(unit(gauss(dim)))
+    val rows = (0 until nClusters * perCluster).map { i =>
+      val c = cents(i % nClusters)
+      (i.toLong, c.zip(gauss(dim)).map { case (x, g) => x + noise * g })
+    }
+    rows.toDF("vec_id", "e")
+      .withColumn("nrm", sqrt(vec_norm2(col("e"))))
+  }
+
   /** (query_id, neighbor_id) top-k sets per query via an LSH bucket of
     * `nPlanes` sign bits; nPlanes = 0 → exact brute force. */
   def annTopK(spark: SparkSession, dir: String, nPlanes: Int, k: Int,
+      nQueries: Int): DataFrame =
+    annTopKV(emb(spark, dir), nPlanes, k, nQueries)
+
+  def annTopKV(corpus: DataFrame, nPlanes: Int, k: Int,
       nQueries: Int): DataFrame = {
-    val base = emb(spark, dir).select("vec_id", "e", "nrm")
+    val base = corpus.select("vec_id", "e", "nrm")
     val v =
       if (nPlanes == 0) base.withColumn("bucket", lit("all"))
       else base.withColumn("bucket",
@@ -122,9 +154,13 @@ object RecallHarness {
     * are the union over tables (distinct pairs), then exact re-rank.
     * Plane i of table t is global plane t*r+i from the same sequence. */
   def annTopKMulti(spark: SparkSession, dir: String, tables: Int, planesPerTable: Int,
+      k: Int, nQueries: Int): (DataFrame, Double) =
+    annTopKMultiV(emb(spark, dir), tables, planesPerTable, k, nQueries)
+
+  def annTopKMultiV(corpus: DataFrame, tables: Int, planesPerTable: Int,
       k: Int, nQueries: Int): (DataFrame, Double) = {
     val all = Similarity.planesFor(tables * planesPerTable)
-    val base = emb(spark, dir).select("vec_id", "e", "nrm")
+    val base = corpus.select("vec_id", "e", "nrm")
     val sigs = (0 until tables).map { t =>
       val ps = all.slice(t * planesPerTable, (t + 1) * planesPerTable)
       concat(lit(s"t$t|"), Similarity.bucketColFor(ps, col("e")))
@@ -153,14 +189,64 @@ object RecallHarness {
 
   def annSweepMulti(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 64,
+      configs: Seq[(Int, Int)] = Seq((2, 4), (4, 4), (8, 4), (4, 6), (8, 6), (4, 8), (8, 8), (16, 4))): Seq[MultiPoint] =
+    annSweepMultiV(emb(spark, dir), k, nQueries, configs)
+
+  def annSweepMultiV(corpus: DataFrame, k: Int = 5, nQueries: Int = 64,
       configs: Seq[(Int, Int)] = Seq((2, 4), (4, 4), (8, 4), (4, 6), (8, 6), (4, 8), (8, 8), (16, 4))): Seq[MultiPoint] = {
     def pairs(df: DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val truth = pairs(annTopK(spark, dir, 0, k, nQueries))
+    val truth = pairs(annTopKV(corpus, 0, k, nQueries))
     configs.map { case (l, r) =>
-      val (df, nc) = annTopKMulti(spark, dir, l, r, k, nQueries)
+      val (df, nc) = annTopKMultiV(corpus, l, r, k, nQueries)
       MultiPoint(l, r, (pairs(df) & truth).size.toDouble / truth.size, nc)
     }
+  }
+
+  /** IVF recall@5 on an arbitrary corpus: full Lloyd fit + the
+    * production probe (nprobe 2 of 16, queries vec_id 100–107 — the
+    * q_ann_ivf contract) vs brute-force truth. */
+  def ivfRecall(corpus: DataFrame): Double = {
+    val v = corpus.select("vec_id", "e", "nrm")
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(
+      annTopKV(v, 0, 5, 108).filter(col("query_id") >= 100)
+        .select("query_id", "neighbor_id"))
+    val (cent, cells) = Similarity.kmeansFit(v)
+    val got = pairs(Similarity.ivfProbe(v, cent, cells)
+      .select("query_id", "neighbor_id"))
+    (got & truth).size.toDouble / truth.size
+  }
+
+  /** MRL recall@k on an arbitrary corpus: stage 1 ranks by cosine on
+    * the `prefixDims`-dim prefix, keeps `stage1` candidates, exact
+    * re-rank — the q_ann_mrl shape. */
+  def mrlRecall(corpus: DataFrame, prefixDims: Int = 16,
+      stage1: Int = 50, k: Int = 10, nQueries: Int = 8): Double = {
+    val v = corpus.select("vec_id", "e", "nrm")
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(annTopKV(v, 0, k, nQueries)
+      .select("query_id", "neighbor_id"))
+    val pref = v
+      .withColumn("ep", expr(s"slice(e, 1, $prefixDims)"))
+      .withColumn("np", sqrt(vec_norm2(col("ep"))))
+    val q = pref.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("ep").as("qep"),
+        col("np").as("qnp"), col("e").as("qe"), col("nrm").as("qn"))
+    val cand = pref.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosp", vec_dot(col("qep"), col("ep")) / (col("qnp") * col("np")))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("cosp").desc, col("vec_id"))
+    val rr = cand.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= stage1)
+      .withColumn("cos", vec_dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val got = pairs(rr.withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k).select("query_id", "vec_id"))
+    (got & truth).size.toDouble / truth.size
   }
 
   /** Embedding near-dup candidate recall: exact all-pairs cosine ≥ t
@@ -188,13 +274,17 @@ object RecallHarness {
   final case class AnnPoint(nPlanes: Int, recallAtK: Double, avgCand: Double)
 
   def annSweep(spark: SparkSession, dir: String, k: Int = 5,
-      nQueries: Int = 64, planeCounts: Seq[Int] = Seq(4, 6, 8, 10, 12, 16)): Seq[AnnPoint] = {
+      nQueries: Int = 64, planeCounts: Seq[Int] = Seq(4, 6, 8, 10, 12, 16)): Seq[AnnPoint] =
+    annSweepV(emb(spark, dir), k, nQueries, planeCounts)
+
+  def annSweepV(corpus: DataFrame, k: Int = 5, nQueries: Int = 64,
+      planeCounts: Seq[Int] = Seq(4, 6, 8, 10, 12, 16)): Seq[AnnPoint] = {
     def pairs(df: DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val truth = pairs(annTopK(spark, dir, 0, k, nQueries))
-    val nVec = emb(spark, dir).count()
+    val truth = pairs(annTopKV(corpus, 0, k, nQueries))
+    val nVec = corpus.count()
     planeCounts.map { p =>
-      val got = pairs(annTopK(spark, dir, p, k, nQueries))
+      val got = pairs(annTopKV(corpus, p, k, nQueries))
       val recall = (got & truth).size.toDouble / truth.size
       // expected candidates scanned per query ≈ corpus / 2^planes
       AnnPoint(p, recall, nVec.toDouble / math.pow(2, p))
@@ -224,5 +314,21 @@ object RecallHarness {
       println(f"cos>=$t%.1f recall=${pr.recall}%.4f precision=${pr.precision}%.4f " +
         f"candidates=${pr.nCand}%6d truth=${pr.nTruth}%5d")
     }
+
+    println("\n== CLUSTERED fixture (16 planted centroids x 125, sigma 0.05) ==")
+    val cv = clusteredEmb(spark).cache()
+    cv.count()
+    println("single-bucket LSH:")
+    annSweepV(cv, planeCounts = Seq(4, 6, 8)).foreach { p =>
+      println(f"  planes=${p.nPlanes}%2d recall@5=${p.recallAtK}%.4f")
+    }
+    println("multi-table LSH:")
+    annSweepMultiV(cv, configs = Seq((4, 6), (8, 6), (8, 8))).foreach { p =>
+      println(f"  tables=${p.tables}%2d x planes=${p.planesPerTable}%d " +
+        f"recall@5=${p.recallAtK}%.4f candPerQuery=${p.candPerQuery}%.1f")
+    }
+    println(f"IVF (trained k-means, nprobe 2/16): recall@5=${ivfRecall(cv)}%.4f")
+    println(f"MRL (16/64-dim prefix, re-rank 50): recall@10=${mrlRecall(cv)}%.4f")
+    cv.unpersist()
   }
 }

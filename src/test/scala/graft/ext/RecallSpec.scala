@@ -55,6 +55,32 @@ class RecallSpec extends SparkSuite {
     assert(pr.recall >= 0.3, s"recall ${pr.recall} (measured 0.3939 at ship time)")
   }
 
+  test("clustered fixture: shipped configs reach production-grade recall") {
+    // the driver embeddings are near-uniform — the documented LSH/IVF
+    // worst case; this planted-centroid fixture has the separation
+    // profile of real embedding corpora (intra-cluster cos ~0.86,
+    // inter ~0.12) and the same shipped parameters must recover
+    // production-grade recall there (measured at ship time: 8x6 LSH
+    // 0.97, IVF 1.00, MRL 0.75, single-bucket-8 0.23 — all exact
+    // reproductions, the fixture and planes are seeded)
+    val cv = RecallHarness.clusteredEmb(spark).cache()
+    try {
+      cv.count()
+      val truth = pairs(RecallHarness.annTopKV(cv, 0, 5, 64))
+      val single = pairs(RecallHarness.annTopKV(cv, 8, 5, 64))
+      val (multiDf, _) = RecallHarness.annTopKMultiV(cv,
+        Similarity.lshTables, Similarity.lshPlanesPerTable, 5, 64)
+      val rSingle = (single & truth).size.toDouble / truth.size
+      val rMulti = (pairs(multiDf) & truth).size.toDouble / truth.size
+      assert(rMulti >= 0.9, s"clustered 8x6 recall $rMulti (measured 0.9719)")
+      assert(rSingle >= 0.15, s"clustered single-8 recall $rSingle (measured 0.2344)")
+      assert(RecallHarness.ivfRecall(cv) >= 0.95,
+        "clustered IVF recall (measured 1.0000)")
+      assert(RecallHarness.mrlRecall(cv) >= 0.7,
+        "clustered MRL recall (measured 0.7500)")
+    } finally cv.unpersist()
+  }
+
   test("multi-table LSH ANN (8x6) recall@5 >= 0.25 and >> single-bucket") {
     val truth = bruteTruth(col("vec_id") < 64, 5)
     val single = pairs(RecallHarness.annTopK(spark, dir, 8, 5, 64))
