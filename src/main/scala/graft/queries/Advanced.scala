@@ -775,8 +775,9 @@ object Advanced {
           .filter(col("s1") < col("s2"))
           .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("w"))
         pairs
-          .join(broadcast(c1.select(col("s").as("s1"), col("c1").as("n1"))), "s1")
-          .join(broadcast(c1.select(col("s").as("s2"), col("c1").as("n2"))), "s2")
+          // supplier-scaled count table: no broadcast hint (AQE decides)
+          .join(c1.select(col("s").as("s1"), col("c1").as("n1")), "s1")
+          .join(c1.select(col("s").as("s2"), col("c1").as("n2")), "s2")
           .withColumn("support_fp", expr(s"(w * 1000000L) div ${n}L"))
           .withColumn("conf_fp", expr("(w * 1000000L) div n1"))
           .withColumn("lift_fp", expr(s"(w * ${n}L * 10000L) div (n1 * n2)"))

@@ -642,8 +642,11 @@ object Graph {
           .join(cs.select(col("c").as("c2"), col("sp").as("v")),
             col("c") === col("c2") && col("u") < col("v"))
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("inter"))
-          .join(broadcast(deg.select(col("sp").as("u"), col("deg").as("du"))), Seq("u"))
-          .join(broadcast(deg.select(col("sp").as("v"), col("deg").as("dv"))), Seq("v"))
+          // per-node degree table: NO broadcast hint — it scales with
+          // the node set, so the strategy is AQE's call (broadcast at
+          // small node counts, shuffle at 10^9 nodes)
+          .join(deg.select(col("sp").as("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("sp").as("v"), col("deg").as("dv")), Seq("v"))
           .withColumn("uni", col("du") + col("dv") - col("inter"))
           .withColumn("jac_fp", expr("inter * 1000000L div uni"))
           .select("u", "v", "inter", "uni", "jac_fp")

@@ -130,8 +130,9 @@ object Graph2 {
         val deg = und.groupBy(col("s").as("node")).agg(count(lit(1)).as("dg"))
           .localCheckpoint(true)
         und
-          .join(broadcast(deg.select(col("node").as("s"), col("dg").as("dx"))), Seq("s"))
-          .join(broadcast(deg.select(col("node").as("d"), col("dg").as("dy"))), Seq("d"))
+          // node-scaled degree table: no broadcast hint (AQE decides)
+          .join(deg.select(col("node").as("s"), col("dg").as("dx")), Seq("s"))
+          .join(deg.select(col("node").as("d"), col("dg").as("dy")), Seq("d"))
           .agg(count(lit(1)).as("n"),
             sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
             sum(col("dx") * col("dy")).as("sxy"),
@@ -286,8 +287,9 @@ object Graph2 {
         // the checkpoint instead of re-running the distinct+aggregate
         val n = op.groupBy(col("p")).agg(count(lit(1)).as("n"))
           .localCheckpoint(true)
-        ew.join(broadcast(n.select(col("p").as("u"), col("n").as("nu"))), Seq("u"))
-          .join(broadcast(n.select(col("p").as("v"), col("n").as("nv"))), Seq("v"))
+        // parts-scaled count table: no broadcast hint (AQE decides)
+        ew.join(n.select(col("p").as("u"), col("n").as("nu")), Seq("u"))
+          .join(n.select(col("p").as("v"), col("n").as("nv")), Seq("v"))
           .withColumn("cos2_fp", expr("w * w * 1000000L div (nu * nv)"))
           .select("u", "v", "w", "nu", "nv", "cos2_fp")
           .orderBy(col("cos2_fp").desc, col("u"), col("v"))

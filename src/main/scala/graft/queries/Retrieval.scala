@@ -80,13 +80,16 @@ object Retrieval {
     * Candidate-sized work — the two sorted token arrays ship to the
     * pair, never the corpus-sized token self-join. When the da side
     * is a filtered probe population, pass `probeFilter` so only the
-    * probe docs' rows join (broadcast) — one corpus-wide shuffle
-    * fewer than joining the full sets twice. */
+    * probe docs' rows join — one corpus-wide pass fewer than joining
+    * the full sets twice. NO broadcast hint: the probe population
+    * scales WITH the corpus (a fixed fraction of docs), so a forced
+    * broadcast would OOM at 100 TB — AQE picks broadcast when the
+    * filtered side is actually small and shuffles when it is not. */
   private def verifyPairs(cand: DataFrame, sets: DataFrame,
       tauNum: Int, tauDen: Int,
       probeFilter: Option[Column] = None): DataFrame = {
     val setsA = probeFilter match {
-      case Some(p) => broadcast(sets.filter(p))
+      case Some(p) => sets.filter(p)
       case None => sets
     }
     cand
@@ -232,10 +235,12 @@ object Retrieval {
           .join(corpus, col("tk") === col("tk2") && col("lb") === col("lb2") &&
             col("da") =!= col("db") && col("nb") * 10L >= col("na") * 9L)
           .select("da", "db").distinct()
+        // probe-filtered, NOT hint-broadcast: the probe side is a
+        // fixed corpus fraction, so the strategy is AQE's call
         cand
-          .join(broadcast(sets.filter(col("doc_id") % 50 === 0)
+          .join(sets.filter(col("doc_id") % 50 === 0)
             .select(col("doc_id").as("da"), col("toks").as("ta"),
-              col("n").as("na"))), Seq("da"))
+              col("n").as("na")), Seq("da"))
           .join(sets.select(col("doc_id").as("db"), col("toks").as("tb")),
             Seq("db"))
           .withColumn("inter",
