@@ -780,7 +780,12 @@ object Advanced {
           .join(c1.select(col("s").as("s2"), col("c1").as("n2")), "s2")
           .withColumn("support_fp", expr(s"(w * 1000000L) div ${n}L"))
           .withColumn("conf_fp", expr("(w * 1000000L) div n1"))
-          .withColumn("lift_fp", expr(s"(w * ${n}L * 10000L) div (n1 * n2)"))
+          // lift from the already-divided confidence (the q_gains
+          // overflow discipline): w·n·10⁴ wraps int64 once w·n passes
+          // ~9.2e14, while conf_fp·n is bounded by 10⁶·n; the extra
+          // div-truncation is identical in both engines
+          .withColumn("lift_fp",
+            expr(s"((w * 1000000L div n1) * ${n}L) div (n2 * 100L)"))
           .select("s1", "s2", "w", "support_fp", "conf_fp", "lift_fp")
           .orderBy(col("lift_fp").desc, col("s1"), col("s2"))
           .limit(20)
@@ -795,7 +800,8 @@ object Advanced {
              |SELECT p.s1, p.s2, p.w,
              |  CAST((p.w * 1000000) // nb.n AS BIGINT) AS support_fp,
              |  CAST((p.w * 1000000) // a1.c1 AS BIGINT) AS conf_fp,
-             |  CAST((p.w * nb.n * 10000) // (a1.c1 * a2.c1) AS BIGINT) AS lift_fp
+             |  CAST(((p.w * 1000000 // a1.c1) * nb.n) // (a2.c1 * 100)
+             |    AS BIGINT) AS lift_fp
              |FROM p JOIN c1 a1 ON a1.s = p.s1 JOIN c1 a2 ON a2.s = p.s2
              |CROSS JOIN nb
              |ORDER BY lift_fp DESC, s1, s2 LIMIT 20""".stripMargin)),

@@ -290,7 +290,14 @@ object Graph2 {
         // parts-scaled count table: no broadcast hint (AQE decides)
         ew.join(n.select(col("p").as("u"), col("n").as("nu")), Seq("u"))
           .join(n.select(col("p").as("v"), col("n").as("nv")), Seq("v"))
-          .withColumn("cos2_fp", expr("w * w * 1000000L div (nu * nv)"))
+          // cosine² as a product of two already-reduced per-mille
+          // factors (the q_gains overflow discipline): w²·10⁶ wraps
+          // int64 once w passes ~3e6 co-raters, while each factor
+          // w·10³ div n is ≤ 10³ (w ≤ n by construction) and the
+          // product lands back on the 10⁶ scale; the two truncations
+          // are identical in both engines
+          .withColumn("cos2_fp",
+            expr("(w * 1000L div nu) * (w * 1000L div nv)"))
           .select("u", "v", "w", "nu", "nv", "cos2_fp")
           .orderBy(col("cos2_fp").desc, col("u"), col("v"))
           .limit(30)
@@ -298,7 +305,7 @@ object Graph2 {
       Some(s"""WITH $opEdgeSql,
               |n AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY p)
               |SELECT u, v, w, nu.n AS nu, nv.n AS nv,
-              |  (w * w * 1000000) // (nu.n * nv.n) AS cos2_fp
+              |  (w * 1000 // nu.n) * (w * 1000 // nv.n) AS cos2_fp
               |FROM ew JOIN n nu ON nu.p = ew.u JOIN n nv ON nv.p = ew.v
               |ORDER BY cos2_fp DESC, u, v LIMIT 30""".stripMargin)),
 

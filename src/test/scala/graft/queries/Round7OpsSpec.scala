@@ -53,7 +53,8 @@ class Round7OpsSpec extends SparkSuite {
       assert(u < v)
       assert(w >= 2 && w <= math.min(nu, nv), s"($u,$v): w=$w nu=$nu nv=$nv")
       assert(cos2 >= 0 && cos2 <= 1000000L, s"($u,$v): cos2_fp=$cos2")
-      assert(cos2 == w * w * 1000000L / (nu * nv))
+      // the reduced-factor form (overflow-safe: each factor <= 1000)
+      assert(cos2 == (w * 1000L / nu) * (w * 1000L / nv))
     }
   }
 
