@@ -65,6 +65,34 @@ class CliSpec extends SparkSuite {
     assert(result == Seq("1,2", "2,2", "3,1"))
   }
 
+  test("reference Condorcet: all four app/ scripts run unmodified, two chained jobs") {
+    // the reference's OTHER demo workload end-to-end with its own
+    // executables: stage 1 (win_maple1 argv-batch -> win_juice1
+    // file-per-key) emits per-pair dominance, stage 2 (win_maple2
+    // argv-batch -> win_juice2 file-per-key on the single key '1')
+    // crowns the winner. Ballots give A > B > C pairwise, so A wins
+    // with the n-1 = 2 pairwise victories win_juice2 hardcodes.
+    val app = "/root/reference/app"
+    assume(new java.io.File(s"$app/win_maple1.py").isFile,
+      "reference checkout not present")
+    val root = Files.createTempDirectory("graft-cli-win").toString
+    val ballots = Files.createTempFile("ballots", ".txt")
+    Files.writeString(ballots, "A,B,C\nA,B,C\nB,A,C\n")
+    Cli.run(spark, root, Seq("put", ballots.toString, "ballots/b.txt"))
+    Cli.run(spark, root,
+      Seq("maple", s"$app/win_maple1.py", "3", "win1-int", "ballots", "argv"))
+    Cli.run(spark, root,
+      Seq("juice", s"$app/win_juice1.py", "3", "win1-int", "win1-out", "1",
+        "hash", "files"))
+    Cli.run(spark, root,
+      Seq("maple", s"$app/win_maple2.py", "3", "win2-int", "win1-out", "argv"))
+    Cli.run(spark, root,
+      Seq("juice", s"$app/win_juice2.py", "2", "win2-int", "win2-out", "1",
+        "hash", "files"))
+    val result = spark.read.textFile(s"$root/win2-out").collect().toSeq
+    assert(result == Seq("A,CondorcetWinner"), s"got $result")
+  }
+
   test("pipeMapleArgv batches honor the batch boundary and the whole input") {
     import spark.implicits._
     // an exe that emits one line per batch invocation: with 7 lines
