@@ -265,38 +265,38 @@ object EventStream {
       .start()
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
-  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class SessionRevEvent(user_id: Long, ts: java.sql.Timestamp,
+      rev: Long)
+  final case class SessionState(start: Long, end: Long, n: Long, rev: Long)
   final case class SessionOut(user_id: Long, n_events: Long,
       start_us: Long, end_us: Long)
+  final case class SessionRevOut(user_id: Long, n_events: Long,
+      start_us: Long, end_us: Long, rev_cents: Long)
 
-  /** Stateful sessionizer: 30-min inactivity gap closes a session —
-    * the streaming twin of `q_sessionize`, via `flatMapGroupsWithState`.
-    * Emits sessions as they close (a newer event beyond the gap).
-    *
-    * `evictWithTimeout = true` additionally registers a processing-time
-    * timeout so idle keys flush their last open session and free state
-    * — required for unbounded keyspaces in production, but it keeps
-    * the query permanently "live" (a micro-batch per trigger even with
-    * no data), so one-shot/AvailableNow runs should leave it off. */
-  def sessionize(events: Dataset[SessionEvent], gapMinutes: Long = 30,
-      evictWithTimeout: Boolean = false): Dataset[SessionOut] = {
+  /** Shared stateful-session core: 30-min inactivity gap closes a
+    * session, and each session carries an ADDITIVE payload (event
+    * count + revenue cents) that merges under the same late-cluster
+    * rules as the count. [[sessionize]] is the count-only view;
+    * [[sessionRevenue]] is the q_session_dist twin. */
+  private def sessionCore(events: Dataset[SessionRevEvent],
+      gapMinutes: Long, evictWithTimeout: Boolean): Dataset[SessionRevOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    def fn(userId: Long, evs: Iterator[SessionEvent],
-        state: GroupState[SessionState]): Iterator[SessionOut] = {
+    def fn(userId: Long, evs: Iterator[SessionRevEvent],
+        state: GroupState[SessionState]): Iterator[SessionRevOut] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        return Iterator(SessionOut(userId, s.n, s.start, s.end))
+        return Iterator(SessionRevOut(userId, s.n, s.start, s.end, s.rev))
       }
       // full microsecond precision: getTime truncates to ms, getNanos
       // carries the in-second fraction (batch q_sessionize uses
       // unix_micros — equivalence requires matching precision)
       val sorted = evs.map { e =>
-        (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L
-      }.toArray.sorted
-      var closed = List.empty[SessionOut]
+        ((e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L, e.rev)
+      }.toArray.sortBy(_._1)
+      var closed = List.empty[SessionRevOut]
       var cur = state.getOption
       // ancient late events (more than a gap BEFORE the open session)
       // accumulate into their own running session with the same gap
@@ -309,42 +309,45 @@ object EventStream {
       // one gap of it, in which case batch semantics merge the two
       def closeMergingLate(s: SessionState): Unit = late match {
         case Some(l) if s.start - l.end <= gapUs =>
-          closed ::= SessionOut(userId, s.n + l.n, math.min(l.start, s.start), s.end)
+          closed ::= SessionRevOut(userId, s.n + l.n,
+            math.min(l.start, s.start), s.end, s.rev + l.rev)
           late = None
         case _ =>
-          closed ::= SessionOut(userId, s.n, s.start, s.end)
+          closed ::= SessionRevOut(userId, s.n, s.start, s.end, s.rev)
       }
-      sorted.foreach { t =>
+      sorted.foreach { case (t, r) =>
         cur match {
           case Some(s) if t >= s.start - gapUs && t - s.end <= gapUs =>
             // within gap of the open window (late events may extend it
             // backwards, but never move end backwards / close early)
             cur = Some(SessionState(
-              math.min(s.start, t), math.max(s.end, t), s.n + 1))
+              math.min(s.start, t), math.max(s.end, t), s.n + 1, s.rev + r))
           case Some(s) if t < s.start - gapUs =>
             late match {
               case Some(l) if t - l.end <= gapUs =>
-                late = Some(SessionState(l.start, math.max(l.end, t), l.n + 1))
+                late = Some(SessionState(
+                  l.start, math.max(l.end, t), l.n + 1, l.rev + r))
               case Some(l) =>
-                closed ::= SessionOut(userId, l.n, l.start, l.end)
-                late = Some(SessionState(t, t, 1))
+                closed ::= SessionRevOut(userId, l.n, l.start, l.end, l.rev)
+                late = Some(SessionState(t, t, 1, r))
               case None =>
-                late = Some(SessionState(t, t, 1))
+                late = Some(SessionState(t, t, 1, r))
             }
           case Some(s) =>
             closeMergingLate(s)
-            cur = Some(SessionState(t, t, 1))
+            cur = Some(SessionState(t, t, 1, r))
           case None =>
-            cur = Some(SessionState(t, t, 1))
+            cur = Some(SessionState(t, t, 1, r))
         }
       }
       // end of batch: the still-open session gets the same late
       // re-check, merging (and staying open) instead of closing
       (late, cur) match {
         case (Some(l), Some(s)) if s.start - l.end <= gapUs =>
-          cur = Some(SessionState(math.min(l.start, s.start), s.end, s.n + l.n))
+          cur = Some(SessionState(math.min(l.start, s.start), s.end,
+            s.n + l.n, s.rev + l.rev))
         case (Some(l), _) =>
-          closed ::= SessionOut(userId, l.n, l.start, l.end)
+          closed ::= SessionRevOut(userId, l.n, l.start, l.end, l.rev)
         case _ => ()
       }
       cur.foreach { s =>
@@ -360,6 +363,37 @@ object EventStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
   }
+
+  /** Stateful sessionizer: 30-min inactivity gap closes a session —
+    * the streaming twin of `q_sessionize`, via `flatMapGroupsWithState`.
+    * Emits sessions as they close (a newer event beyond the gap).
+    *
+    * `evictWithTimeout = true` additionally registers a processing-time
+    * timeout so idle keys flush their last open session and free state
+    * — required for unbounded keyspaces in production, but it keeps
+    * the query permanently "live" (a micro-batch per trigger even with
+    * no data), so one-shot/AvailableNow runs should leave it off. */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Long = 30,
+      evictWithTimeout: Boolean = false): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    sessionCore(events.map(e => SessionRevEvent(e.user_id, e.ts, 0L)),
+        gapMinutes, evictWithTimeout)
+      .map(o => SessionOut(o.user_id, o.n_events, o.start_us, o.end_us))
+  }
+
+  /** Streaming session depth/revenue — the streaming twin of batch
+    * `q_session_dist`: closed sessions emit (depth, exact revenue
+    * cents) and the batch histogram is one fold over the emissions
+    * (bucket by least(depth, 10), count / count(rev > 0) / sum / max).
+    * State is four scalars per user (the sessionizer's three plus the
+    * revenue accumulator — still O(1) per event); revenue merges under
+    * the same late-cluster rules as the count, so a late burst that
+    * batch semantics would merge carries its cents along.
+    * SessionDistStreamSpec pins closed-session equality against a
+    * scalar recompute of the batch session definition. */
+  def sessionRevenue(events: Dataset[SessionRevEvent], gapMinutes: Long = 30,
+      evictWithTimeout: Boolean = false): Dataset[SessionRevOut] =
+    sessionCore(events, gapMinutes, evictWithTimeout)
 
   final case class AdmitEvent(event_id: Long, user_id: Long,
       ts: java.sql.Timestamp)
