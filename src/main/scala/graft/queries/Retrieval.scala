@@ -54,8 +54,10 @@ object Retrieval {
     * the posting join and the per-doc rank window. */
   private def tauPrefixArtifact(s: SparkSession, dir: String,
       tauNum: Int, tauDen: Int): DataFrame = {
+    // v2: postings carry (n, lb) for length partitioning — the key
+    // bump keeps durable roots from serving the two-column v1 schema
     val path = graft.engine.Scratch.cached("tau_prefix",
-      s"$dir tau=$tauNum/$tauDen") { p =>
+      s"$dir tau=$tauNum/$tauDen v2") { p =>
       tauPrefix(tokSets(s, dir), tauNum, tauDen).write.parquet(p)
     }
     s.read.parquet(path)
@@ -63,7 +65,10 @@ object Retrieval {
 
   /** The τ-prefix of every doc: only the n − ⌈τn⌉ + 1 globally-rarest
     * tokens (ties by token) — the PPJoin filter's posting-list input.
-    * Prefix length is all-integer: ⌈τn⌉ = (num·n + den−1) div den. */
+    * Each posting carries the doc's size n and size octave
+    * lb = length(bin(n)) so consumers can length-partition without a
+    * sizes join. Prefix length is all-integer:
+    * ⌈τn⌉ = (num·n + den−1) div den. */
   private def tauPrefix(sets: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val tok = tokOf(sets)
     val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
@@ -72,7 +77,8 @@ object Retrieval {
         Window.partitionBy("doc_id").orderBy(col("df"), col("tk"))))
       .filter(col("rnk") <=
         expr(s"n - (($tauNum*n + ${tauDen - 1}) div $tauDen) + 1"))
-      .select(col("tk"), col("doc_id"))
+      .select(col("tk"), col("doc_id"), col("n"),
+        length(expr("bin(n)")).as("lb"))
   }
 
   /** Exact verification of candidate (da, db) pairs against the full
@@ -135,10 +141,26 @@ object Retrieval {
       tauNum: Int, tauDen: Int,
       prefixOverride: Option[DataFrame] = None): DataFrame = {
     val prefix = prefixOverride.getOrElse(tauPrefix(sets, tauNum, tauDen))
+    // TWO-SIDED length partition: J(A,B) ≥ τ forces
+    // |A∩B| ≥ τ·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|), so
+    // τ·na ≤ nb ≤ na/τ — the probe explodes only over the corpus
+    // octaves inside [bitlen(⌈τ·na⌉), bitlen(⌊na·den/num⌋)] (for
+    // τ = 0.9 that is at most two octaves), with the exact two-sided
+    // size bound as a residual so boundary-octave admits stay
+    // lossless — the oracle (no prefix, no partition) proves it.
     val probe = prefix.filter(probePred)
-    val cand = probe.select(col("tk"), col("doc_id").as("da"))
-      .join(prefix.select(col("tk").as("tk2"), col("doc_id").as("db")),
-        col("tk") === col("tk2") && col("da") =!= col("db"))
+      .withColumn("lbp", explode(expr(
+        s"sequence(length(bin(($tauNum * n + ${tauDen - 1}) div $tauDen))," +
+          s" length(bin((n * $tauDen) div $tauNum)))")))
+    val cand = probe
+      .select(col("tk"), col("doc_id").as("da"), col("n").as("na"),
+        col("lbp"))
+      .join(prefix.select(col("tk").as("tk2"), col("doc_id").as("db"),
+          col("n").as("nb"), col("lb")),
+        col("tk") === col("tk2") && col("lbp") === col("lb") &&
+          col("da") =!= col("db") &&
+          col("nb") * tauDen >= col("na") * tauNum &&
+          col("nb") * tauNum <= col("na") * tauDen)
       .select("da", "db").distinct()
     verifyPairs(cand, sets, tauNum, tauDen, Some(probePred))
   }
@@ -166,7 +188,11 @@ object Retrieval {
     // quadratic in near-dup cluster size no filter can avoid — so
     // the declared query is the probe shape whose output scales with
     // probe × cluster (setSimJoin stays the spec-tested all-pairs
-    // primitive). 100 TB: frequent tokens never enter the index,
+    // primitive). The candidate join is additionally LENGTH-
+    // PARTITIONED two-sided: J ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ, so
+    // each probe token joins only the ≤2 corpus size octaves that can
+    // qualify at τ = 0.9 (exact bounds ride as residuals — lossless,
+    // oracle-proven). 100 TB: frequent tokens never enter the index,
     // which caps candidate growth; the remaining whale-token risk is
     // the Dedup.capBuckets discipline.
     Q("q_setsim_join",
@@ -221,9 +247,11 @@ object Retrieval {
     Q("q_containment_join",
       (s, dir) => {
         val sets = tokSets(s, dir)
+        // the v2 prefix artifact carries n per posting, so no sizes
+        // join; withColumn REPLACES the artifact's own lb octave with
+        // the exploded eligibility window
         val probePrefix = tauPrefixArtifact(s, dir, 9, 10)
           .filter(col("doc_id") % 50 === 0)
-          .join(sets.select(col("doc_id"), col("n")), "doc_id")
           .withColumn("req", expr("(9 * n + 9) div 10"))
           .withColumn("lb", explode(expr("sequence(length(bin(req)), 42)")))
           .select(col("tk"), col("doc_id").as("da"), col("n").as("na"),

@@ -24,4 +24,44 @@ class RetrievalArtifactSpec extends SparkSuite {
     assert(graft.engine.Scratch.buildCount == after,
       "a warm re-run rebuilt a scratch artifact — memoization broken")
   }
+
+  test("q_setsim_join candidates are banded on (token, size octave), two-sided") {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val joins = SparkEntry.queries("q_setsim_join")(spark, sf)
+      .queryExecution.optimizedPlan.collect { case j: Join => j }
+    val cand = joins.filter(_.condition.isDefined)
+      .map(j => conjuncts(j.condition.get))
+      .maxBy(_.collect { case e: EqualTo => e }.size)
+    val eqs = cand.collect { case e: EqualTo => e }
+    assert(eqs.size >= 2, s"need (tk, octave) keys: ${cand.mkString(" && ")}")
+    assert(eqs.exists(_.references.exists(_.name.startsWith("lb"))),
+      s"one equi key must be the size octave: ${eqs.mkString(" && ")}")
+    // both exact size residuals survive alongside the octave key
+    assert(cand.count(c => !c.isInstanceOf[EqualTo]) >= 2,
+      s"two-sided size bound must remain residual: ${cand.mkString(" && ")}")
+  }
+
+  test("two-sided octave window is conservative for Jaccard tau = 9/10") {
+    // every nb satisfying tau*na <= nb <= na/tau has bit length inside
+    // [bitlen(ceil(9na/10)), bitlen(floor(10na/9))], and every nb with
+    // bit length outside the window violates one of the exact bounds
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    (1L to 1500L).foreach { na =>
+      val lo = bitlen((9 * na + 9) / 10)
+      val hi = bitlen(na * 10 / 9)
+      (1L to 2000L).foreach { nb =>
+        val eligible = nb * 10 >= na * 9 && nb * 9 <= na * 10
+        if (eligible)
+          assert(bitlen(nb) >= lo && bitlen(nb) <= hi,
+            s"eligible nb=$nb outside octave window for na=$na")
+        if (bitlen(nb) < lo || bitlen(nb) > hi)
+          assert(!eligible, s"window admitted ineligible nb=$nb na=$na")
+      }
+    }
+  }
 }
