@@ -47,6 +47,21 @@ object Retrieval {
   private def tokOf(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"), col("n"), explode(col("toks")).as("tk"))
 
+  /** Corpus max size-octave, memoized per (JVM, dir): a 1-row bounded
+    * driver scalar (the .head() idiom) that callers use to cap octave
+    * eligibility windows; the memo keeps repeated invocations (bench
+    * passes, both queries) from re-running the aggregate. */
+  private val maxLbMemo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def maxOctave(sets: DataFrame, dir: String): Int = {
+    val cached = maxLbMemo.get(dir)
+    if (cached != null) cached.intValue
+    else {
+      val v = sets.agg(max(length(expr("bin(n)"))).as("m")).head().getInt(0)
+      maxLbMemo.putIfAbsent(dir, v)
+      v
+    }
+  }
+
   /** The corpus τ-prefix as a build-once artifact: both branches of a
     * self-join (probe AND corpus postings) and BOTH declared queries
     * (q_setsim_join, q_containment_join) consume the same prefix, and
@@ -247,13 +262,23 @@ object Retrieval {
     Q("q_containment_join",
       (s, dir) => {
         val sets = tokSets(s, dir)
+        // corpus max octave as a BOUNDED driver scalar (memoized
+        // 1-row agg over the artifact): the open-ended window
+        // [bitlen(req), 42] would explode ~40 no-match rows per probe
+        // token; the real ceiling is ~10. A probe doc larger than any
+        // corpus doc gets an empty array (explode drops the row) —
+        // nothing can contain it.
+        val maxLb = maxOctave(sets, dir)
         // the v2 prefix artifact carries n per posting, so no sizes
         // join; withColumn REPLACES the artifact's own lb octave with
         // the exploded eligibility window
         val probePrefix = tauPrefixArtifact(s, dir, 9, 10)
           .filter(col("doc_id") % 50 === 0)
           .withColumn("req", expr("(9 * n + 9) div 10"))
-          .withColumn("lb", explode(expr("sequence(length(bin(req)), 42)")))
+          .withColumn("lb", explode(expr(
+            s"CASE WHEN length(bin(req)) <= $maxLb" +
+              s" THEN sequence(length(bin(req)), $maxLb)" +
+              " ELSE array() END")))
           .select(col("tk"), col("doc_id").as("da"), col("n").as("na"),
             col("lb"))
         val corpus = tokOf(sets)
