@@ -49,11 +49,12 @@ object StreamBench {
         .coalesce(1).write.mode("append").parquet(src)
     }
 
-    def run(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+    def run(label: String, mode: String = "update")(
+        df: org.apache.spark.sql.DataFrame): Unit = {
       val ckpt = Files.createTempDirectory(s"graft-sb-ckpt-$label").toString
       val t0 = System.nanoTime()
       val q = df.writeStream
-        .outputMode(if (label == "dedup") "append" else "update")
+        .outputMode(if (label == "dedup") "append" else mode)
         .format("memory").queryName(s"sb_$label")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -86,6 +87,19 @@ object StreamBench {
       days.selectExpr("nk", "d", "CAST(1 AS LONG) AS delta")
         .union(days.selectExpr("nk", "d + 1 AS d", "CAST(-1 AS LONG) AS delta"))
         .as[EventStream.SweepEvent]).toDF())
+    // session depth/revenue: the sessionizer core + revenue scalar,
+    // 4 scalars of state per user — the q_session_dist streaming twin
+    run("session_rev", "append")(EventStream.sessionRevenue(
+      events.selectExpr("user_id", "ts",
+        "CASE WHEN event_type = 'purchase'" +
+          " THEN CAST(floor(value * 100) AS BIGINT) ELSE 0L END AS rev")
+        .as[EventStream.SessionRevEvent]).toDF())
+    // growth accounting with churn timeouts: 3 scalars of state per
+    // user, event-time timeout armed per update
+    run("growth_acct", "append")(EventStream.growthStream(
+      events.selectExpr("user_id",
+        "(unix_micros(ts) - 1704067200000000L) div 86400000000L AS d")
+        .as[EventStream.GrowthEvent]).toDF())
     spark.stop()
   }
 }
