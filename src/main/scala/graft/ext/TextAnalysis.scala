@@ -76,7 +76,7 @@ object TextAnalysis {
 
   val queries: Seq[Q] = Seq(
 
-    // ── rarity scoring: corpus-global token statistics broadcast back ──
+    // ── rarity scoring: corpus-global token statistics joined back ──
     // into per-row scoring — the two-pass shape of a perplexity/quality
     // filter, with deterministic rational arithmetic instead of a
     // language model (no transcendental functions: libm log differs
@@ -84,15 +84,20 @@ object TextAnalysis {
     // frequencies (one keyed shuffle, partial aggregation). Pass 2:
     // per-token 1/freq (single deterministic division, cast to
     // DECIMAL(18,12) for order-free summation), averaged per doc, plus
-    // the hapax fraction (tokens seen exactly once in the corpus). At
-    // 100 TB the frequency table is dictionary-sized per language —
-    // broadcast; the scan stays one pass per stage.
+    // the hapax fraction (tokens seen exactly once in the corpus).
+    // The freq table carries NO broadcast hint: the hapax output
+    // forbids a min-count floor, so on an open-vocabulary web corpus
+    // the raw unigram table is Heaps-law-unbounded (billions of rows
+    // at 100 TB) — a forced hint there overrides Spark's size checks
+    // and OOMs the executors. AQE broadcasts it when it is actually
+    // dictionary-sized (spec-pinned) and falls back to the shuffle
+    // the token stream already pays for the groupBy otherwise.
     Q("q_text_rarity",
       (s, dir) => {
         val toks = docs(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         val freq = toks.groupBy("w").agg(count(lit(1)).as("freq"))
-        toks.join(broadcast(freq), "w")
+        toks.join(freq, "w")
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_tokens"),
@@ -413,11 +418,14 @@ object TextAnalysis {
     // engines in the last ulp (the q_tfidf idf discipline), while the
     // mean transition likelihood is bit-exact in both and orders
     // documents the same way for a fixed length. Two keyed aggregates
-    // build the model (both dictionary-sized — broadcast back); V is
-    // ONE bounded driver scalar (the q_tfidf nDocs idiom); the scoring
-    // pass is a single scan. At 100 TB the bigram table is
-    // vocabulary²-bounded (and in practice Zipf-small), so the model
-    // broadcast holds while the corpus side never reshuffles.
+    // build the model; V is ONE bounded driver scalar (the q_tfidf
+    // nDocs idiom); the scoring pass is a single scan. The model
+    // joins carry NO broadcast hint: Laplace smoothing needs every
+    // bigram (no min-count floor), and on an open-vocabulary corpus
+    // the raw bigram table is Heaps-law-unbounded — AQE broadcasts
+    // when the trained model is actually dictionary-sized and falls
+    // back to the token-keyed shuffle the aggregates already paid
+    // for otherwise (no forced-hint OOM at 100 TB).
     Q("q_lm_quality",
       (s, dir) => {
         val bg = docs(s, dir)
@@ -435,8 +443,8 @@ object TextAnalysis {
           .select(explode(split(col("text"), " ")).as("w"))
           .agg(count_distinct(col("w"))).head().getLong(0)
         val scored = bg
-          .join(broadcast(c2), Seq("w1", "w2"))
-          .join(broadcast(c1), Seq("w1"))
+          .join(c2, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
           .withColumn("fp", expr(s"((c2 + 1L) * 1000000L) div (c1 + ${v}L)"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_trans"), sum(col("fp")).as("sum_fp"))
@@ -544,10 +552,14 @@ object TextAnalysis {
     // ≤ ~300k: c2·NU² ≲ 4e13, NB·cu1·cu2 ≲ 3e13), so the
     // decimal→double casts are exact and the ONE double division is
     // bit-identical in both engines. Support floor c2 ≥ 5 kills the
-    // noise tail. 100 TB shape: the bigram and unigram count tables
-    // are vocabulary-sized (map-side combine does the heavy lifting);
-    // both joins broadcast the unigram dictionary; top-20 plans as
-    // TakeOrderedAndProject, never a full sort.
+    // noise tail — but the floor applies to BIGRAMS only: the unigram
+    // table joined back for cu1/cu2 stays uncapped, so it carries NO
+    // broadcast hint (Heaps-law-unbounded on an open-vocabulary
+    // corpus; AQE broadcasts when it is actually dictionary-sized,
+    // and the floored bigram side it joins onto is already tiny).
+    // 100 TB shape: map-side combine shrinks both count tables before
+    // any exchange; top-20 plans as TakeOrderedAndProject, never a
+    // full sort.
     Q("q_pmi",
       (s, dir) => {
         val toks = docs(s, dir).select(split(col("text"), " ").as("toks"))
@@ -564,8 +576,8 @@ object TextAnalysis {
           .crossJoin(bg.agg(count(lit(1)).as("nb")))
         bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
           .filter(col("c2") >= 5L)
-          .join(broadcast(cu.select(col("w").as("w1"), col("c").as("cu1"))), Seq("w1"))
-          .join(broadcast(cu.select(col("w").as("w2"), col("c").as("cu2"))), Seq("w2"))
+          .join(cu.select(col("w").as("w1"), col("c").as("cu1")), Seq("w1"))
+          .join(cu.select(col("w").as("w2"), col("c").as("cu2")), Seq("w2"))
           .crossJoin(broadcast(glob))
           .withColumn("pmi", expr(
             "CAST(c2 * nu * nu AS DOUBLE) / CAST(nb * cu1 * cu2 AS DOUBLE)"))

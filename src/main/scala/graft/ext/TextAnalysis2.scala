@@ -30,10 +30,14 @@ object TextAnalysis2 {
     // per-doc SUM is order-free-exact; the average is one final cast
     // + divide. A log-perplexity twin would only differ by the libm
     // log (the q_bm25 precedent — rational form is the oracle-able
-    // one). Shape at 100 TB: bigram/unigram count tables are
-    // dictionary-sized (V² bound, far smaller in practice) →
-    // broadcast joins back onto the one-pass bigram stream; the
-    // lead() window partitions per doc (no global sort).
+    // one). Shape at 100 TB: the count-model joins carry NO
+    // broadcast hint — add-one smoothing forbids a min-count floor,
+    // so the raw bigram/unigram tables are Heaps-law-unbounded on an
+    // open-vocabulary corpus and a forced hint is the OOM class the
+    // round-8 audit removed elsewhere. AQE broadcasts them when the
+    // model is actually dictionary-sized (Stats2PlanSpec pins the
+    // sf0.001 runtime plan) and shuffles otherwise; the lead()
+    // window partitions per doc (no global sort).
     Q("q_bigram_lm",
       (s, dir) => {
         val toks = docs(s, dir).select(col("doc_id"),
@@ -47,8 +51,8 @@ object TextAnalysis2 {
         val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
         val v = toks.agg(countDistinct(col("w")).as("v"))
         big
-          .join(broadcast(c12), Seq("w1", "w2"))
-          .join(broadcast(c1), Seq("w1"))
+          .join(c12, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
           .crossJoin(broadcast(v))
           .withColumn("p", expr(
             "CAST(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS DECIMAL(18,12))"))

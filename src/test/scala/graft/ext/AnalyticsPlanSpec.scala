@@ -21,12 +21,16 @@ class AnalyticsPlanSpec extends SparkSuite {
       "weighted sampling must not shuffle the corpus:\n" + p.take(1200))
   }
 
-  test("q_lm_quality broadcasts the bigram model, never shuffles docs twice") {
-    val p = plan("q_lm_quality")
-    // both model relations (bigram counts, context counts) come back
-    // as broadcasts — the scoring pass is one scan of the corpus side
+  test("q_lm_quality model joins broadcast at runtime via AQE, not a hint") {
+    // Round-9: the c2/c1 hints are gone (Laplace smoothing forbids a
+    // min-count floor → the raw tables are corpus-vocab-scaled and a
+    // forced hint is a 100 TB OOM). AQE must still converge on
+    // broadcasts at this SF where the model IS dictionary-sized.
+    val df = SparkEntry.queries("q_lm_quality")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      "bigram/context model joins must broadcast:\n" + p.take(1500))
+      "AQE must broadcast the dictionary-sized model joins:\n" + p.take(2000))
   }
 
   test("q_assoc_rules: top-k is partial (TakeOrderedAndProject)") {
@@ -35,10 +39,14 @@ class AnalyticsPlanSpec extends SparkSuite {
       "rule ranking must not full-sort the pair relation:\n" + p.take(1200))
   }
 
-  test("q_pmi: dictionary joins broadcast, top-20 is partial") {
-    val p = plan("q_pmi")
+  test("q_pmi: unigram joins AQE-broadcast at runtime, top-20 is partial") {
+    // Round-9: the cu hints are gone (the ≥5 floor applies to bigrams
+    // only; the unigram table stays uncapped → no forced broadcast).
+    val df = SparkEntry.queries("q_pmi")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      "unigram dictionary joins must broadcast:\n" + p.take(1500))
+      "AQE must broadcast the dictionary-sized unigram joins:\n" + p.take(2000))
     assert(p.contains("TakeOrderedAndProject"),
       "PMI top-20 must not full-sort the bigram vocabulary:\n" + p.take(1200))
   }

@@ -90,12 +90,34 @@ class Stats2PlanSpec extends SparkSuite {
       "p05/p95 bounds must broadcast back onto the scan:\n" + p.take(1500))
   }
 
-  test("bigram LM broadcasts its count model tables") {
-    val p = plan("q_bigram_lm").toString
+  test("bigram LM model joins broadcast at runtime via AQE, not a hint") {
+    // Round-9: the forced broadcast hints on the c12/c1 model tables
+    // are gone (add-one smoothing forbids a min-count floor, so the
+    // raw tables are Heaps-law-unbounded at 100 TB and a hint is an
+    // OOM). The scale contract is now AQE's: when the trained model
+    // IS dictionary-sized, the runtime re-plan must still convert the
+    // model joins to broadcasts. Execute, then read the final
+    // adaptive plan.
+    val df = SparkEntry.queries("q_bigram_lm")(spark, sf)
+    df.collect() // executes THIS plan, so AQE finalizes it in place
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"),
+      "expected an executed adaptive plan:\n" + p.take(800))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      "bigram + head-count model joins must broadcast:\n" + p.take(1500))
-    assert(!p.contains("SortMergeJoin"),
-      "dictionary-sized model must not shuffle the token stream:\n" + p.take(1500))
+      "AQE must convert the dictionary-sized model joins to broadcasts:\n" +
+        p.take(2000))
+  }
+
+  test("rarity's uncapped freq join broadcasts at runtime via AQE, not a hint") {
+    // Same contract for q_text_rarity: its hapax output forbids a
+    // min-count floor, so the unigram table must NOT be hint-forced;
+    // AQE broadcasts it only when it is actually dictionary-sized.
+    val df = SparkEntry.queries("q_text_rarity")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "AQE must broadcast the dictionary-sized freq table at this SF:\n" +
+        p.take(2000))
   }
 
   test("attribution's candidate join is banded on (user, 3-day bucket)") {
