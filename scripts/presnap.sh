@@ -33,10 +33,23 @@ python3 scripts/check.py "$SF_DIR" "$OUT_DIR"
 # Round = max driver correctness round + 1 (CORRECTNESS_rNN appears
 # at the START of round NN+1).
 if [ -f bench_last.json ]; then
-  N=$(ls CORRECTNESS_r*.json 2>/dev/null | sed 's/.*_r0*\([0-9]*\).json/\1/' | sort -n | tail -1)
+  # guard the ls pipeline: under `set -euo pipefail` a no-match ls
+  # exits 1 and the pipefail propagates into the assignment, aborting
+  # the whole gate ("DO NOT SNAPSHOT") on a fully-passing first round
+  N=$( (ls CORRECTNESS_r*.json 2>/dev/null || true) \
+    | sed 's/.*_r0*\([0-9]*\).json/\1/' | sort -n | tail -1 )
   N=$(( ${N:-0} + 1 ))
-  cp bench_last.json "$(printf 'BENCH_LOCAL_r%02d.json' "$N")"
-  echo "[presnap] archived bench_last.json -> $(printf 'BENCH_LOCAL_r%02d.json' "$N")"
+  DEST=$(printf 'BENCH_LOCAL_r%02d.json' "$N")
+  PREV=$( (ls BENCH_LOCAL_r*.json 2>/dev/null || true) | sort | tail -1 )
+  # only archive a bench newer than the last archive — a stale
+  # bench_last.json from an older run must not be relabeled as the
+  # current round's numbers
+  if [ -z "$PREV" ] || [ bench_last.json -nt "$PREV" ]; then
+    cp bench_last.json "$DEST"
+    echo "[presnap] archived bench_last.json -> $DEST"
+  else
+    echo "[presnap] bench_last.json not newer than $PREV — skipping archive"
+  fi
 fi
 
 echo "[presnap] OK — safe to snapshot"

@@ -54,6 +54,16 @@ object Bench {
     // shape is unchanged so diff tooling works on partial runs too
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail loudly on a misspelled or empty selection — a filter that
+    // silently matches zero queries makes a targeted regression run
+    // "pass" without timing anything
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.keySet
+      require(sel.nonEmpty && unknown.isEmpty,
+        if (sel.isEmpty) "SPARK_GRAFT_ONLY is set but selects no queries"
+        else s"SPARK_GRAFT_ONLY names unknown queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // iterate over full passes (not per-query loops): back-to-back

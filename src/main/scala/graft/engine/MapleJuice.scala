@@ -165,6 +165,40 @@ object MapleJuice {
     spark.createDataset(ds.rdd.pipe(command))
   }
 
+  /** Fork `command`, close stdin, read stdout to completion while a
+    * daemon thread drains stderr into a bounded tail buffer. Both
+    * batch shims block on `readAllBytes(stdout)`; without the drain,
+    * an exe writing more than the ~64 KiB pipe buffer to stderr
+    * fills the pipe, blocks on its own write, and deadlocks the task
+    * (classic Runtime.exec hang). The tail (last ~4 KiB) rides the
+    * failure message so a nonzero exit is diagnosable. */
+  private def runDraining(command: Seq[String]): (Int, String, String) = {
+    val p = new ProcessBuilder(command: _*).redirectErrorStream(false).start()
+    p.getOutputStream.close()
+    val errTail = new StringBuilder
+    val drainer = new Thread { override def run(): Unit = {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+        p.getErrorStream, java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var line = r.readLine()
+        while (line != null) {
+          errTail.synchronized {
+            errTail.append(line).append('\n')
+            if (errTail.length > 8192) errTail.delete(0, errTail.length - 4096)
+          }
+          line = r.readLine()
+        }
+      } catch { case _: java.io.IOException => () } finally r.close()
+    }}
+    drainer.setDaemon(true)
+    drainer.start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rc = p.waitFor()
+    drainer.join(10000L)
+    (rc, out, errTail.synchronized(errTail.toString))
+  }
+
   /** ARGV-BATCH external maple — the reference's exact maple argv
     * contract (`MapleJuice.java:41,408-412`: every `LINE_PROCESS` = 50
     * input lines are passed to the executable as ONE argv string,
@@ -185,13 +219,16 @@ object MapleJuice {
         // the reference accumulates `line + "\n"` per line, so the
         // argv string carries a trailing newline too
         val arg = batch.mkString("", "\n", "\n")
-        val p = new ProcessBuilder((command :+ arg): _*)
-          .redirectErrorStream(false).start()
-        p.getOutputStream.close()
-        val out = new String(p.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val rc = p.waitFor()
-        require(rc == 0, s"pipeMapleArgv: exe exited $rc")
+        // Linux bounds a SINGLE argv string at MAX_ARG_STRLEN (32
+        // pages ≈ 128 KiB); past it the fork fails with E2BIG. Fail
+        // with the remedy named instead of a bare exec error.
+        require(arg.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+            < 128 * 1024,
+          s"pipeMapleArgv: ${batch.size}-line batch exceeds Linux's " +
+            "~128 KiB MAX_ARG_STRLEN argv bound — lower batchSize or " +
+            "use pipeMaple (stdin streaming contract)")
+        val (rc, out, err) = runDraining(command :+ arg)
+        require(rc == 0, s"pipeMapleArgv: exe exited $rc; stderr tail:\n$err")
         out.split("\n").iterator.filter(_.nonEmpty)
       }
     }
@@ -256,13 +293,9 @@ object MapleJuice {
             }
           } finally w.close()
           try {
-            val p = new ProcessBuilder((command :+ key :+ f.toString): _*)
-              .redirectErrorStream(false).start()
-            p.getOutputStream.close()
-            val out = new String(p.getInputStream.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8)
-            val rc = p.waitFor()
-            require(rc == 0, s"pipeJuiceFiles: exe exited $rc for key $key")
+            val (rc, out, err) = runDraining(command :+ key :+ f.toString)
+            require(rc == 0,
+              s"pipeJuiceFiles: exe exited $rc for key $key; stderr tail:\n$err")
             out.split("\n").iterator.filter(_.nonEmpty)
           } finally java.nio.file.Files.deleteIfExists(f)
         }

@@ -27,8 +27,11 @@ object Retrieval {
     * incidence for spec-sized inputs. */
   private[queries] def toSets(tok: DataFrame): DataFrame =
     tok.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("tk"))).as("toks"),
-        count(lit(1)).as("n"))
+      .agg(sort_array(collect_set(col("tk"))).as("toks"))
+      // n from the SET, not count(*): a caller passing a non-distinct
+      // (doc_id, tk) incidence would otherwise get n > size(toks) and
+      // corrupt every Jaccard/containment denominator downstream
+      .withColumn("n", size(col("toks")).cast(LongType))
 
   private def tokSets(s: SparkSession, dir: String): DataFrame = {
     val path = graft.engine.Scratch.cached("tok_sets", dir) { p =>

@@ -774,7 +774,17 @@ object EventStream {
     * replay. In-batch days fold in day order; duplicate days
     * collapse. The horizon rule matches batch: churn at day d needs
     * the watermark past d's end, just as the batch query never
-    * reports churn beyond its last observed day. */
+    * reports churn beyond its last observed day.
+    *
+    * ONE DELIBERATE DIVERGENCE: churn lands at the user's true
+    * lastDay+1 in event time even when that calendar day has zero
+    * corpus-wide activity, while batch q_growth_acct's day-grain
+    * report left-joins churn onto days with ≥1 active user and so
+    * silently drops churn on a fully-dark day. The stream is the
+    * finer-grained truth; a consumer reconciling against the batch
+    * report must restrict to (or re-bucket onto) batch-reported
+    * days. GrowthStreamSpec pins both sides: exact per-day equality
+    * on batch-reported days, and dark-day churn accounted in total. */
   def growthStream(events: Dataset[GrowthEvent]): Dataset[GrowthOut] = {
     import events.sparkSession.implicits._
     val NoChurn = Long.MinValue

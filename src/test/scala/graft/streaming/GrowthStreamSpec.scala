@@ -74,11 +74,22 @@ class GrowthStreamSpec extends SparkSuite {
         churnTotal += ch
       }
       assert(churnTotal > 0, "corpus must exercise churn (non-vacuous)")
-      // no churn emissions beyond the batch horizon or off batch days
+      // Batch reports only days with ≥1 active user; the stream emits
+      // churn at the user's true lastDay+1 even when that calendar
+      // day is corpus-wide dark (growthStream's documented
+      // divergence). Per-day equality on batch-reported days is
+      // asserted above; any remaining streamed churn must sit on a
+      // genuinely dark day inside the horizon, and the totals must
+      // reconcile exactly — no corpus shape can silently break this.
       val batchDays = batch.map(_._1).toSet
-      emitted.filter(_._3 == "churned")
-        .foreach(e => assert(batchDays.contains(e._2),
-          s"churn at ${e._2} outside batch-reported days"))
+      val activeDays = days.map(_.d).toSet
+      val darkChurn = emitted
+        .filter(e => e._3 == "churned" && !batchDays.contains(e._2))
+      darkChurn.foreach(e => assert(
+        !activeDays.contains(e._2) && e._2 <= maxD,
+        s"churn at ${e._2} is neither batch-reported nor dark-in-horizon"))
+      assert(emitted.count(_._3 == "churned") == churnTotal + darkChurn.length,
+        "streamed churn must equal batch churn plus dark-day churn")
     } finally q.stop()
   }
 
@@ -106,6 +117,41 @@ class GrowthStreamSpec extends SparkSuite {
         (1L, 2L, "retained"),
         (1L, 3L, "churned"), (2L, 2L, "churned"),
         (1L, 5L, "resurrected"), (2L, 5L, "resurrected")))
+    } finally q.stop()
+  }
+
+  test("churn on a corpus-wide dark day still emits (documented divergence)") {
+    // u1 active {1}, u2 active {1,3}: day 2 has NO active user, yet
+    // both runs truly end there — u2's churn-at-2 emits with its
+    // day-3 resurrection (arrival path) and u1's via the event-time
+    // timeout once the watermark passes day 2's end. Batch
+    // q_growth_acct would not report day 2 at all (its churn
+    // left-joins onto days with ≥1 active user); this pins the
+    // stream side of that contract so it cannot silently change.
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GrowthEvent](spark)
+    val q = EventStream.growthStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("growth_dark")
+      .start()
+    try {
+      Seq(Seq(GrowthEvent(1L, 1L), GrowthEvent(2L, 1L)),
+          Seq(GrowthEvent(2L, 3L)),
+          // sentinel batches: advance the watermark past day 2's
+          // end, then fire the timeout it unlocked (the main spec's
+          // two-extra-batches idiom)
+          Seq(GrowthEvent(-1L, 3L)),
+          Seq(GrowthEvent(-1L, 3L))).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("growth_dark")
+        .as[(Long, Long, String)].collect()
+        .filter(_._1 != -1L).toSet
+      assert(got == Set(
+        (1L, 1L, "new"), (2L, 1L, "new"),
+        (1L, 2L, "churned"), (2L, 2L, "churned"),
+        (2L, 3L, "resurrected")),
+        s"got $got")
     } finally q.stop()
   }
 }
