@@ -63,10 +63,18 @@ object Bucketing {
     * derived relation (e.g. the graph edge list). */
   def cachedTable(s: SparkSession, prefix: String, dirKey: String,
       key: String, nBuckets: Int)(build: => DataFrame): String = {
+    // every thunk is a lazy plan (no actions), so evaluating it here
+    // is free — and its schema then keys the cache alongside the
+    // bucket spec: a builder schema / bucketing change re-keys the
+    // artifact (rebuild) instead of a durable root serving the stale
+    // layout (Scratch.schemaKey discipline)
+    val df = build
     def name(id: String) = s"graft_bkt_${prefix}_$id"
     def doBuild(p: String): Unit =
-      writeBucketed(build, key, nBuckets, name(p.split('/').last), s"$p/$prefix")
-    val path = Scratch.cached(s"bucketed_$prefix", dirKey)(doBuild)
+      writeBucketed(df, key, nBuckets, name(p.split('/').last), s"$p/$prefix")
+    val path = Scratch.cached(s"bucketed_$prefix",
+      s"$dirKey schema=${Scratch.schemaKey(df.schema)} " +
+        s"key=$key buckets=$nBuckets")(doBuild)
     val t = name(path.split('/').last)
     this.synchronized {
       // lost-catalog session: the data already sits at the memoized
@@ -100,7 +108,10 @@ object Bucketing {
       writeBucketed(Tables(s, dir, "lineitem"), "l_orderkey", tpchBuckets,
         tl, s"$p/lineitem")
     }
-    val path = Scratch.cached("bucketed", dir)(build)
+    val path = Scratch.cached("bucketed",
+      s"$dir schema=${Scratch.schemaKey(Tables(s, dir, "orders").schema)}/" +
+        s"${Scratch.schemaKey(Tables(s, dir, "lineitem").schema)} " +
+        s"buckets=$tpchBuckets")(build)
     val (to, tl) = names(path.split('/').last)
     this.synchronized {
       if (!s.catalog.tableExists(to))

@@ -88,6 +88,58 @@ object Scratch {
     md.digest(key.getBytes(UTF_8)).map("%02x".format(_)).mkString.take(16)
   }
 
+  /** Order-sensitive fingerprint of a frame schema (column names +
+    * types) for folding into a cache key. Any change to the builder's
+    * output layout then auto-invalidates durable roots instead of
+    * silently serving the stale artifact — the generalization of the
+    * round-8 tau_prefix "v2" hand-bump, which existed because a
+    * schema change without a key change kept resolving to the old
+    * on-disk layout. */
+  def schemaKey(schema: org.apache.spark.sql.types.StructType): String =
+    leafOf(schema.map(f => s"${f.name}:${f.dataType.catalogString}")
+      .mkString(","))
+
+  /** Fingerprint of a DECLARED multi-output artifact layout (name →
+    * schema), for builders whose frames cannot be constructed lazily
+    * (eager checkpoints, iterative fits). Fold it into the [[cached]]
+    * key so a layout change re-keys the artifact, and write each
+    * output through [[writeDeclared]] so the declaration can never
+    * silently drift from what the builder actually writes. */
+  def outsKey(outs: Seq[(String, org.apache.spark.sql.types.StructType)]): String =
+    leafOf(outs.map { case (n, sc) => s"$n=${schemaKey(sc)}" }.mkString(";"))
+
+  /** Enforcement half of [[outsKey]]: refuse to write a frame whose
+    * schema differs from the declared layout. A builder edit without
+    * the matching declaration (= cache key) update then fails the
+    * BUILD loudly instead of shipping an artifact that stale durable
+    * roots would keep serving under the old key. */
+  def writeDeclared(df: org.apache.spark.sql.DataFrame,
+      declared: org.apache.spark.sql.types.StructType, path: String,
+      mode: String = "overwrite"): Unit = {
+    if (schemaKey(df.schema) != schemaKey(declared))
+      throw new IllegalStateException(
+        s"artifact schema drift at $path: declared " +
+          s"<${declared.catalogString}> != written " +
+          s"<${df.schema.catalogString}> — update the declared layout " +
+          "(which keys the Scratch cache) alongside the builder")
+    df.write.mode(mode).parquet(path)
+  }
+
+  /** DataFrame-artifact form of [[cached]]: materializes `frame` to
+    * parquet at most once per (root, key, SCHEMA) and reads it back.
+    * The schema fingerprint rides the key, so editing the builder to
+    * emit different columns/types rebuilds rather than serving the
+    * prior layout. The frame's logical plan is built eagerly (cheap —
+    * no execution) to obtain the schema. */
+  def cachedFrame(prefix: String, key: String)(
+      frame: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val df = frame
+    val path = cached(prefix, s"$key schema=${schemaKey(df.schema)}") { p =>
+      df.write.parquet(p)
+    }
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Path of the (prefix, key) artifact, running `build` at most once
     * per (root, key) — exactly once per JVM in temp mode, at most once
     * EVER under a durable root. `build` must fully materialize the

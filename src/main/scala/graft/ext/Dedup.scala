@@ -434,15 +434,27 @@ object Dedup {
     * metastore-bucketed so the probe join and verify join-back shuffle
     * ONLY the increment); the repartition here gives the plain-parquet
     * stand-in the same co-location. */
+  /** Declared band-index layout — folded into the Scratch cache keys
+    * (a layout change re-keys the artifact under durable roots) and
+    * enforced by [[graft.engine.Scratch.writeDeclared]] on every
+    * build AND append (drift fails loudly at write time). */
+  val bandIndexOuts: Seq[(String, org.apache.spark.sql.types.StructType)] = Seq(
+    "buckets" -> org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, band INT, sig STRING"),
+    "shingles" -> org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, hs ARRAY<BIGINT>"))
+
   def buildBandIndex(corpus: DataFrame, path: String,
       cap: Int = bucketCap): Unit = {
     val sh = shingled(corpus).select(col("doc_id"), col("hs"))
       .localCheckpoint(true)
-    capBuckets(bandBuckets(sh), Seq("band", "sig"), "doc_id", cap)
-      .repartition(col("band"), col("sig"))
-      .write.mode("overwrite").parquet(s"$path/buckets")
-    sh.repartition(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/shingles")
+    val declared = bandIndexOuts.toMap
+    graft.engine.Scratch.writeDeclared(
+      capBuckets(bandBuckets(sh), Seq("band", "sig"), "doc_id", cap)
+        .repartition(col("band"), col("sig")),
+      declared("buckets"), s"$path/buckets")
+    graft.engine.Scratch.writeDeclared(sh.repartition(col("doc_id")),
+      declared("shingles"), s"$path/shingles")
   }
 
   /** Absorb an ADMITTED increment into a persisted [[buildBandIndex]]
@@ -461,10 +473,12 @@ object Dedup {
   def appendToBandIndex(inc: DataFrame, indexPath: String): Unit = {
     val sh = shingled(inc).select(col("doc_id"), col("hs"))
       .localCheckpoint(true)
-    bandBuckets(sh).repartition(col("band"), col("sig"))
-      .write.mode("append").parquet(s"$indexPath/buckets")
-    sh.repartition(col("doc_id"))
-      .write.mode("append").parquet(s"$indexPath/shingles")
+    val declared = bandIndexOuts.toMap
+    graft.engine.Scratch.writeDeclared(
+      bandBuckets(sh).repartition(col("band"), col("sig")),
+      declared("buckets"), s"$indexPath/buckets", mode = "append")
+    graft.engine.Scratch.writeDeclared(sh.repartition(col("doc_id")),
+      declared("shingles"), s"$indexPath/shingles", mode = "append")
   }
 
   /** Periodic maintenance for an append-grown band index: re-rank each
@@ -491,7 +505,8 @@ object Dedup {
     * incremental curation funnel), durable across processes under a
     * GRAFT_SCRATCH_DIR root. */
   def corpusBandIndex(s: SparkSession, dir: String): String =
-    graft.engine.Scratch.cached("band_idx", dir) { path =>
+    graft.engine.Scratch.cached("band_idx",
+      s"$dir outs=${graft.engine.Scratch.outsKey(bandIndexOuts)}") { path =>
       buildBandIndex(docs(s, dir).filter(col("doc_id") % 10 =!= 7), path)
     }
 
@@ -499,7 +514,8 @@ object Dedup {
     * of `dir` — the self-dedup twin of [[corpusBandIndex]], consumed
     * by the batch curation funnel's near-dup stage. */
   def fullBandIndex(s: SparkSession, dir: String): String =
-    graft.engine.Scratch.cached("band_idx_all", dir) { path =>
+    graft.engine.Scratch.cached("band_idx_all",
+      s"$dir outs=${graft.engine.Scratch.outsKey(bandIndexOuts)}") { path =>
       buildBandIndex(docs(s, dir), path)
     }
 
@@ -549,13 +565,17 @@ object Dedup {
     * the increment (the corpus branch reads co-located buckets with no
     * exchange — IncrementalBucketedSpec pins the plan). */
   def hashCorpusTable(s: SparkSession, dir: String): String = {
+    // lazy plan — its schema keys the cache (Scratch.schemaKey): a
+    // layout change rebuilds instead of serving a stale durable root
+    val frame = docs(s, dir).filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), md5(col("text")).as("h"))
     def name(id: String) = s"graft_bkt_hash_corpus_$id"
     def build(p: String): Unit =
       graft.engine.Bucketing.writeBucketed(
-        docs(s, dir).filter(col("doc_id") % 10 =!= 7)
-          .select(col("doc_id"), md5(col("text")).as("h")),
-        "h", 8, name(p.split('/').last), s"$p/data")
-    val path = graft.engine.Scratch.cached("hash_corpus", dir)(build)
+        frame, "h", 8, name(p.split('/').last), s"$p/data")
+    val path = graft.engine.Scratch.cached("hash_corpus",
+      s"$dir schema=${graft.engine.Scratch.schemaKey(frame.schema)} " +
+        "key=h buckets=8")(build)
     val tbl = name(path.split('/').last)
     // the Scratch memo outlives any single SparkSession but the
     // catalog entry doesn't — re-register over the existing data if a

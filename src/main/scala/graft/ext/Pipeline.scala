@@ -341,9 +341,11 @@ object Pipeline {
         // (a deployment persists exactly this artifact); a 3-pass bench
         // pays the corpus write once and passes 2+ run only the pruned
         // scan.
-        val scratch = graft.engine.Scratch.cached("part_docs", dir) { path =>
-          t(s, dir, "documents")
-            .write.mode("overwrite").partitionBy("lang").parquet(path)
+        val frame = t(s, dir, "documents")
+        val scratch = graft.engine.Scratch.cached("part_docs",
+          s"$dir schema=${graft.engine.Scratch.schemaKey(frame.schema)} " +
+            "partitionBy=lang") { path =>
+          frame.write.mode("overwrite").partitionBy("lang").parquet(path)
         }
         s.read.parquet(scratch)
           .filter(col("lang").isin("en", "de"))
@@ -401,7 +403,9 @@ object Pipeline {
     // everything.
     Q("q_compact_sorted",
       (s, dir) => {
-        val compacted = graft.engine.Scratch.cached("compact_sorted", dir) { p =>
+        val compacted = graft.engine.Scratch.cached("compact_sorted",
+          s"$dir schema=${graft.engine.Scratch.schemaKey(
+            t(s, dir, "documents").schema)} target=4m sort=n_chars") { p =>
           graft.engine.Layout.compact(s, s"$dir/documents.parquet", p,
             targetBytes = 4L * 1024 * 1024, sortBy = Seq("n_chars"))
         }
@@ -430,7 +434,9 @@ object Pipeline {
     // The aggregate proves every column and row survived the trip.
     Q("q_source_csv",
       (s, dir) => {
-        val csv = graft.engine.Scratch.cached("csv_src", dir) { p =>
+        val csv = graft.engine.Scratch.cached("csv_src",
+          s"$dir schema=${graft.engine.Scratch.schemaKey(
+            t(s, dir, "documents").schema)} format=csv") { p =>
           // splittable-CSV ingest contract: records are LINES, so the
           // writer flattens embedded newlines (1-char-for-1-char, so
           // every length the aggregate below checks is preserved) —
@@ -530,7 +536,9 @@ object Pipeline {
     // scan.
     Q("q_source_jsonl",
       (s, dir) => {
-        val js = graft.engine.Scratch.cached("jsonl_src", dir) { p =>
+        val js = graft.engine.Scratch.cached("jsonl_src",
+          s"$dir schema=${graft.engine.Scratch.schemaKey(
+            t(s, dir, "documents").schema)} format=json") { p =>
           t(s, dir, "documents").write.json(p)
         }
         s.read
@@ -559,7 +567,9 @@ object Pipeline {
     // which is exactly the round-trip claim.
     Q("q_source_orc",
       (s, dir) => {
-        val orc = graft.engine.Scratch.cached("orc_src", dir) { p =>
+        val orc = graft.engine.Scratch.cached("orc_src",
+          s"$dir schema=${graft.engine.Scratch.schemaKey(
+            t(s, dir, "documents").schema)} format=orc") { p =>
           t(s, dir, "documents").write.orc(p)
         }
         s.read.orc(orc)
@@ -585,7 +595,9 @@ object Pipeline {
     // end-to-end result).
     Q("q_zorder",
       (s, dir) => {
-        val z = graft.engine.Scratch.cached("zorder", dir) { p =>
+        val z = graft.engine.Scratch.cached("zorder",
+          s"$dir schema=${graft.engine.Scratch.schemaKey(
+            t(s, dir, "documents").schema)} z=(n_chars,doc_id) target=256k") { p =>
           graft.engine.Layout.compactZ(s, s"$dir/documents.parquet", p,
             ("n_chars", "doc_id"), targetBytes = 256L * 1024)
         }
@@ -785,11 +797,10 @@ object Pipeline {
       (s, dir) => {
         val hashTbl = Dedup.hashCorpusTable(s, dir)
         val bandIdx = Dedup.corpusBandIndex(s, dir)
-        val profilePath = graft.engine.Scratch.cached("corpus_profile", dir) { p =>
+        val profile = graft.engine.Scratch.cachedFrame("corpus_profile", dir) {
           t(s, dir, "documents").filter(col("doc_id") % 10 =!= 7)
             .groupBy("lang")
             .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-            .write.mode("overwrite").parquet(p)
         }
         val gated = curationScored(
             t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
@@ -809,7 +820,7 @@ object Pipeline {
         val add = (tc: Column, u: Column) =>
           coalesce(tc, lit(0L)) + coalesce(u, lit(0L))
         val merged = graft.engine.Merge.upsert(
-          s.read.parquet(profilePath), incProf, Seq("lang"),
+          profile, incProf, Seq("lang"),
           combine = Map("n_docs" -> add, "sum_chars" -> add),
           checkUniqueKeys = true)
         merged

@@ -201,12 +201,35 @@ object Similarity {
     * corpus assignment, laid out by cid so a probe's candidate fetch is
     * co-located). The build-once artifact an ANN deployment writes per
     * corpus version; probes read it instead of retraining in-query. */
+  /** Declared on-disk layout of the IVF index — folded into the
+    * Scratch cache key (a layout change re-keys the artifact, so a
+    * durable root can never serve the old schema) and enforced by
+    * [[graft.engine.Scratch.writeDeclared]] at build time (a builder
+    * edit without the matching declaration update fails loudly). */
+  val ivfIndexOuts: Seq[(String, org.apache.spark.sql.types.StructType)] = Seq(
+    "cent" -> org.apache.spark.sql.types.StructType.fromDDL(
+      "cid BIGINT, ce ARRAY<DOUBLE>"),
+    "cells" -> org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, cid BIGINT"))
+
   def buildIvfIndex(v: DataFrame, path: String, sampleMod: Int): Unit = {
     val (cent, cells) = kmeansFitSampled(v, sampleMod)
-    cent.write.mode("overwrite").parquet(s"$path/cent")
-    cells.repartition(col("cid"))
-      .write.mode("overwrite").parquet(s"$path/cells")
+    val declared = ivfIndexOuts.toMap
+    graft.engine.Scratch.writeDeclared(cent, declared("cent"), s"$path/cent")
+    graft.engine.Scratch.writeDeclared(cells.repartition(col("cid")),
+      declared("cells"), s"$path/cells")
   }
+
+  /** The shared Scratch-cached [[buildIvfIndex]] artifact every IVF
+    * consumer (q_ann_ivf_sampled, q_cluster_balance, q_silhouette,
+    * q_cluster_outlier) resolves — one build per (root, corpus,
+    * layout); the declared-layout fingerprint rides the key. */
+  private def ivfIdxArtifact(s: SparkSession, dir: String): String =
+    graft.engine.Scratch.cached("ivf_idx",
+      s"$dir outs=${graft.engine.Scratch.outsKey(ivfIndexOuts)}") { path =>
+      buildIvfIndex(emb(s, dir).select("vec_id", "e", "nrm")
+        .localCheckpoint(true), path, ivfSampleMod)
+    }
 
   /** DuckDB twin of the Lloyd fit + full assignment: recursive-CTE
     * Lloyd over fit source `fit` (aliased `v` inside each subquery so
@@ -431,12 +454,23 @@ object Similarity {
     *   - `vectors/` (vec_id, e, nrm): the re-rank join-back side.
     * Probes hash only their own query vectors and equi-join the
     * artifact; the corpus is never re-bucketed per query batch. */
+  /** Declared LSH-index layout — same contract as [[ivfIndexOuts]]:
+    * keyed into the Scratch cache, enforced at build time. */
+  val lshIndexOuts: Seq[(String, org.apache.spark.sql.types.StructType)] = Seq(
+    "buckets" -> org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, bucket STRING"),
+    "vectors" -> org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE"))
+
   def buildLshIndex(v: DataFrame, path: String): Unit = {
-    Dedup.capBuckets(multiTableBuckets(v), Seq("bucket"), "vec_id", lshBucketCap)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").parquet(s"$path/buckets")
-    v.select("vec_id", "e", "nrm").repartition(col("vec_id"))
-      .write.mode("overwrite").parquet(s"$path/vectors")
+    val declared = lshIndexOuts.toMap
+    graft.engine.Scratch.writeDeclared(
+      Dedup.capBuckets(multiTableBuckets(v), Seq("bucket"), "vec_id", lshBucketCap)
+        .repartition(col("bucket")),
+      declared("buckets"), s"$path/buckets")
+    graft.engine.Scratch.writeDeclared(
+      v.select("vec_id", "e", "nrm").repartition(col("vec_id")),
+      declared("vectors"), s"$path/vectors")
   }
 
   /** Multi-table LSH ANN probing a PREBUILT [[buildLshIndex]] artifact:
@@ -474,11 +508,16 @@ object Similarity {
     * The pair relation is deterministic in the corpus (seed-pinned
     * planes, IEEE-exact cosine), so riding the artifact leaves every
     * oracle hash unchanged. */
+  private val vecPairsOut = org.apache.spark.sql.types.StructType.fromDDL(
+    "id1 BIGINT, id2 BIGINT, cos DOUBLE")
+
   def fullVectorPairs(s: SparkSession, dir: String): String =
-    graft.engine.Scratch.cached("vec_pairs", dir) { path =>
+    graft.engine.Scratch.cached("vec_pairs",
+      s"$dir schema=${graft.engine.Scratch.schemaKey(vecPairsOut)}") { path =>
       val v = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
-      cosineVerifiedPairs(v, 0.4).select("id1", "id2", "cos")
-        .write.mode("overwrite").parquet(path)
+      graft.engine.Scratch.writeDeclared(
+        cosineVerifiedPairs(v, 0.4).select("id1", "id2", "cos"),
+        vecPairsOut, path)
     }
 
   /** Cosine-verified near-dup pairs (id1, id2, cos ≥ threshold) over
@@ -757,11 +796,7 @@ object Similarity {
     Q("q_ann_ivf_sampled",
       (s, dir) => {
         val v = emb(s, dir).select("vec_id", "e", "nrm")
-        val idx = graft.engine.Scratch.cached("ivf_idx", dir) { path =>
-          // materialized once for the build: the sample filter, every
-          // Lloyd pass, and the final assignment all re-reference v
-          buildIvfIndex(v.localCheckpoint(true), path, ivfSampleMod)
-        }
+        val idx = ivfIdxArtifact(s, dir)
         ivfProbe(v, s.read.parquet(s"$idx/cent"),
           s.read.parquet(s"$idx/cells"))
       },
@@ -830,7 +865,8 @@ object Similarity {
     // shared oracle; LshIndexSpec pins index-only corpus-side scans.
     Q("q_ann_lsh_idx",
       (s, dir) => {
-        val idx = graft.engine.Scratch.cached("lsh_idx", dir) { path =>
+        val idx = graft.engine.Scratch.cached("lsh_idx",
+          s"$dir outs=${graft.engine.Scratch.outsKey(lshIndexOuts)}") { path =>
           buildLshIndex(
             emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true),
             path)
@@ -854,7 +890,8 @@ object Similarity {
     Q("q_dedup_embed_incremental",
       (s, dir) => {
         val all = emb(s, dir).select("vec_id", "e", "nrm")
-        val idx = graft.engine.Scratch.cached("lsh_idx_corpus", dir) { path =>
+        val idx = graft.engine.Scratch.cached("lsh_idx_corpus",
+          s"$dir outs=${graft.engine.Scratch.outsKey(lshIndexOuts)}") { path =>
           buildLshIndex(
             all.filter(col("vec_id") % 10 =!= 7).localCheckpoint(true), path)
         }
@@ -906,10 +943,7 @@ object Similarity {
     // WindowGroupLimit shape caps partial per shuffle side.
     Q("q_cluster_balance",
       (s, dir) => {
-        val v = emb(s, dir).select("vec_id", "e", "nrm")
-        val idx = graft.engine.Scratch.cached("ivf_idx", dir) { path =>
-          buildIvfIndex(v.localCheckpoint(true), path, ivfSampleMod)
-        }
+        val idx = ivfIdxArtifact(s, dir)
         val cells = s.read.parquet(s"$idx/cells")
         val stats = cells.groupBy(col("cid")).agg(count(lit(1)).as("n_cell"))
         val w = Window.partitionBy(col("cid"))
@@ -1072,9 +1106,7 @@ object Similarity {
         // SAME Scratch name as q_ann_ivf_sampled — one shared artifact,
         // whichever query runs first builds it (identical builder)
         val v = emb(s, dir).select("vec_id", "e", "nrm")
-        val idx = graft.engine.Scratch.cached("ivf_idx", dir) { path =>
-          buildIvfIndex(v.localCheckpoint(true), path, ivfSampleMod)
-        }
+        val idx = ivfIdxArtifact(s, dir)
         val cent = s.read.parquet(s"$idx/cent")
         val cells = s.read.parquet(s"$idx/cells")
           .select(col("vec_id"), col("cid").as("own"))
@@ -1141,9 +1173,7 @@ object Similarity {
     Q("q_cluster_outlier",
       (s, dir) => {
         val v = emb(s, dir).select("vec_id", "e", "nrm")
-        val idx = graft.engine.Scratch.cached("ivf_idx", dir) { path =>
-          buildIvfIndex(v.localCheckpoint(true), path, ivfSampleMod)
-        }
+        val idx = ivfIdxArtifact(s, dir)
         val cent = s.read.parquet(s"$idx/cent")
         val cells = s.read.parquet(s"$idx/cells")
           .select(col("vec_id"), col("cid"))

@@ -33,17 +33,14 @@ object Retrieval {
       // corrupt every Jaccard/containment denominator downstream
       .withColumn("n", size(col("toks")).cast(LongType))
 
-  private def tokSets(s: SparkSession, dir: String): DataFrame = {
-    val path = graft.engine.Scratch.cached("tok_sets", dir) { p =>
+  private def tokSets(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Scratch.cachedFrame("tok_sets", dir) {
       t(s, dir, "documents")
         .select(col("doc_id"),
           expr("array_sort(array_distinct(regexp_extract_all(text, '[a-z]+', 0)))")
             .as("toks"))
         .withColumn("n", size(col("toks")).cast(LongType))
-        .write.parquet(p)
     }
-    s.read.parquet(path)
-  }
 
   /** (doc_id, tk) incidence derived from the normal form — a cheap
     * array explode, not a regexp pass. */
@@ -71,15 +68,14 @@ object Retrieval {
     * without materialization each reference re-runs the df aggregate,
     * the posting join and the per-doc rank window. */
   private def tauPrefixArtifact(s: SparkSession, dir: String,
-      tauNum: Int, tauDen: Int): DataFrame = {
-    // v2: postings carry (n, lb) for length partitioning — the key
-    // bump keeps durable roots from serving the two-column v1 schema
-    val path = graft.engine.Scratch.cached("tau_prefix",
-      s"$dir tau=$tauNum/$tauDen v2") { p =>
-      tauPrefix(tokSets(s, dir), tauNum, tauDen).write.parquet(p)
+      tauNum: Int, tauDen: Int): DataFrame =
+    // the r8 hand-written "v2" key bump (postings grew (n, lb) for
+    // length partitioning) is subsumed by cachedFrame's schema
+    // fingerprint: any future layout change auto-invalidates
+    graft.engine.Scratch.cachedFrame("tau_prefix",
+      s"$dir tau=$tauNum/$tauDen") {
+      tauPrefix(tokSets(s, dir), tauNum, tauDen)
     }
-    s.read.parquet(path)
-  }
 
   /** The τ-prefix of every doc: only the n − ⌈τn⌉ + 1 globally-rarest
     * tokens (ties by token) — the PPJoin filter's posting-list input.
