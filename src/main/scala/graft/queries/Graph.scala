@@ -59,6 +59,26 @@ object Graph {
     s.table(table)
   }
 
+  /** Build-once (edges ⋈ out-degree) relation — the per-iteration
+    * core of the rank loops, materialized as its OWN bucketed
+    * artifact (clustered on src like [[custSuppEdges]]) so q_pagerank
+    * and q_ppr stop re-paying the degree aggregate + join per query
+    * (the part_cooc_ms2 amortization discipline; round-8 verdict
+    * item 3). The build itself is exchange-free on the edge side: it
+    * consumes the already-bucketed edge table's HashPartitioning(src)
+    * for both the aggregate and the join; at 100 TB this is the
+    * standard derived relation a deployment materializes per corpus
+    * version next to the edge list itself. */
+  private[queries] def custSuppEdgesDeg(s: SparkSession, dir: String): DataFrame = {
+    val table = graft.engine.Bucketing.cachedTable(
+      s, "graph_ed", dir, "src", 16) {
+      val edges = custSuppEdges(s, dir)
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      edges.join(outdeg, "src")
+    }
+    s.table(table)
+  }
+
   /** Fixed-iteration PageRank on a symmetric edge list. The symmetric
     * construction means every node has out-degree ≥ 1, so there is no
     * dangling mass to redistribute and the per-iteration update is
@@ -76,23 +96,31 @@ object Graph {
     // iteration lineage
     rankLoop(edges, iters).localCheckpoint(true)
 
-  /** The lazy rank-iteration plan (exposed for the plan-contract spec —
-    * the materialized [[pageRank]] result hides it). */
+  /** [[rankLoopEd]] over a raw edge list — computes the degree join
+    * inline (spec/ad-hoc path; the declared query rides the
+    * build-once [[custSuppEdgesDeg]] artifact instead). */
   private[queries] def rankLoop(edges: DataFrame, iters: Int): DataFrame = {
-    // Partitioning contract: `edges` should already be CLUSTERED on
-    // src — the query path passes the bucketed artifact, whose scans
-    // report HashPartitioning(src), so the out-degree aggregate, the
-    // degree join, and every iteration's rank join run with ZERO
-    // exchange on the edge side; only the node-sized rank vector and
-    // the per-iteration dst-keyed contribution sum move. (The earlier
-    // designs measured worse: localCheckpoint loses partitioning and
-    // re-shuffles edges per iteration; repartition+cache re-pays the
-    // materialization every invocation — see SCALE.md.) The web-scale
-    // shape: ranks are too big to broadcast, edges too big to move
-    // even once when the layout already clusters them.
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(outdeg, "src")
-    val nodes = edges.select(col("src").as("node")).distinct()
+    rankLoopEd(edges.join(outdeg, "src"), iters)
+  }
+
+  /** The lazy rank-iteration plan over a PRE-JOINED (src, dst, deg)
+    * relation (exposed for the plan-contract spec — the materialized
+    * [[pageRank]] result hides it).
+    *
+    * Partitioning contract: `ed` should already be CLUSTERED on src —
+    * the query path passes the bucketed [[custSuppEdgesDeg]] artifact,
+    * whose scans report HashPartitioning(src), so every iteration's
+    * rank join runs with ZERO exchange on the edge side; only the
+    * node-sized rank vector and the per-iteration dst-keyed
+    * contribution sum move. (The earlier designs measured worse:
+    * localCheckpoint loses partitioning and re-shuffles edges per
+    * iteration; repartition+cache re-pays the materialization every
+    * invocation — see SCALE.md.) The web-scale shape: ranks are too
+    * big to broadcast, edges too big to move even once when the
+    * layout already clusters them. */
+  private[queries] def rankLoopEd(ed: DataFrame, iters: Int): DataFrame = {
+    val nodes = ed.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("r", lit(RankOneU))
     for (_ <- 1 to iters) {
       val contrib = ed
@@ -378,8 +406,15 @@ object Graph {
   private[queries] def pprLoop(edges: DataFrame, seeds: Seq[String],
       iters: Int): DataFrame = {
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(outdeg, "src")
-    val nodes = edges.select(col("src").as("node")).distinct()
+    pprLoopEd(edges.join(outdeg, "src"), seeds, iters)
+  }
+
+  /** [[pprLoop]] over a pre-joined (src, dst, deg) relation — the
+    * declared-query path rides the build-once [[custSuppEdgesDeg]]
+    * artifact (the rankLoopEd discipline). */
+  private[queries] def pprLoopEd(ed: DataFrame, seeds: Seq[String],
+      iters: Int): DataFrame = {
+    val nodes = ed.select(col("src").as("node")).distinct()
     def isSeed = col("node").isin(seeds: _*)
     var ranks = nodes.withColumn("r",
       when(isSeed, lit(RankOneU)).otherwise(lit(0L)))
@@ -435,7 +470,11 @@ object Graph {
 
     // ── PageRank, 3 fixed iterations, integer micro-unit arithmetic ──
     Q("q_pagerank",
-      (s, dir) => pageRank(custSuppEdges(s, dir), 3),
+      // rides the build-once graph_ed (edges ⋈ out-degree) artifact —
+      // the degree aggregate + join is paid once per corpus, shared
+      // with q_ppr (GraphEdArtifactSpec pins the sharing)
+      (s, dir) => rankLoopEd(custSuppEdgesDeg(s, dir), 3)
+        .localCheckpoint(true),
       Some(s"""WITH co AS (
               |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -456,7 +495,7 @@ object Graph {
     // surface. Oracle: the same 3 iterations unrolled with the seed
     // CASE in every round's base term.
     Q("q_ppr",
-      (s, dir) => pprLoop(custSuppEdges(s, dir), seedNodes, 3),
+      (s, dir) => pprLoopEd(custSuppEdgesDeg(s, dir), seedNodes, 3),
       Some(s"""WITH co AS (
               |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
