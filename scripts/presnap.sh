@@ -52,4 +52,10 @@ if [ -f bench_last.json ]; then
   fi
 fi
 
+# Bench regression gate (round-9 verdict item 7): any query whose
+# best-pass min regressed >1.5x and >0.15s vs the previous archive
+# must be named in SCALE.md "## Accepted bench regressions".
+echo "[presnap] bench regression gate"
+python3 scripts/bench_diff.py
+
 echo "[presnap] OK — safe to snapshot"
