@@ -268,6 +268,14 @@ object EventStream {
   final case class SessionRevEvent(user_id: Long, ts: java.sql.Timestamp,
       rev: Long)
   final case class SessionState(start: Long, end: Long, n: Long, rev: Long)
+  /** Keyed session state: the open session plus an optional HELD
+    * ancient-late session (round-9: late clusters arriving more than a
+    * gap before the open session used to close at micro-batch end, so
+    * a cluster SPLIT across batches split into two sessions where
+    * batch q_sessionize merges them — holding the late session one
+    * invocation lets the next batch's stragglers merge in). */
+  final case class SessionFullState(cur: SessionState,
+      late: Option[SessionState])
   final case class SessionOut(user_id: Long, n_events: Long,
       start_us: Long, end_us: Long)
   final case class SessionRevOut(user_id: Long, n_events: Long,
@@ -284,11 +292,22 @@ object EventStream {
     val gapUs = gapMinutes * 60L * 1000000L
 
     def fn(userId: Long, evs: Iterator[SessionRevEvent],
-        state: GroupState[SessionState]): Iterator[SessionRevOut] = {
+        state: GroupState[SessionFullState]): Iterator[SessionRevOut] = {
       if (state.hasTimedOut) {
-        val s = state.get
+        val st = state.get
         state.remove()
-        return Iterator(SessionRevOut(userId, s.n, s.start, s.end, s.rev))
+        val s = st.cur
+        return st.late match {
+          // flush order and merge rule match the in-batch close path
+          case Some(l) if s.start - l.end <= gapUs =>
+            Iterator(SessionRevOut(userId, s.n + l.n,
+              math.min(l.start, s.start), s.end, s.rev + l.rev))
+          case Some(l) =>
+            Iterator(SessionRevOut(userId, l.n, l.start, l.end, l.rev),
+              SessionRevOut(userId, s.n, s.start, s.end, s.rev))
+          case None =>
+            Iterator(SessionRevOut(userId, s.n, s.start, s.end, s.rev))
+        }
       }
       // full microsecond precision: getTime truncates to ms, getNanos
       // carries the in-second fraction (batch q_sessionize uses
@@ -296,65 +315,57 @@ object EventStream {
       val sorted = evs.map { e =>
         ((e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L, e.rev)
       }.toArray.sortBy(_._1)
-      var closed = List.empty[SessionRevOut]
-      var cur = state.getOption
-      // ancient late events (more than a gap BEFORE the open session)
-      // accumulate into their own running session with the same gap
-      // logic, so a late CLUSTER merges as batch q_sessionize would —
-      // only clusters split across micro-batches remain split (the
-      // documented residual divergence)
-      var late: Option[SessionState] = None
-      // closing a session must first re-check the late cluster: a merge
-      // event may have pulled the session's start backward to within
-      // one gap of it, in which case batch semantics merge the two
-      def closeMergingLate(s: SessionState): Unit = late match {
-        case Some(l) if s.start - l.end <= gapUs =>
-          closed ::= SessionRevOut(userId, s.n + l.n,
-            math.min(l.start, s.start), s.end, s.rev + l.rev)
-          late = None
-        case _ =>
-          closed ::= SessionRevOut(userId, s.n, s.start, s.end, s.rev)
+      val prior = state.getOption
+      // ── island merge ──  This batch's events plus the carried-over
+      // open session and held ancient-late session are sorted by start
+      // and linearly merged on the gap rule — EXACTLY batch
+      // q_sessionize's interval semantics over the visible multiset
+      // ((n, rev) are additive, start/end are min/max, so merging is
+      // associative and order-free within an island). Flags:
+      //   - allAncient: every member arrived strictly more than a gap
+      //     BEFORE the round-start open session (the only islands a
+      //     future straggler could still legitimately join — forward
+      //     islands close on gap, the streaming emission contract);
+      //   - touched: contains an event from THIS batch. A held late
+      //     island nothing touched has had a full extra invocation to
+      //     grow and closes now (liveness: one invocation, not forever).
+      case class Isl(start: Long, end: Long, n: Long, rev: Long,
+          allAncient: Boolean, touched: Boolean)
+      val curStart0 = prior.map(_.cur.start)
+      val items =
+        sorted.map { case (t, r) =>
+          Isl(t, t, 1L, r, curStart0.exists(cs => t < cs - gapUs), touched = true)
+        } ++
+        prior.map(p =>
+          Isl(p.cur.start, p.cur.end, p.cur.n, p.cur.rev, false, false)) ++
+        prior.flatMap(_.late).map(l =>
+          Isl(l.start, l.end, l.n, l.rev, allAncient = true, touched = false))
+      val islands = items.sortBy(i => (i.start, i.end))
+        .foldLeft(List.empty[Isl]) {
+          case (h :: rest, i) if i.start - h.end <= gapUs =>
+            Isl(h.start, math.max(h.end, i.end), h.n + i.n, h.rev + i.rev,
+              h.allAncient && i.allAncient, h.touched || i.touched) :: rest
+          case (acc, i) => i :: acc
+        }.reverse
+      // the final island (it contains the open session or a newer
+      // event, so it is never all-ancient) stays open; of the islands
+      // before it, the LAST may be held for next-batch stragglers iff
+      // it is a pure ancient-late cluster this batch touched — all
+      // earlier islands, old open sessions outrun by a newer event,
+      // and untouched holds close now, in time order.
+      val newCur = islands.last
+      val (closeNow, hold) = islands.init match {
+        case init :+ lastB if lastB.allAncient && lastB.touched =>
+          (init, Some(lastB))
+        case before => (before, None)
       }
-      sorted.foreach { case (t, r) =>
-        cur match {
-          case Some(s) if t >= s.start - gapUs && t - s.end <= gapUs =>
-            // within gap of the open window (late events may extend it
-            // backwards, but never move end backwards / close early)
-            cur = Some(SessionState(
-              math.min(s.start, t), math.max(s.end, t), s.n + 1, s.rev + r))
-          case Some(s) if t < s.start - gapUs =>
-            late match {
-              case Some(l) if t - l.end <= gapUs =>
-                late = Some(SessionState(
-                  l.start, math.max(l.end, t), l.n + 1, l.rev + r))
-              case Some(l) =>
-                closed ::= SessionRevOut(userId, l.n, l.start, l.end, l.rev)
-                late = Some(SessionState(t, t, 1, r))
-              case None =>
-                late = Some(SessionState(t, t, 1, r))
-            }
-          case Some(s) =>
-            closeMergingLate(s)
-            cur = Some(SessionState(t, t, 1, r))
-          case None =>
-            cur = Some(SessionState(t, t, 1, r))
-        }
-      }
-      // end of batch: the still-open session gets the same late
-      // re-check, merging (and staying open) instead of closing
-      (late, cur) match {
-        case (Some(l), Some(s)) if s.start - l.end <= gapUs =>
-          cur = Some(SessionState(math.min(l.start, s.start), s.end,
-            s.n + l.n, s.rev + l.rev))
-        case (Some(l), _) =>
-          closed ::= SessionRevOut(userId, l.n, l.start, l.end, l.rev)
-        case _ => ()
-      }
-      cur.foreach { s =>
-        state.update(s)
-        if (evictWithTimeout) state.setTimeoutDuration(gapMinutes * 60L * 1000L)
-      }
-      closed.reverseIterator
+      val closed = closeNow.map(i =>
+        SessionRevOut(userId, i.n, i.start, i.end, i.rev))
+      state.update(SessionFullState(
+        SessionState(newCur.start, newCur.end, newCur.n, newCur.rev),
+        hold.map(i => SessionState(i.start, i.end, i.n, i.rev))))
+      if (evictWithTimeout) state.setTimeoutDuration(gapMinutes * 60L * 1000L)
+      closed.iterator
     }
 
     val timeoutConf =

@@ -449,13 +449,53 @@ class EventStreamSpec extends SparkSuite {
       q.processAllAvailable()
       // a late CLUSTER: 0 and 10 min are within one gap of each other,
       // both more than a gap before the open session (200) — batch
-      // semantics merge them into ONE session of 2 events
+      // semantics merge them into ONE session of 2 events. The cluster
+      // is HELD one invocation for cross-batch stragglers (round-9),
+      // so nothing closes yet…
       input.addData(Seq(SessionEvent(9L, ts(0)), SessionEvent(9L, ts(10))))
+      q.processAllAvailable()
+      assert(spark.table("late_cluster").count() == 0,
+        spark.table("late_cluster").collect().mkString(","))
+      // …and the next batch for the key (nothing extends the hold)
+      // closes it as ONE merged session
+      input.addData(Seq(SessionEvent(9L, ts(220))))
       q.processAllAvailable()
       val out = spark.table("late_cluster").as[EventStream.SessionOut].collect()
       assert(out.length == 1, out.mkString(","))
       assert(out.head.n_events == 2 && out.head.start_us == 0L &&
         out.head.end_us == 10L * 60L * 1000000L)
+    } finally q.stop()
+  }
+
+  test("late cluster SPLIT across micro-batches merges via the held state") {
+    import EventStream.SessionEvent
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SessionEvent](spark)
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_split")
+      .start()
+    try {
+      input.addData(Seq(SessionEvent(11L, ts(200)), SessionEvent(11L, ts(210))))
+      q.processAllAvailable()
+      // the ancient-late cluster arrives SPLIT across two micro-batches
+      // (0,10 then 20): pre-round-9 the batch boundary split it into
+      // two emitted sessions; the held state must merge all three as
+      // batch q_sessionize does
+      input.addData(Seq(SessionEvent(11L, ts(0)), SessionEvent(11L, ts(10))))
+      q.processAllAvailable()
+      input.addData(Seq(SessionEvent(11L, ts(20))))
+      q.processAllAvailable()
+      assert(spark.table("late_split").count() == 0,
+        spark.table("late_split").collect().mkString(","))
+      // a batch that does NOT extend the hold closes it, merged
+      input.addData(Seq(SessionEvent(11L, ts(215))))
+      q.processAllAvailable()
+      val out = spark.table("late_split").as[EventStream.SessionOut].collect()
+      assert(out.length == 1, out.mkString(","))
+      assert(out.head.n_events == 3 && out.head.start_us == 0L &&
+        out.head.end_us == 20L * 60L * 1000000L, out.mkString(","))
     } finally q.stop()
   }
 
