@@ -25,6 +25,25 @@ class RetrievalArtifactSpec extends SparkSuite {
       "a warm re-run rebuilt a scratch artifact — memoization broken")
   }
 
+  test("both queries read ONLY artifact parquet — never documents (round-9)") {
+    // the verify stage used to re-derive token sets from documents;
+    // with tokSets riding Scratch.cachedFrame, candidate generation
+    // AND verification read the materialized artifacts end-to-end —
+    // the corpus parquet appears in no file scan of either query plan
+    // (the tokenize pass over documents runs only inside the one-time
+    // artifact BUILD job, which is not part of these plans)
+    Seq("q_setsim_join", "q_containment_join").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // ensure artifacts exist; plan below is the warm shape
+      val scans = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+      assert(scans.nonEmpty, s"$q: expected file scans")
+      assert(!scans.contains("documents.parquet"),
+        s"$q verify stage re-scans the corpus instead of the artifact:\n$scans")
+    }
+  }
+
   test("q_setsim_join candidates are banded on (token, size octave), two-sided") {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.Join
