@@ -61,20 +61,42 @@ object Bucketing {
     * HashPartitioning(key) — every downstream join/aggregate on `key`
     * is exchange-free. The [[tpchTables]] discipline, reusable for any
     * derived relation (e.g. the graph edge list). */
+  /** (prefix, dirKey) → full schema-fingerprinted cache key. The
+    * builder's schema keys the cache (a layout change re-keys the
+    * artifact instead of a durable root serving the stale parquet —
+    * the Scratch.schemaKey discipline), but constructing the builder
+    * plan just to hash its schema costs analysis mills per call; a
+    * builder is constant within one JVM, so the key is too. Cleared
+    * by Scratch.resetForTest so specs can swap builders mid-process. */
+  private val keyMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[engine] def clearKeyMemoForTest(): Unit = keyMemo.clear()
+
+  private def memoKey(memo: String)(full: => String): String = {
+    val hit = keyMemo.get(memo)
+    if (hit != null) hit
+    else {
+      // computed OUTSIDE the map (builders may nest other cached
+      // artifacts; racing threads compute the same constant)
+      val k = full
+      keyMemo.putIfAbsent(memo, k)
+      k
+    }
+  }
+
   def cachedTable(s: SparkSession, prefix: String, dirKey: String,
       key: String, nBuckets: Int)(build: => DataFrame): String = {
-    // every thunk is a lazy plan (no actions), so evaluating it here
-    // is free — and its schema then keys the cache alongside the
-    // bucket spec: a builder schema / bucketing change re-keys the
-    // artifact (rebuild) instead of a durable root serving the stale
-    // layout (Scratch.schemaKey discipline)
-    val df = build
     def name(id: String) = s"graft_bkt_${prefix}_$id"
     def doBuild(p: String): Unit =
-      writeBucketed(df, key, nBuckets, name(p.split('/').last), s"$p/$prefix")
-    val path = Scratch.cached(s"bucketed_$prefix",
-      s"$dirKey schema=${Scratch.schemaKey(df.schema)} " +
-        s"key=$key buckets=$nBuckets")(doBuild)
+      // the thunk is a lazy plan (no actions) — evaluated here on an
+      // actual build, and once per JVM inside memoKey for the schema
+      writeBucketed(build, key, nBuckets, name(p.split('/').last),
+        s"$p/$prefix")
+    val fullKey = memoKey(s"t\n$prefix\n$dirKey\n$key\n$nBuckets")(
+      s"$dirKey schema=${Scratch.schemaKey(build.schema)} " +
+        s"key=$key buckets=$nBuckets")
+    val path = Scratch.cached(s"bucketed_$prefix", fullKey)(doBuild)
     val t = name(path.split('/').last)
     this.synchronized {
       // lost-catalog session: the data already sits at the memoized
@@ -108,10 +130,11 @@ object Bucketing {
       writeBucketed(Tables(s, dir, "lineitem"), "l_orderkey", tpchBuckets,
         tl, s"$p/lineitem")
     }
-    val path = Scratch.cached("bucketed",
+    val fullKey = memoKey(s"p\n$dir")(
       s"$dir schema=${Scratch.schemaKey(Tables(s, dir, "orders").schema)}/" +
         s"${Scratch.schemaKey(Tables(s, dir, "lineitem").schema)} " +
-        s"buckets=$tpchBuckets")(build)
+        s"buckets=$tpchBuckets")
+    val path = Scratch.cached("bucketed", fullKey)(build)
     val (to, tl) = names(path.split('/').last)
     this.synchronized {
       if (!s.catalog.tableExists(to))

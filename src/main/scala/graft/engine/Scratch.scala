@@ -56,6 +56,8 @@ object Scratch {
   private[engine] def resetForTest(): Unit = {
     roots.clear()
     built.clear()
+    resolveMemo.clear()
+    Bucketing.clearKeyMemoForTest()
     builds.set(0)
   }
 
@@ -125,19 +127,41 @@ object Scratch {
     df.write.mode(mode).parquet(path)
   }
 
+  /** Resolved (prefix, logical key) → artifact path, so warm
+    * [[cachedFrame]] hits skip re-constructing the builder plan just
+    * to hash its schema (plan analysis is mills-per-call — real at
+    * bench cadence). Sound because a builder is CONSTANT within one
+    * JVM; [[resetForTest]] clears it alongside the build memo so the
+    * schema-change spec can swap builders mid-process. */
+  private val resolveMemo = new ConcurrentHashMap[String, String]()
+
   /** DataFrame-artifact form of [[cached]]: materializes `frame` to
     * parquet at most once per (root, key, SCHEMA) and reads it back.
     * The schema fingerprint rides the key, so editing the builder to
     * emit different columns/types rebuilds rather than serving the
-    * prior layout. The frame's logical plan is built eagerly (cheap —
-    * no execution) to obtain the schema. */
+    * prior layout. The frame's logical plan is built eagerly (no
+    * execution) to obtain the schema — once per (JVM, prefix, key),
+    * memoized with the resolved path. */
   def cachedFrame(prefix: String, key: String)(
       frame: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val df = frame
-    val path = cached(prefix, s"$key schema=${schemaKey(df.schema)}") { p =>
-      df.write.parquet(p)
-    }
-    df.sparkSession.read.parquet(path)
+    // resolved OUTSIDE the map (get/putIfAbsent, not computeIfAbsent):
+    // a builder may itself reference another cachedFrame artifact
+    // (tau_prefix → tok_sets), and computing inside the bin lock
+    // would forbid that reentrancy; cached() already dedups racing
+    // builds
+    val mk = s"$prefix\n$key"
+    val hit = resolveMemo.get(mk)
+    val path =
+      if (hit != null) hit
+      else {
+        val df = frame
+        val p = cached(prefix, s"$key schema=${schemaKey(df.schema)}") { d =>
+          df.write.parquet(d)
+        }
+        resolveMemo.putIfAbsent(mk, p)
+        p
+      }
+    org.apache.spark.sql.SparkSession.active.read.parquet(path)
   }
 
   /** Path of the (prefix, key) artifact, running `build` at most once
