@@ -349,15 +349,19 @@ object EventStream {
         }.reverse
       // the final island (it contains the open session or a newer
       // event, so it is never all-ancient) stays open; of the islands
-      // before it, the LAST may be held for next-batch stragglers iff
-      // it is a pure ancient-late cluster this batch touched — all
-      // earlier islands, old open sessions outrun by a newer event,
-      // and untouched holds close now, in time order.
+      // before it, the LAST pure ancient-late cluster this batch
+      // touched is held for next-batch stragglers — anywhere before
+      // cur, not only adjacent to it: a batch can carry a late
+      // fragment AND a new forward session, and the fragment must
+      // still hold or its next-batch half re-splits. All other
+      // islands — earlier ancient clusters, old open sessions outrun
+      // by a newer event, untouched holds — close now, in time order.
       val newCur = islands.last
-      val (closeNow, hold) = islands.init match {
-        case init :+ lastB if lastB.allAncient && lastB.touched =>
-          (init, Some(lastB))
-        case before => (before, None)
+      val (closeNow, hold) = {
+        val init = islands.init
+        val idx = init.lastIndexWhere(i => i.allAncient && i.touched)
+        if (idx >= 0) (init.patch(idx, Nil, 1), Some(init(idx)))
+        else (init, None)
       }
       val closed = closeNow.map(i =>
         SessionRevOut(userId, i.n, i.start, i.end, i.rev))
