@@ -1,0 +1,49 @@
+#!/usr/bin/env bash
+# Content-keyed bench archiver (round-10, verdict item 1).
+#
+# Round 9's archive was silently skipped because the old guard keyed
+# on file mtime (`bench_last.json -nt $PREV`) and checkout/driver
+# write timing defeated it — the brand-new regression gate then
+# diffed r07->r08, one round stale. Mtimes are unreliable across
+# git checkouts and driver writes; CONTENT is not:
+#
+#   * bench_last.json byte-identical to the NEWEST archive
+#       -> this run is already archived; nothing to do.
+#   * byte-identical to an OLDER archive
+#       -> bench_last is stale (an old run's numbers); refusing to
+#          relabel it as the current round's archive, loudly.
+#   * identical to no archive
+#       -> a fresh bench run; archive it under the current round
+#          (max CORRECTNESS_rNN + 1).
+#
+# Tested by scripts/test_archive_guard.sh (all three branches).
+set -euo pipefail
+cd "${1:-$(dirname "$0")/..}"
+
+if [ ! -f bench_last.json ]; then
+  echo "[archive_bench] no bench_last.json — nothing to archive"
+  exit 0
+fi
+
+# guard the ls pipelines: under `set -euo pipefail` a no-match ls
+# exits 1 and the pipefail propagates into the assignment
+N=$( (ls CORRECTNESS_r*.json 2>/dev/null || true) \
+  | sed 's/.*_r0*\([0-9]*\).json/\1/' | sort -n | tail -1 )
+N=$(( ${N:-0} + 1 ))
+DEST=$(printf 'BENCH_LOCAL_r%02d.json' "$N")
+NEWEST=$( (ls BENCH_LOCAL_r*.json 2>/dev/null || true) | sort | tail -1 )
+
+MATCH=""
+for f in BENCH_LOCAL_r*.json; do
+  [ -e "$f" ] || continue
+  if cmp -s bench_last.json "$f"; then MATCH="$f"; break; fi
+done
+
+if [ -z "$MATCH" ]; then
+  cp bench_last.json "$DEST"
+  echo "[archive_bench] archived bench_last.json -> $DEST"
+elif [ "$MATCH" = "$NEWEST" ]; then
+  echo "[archive_bench] bench_last.json already archived as $MATCH"
+else
+  echo "[archive_bench] WARNING: bench_last.json matches OLDER archive $MATCH — stale bench, refusing to relabel as $DEST"
+fi

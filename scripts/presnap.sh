@@ -30,32 +30,32 @@ python3 scripts/check.py "$SF_DIR" "$OUT_DIR"
 # truncates (~68 of 269 queries visible at r7) and bench_last.json is
 # overwritten every run, so round-over-round per-query diffs need an
 # in-repo, round-numbered copy of the COMPLETE median+min table.
-# Round = max driver correctness round + 1 (CORRECTNESS_rNN appears
-# at the START of round NN+1).
-if [ -f bench_last.json ]; then
-  # guard the ls pipeline: under `set -euo pipefail` a no-match ls
-  # exits 1 and the pipefail propagates into the assignment, aborting
-  # the whole gate ("DO NOT SNAPSHOT") on a fully-passing first round
-  N=$( (ls CORRECTNESS_r*.json 2>/dev/null || true) \
-    | sed 's/.*_r0*\([0-9]*\).json/\1/' | sort -n | tail -1 )
-  N=$(( ${N:-0} + 1 ))
-  DEST=$(printf 'BENCH_LOCAL_r%02d.json' "$N")
-  PREV=$( (ls BENCH_LOCAL_r*.json 2>/dev/null || true) | sort | tail -1 )
-  # only archive a bench newer than the last archive — a stale
-  # bench_last.json from an older run must not be relabeled as the
-  # current round's numbers
-  if [ -z "$PREV" ] || [ bench_last.json -nt "$PREV" ]; then
-    cp bench_last.json "$DEST"
-    echo "[presnap] archived bench_last.json -> $DEST"
-  else
-    echo "[presnap] bench_last.json not newer than $PREV — skipping archive"
-  fi
-fi
+# Content-keyed (round-10 verdict item 1 — the r9 mtime guard
+# misfired and silently skipped the archive): see archive_bench.sh,
+# tested by test_archive_guard.sh.
+bash scripts/archive_bench.sh
 
 # Bench regression gate (round-9 verdict item 7): any query whose
-# best-pass min regressed >1.5x and >0.15s vs the previous archive
+# best-pass min regressed >1.5x and >0.15s vs the previous round
 # must be named in SCALE.md "## Accepted bench regressions".
+# Always diff the newest DISTINCT archive against bench_last.json
+# itself (round-10 ADVICE: when the archive step skips, diffing the
+# two newest archives would pass the gate with zero current-round
+# evidence). If bench_last was just archived, the newest distinct
+# archive is the previous round — exactly the intended comparison.
 echo "[presnap] bench regression gate"
-python3 scripts/bench_diff.py
+if [ -f bench_last.json ]; then
+  GATE_PREV=""
+  for f in $( (ls BENCH_LOCAL_r*.json 2>/dev/null || true) | sort -r ); do
+    if ! cmp -s bench_last.json "$f"; then GATE_PREV="$f"; break; fi
+  done
+  if [ -n "$GATE_PREV" ]; then
+    python3 scripts/bench_diff.py "$GATE_PREV" bench_last.json
+  else
+    echo "[presnap] no distinct prior archive — skipping bench gate"
+  fi
+else
+  echo "[presnap] no bench_last.json — skipping bench gate"
+fi
 
 echo "[presnap] OK — safe to snapshot"

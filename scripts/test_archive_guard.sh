@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# Exercises all three branches of scripts/archive_bench.sh in a temp
+# dir (round-10 verdict item 1 "Done =" condition: a stale
+# bench_last.json still refuses to archive).
+set -euo pipefail
+HERE="$(cd "$(dirname "$0")" && pwd)"
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+
+fail() { echo "FAIL: $1"; exit 1; }
+
+echo '{"round":1}' > "$TMP/CORRECTNESS_r01.json"
+echo '{"pass_total_min": 100.0}' > "$TMP/BENCH_LOCAL_r01.json"
+
+# 1. bench_last identical to the newest archive -> skip, no new file
+cp "$TMP/BENCH_LOCAL_r01.json" "$TMP/bench_last.json"
+out=$(bash "$HERE/archive_bench.sh" "$TMP")
+echo "$out" | grep -q "already archived as BENCH_LOCAL_r01.json" \
+  || fail "expected already-archived branch, got: $out"
+[ ! -e "$TMP/BENCH_LOCAL_r02.json" ] || fail "identical bench was relabeled"
+
+# 2. fresh content -> archived under the current round (r01 max + 1)
+echo '{"pass_total_min": 95.0}' > "$TMP/bench_last.json"
+out=$(bash "$HERE/archive_bench.sh" "$TMP")
+echo "$out" | grep -q "archived bench_last.json -> BENCH_LOCAL_r02.json" \
+  || fail "expected archive branch, got: $out"
+cmp -s "$TMP/bench_last.json" "$TMP/BENCH_LOCAL_r02.json" \
+  || fail "archived content differs"
+
+# 3. stale bench_last (matches an OLDER archive) -> loud refusal,
+#    even though a newer round number is available
+echo '{"round":2}' > "$TMP/CORRECTNESS_r02.json"
+cp "$TMP/BENCH_LOCAL_r01.json" "$TMP/bench_last.json"
+out=$(bash "$HERE/archive_bench.sh" "$TMP")
+echo "$out" | grep -q "WARNING: bench_last.json matches OLDER archive BENCH_LOCAL_r01.json" \
+  || fail "expected stale-refusal branch, got: $out"
+[ ! -e "$TMP/BENCH_LOCAL_r03.json" ] || fail "stale bench was relabeled"
+
+echo "test_archive_guard: OK (3/3 branches)"
