@@ -20,6 +20,48 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Layout tag for [[binSrcArtifact]] — the one Scratch artifact
+    * whose payload is raw files (WAV assets) rather than parquet, so
+    * [[graft.engine.Scratch.schemaKey]] can't fingerprint it
+    * automatically. The tag spells out every construction decision a
+    * reader depends on (selection predicate, filename contract, RIFF
+    * parameters, sample synthesis); editing the builder REQUIRES
+    * bumping it, which re-keys the artifact exactly like a schema
+    * fingerprint would — the same stale-durable-root hazard
+    * `writeDeclared` closes for parquet artifacts. Pinned by
+    * BinSrcLayoutSpec. */
+  private[graft] val BinSrcLayout =
+    "wav_v1 file=<doc_id>.wav sel=doc_id%50==0 rate=8000+(id%3)*4000 " +
+      "ch=1 samp=le16((utf8&0xff)*64)"
+
+  /** Build-once directory of real WAV files rendered from the 2%
+    * probe documents via the distributed Hadoop FS API (never a
+    * driver loop) — the multimodal landing layout q_source_binaryfile
+    * scans through Spark's binaryFile source. `layout` parameterized
+    * for the spec only; production call sites use the default. */
+  private[graft] def binSrcArtifact(s: SparkSession, dir: String,
+      layout: String = BinSrcLayout): String =
+    graft.engine.Scratch.cached("bin_src", s"$dir layout=$layout") { p =>
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      import s.implicits._
+      t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          val fs = org.apache.hadoop.fs.FileSystem
+            .get(new java.net.URI(p), conf.value)
+          it.foreach { case (id, text) =>
+            val rate = 8000 + (id % 3).toInt * 4000
+            val samples = text.getBytes("UTF-8")
+              .map(b => ((b & 0xff) * 64).toShort)
+            val bytes = MediaDecoder.wavBytes(rate, 1, samples)
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(s"$p/$id.wav"), true)
+            out.write(bytes); out.close()
+          }
+        }
+    }
+
   /** THE curation scoring: quality (length gate + stopword ratio) and
     * exact-dedup canonical bit per document. One definition consumed by
     * q_curation and the end-to-end funnel (q_pipeline_e2e) so the two
@@ -482,25 +524,7 @@ object Pipeline {
     Q("q_source_binaryfile",
       (s, dir) => {
         import s.implicits._
-        val bin = graft.engine.Scratch.cached("bin_src", dir) { p =>
-          val conf = new org.apache.spark.util.SerializableConfiguration(
-            s.sparkContext.hadoopConfiguration)
-          t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
-            .select(col("doc_id"), col("text")).as[(Long, String)]
-            .foreachPartition { (it: Iterator[(Long, String)]) =>
-              val fs = org.apache.hadoop.fs.FileSystem
-                .get(new java.net.URI(p), conf.value)
-              it.foreach { case (id, text) =>
-                val rate = 8000 + (id % 3).toInt * 4000
-                val samples = text.getBytes("UTF-8")
-                  .map(b => ((b & 0xff) * 64).toShort)
-                val bytes = MediaDecoder.wavBytes(rate, 1, samples)
-                val out = fs.create(
-                  new org.apache.hadoop.fs.Path(s"$p/$id.wav"), true)
-                out.write(bytes); out.close()
-              }
-            }
-        }
+        val bin = binSrcArtifact(s, dir)
         s.read.format("binaryFile").load(s"$bin/*.wav")
           .select(col("path"), col("length"), col("content"))
           .as[(String, Long, Array[Byte])]

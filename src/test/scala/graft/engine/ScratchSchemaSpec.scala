@@ -67,6 +67,68 @@ class ScratchSchemaSpec extends SparkSuite {
     }
   }
 
+  test("cachedFrame reentrancy under a durable root: nested builds, " +
+      "restart reuse, schema change leaves the old artifact intact") {
+    import spark.implicits._
+    withDurableRoot {
+      // the tau_prefix -> tok_sets shape: the OUTER builder resolves
+      // another cachedFrame artifact inside its own build
+      def inner = Scratch.cachedFrame("sreent", "inner")(
+        Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("id", "tok"))
+      def outerV1 = Scratch.cachedFrame("sreent", "outer")(
+        inner.groupBy("id").agg(count(lit(1)).as("n")))
+
+      assert(outerV1.count() == 2)
+      assert(Scratch.buildCount == 2, "outer + inner each build once")
+
+      Scratch.resetForTest() // restart: memos gone, durable disk survives
+      assert(outerV1.count() == 2)
+      assert(Scratch.buildCount == 0,
+        "post-restart, both artifacts must resolve from markers — " +
+          "including the nested resolve inside the outer schema probe")
+
+      // capture the old outer artifact's on-disk location via its
+      // marker (the marker records the full key, schema fingerprint
+      // included) before swapping the builder
+      val rootDir = java.nio.file.Paths.get(
+        Scratch.durableRootOverride.get, "sreent")
+      def markers = {
+        val s = Files.list(rootDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.toString.endsWith(".done")).toVector
+        } finally s.close()
+      }
+      val oldMarkers = markers
+      assert(oldMarkers.size == 2)
+
+      Scratch.resetForTest()
+      // the outer builder now emits a different layout under the SAME
+      // logical key: outer must re-key + rebuild (still through the
+      // reentrant inner resolve), inner must be reused from disk, and
+      // the OLD outer artifact must remain intact for any process
+      // still resolving the old key
+      val outerV2 = Scratch.cachedFrame("sreent", "outer")(
+        inner.groupBy("id").agg(count(lit(1)).cast("double").as("score")))
+      assert(outerV2.columns.toSeq == Seq("id", "score"))
+      assert(Scratch.buildCount == 1,
+        "only the re-keyed outer may rebuild; inner reuses its marker")
+      assert(markers.size == 3, "schema change adds a key, never replaces")
+      oldMarkers.foreach { m =>
+        val art = java.nio.file.Paths.get(
+          m.toString.stripSuffix(".done"))
+        assert(Files.exists(art), s"old artifact $art must stay intact")
+        val s = Files.list(art)
+        val hasParquet =
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+          } finally s.close()
+        assert(hasParquet, s"old artifact $art must keep its parquet")
+      }
+    }
+  }
+
   test("outsKey changes when any declared output schema changes") {
     val a = Seq(
       "cent" -> StructType.fromDDL("cid BIGINT, ce ARRAY<DOUBLE>"),
