@@ -119,8 +119,18 @@ object Graph {
     * invocation — see SCALE.md.) The web-scale shape: ranks are too
     * big to broadcast, edges too big to move even once when the
     * layout already clusters them. */
+  /** Node-sized distinct over the src-clustered (edges ⋈ deg) relation,
+    * materialized ONCE per invocation (eager local checkpoint): the
+    * unrolled rank loop references the node set iters+1 times — the
+    * initial rank vector plus every iteration's left join — and
+    * without truncation each reference replays the full edge-set scan
+    * + distinct. O(nodes) executor memory, the same bound the rank
+    * vector itself already carries (SCALE.md round-10 notes). */
+  private def nodesOf(ed: DataFrame): DataFrame =
+    ed.select(col("src").as("node")).distinct().localCheckpoint(true)
+
   private[queries] def rankLoopEd(ed: DataFrame, iters: Int): DataFrame = {
-    val nodes = ed.select(col("src").as("node")).distinct()
+    val nodes = nodesOf(ed)
     var ranks = nodes.withColumn("r", lit(RankOneU))
     for (_ <- 1 to iters) {
       val contrib = ed
@@ -414,7 +424,7 @@ object Graph {
     * artifact (the rankLoopEd discipline). */
   private[queries] def pprLoopEd(ed: DataFrame, seeds: Seq[String],
       iters: Int): DataFrame = {
-    val nodes = ed.select(col("src").as("node")).distinct()
+    val nodes = nodesOf(ed)
     def isSeed = col("node").isin(seeds: _*)
     var ranks = nodes.withColumn("r",
       when(isSeed, lit(RankOneU)).otherwise(lit(0L)))
