@@ -275,7 +275,7 @@ object EventStream {
     * batch q_sessionize merges them — holding the late session one
     * invocation lets the next batch's stragglers merge in). */
   final case class SessionFullState(cur: SessionState,
-      late: Option[SessionState])
+      late: Option[SessionState], lateAge: Int = 0)
   final case class SessionOut(user_id: Long, n_events: Long,
       start_us: Long, end_us: Long)
   final case class SessionRevOut(user_id: Long, n_events: Long,
@@ -287,7 +287,10 @@ object EventStream {
     * rules as the count. [[sessionize]] is the count-only view;
     * [[sessionRevenue]] is the q_session_dist twin. */
   private def sessionCore(events: Dataset[SessionRevEvent],
-      gapMinutes: Long, evictWithTimeout: Boolean): Dataset[SessionRevOut] = {
+      gapMinutes: Long, evictWithTimeout: Boolean,
+      maxHoldInvocations: Int = Int.MaxValue): Dataset[SessionRevOut] = {
+    require(maxHoldInvocations >= 1,
+      s"maxHoldInvocations must be >= 1, got $maxHoldInvocations")
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
@@ -357,17 +360,42 @@ object EventStream {
       // islands — earlier ancient clusters, old open sessions outrun
       // by a newer event, untouched holds — close now, in time order.
       val newCur = islands.last
-      val (closeNow, hold) = {
+      val (closeNow0, hold0) = {
         val init = islands.init
         val idx = init.lastIndexWhere(i => i.allAncient && i.touched)
         if (idx >= 0) (init.patch(idx, Nil, 1), Some(init(idx)))
         else (init, None)
       }
-      val closed = closeNow.map(i =>
+      // ── hold-age bound ──  A key fed ONE ancient straggler per batch
+      // keeps its hold "touched" every invocation, so the untouched-
+      // close liveness rule alone never fires — batch-faithful (batch
+      // would merge the whole trickle) but unbounded state IN TIME.
+      // `maxHoldInvocations` caps it: a hold CHAIN (this invocation's
+      // hold interval overlapping the prior invocation's — merges only
+      // extend, so overlap ⇔ continuation) that has been alive that
+      // many invocations closes now instead of holding again; the next
+      // straggler then starts a NEW session (a deliberate divergence
+      // from batch semantics, documented in SURVEY §2.11 — the default
+      // Int.MaxValue keeps the exact batch-faithful behavior).
+      val prevLate = prior.flatMap(_.late)
+      val chained = (hold0, prevLate) match {
+        case (Some(h), Some(o)) => h.start <= o.end && h.end >= o.start
+        case _ => false
+      }
+      val age =
+        if (hold0.isEmpty) 0
+        else if (chained) math.min(prior.get.lateAge, Int.MaxValue - 1) + 1
+        else 1
+      val (closeNow, hold) =
+        if (hold0.isDefined && age > maxHoldInvocations)
+          (closeNow0 :+ hold0.get, None)
+        else (closeNow0, hold0)
+      val closed = closeNow.sortBy(i => (i.start, i.end)).map(i =>
         SessionRevOut(userId, i.n, i.start, i.end, i.rev))
       state.update(SessionFullState(
         SessionState(newCur.start, newCur.end, newCur.n, newCur.rev),
-        hold.map(i => SessionState(i.start, i.end, i.n, i.rev))))
+        hold.map(i => SessionState(i.start, i.end, i.n, i.rev)),
+        if (hold.isDefined) age else 0))
       if (evictWithTimeout) state.setTimeoutDuration(gapMinutes * 60L * 1000L)
       closed.iterator
     }
@@ -389,10 +417,11 @@ object EventStream {
     * the query permanently "live" (a micro-batch per trigger even with
     * no data), so one-shot/AvailableNow runs should leave it off. */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Long = 30,
-      evictWithTimeout: Boolean = false): Dataset[SessionOut] = {
+      evictWithTimeout: Boolean = false,
+      maxHoldInvocations: Int = Int.MaxValue): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     sessionCore(events.map(e => SessionRevEvent(e.user_id, e.ts, 0L)),
-        gapMinutes, evictWithTimeout)
+        gapMinutes, evictWithTimeout, maxHoldInvocations)
       .map(o => SessionOut(o.user_id, o.n_events, o.start_us, o.end_us))
   }
 
@@ -407,8 +436,9 @@ object EventStream {
     * SessionDistStreamSpec pins closed-session equality against a
     * scalar recompute of the batch session definition. */
   def sessionRevenue(events: Dataset[SessionRevEvent], gapMinutes: Long = 30,
-      evictWithTimeout: Boolean = false): Dataset[SessionRevOut] =
-    sessionCore(events, gapMinutes, evictWithTimeout)
+      evictWithTimeout: Boolean = false,
+      maxHoldInvocations: Int = Int.MaxValue): Dataset[SessionRevOut] =
+    sessionCore(events, gapMinutes, evictWithTimeout, maxHoldInvocations)
 
   final case class AdmitEvent(event_id: Long, user_id: Long,
       ts: java.sql.Timestamp)

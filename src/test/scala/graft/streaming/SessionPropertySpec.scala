@@ -111,4 +111,64 @@ class SessionPropertySpec extends SparkSuite {
       assert(nSplit >= 1, s"degenerate generator: no split late cluster")
     } finally q.stop()
   }
+
+  // ── trickle cadence (round-10 verdict item 6) ──  A key receiving
+  // ONE ancient straggler per batch keeps its hold "touched" every
+  // invocation, so the untouched-close liveness rule never fires.
+  private def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+  private def runTrickle(maxHold: Int): Seq[EventStream.SessionOut] = {
+    val name = s"sess_trickle_$maxHold"
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStream.SessionEvent](spark)
+    val q = EventStream.sessionize(input.toDS(), gapMinutes = gapMin,
+        maxHoldInvocations = maxHold)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      // batch 0 opens the forward session; batches 1..12 each deliver
+      // one ancient straggler, every one within a gap of the previous
+      // (minutes 100, 110, ..., 220 — one batch-faithful island), all
+      // more than a gap before the open session at minute 10000
+      input.addData(Seq(EventStream.SessionEvent(1L, ts(10000L))))
+      q.processAllAvailable()
+      (0 to 12).foreach { i =>
+        input.addData(Seq(EventStream.SessionEvent(1L, ts(100L + 10L * i))))
+        q.processAllAvailable()
+      }
+      // far-future flush closes the open session and any live hold
+      input.addData(Seq(EventStream.SessionEvent(1L, ts(10000000L))))
+      q.processAllAvailable()
+      spark.table(name).as[EventStream.SessionOut].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("trickle of ancient stragglers: unbounded hold stays batch-faithful") {
+    val out = runTrickle(Int.MaxValue).map(s =>
+      (s.n_events, s.start_us / 60000000L, s.end_us / 60000000L)).sorted
+    // batch q_sessionize over the full multiset: the 13 stragglers are
+    // ONE session (each within a gap of its neighbor) plus the closed
+    // forward singleton (the flush event's own session stays OPEN and
+    // unemitted) — the trickle hold may live indefinitely but merges
+    // exactly what batch semantics merge
+    assert(out == Seq((1L, 10000L, 10000L), (13L, 100L, 220L)).sorted,
+      s"got $out")
+  }
+
+  test("trickle of ancient stragglers: maxHoldInvocations bounds hold age") {
+    val cap = 3
+    val out = runTrickle(cap)
+    val ancient = out.filter(_.start_us < 10000L * 60000000L)
+    // conservation: every straggler is in exactly one emitted session
+    assert(ancient.map(_.n_events).sum == 13L, s"got $ancient")
+    // the bound: no ancient session accumulated more than cap+1
+    // stragglers (held cap invocations, closed on the next), so the
+    // hold's state lifetime is bounded in TIME, not only by idleness
+    assert(ancient.forall(_.n_events <= cap + 1L),
+      s"a hold outlived its $cap-invocation bound: $ancient")
+    assert(ancient.size >= 3,
+      s"expected the trickle split into multiple bounded sessions: $ancient")
+    // the forward session closes as usual (the flush event's own
+    // session stays open and unemitted) — the knob touches only holds
+    assert(out.count(_.start_us >= 10000L * 60000000L) == 1)
+  }
 }
