@@ -71,7 +71,44 @@ object Bucketing {
   private val keyMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[engine] def clearKeyMemoForTest(): Unit = keyMemo.clear()
+  private[engine] def clearKeyMemoForTest(): Unit = {
+    keyMemo.clear()
+    prefixOwner.clear()
+  }
+
+  /** First stack frame outside this object — the cachedTable CALL SITE
+    * (file:line), used as the builder's identity for the prefix-
+    * ownership check below. Cost: one stack walk per cachedTable call,
+    * microseconds against the catalog lookup that follows. */
+  private def callSite(): String = {
+    val tr = new Throwable().getStackTrace
+    // exact-match this object's classes (a prefix match would also
+    // skip caller classes NAMED Bucketing*, e.g. the spec)
+    val own = Set("graft.engine.Bucketing", "graft.engine.Bucketing$")
+    tr.find(e => !own.contains(e.getClassName))
+      .map(e => s"${e.getFileName}:${e.getLineNumber}").getOrElse("?")
+  }
+
+  /** prefix → owning call site. The keyMemo (and the Scratch artifact
+    * key) fingerprint the builder's SCHEMA, not its content — a second
+    * call site reusing a prefix with a different builder of the same
+    * schema would silently be served the first builder's artifact. The
+    * contract is "one builder (= one call site) per prefix"; this map
+    * ENFORCES it, failing the second site loudly instead of serving it
+    * wrong data. Cleared with the memo so specs can re-own prefixes. */
+  private val prefixOwner =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def claimPrefix(prefix: String): Unit = {
+    val site = callSite()
+    val owner = prefixOwner.computeIfAbsent(prefix, _ => site)
+    if (owner != site)
+      throw new IllegalStateException(
+        s"Bucketing prefix '$prefix' is owned by call site $owner but " +
+          s"was reused from $site — cachedTable prefixes must be unique " +
+          "per builder (the schema-keyed cache cannot tell two builders " +
+          "with the same schema apart)")
+  }
 
   private def memoKey(memo: String)(full: => String): String = {
     val hit = keyMemo.get(memo)
@@ -93,6 +130,7 @@ object Bucketing {
       // actual build, and once per JVM inside memoKey for the schema
       writeBucketed(build, key, nBuckets, name(p.split('/').last),
         s"$p/$prefix")
+    claimPrefix(prefix)
     val fullKey = memoKey(s"t\n$prefix\n$dirKey\n$key\n$nBuckets")(
       s"$dirKey schema=${Scratch.schemaKey(build.schema)} " +
         s"key=$key buckets=$nBuckets")

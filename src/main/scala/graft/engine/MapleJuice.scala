@@ -196,7 +196,13 @@ object MapleJuice {
       java.nio.charset.StandardCharsets.UTF_8)
     val rc = p.waitFor()
     drainer.join(10000L)
-    (rc, out, errTail.synchronized(errTail.toString))
+    // a wedged/slow stderr stream must not read as "the exe printed
+    // nothing": mark the tail as truncated when the drainer is still
+    // alive after the bounded join, so failure diagnostics are honest
+    val tail = errTail.synchronized(errTail.toString) +
+      (if (drainer.isAlive) "\n(stderr tail truncated: drain still running)"
+       else "")
+    (rc, out, tail)
   }
 
   /** ARGV-BATCH external maple — the reference's exact maple argv

@@ -26,15 +26,25 @@ import javax.imageio.ImageIO
   */
 object MediaDecoder {
 
-  // ImageIO's default stream cache spills every read/write through a
-  // temp FILE in java.io.tmpdir — a disk round-trip (and a same-dir
-  // file-creation contention point across executor threads) per
-  // asset. Every payload here is an in-memory byte array, so the
-  // disk cache is pure overhead: measured 4.4x on the resize path
-  // (20k small BMPs: 3.0 s cached vs 0.67 s in-memory, 1 thread).
-  // JVM-global, set once at object init; executors hit it via the
-  // per-partition decoder-handle reference.
-  ImageIO.setUseCache(false)
+  /** Disable ImageIO's disk-backed stream cache for this JVM — the
+    * default spills every read/write through a temp FILE in
+    * java.io.tmpdir, a disk round-trip (and a same-dir file-creation
+    * contention point across executor threads) per asset. Every
+    * payload here is an in-memory byte array, so the disk cache is
+    * pure overhead: measured 4.4x on the resize path (20k small BMPs:
+    * 3.0 s cached vs 0.67 s in-memory, 1 thread).
+    *
+    * EXPLICIT and idempotent (not only an object-init side effect):
+    * the setting is JVM-global, so call sites invoke it at decoder-
+    * handle setup rather than depending on which class happened to
+    * initialize first; any unrelated ImageIO user sharing the JVM
+    * that needs the disk cache back can re-enable it after its own
+    * reads — the decoders re-assert per partition. */
+  def imageIoInMemory(): Unit = ImageIO.setUseCache(false)
+
+  // also at object init, so even a call site that only references the
+  // handle gets the in-memory config deterministically
+  imageIoInMemory()
 
   /** Typed decode result. Image fields are -1 for non-images, audio
     * fields -1/-1.0 for non-audio; `feature` is always 3 doubles. */

@@ -62,6 +62,7 @@ object Multimodal {
     assets.mapPartitions { it =>
       // per-partition init (codec / model handle lives here)
       val decoder = MediaDecoder
+      decoder.imageIoInMemory()
       it.map { a =>
         val m = decoder.decode(a.payload)
         val crc = new java.util.zip.CRC32
@@ -89,6 +90,7 @@ object Multimodal {
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .mapPartitions { it =>
             val decoder = MediaDecoder // per-partition codec handle
+            decoder.imageIoInMemory()
             it.map { case (id, text) =>
               val rate = 8000 + (id % 3).toInt * 4000
               val samples = text.getBytes("UTF-8").map(b => ((b & 0xff) * 64).toShort)
@@ -120,6 +122,7 @@ object Multimodal {
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .mapPartitions { it =>
             val decoder = MediaDecoder // per-partition codec handle
+            decoder.imageIoInMemory()
             it.map { case (id, text) =>
               val ts = 600 + (id % 5).toInt * 120
               // Long: Int arithmetic would overflow past ~71 MB of text
@@ -163,6 +166,7 @@ object Multimodal {
           .select(col("doc_id")).as[Long]
           .mapPartitions { it =>
             val decoder = MediaDecoder // per-partition codec handle
+            decoder.imageIoInMemory()
             it.flatMap { id =>
               val mts = 1000 + (id % 4).toInt * 500 // media timescale
               val n = 10 + (id % 7).toInt
@@ -206,6 +210,8 @@ object Multimodal {
             // per-partition codec handle; its init also disables the
             // ImageIO disk-backed stream cache (4.4x on this path)
             val decoder = MediaDecoder
+            decoder.imageIoInMemory()
+      decoder.imageIoInMemory()
             it.map { id =>
               val sw = 16 + (id % 5).toInt
               val sh = 12 + (id % 7).toInt

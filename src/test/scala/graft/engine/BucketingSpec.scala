@@ -37,4 +37,26 @@ class BucketingSpec extends SparkSuite {
     assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("cachedTable: a prefix reused from a second call site fails loudly") {
+    import spark.implicits._
+    // the schema-keyed cache cannot tell two builders with the SAME
+    // schema apart, so the contract is one builder (= one call site)
+    // per prefix — pre-fix, the second site was silently served the
+    // first builder's artifact; now it throws
+    // ONE literal call site, reused — the owner; mirrors production
+    // shape (every prefix's cachedTable call lives inside one helper)
+    def resolve() = Bucketing.cachedTable(spark, "sitespec", "dirX", "id", 2)(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    val t1 = resolve()
+    assert(spark.table(t1).columns.toSeq == Seq("id", "tag"))
+    val e = intercept[IllegalStateException] {
+      Bucketing.cachedTable(spark, "sitespec", "dirX", "id", 2)(
+        Seq((9L, "z"), (8L, "y"), (7L, "x")).toDF("id", "tag"))
+    }
+    assert(e.getMessage.contains("must be unique per builder"))
+    // the owning site keeps working after the rejected claim
+    val names = (1 to 2).map(_ => resolve())
+    assert(names.distinct == Seq(t1))
+  }
 }
