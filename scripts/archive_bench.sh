@@ -10,8 +10,11 @@
 #   * bench_last.json byte-identical to the NEWEST archive
 #       -> this run is already archived; nothing to do.
 #   * byte-identical to an OLDER archive
-#       -> bench_last is stale (an old run's numbers); refusing to
-#          relabel it as the current round's archive, loudly.
+#       -> bench_last is stale (an old run's numbers); refuse to
+#          relabel it AND exit nonzero — under presnap's `set -e`
+#          that aborts the gate ("DO NOT SNAPSHOT"), because any
+#          regression diff against stale numbers would be a
+#          backwards two-round comparison.
 #   * identical to no archive
 #       -> a fresh bench run; archive it under the current round
 #          (max CORRECTNESS_rNN + 1).
@@ -45,5 +48,6 @@ if [ -z "$MATCH" ]; then
 elif [ "$MATCH" = "$NEWEST" ]; then
   echo "[archive_bench] bench_last.json already archived as $MATCH"
 else
-  echo "[archive_bench] WARNING: bench_last.json matches OLDER archive $MATCH — stale bench, refusing to relabel as $DEST"
+  echo "[archive_bench] FATAL: bench_last.json matches OLDER archive $MATCH — stale bench; refusing to relabel as $DEST and failing the gate (re-run the bench)"
+  exit 1
 fi

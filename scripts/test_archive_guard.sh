@@ -27,12 +27,15 @@ echo "$out" | grep -q "archived bench_last.json -> BENCH_LOCAL_r02.json" \
 cmp -s "$TMP/bench_last.json" "$TMP/BENCH_LOCAL_r02.json" \
   || fail "archived content differs"
 
-# 3. stale bench_last (matches an OLDER archive) -> loud refusal,
-#    even though a newer round number is available
+# 3. stale bench_last (matches an OLDER archive) -> loud refusal AND
+#    nonzero exit (presnap runs under set -e: DO NOT SNAPSHOT), even
+#    though a newer round number is available
 echo '{"round":2}' > "$TMP/CORRECTNESS_r02.json"
 cp "$TMP/BENCH_LOCAL_r01.json" "$TMP/bench_last.json"
-out=$(bash "$HERE/archive_bench.sh" "$TMP")
-echo "$out" | grep -q "WARNING: bench_last.json matches OLDER archive BENCH_LOCAL_r01.json" \
+if out=$(bash "$HERE/archive_bench.sh" "$TMP"); then
+  fail "stale bench must exit nonzero, got rc=0: $out"
+fi
+echo "$out" | grep -q "FATAL: bench_last.json matches OLDER archive BENCH_LOCAL_r01.json" \
   || fail "expected stale-refusal branch, got: $out"
 [ ! -e "$TMP/BENCH_LOCAL_r03.json" ] || fail "stale bench was relabeled"
 

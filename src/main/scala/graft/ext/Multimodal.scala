@@ -211,7 +211,6 @@ object Multimodal {
             // ImageIO disk-backed stream cache (4.4x on this path)
             val decoder = MediaDecoder
             decoder.imageIoInMemory()
-      decoder.imageIoInMemory()
             it.map { id =>
               val sw = 16 + (id % 5).toInt
               val sh = 12 + (id % 7).toInt

@@ -212,12 +212,20 @@ object Similarity {
     "cells" -> org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, cid BIGINT"))
 
-  def buildIvfIndex(v: DataFrame, path: String, sampleMod: Int): Unit = {
-    val (cent, cells) = kmeansFitSampled(v, sampleMod)
+  /** ONE write path for both IVF index builders (full and sampled
+    * fit): the declared-layout enforcement and the cid-clustered
+    * cells layout live here so the two artifacts can never drift. */
+  private def writeIvfIndex(cent: DataFrame, cells: DataFrame,
+      path: String): Unit = {
     val declared = ivfIndexOuts.toMap
     graft.engine.Scratch.writeDeclared(cent, declared("cent"), s"$path/cent")
     graft.engine.Scratch.writeDeclared(cells.repartition(col("cid")),
       declared("cells"), s"$path/cells")
+  }
+
+  def buildIvfIndex(v: DataFrame, path: String, sampleMod: Int): Unit = {
+    val (cent, cells) = kmeansFitSampled(v, sampleMod)
+    writeIvfIndex(cent, cells, path)
   }
 
   /** The shared Scratch-cached [[buildIvfIndex]] artifact every IVF
@@ -245,10 +253,7 @@ object Similarity {
       s"$dir outs=${graft.engine.Scratch.outsKey(ivfIndexOuts)}") { path =>
       val v = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
       val (cent, cells) = kmeansFit(v)
-      val declared = ivfIndexOuts.toMap
-      graft.engine.Scratch.writeDeclared(cent, declared("cent"), s"$path/cent")
-      graft.engine.Scratch.writeDeclared(cells.repartition(col("cid")),
-        declared("cells"), s"$path/cells")
+      writeIvfIndex(cent, cells, path)
     }
 
   /** DuckDB twin of the Lloyd fit + full assignment: recursive-CTE
