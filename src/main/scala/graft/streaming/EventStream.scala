@@ -244,9 +244,21 @@ object EventStream {
           .localCheckpoint(true)
         val target = new org.apache.hadoop.fs.Path(targetDir)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(target))
+        // liveness = the job-commit marker, not bare dir existence: a
+        // crash during the FIRST batch write leaves a partial target
+        // (moved part files, no _SUCCESS) that the merge branch would
+        // read as the real table on replay — clear the debris and let
+        // the re-delivered batch rewrite it. Every committed write
+        // (initial AND dynamic-overwrite) re-emits _SUCCESS at the
+        // root, so a live table always carries it.
+        val live = fs.exists(target) &&
+          fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+        if (!live) {
+          if (fs.exists(target))
+            require(fs.delete(target, true),
+              s"clearing partial first write at $target failed")
           upd.write.partitionBy("part_bucket").parquet(targetDir)
-        else {
+        } else {
           val touched = upd.select("part_bucket").distinct()
             .collect().map(_.getInt(0)) // bounded by nBuckets, not rows
           // read eagerly (localCheckpoint) BEFORE the overwrite below
@@ -613,12 +625,23 @@ object EventStream {
       state.update(HistState(bins, n))
       val refH = ref.getOrElse(key, Map.empty)
       val nRef = refH.values.sum
-      val num = (bins.keySet ++ refH.keySet).toSeq.map { b =>
-        math.abs(refH.getOrElse(b, 0L) * n - bins.getOrElse(b, 0L) * nRef)
-      }.sum
-      // division order matches batch q_tvd exactly: num/2/n_ref/n
-      DriftOut(key, n, num,
-        num.toDouble / 2.0 / nRef.toDouble / n.toDouble)
+      if (nRef == 0L)
+        // a key with NO reference mass is maximal drift by definition
+        // (the observed distribution shares zero mass with the
+        // reference) — without this guard the cleared-integer form
+        // degenerates to 0/0 = NaN and every `tvd > x` threshold
+        // comparison is silently false, so a brand-new key would
+        // never be flagged. tvd_num carries n (= the un-cleared
+        // numerator Σ|0 − c·1| against an empty reference).
+        DriftOut(key, n, n, 1.0)
+      else {
+        val num = (bins.keySet ++ refH.keySet).toSeq.map { b =>
+          math.abs(refH.getOrElse(b, 0L) * n - bins.getOrElse(b, 0L) * nRef)
+        }.sum
+        // division order matches batch q_tvd exactly: num/2/n_ref/n
+        DriftOut(key, n, num,
+          num.toDouble / 2.0 / nRef.toDouble / n.toDouble)
+      }
     }
     events.groupByKey(_.key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)

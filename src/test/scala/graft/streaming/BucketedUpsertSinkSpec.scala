@@ -110,4 +110,48 @@ class BucketedUpsertSinkSpec extends SparkSuite {
       assert(table() == afterOnce, "re-applying the batch changed the table")
     } finally q.stop()
   }
+
+  test("crashed first write (no _SUCCESS) is cleared; committed table keeps its marker") {
+    // liveness is the job-commit marker, not bare dir existence: a
+    // crash during the FIRST batch write leaves moved part files
+    // without _SUCCESS, which the merge branch would read as the real
+    // table on replay
+    val nBuckets = 4
+    implicit val enc = org.apache.spark.sql.Encoders.row(EventStream.eventSchema)
+    val base = Files.createTempDirectory("graft-cow-crash")
+    val target = base.resolve("t")
+    // simulate the crash debris: a partial bucket dir, no _SUCCESS
+    Files.createDirectories(target.resolve("part_bucket=0"))
+    Files.write(target.resolve("part_bucket=0").resolve("part-junk.parquet"),
+      "not parquet".getBytes)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Row](spark)
+    val q = EventStream.upsertSinkBucketed(src.toDF(), target.toString,
+      Seq("user_id"), nBuckets, base.resolve("ckpt").toString)(profile)
+    def table() = spark.read.parquet(target.toString)
+      .select(col("user_id"), col("last_type"))
+      .as[(Long, String)].collect().toSet
+    try {
+      // the re-delivered first batch must clear the debris and write
+      // the real table (pre-fix: the merge branch tried to READ the
+      // junk file and wedged every replay)
+      src.addData(Seq(ev(1, 1L, 0, "view"), ev(2, 2L, 1, "view")))
+      q.processAllAvailable()
+      assert(table() == Set((1L, "view"), (2L, "view")))
+      assert(Files.exists(target.resolve("_SUCCESS")),
+        "committed initial write must carry the job-commit marker")
+      // a later dynamic-overwrite batch must KEEP the marker (else the
+      // next batch would treat the live table as debris and clobber it)
+      src.addData(Seq(ev(3, 1L, 10, "purchase")))
+      q.processAllAvailable()
+      assert(Files.exists(target.resolve("_SUCCESS")),
+        "dynamic partition overwrite dropped the job-commit marker")
+      assert(table() == Set((1L, "purchase"), (2L, "view")))
+      // and the accumulated state survives a further batch (liveness
+      // held — nothing clobbered batch 1's untouched keys)
+      src.addData(Seq(ev(4, 3L, 20, "view")))
+      q.processAllAvailable()
+      assert(table() == Set((1L, "purchase"), (2L, "view"), (3L, "view")))
+    } finally q.stop()
+  }
 }

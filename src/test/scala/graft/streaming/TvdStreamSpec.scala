@@ -48,4 +48,28 @@ class TvdStreamSpec extends SparkSuite {
       assert(fin.getDouble(1) >= 0.0 && fin.getDouble(1) <= 1.0)
     } finally q.stop()
   }
+
+  test("a key with no reference mass reads as maximal drift, not NaN") {
+    val ref = Map("known" -> Map(0L -> 5L, 1L -> 5L))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[BinEvent](spark)
+    val q = EventStream.tvdDrift(input.toDS(), ref)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("tvd_unseen")
+      .start()
+    try {
+      input.addData(Seq(BinEvent("known", 0L), BinEvent("known", 1L),
+        BinEvent("brand_new", 3L), BinEvent("brand_new", 4L)))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT key, n, tvd FROM tvd_unseen").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // a brand-new key shares zero mass with the reference: maximal
+      // drift by definition — pre-fix this was 0/0 = NaN, so every
+      // `tvd > threshold` alert comparison was silently false
+      assert(rows("brand_new") == (2L, 1.0), s"got ${rows("brand_new")}")
+      assert(!rows("known")._2.isNaN && rows("known")._2 == 0.0,
+        s"known-key TVD must stay exact: ${rows("known")}")
+    } finally q.stop()
+  }
 }
