@@ -42,16 +42,26 @@ object Cli {
       case Seq("global")            => gf.sdfs.global().foreach(println)
 
       case "maple" +: exe +: n +: prefix +: srcDir +: exeArgs =>
-        val lines = spark.read.textFile(s"$root/$srcDir")
+        // argv mode and exeArgs do NOT compose: the reference contract
+        // is argv[1] = the batch (`MapleJuice.java:408-412`), so any
+        // extra argv would displace the batch and the exe would parse
+        // an argument as its input — fail loudly (and BEFORE touching
+        // the source, so the arg error wins over a missing-path one)
+        val argvMode = exeArgs.lastOption.contains("argv")
+        require(!argvMode || exeArgs.size == 1,
+          "argv-batch maple follows the reference argv[1]=batch " +
+            "contract — exe args cannot be combined with the " +
+            s"trailing 'argv' token (got: ${exeArgs.mkString(" ")})")
+        val lines = spark.read.textFile(gf.sdfs.path(srcDir))
         // trailing `argv` = the reference's argv-batch contract so
         // reference maple exes run unmodified; default = stdin stream
         val out =
-          if (exeArgs.lastOption.contains("argv"))
+          if (argvMode)
             MapleJuice.pipeMapleArgv(lines.repartition(n.toInt),
-              Seq("python3", exe) ++ exeArgs.dropRight(1))
+              Seq("python3", exe))
           else MapleJuice.pipeMaple(
             lines.repartition(n.toInt), Seq("python3", exe) ++ exeArgs)
-        out.write.mode("overwrite").text(s"$root/$prefix")
+        out.write.mode("overwrite").text(gf.sdfs.path(prefix))
         println(s"maple done -> $prefix")
 
       case "juice" +: exe +: n +: prefix +: dest +: del +: shuffleOpt +: rest
@@ -65,7 +75,7 @@ object Cli {
         if (del != "0" && del != "1")
           throw new IllegalArgumentException(
             s"delete flag must be 0 or 1, got '$del'")
-        val kv = spark.read.textFile(s"$root/$prefix").map { l =>
+        val kv = spark.read.textFile(gf.sdfs.path(prefix)).map { l =>
           val i = l.indexOf(',')
           if (i < 0) (l, "") else (l.substring(0, i), l.substring(i + 1))
         }
@@ -76,9 +86,22 @@ object Cli {
           if (rest == Seq("files"))
             MapleJuice.pipeJuiceFiles(kv, Seq("python3", exe), n.toInt, opt)
           else MapleJuice.pipeJuice(kv, Seq("python3", exe), n.toInt, opt)
-        out.write.mode("overwrite").text(s"$root/$dest")
+        out.write.mode("overwrite").text(gf.sdfs.path(dest))
         if (del == "1") gf.sdfs.delete(prefix)
         println(s"juice done -> $dest")
+
+      // a KNOWN command with bad arity or a bad mode token must name
+      // the actual mistake — falling through to "unknown command"
+      // would hide it behind the command list
+      case "maple" +: badRest =>
+        throw new IllegalArgumentException(
+          "maple usage: maple <exe> <numTasks> <sifPrefix> <srcDir> " +
+            s"[exeArgs...] [argv]; got: maple ${badRest.mkString(" ")}")
+      case "juice" +: badRest =>
+        throw new IllegalArgumentException(
+          "juice usage: juice <exe> <numTasks> <sifPrefix> <destName> " +
+            "<delete 0|1> <hash|range> [stream|files]; got: juice " +
+            badRest.mkString(" "))
 
       case other =>
         // throw, don't exit: run() is callable programmatically and must

@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions.{coalesce, col, when}
   */
 object Merge {
 
+  /** Backtick-quote a column name for string-built references: a dot
+    * in a real column name (e.g. after JSON flattening) would
+    * otherwise parse as nested-field access; backticks in the name
+    * itself escape by doubling, per SQL identifier rules. */
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  private def qcol(name: String): Column = col(quoted(name))
+
   /** Upsert `updates` into `target` by `keys`.
     *
     * Contract: `updates` columns must be a subset of `target` columns
@@ -56,10 +65,16 @@ object Merge {
       // keys (fan out matched target rows) and null keys (the matched-
       // row test rides on keys.head being non-null, so a null-keyed
       // update row silently INSERTS instead of matching — and groupBy
-      // treats null as a key, so it is visible to this same aggregate)
-      val bad = updates.groupBy(keys.map(col): _*)
-        .count()
-        .filter(col("count") > 1 || keys.map(col(_).isNull).reduce(_ || _))
+      // treats null as a key, so it is visible to this same aggregate).
+      // The count is ALIASED to a collision-free name: a merge key
+      // literally named "count" would otherwise make col("count")
+      // ambiguous against RelationalGroupedDataset.count()'s output.
+      val cnt = Iterator.from(0).map(i => s"__graft_cnt$i")
+        .find(n => !uCols(n)).get
+      val bad = updates.groupBy(keys.map(qcol): _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as(cnt))
+        .filter(col(cnt) > 1 || keys.map(qcol(_).isNull).reduce(_ || _))
         .head(1)
       require(bad.isEmpty,
         s"updates side violates the merge-key contract on " +
@@ -70,17 +85,19 @@ object Merge {
 
     val t = target.alias("t")
     val u = updates.alias("u")
-    val cond = keys.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _)
-    val updatePresent = col(s"u.${keys.head}").isNotNull
+    def tc(c: String) = col(s"t.${quoted(c)}")
+    def uc(c: String) = col(s"u.${quoted(c)}")
+    val cond = keys.map(k => tc(k) === uc(k)).reduce(_ && _)
+    val updatePresent = uc(keys.head).isNotNull
     val out = tCols.map {
-      case k if keys.contains(k) => coalesce(col(s"u.$k"), col(s"t.$k")).as(k)
+      case k if keys.contains(k) => coalesce(uc(k), tc(k)).as(k)
       case c if uCols(c) =>
         combine.get(c) match {
-          case Some(f) => f(col(s"t.$c"), col(s"u.$c")).as(c)
-          case None => when(updatePresent, col(s"u.$c"))
-            .otherwise(col(s"t.$c")).as(c)
+          case Some(f) => f(tc(c), uc(c)).as(c)
+          case None => when(updatePresent, uc(c))
+            .otherwise(tc(c)).as(c)
         }
-      case c => col(s"t.$c").as(c)
+      case c => tc(c).as(c)
     }
     t.join(u, cond, "full_outer").select(out: _*)
   }

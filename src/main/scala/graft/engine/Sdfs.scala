@@ -16,12 +16,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class Sdfs(spark: SparkSession, root: String) {
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
-  private def p(name: String): Path = new Path(root, name)
 
-  /** `put localfilename sdfsfilename` (`SdfsServer.java:235-376`). */
+  private def p(name: String): Path = {
+    // confine names to the namespace: delete() is RECURSIVE, and
+    // Hadoop Path resolution keeps an absolute child ("/data"
+    // resolves to /data outright) and normalizes ".." out of the
+    // parent — either would let a mistyped CLI argument operate on
+    // data outside the sdfsRoot the command line names
+    val rel = new Path(name)
+    require(!rel.isAbsolute && !name.split("/").contains(".."),
+      s"sdfs name must be a relative path inside the namespace, got '$name'")
+    new Path(root, name)
+  }
+
+  /** Resolved namespace path of `name` — the ONE resolution scheme
+    * (confinement included) for callers that hand paths to
+    * `spark.read`/`df.write` directly (the CLI's maple/juice steps). */
+  def path(name: String): String = p(name).toString
+
+  /** `put localfilename sdfsfilename` (`SdfsServer.java:235-376`).
+    * Put-over-an-existing-name REPLACES it (the reference's job-output
+    * overwrite, `MapleJuice.java:307-314`): Hadoop's copyFromLocalFile
+    * would otherwise nest the source INSIDE an existing destination
+    * DIRECTORY (checkDest resolves into it by source name — the
+    * overwrite flag only governs the file-exists case), silently
+    * leaving the stale dataset plus a stray file. */
   def put(localPath: String, name: String): Unit = {
     fs.mkdirs(new Path(root))
-    fs.copyFromLocalFile(false, true, new Path(localPath), p(name))
+    val dest = p(name)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    fs.copyFromLocalFile(false, true, new Path(localPath), dest)
   }
 
   /** Write a DataFrame as a named text/parquet dataset (sink S4/S8). */

@@ -129,4 +129,21 @@ class CliSpec extends SparkSuite {
     val result = spark.read.textFile(s"$root/o").collect().sorted.toSeq
     assert(result == Seq("1,2", "2,1", "3,1"))
   }
+
+  test("argv maple rejects exe args; bad arity names the real mistake") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cli-err")
+    // argv-batch mode: the reference contract is argv[1] = batch, so
+    // extra exe args would displace the batch — must fail loudly
+    val e1 = intercept[IllegalArgumentException](Cli.run(spark,
+      root.toString, Seq("maple", "x.py", "2", "pre", "src", "1", "3", "argv")))
+    assert(e1.getMessage.contains("argv[1]=batch"), e1.getMessage)
+    // known command, wrong arity / bad mode token: the error names the
+    // command's usage, not "unknown command"
+    val e2 = intercept[IllegalArgumentException](Cli.run(spark,
+      root.toString, Seq("maple", "x.py", "2")))
+    assert(e2.getMessage.contains("maple usage:"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](Cli.run(spark,
+      root.toString, Seq("juice", "x.py", "2", "pre", "out", "1", "hash", "file")))
+    assert(e3.getMessage.contains("juice usage:"), e3.getMessage)
+  }
 }

@@ -53,4 +53,39 @@ class SdfsSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(back == Map("a" -> 1L, "b" -> 2L))
   }
+
+  test("put over an existing dataset name REPLACES it (no nesting)") {
+    val (sdfs, _) = newSdfs()
+    import spark.implicits._
+    // the old name is a DATASET DIRECTORY; a raw copyFromLocalFile
+    // would nest the new file INSIDE it (Hadoop checkDest), leaving
+    // the stale dataset plus a stray file — put must replace
+    sdfs.putDf(Seq((1L, "old")).toDF("id", "v"), "x")
+    val local = java.nio.file.Files.createTempFile("graft-put", ".txt")
+    java.nio.file.Files.writeString(local, "fresh\n")
+    sdfs.put(local.toString, "x")
+    assert(sdfs.global() == Seq("x"))
+    val back = java.nio.file.Files.createTempFile("graft-putb", ".txt")
+    sdfs.get("x", back.toString)
+    assert(java.nio.file.Files.readString(back) == "fresh\n",
+      "put over an existing name must replace, not nest")
+  }
+
+  test("names escaping the namespace are rejected (delete is recursive)") {
+    val (sdfs, root) = newSdfs()
+    // a sibling dir outside the namespace a '..' name would resolve to
+    val sibling = root.resolveSibling(root.getFileName.toString + "-victim")
+    java.nio.file.Files.createDirectories(sibling)
+    try {
+      Seq("../" + sibling.getFileName.toString, "/etc", "a/../../b")
+        .foreach { bad =>
+          val e = intercept[IllegalArgumentException](sdfs.delete(bad))
+          assert(e.getMessage.contains("relative path inside the namespace"),
+            s"'$bad' -> ${e.getMessage}")
+        }
+      assert(java.nio.file.Files.exists(sibling))
+      // plain nested relative names still resolve
+      assert(sdfs.path("a/b").startsWith(root.toString))
+    } finally java.nio.file.Files.deleteIfExists(sibling)
+  }
 }
