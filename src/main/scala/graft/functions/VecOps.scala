@@ -29,17 +29,33 @@ case class VecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   // a dot product of mismatched-length vectors is undefined: null, not
-  // a silent min-length truncation (the DuckDB oracle twin agrees)
+  // a silent min-length truncation (the DuckDB oracle twin agrees) —
+  // and so is one touching a NULL ELEMENT (getDouble would silently
+  // read the zeroed slot as 0.0; the composable aggregate/zip_with
+  // form and the DuckDB list_reduce twin both return NULL there)
   override def nullable: Boolean = true
+
+  // element null-checks are emitted only when the array TYPE admits
+  // null elements — containsNull=false inputs keep the branch-free
+  // hot loop (billions of dot products at 100 TB)
+  private def mayHaveNullElems: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val checkNulls = mayHaveNullElems
     var sum = 0.0
     var i = 0
-    while (i < n) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      sum += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     sum
   }
 
@@ -48,6 +64,10 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -55,9 +75,10 @@ case class VecDot(left: Expression, right: Expression)
          |} else {
          |  double $sum = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $sum += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $sum;
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}
        """.stripMargin
     })
@@ -84,11 +105,27 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
 
+  // a NULL ELEMENT poisons the walk two ways: getLong reads the zeroed
+  // slot as 0 (spurious match against a real 0), and array_sort places
+  // nulls LAST, so the decoded 0 lands after larger values and the
+  // sortedness invariant breaks (silent early termination). Result is
+  // NULL instead — same guard shape as VecDot; containsNull=false
+  // inputs keep the branch-free hot loop.
+  override def nullable: Boolean = true
+
+  private def mayHaveNullElems: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val checkNulls = mayHaveNullElems
     var i = 0; var j = 0; var n = 0L
     while (i < x.numElements() && j < y.numElements()) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(j))) return null
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv == yv) { n += 1; i += 1; j += 1 }
       else if (xv < yv) i += 1
@@ -102,14 +139,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $i = 0; int $j = 0; long $n = 0L;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  $nullCheck
          |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
          |  if ($xv == $yv) { $n++; $i++; $j++; }
          |  else if ($xv < $yv) { $i++; } else { $j++; }
          |}
-         |${ev.value} = $n;
+         |if (!${ev.isNull}) { ${ev.value} = $n; }
        """.stripMargin
     })
 

@@ -43,6 +43,14 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  // propagate the child's partitioning (the default UnknownPartitioning
+  // would make a downstream same-key aggregate re-exchange the
+  // surviving rows — the scaladoc's "exactly one hash exchange" claim
+  // depends on this, TopKPerKeySpec pins it)
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
@@ -88,23 +96,42 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
-/** Column-level API: smallest-k per key under `orderCols` (ascending;
-  * wrap with `.desc` semantics by negating or passing descending
-  * SortOrder via `topKPerKeyDesc`). */
+/** Column-level API: best-k per key under `orderCols` — each entry is
+  * (column, ascending): `(col, true)` keeps the k SMALLEST,
+  * `(col, false)` the k largest. */
 object TopK {
   def perKey(df: DataFrame, k: Int, keyCols: Seq[Column], orderCols: Seq[(Column, Boolean)]): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty (ClusteredDistribution would reject an " +
+        "empty clustering deep inside planning otherwise; for a GLOBAL " +
+        "top-k use orderBy(...).limit(k))")
+    require(orderCols.nonEmpty,
+      "orderCols must be non-empty — with no order every comparison ties " +
+        "and the k survivors per key would be arbitrary")
     GraftBridge.registerStrategy(df.sparkSession, TopKStrategy)
     // Resolve the user Columns by running them through a throwaway
     // projection: its analyzed projectList shares attribute ids with
     // its child, which becomes our operator's child.
     val proj = df.select(keyCols ++ orderCols.map(_._1): _*)
-      .queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .queryExecution.analyzed match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+        case other => throw new IllegalArgumentException(
+          "TopK.perKey columns must be row-level expressions — an " +
+            s"aggregate/generator is not (analyzed to ${other.nodeName}); " +
+            "aggregate first, then rank the aggregated frame")
+      }
     val resolved = proj.projectList.map {
       case a: Alias => a.child
       case e        => e
     }
-    val (keyExprs, orderExprs) = resolved.splitAt(keyCols.size)
+    val (keyExprs0, orderExprs) = resolved.splitAt(keyCols.size)
+    // normalize float/double keys (-0.0 vs 0.0, NaN bit patterns):
+    // Spark inserts NormalizeFloatingNumbers above ITS OWN grouping
+    // operators only, and UnsafeRow grouping keys compare by bytes —
+    // without this a DoubleType key holding 0.0 and -0.0 rows would
+    // split one logical key across two heaps (and hash partitions)
+    val keyExprs = keyExprs0.map(GraftBridge.normalizeFloats)
     val sortOrder = orderExprs.zip(orderCols.map(_._2)).map { case (e, asc) =>
       SortOrder(e,
         if (asc) Ascending else Descending,

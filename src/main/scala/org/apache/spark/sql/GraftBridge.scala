@@ -20,6 +20,13 @@ object GraftBridge {
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-export of the private[sql] float/double key normalizer
+    * (-0.0 → 0.0, canonical NaN): Spark inserts it above ITS OWN
+    * grouping operators only, so custom keyed operators (TopKPerKey)
+    * must apply it to their grouping keys themselves. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** The analyzed logical plan behind a DataFrame. */
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed

@@ -56,4 +56,23 @@ class VecOpsSpec extends SparkSuite {
     try assert(interp.collect()(0).isNullAt(0))
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("null ELEMENTS poison both functions to null, never 0-reads") {
+    // getDouble/getLong on a null slot silently reads 0 — the
+    // composable aggregate/zip_with form and the DuckDB list twins
+    // both return NULL, so the codegen'd forms must too
+    val r = spark.range(1).select(
+      VecOps.vec_dot(expr("array(1.0D, CAST(NULL AS DOUBLE))"),
+        expr("array(2.0D, 3.0D)")).as("d"),
+      VecOps.sorted_intersect_count(expr("array(0L, 5L)"),
+        expr("array(CAST(NULL AS BIGINT), 5L)")).as("c"),
+      VecOps.vec_dot(expr("array(1.0D, 2.0D)"),
+        expr("array(2.0D, 3.0D)")).as("d_ok"),
+      VecOps.sorted_intersect_count(expr("array(0L, 5L)"),
+        expr("array(0L, 5L)")).as("c_ok")).collect().head
+    assert(r.isNullAt(0), "vec_dot over a null element must be null")
+    assert(r.isNullAt(1), "sorted_intersect_count over a null element must be null")
+    assert(r.getDouble(2) == 8.0 && r.getLong(3) == 2L,
+      "null-free inputs must be unaffected")
+  }
 }

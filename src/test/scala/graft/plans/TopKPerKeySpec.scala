@@ -54,4 +54,48 @@ class TopKPerKeySpec extends SparkSuite {
       .as[(Int, Int)].collect().toSet
     assert(out == Set((1, 10), (1, 20), (2, 5)))
   }
+
+  test("0.0 and -0.0 are ONE key (float keys normalized)") {
+    import spark.implicits._
+    // UnsafeRow grouping keys compare by bytes and Spark only inserts
+    // NormalizeFloatingNumbers above its own grouping operators — the
+    // operator normalizes its keys itself, or this key splits in two
+    val df = Seq((0.0, 1L), (-0.0, 2L), (-0.0, 3L)).toDF("k", "v")
+    val got = TopK.perKey(df, 1, Seq(col("k")), Seq(col("v") -> true))
+      .select("v").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"0.0/-0.0 split into multiple heaps: $got")
+  }
+
+  test("misuse fails fast with a named error, not deep in planning") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("k", "v")
+    // all-aggregate columns analyze to an Aggregate node (a mixed
+    // key/aggregate select already fails Spark's own MISSING_GROUP_BY
+    // analysis) — the operator names the misuse instead of a raw cast
+    val eAgg = intercept[IllegalArgumentException] {
+      TopK.perKey(df, 1, Seq(sum(col("k"))), Seq(sum(col("v")) -> true))
+    }
+    assert(eAgg.getMessage.contains("row-level expressions"), eAgg.getMessage)
+    val eKeys = intercept[IllegalArgumentException] {
+      TopK.perKey(df, 1, Seq.empty, Seq(col("v") -> true))
+    }
+    assert(eKeys.getMessage.contains("keyCols"), eKeys.getMessage)
+    val eOrd = intercept[IllegalArgumentException] {
+      TopK.perKey(df, 1, Seq(col("k")), Seq.empty)
+    }
+    assert(eOrd.getMessage.contains("orderCols"), eOrd.getMessage)
+  }
+
+  test("outputPartitioning propagates: same-key downstream agg adds no exchange") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (1L, 5L), (2L, 7L)).toDF("k", "v")
+    val downstream = TopK.perKey(df, 1, Seq(col("k")), Seq(col("v") -> true))
+      .groupBy("k").count()
+    val plan = downstream.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"expected ONLY the operator's own keyed exchange, got $exchanges:\n$plan")
+    assert(downstream.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 1L, 2L -> 1L))
+  }
 }
