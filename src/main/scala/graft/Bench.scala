@@ -29,6 +29,15 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ~50 query sites localCheckpoint per-invocation frames (rank
+      // vectors, CC labels, ANN probe sets); their blocks are only
+      // reclaimable after a driver GC lets ContextCleaner see the dead
+      // RDDs, and the default periodicGC interval (30 min) is longer
+      // than the whole sweep — so dead blocks pile up across 270
+      // queries × 3 passes (the "session pressure" measured in
+      // SCALE.md's round-10 graph-trio notes). One minute is the
+      // standard production mitigation for long-lived sessions.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
