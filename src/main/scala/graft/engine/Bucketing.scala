@@ -89,25 +89,39 @@ object Bucketing {
       .map(e => s"${e.getFileName}:${e.getLineNumber}").getOrElse("?")
   }
 
-  /** prefix → owning call site. The keyMemo (and the Scratch artifact
-    * key) fingerprint the builder's SCHEMA, not its content — a second
-    * call site reusing a prefix with a different builder of the same
-    * schema would silently be served the first builder's artifact. The
-    * contract is "one builder (= one call site) per prefix"; this map
-    * ENFORCES it, failing the second site loudly instead of serving it
-    * wrong data. Cleared with the memo so specs can re-own prefixes. */
+  /** prefix → owning builder identity. The keyMemo (and the Scratch
+    * artifact key) fingerprint the builder's SCHEMA, not its content —
+    * a second claim reusing a prefix with a different builder of the
+    * same schema would silently be served the first builder's
+    * artifact. The contract is "one builder per prefix"; this map
+    * ENFORCES it, failing the second claim loudly instead of serving
+    * it wrong data. Cleared with the memo so specs can re-own
+    * prefixes.
+    *
+    * Identity is the caller-supplied `owner` token when given, else
+    * the call site (file:line). The call-site default misfires both
+    * ways around shared helpers (round-11 verdict item 3): two
+    * DIFFERENT builders funneled through one helper line present ONE
+    * site (silent pass — the hazard the check exists for), and the
+    * SAME builder resolved inline from two sites presents TWO (a
+    * spurious throw). Any helper that resolves cachedTable on behalf
+    * of callers MUST therefore thread an explicit per-builder owner
+    * token; direct call sites (every production site today) may rely
+    * on the default. */
   private val prefixOwner =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def claimPrefix(prefix: String): Unit = {
-    val site = callSite()
-    val owner = prefixOwner.computeIfAbsent(prefix, _ => site)
-    if (owner != site)
+  private def claimPrefix(prefix: String, owner: String): Unit = {
+    val id = if (owner != null && owner.nonEmpty) s"owner '$owner'"
+             else s"call site ${callSite()}"
+    val prior = prefixOwner.computeIfAbsent(prefix, _ => id)
+    if (prior != id)
       throw new IllegalStateException(
-        s"Bucketing prefix '$prefix' is owned by call site $owner but " +
-          s"was reused from $site — cachedTable prefixes must be unique " +
-          "per builder (the schema-keyed cache cannot tell two builders " +
-          "with the same schema apart)")
+        s"Bucketing prefix '$prefix' is owned by $prior but was " +
+          s"reclaimed by $id — cachedTable prefixes must be unique per " +
+          "builder (the schema-keyed cache cannot tell two builders " +
+          "with the same schema apart); helpers resolving on behalf of " +
+          "callers must pass an explicit owner token")
   }
 
   private def memoKey(memo: String)(full: => String): String = {
@@ -123,14 +137,15 @@ object Bucketing {
   }
 
   def cachedTable(s: SparkSession, prefix: String, dirKey: String,
-      key: String, nBuckets: Int)(build: => DataFrame): String = {
+      key: String, nBuckets: Int, owner: String = "")
+      (build: => DataFrame): String = {
     def name(id: String) = s"graft_bkt_${prefix}_$id"
     def doBuild(p: String): Unit =
       // the thunk is a lazy plan (no actions) — evaluated here on an
       // actual build, and once per JVM inside memoKey for the schema
       writeBucketed(build, key, nBuckets, name(p.split('/').last),
         s"$p/$prefix")
-    claimPrefix(prefix)
+    claimPrefix(prefix, owner)
     val fullKey = memoKey(s"t\n$prefix\n$dirKey\n$key\n$nBuckets")(
       s"$dirKey schema=${Scratch.schemaKey(build.schema)} " +
         s"key=$key buckets=$nBuckets")

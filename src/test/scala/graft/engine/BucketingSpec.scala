@@ -59,4 +59,28 @@ class BucketingSpec extends SparkSuite {
     val names = (1 to 2).map(_ => resolve())
     assert(names.distinct == Seq(t1))
   }
+
+  test("cachedTable: two builders through ONE shared helper still fail loudly") {
+    import spark.implicits._
+    // round-11 verdict item 3: the call-site default is wrapper-blind —
+    // two different builders routed through a single helper line would
+    // present the SAME site and pass silently. Helpers therefore thread
+    // an explicit per-builder owner token, which the ownership map keys
+    // on instead of the (shared) stack position.
+    def resolveVia(owner: String, df: => org.apache.spark.sql.DataFrame) =
+      Bucketing.cachedTable(spark, "helperspec", "dirY", "id", 2,
+        owner = owner)(df)
+    val t1 = resolveVia("builderA", Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    assert(spark.table(t1).columns.toSeq == Seq("id", "tag"))
+    val e = intercept[IllegalStateException] {
+      resolveVia("builderB", Seq((9L, "z")).toDF("id", "tag"))
+    }
+    assert(e.getMessage.contains("owner 'builderA'") &&
+      e.getMessage.contains("owner 'builderB'"))
+    // the inverse misfire is fixed too: the SAME builder resolved from
+    // a SECOND call line sharing the owner token no longer throws
+    val t2 = Bucketing.cachedTable(spark, "helperspec", "dirY", "id", 2,
+      owner = "builderA")(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    assert(t2 == t1)
+  }
 }
