@@ -141,6 +141,26 @@ object EventStream {
       .select("a_id", "b_id", "user_id", "a_type", "b_type", "a_ts", "b_ts")
   }
 
+  /** Sink-owned commit marker. Both upsert sinks used to key liveness/
+    * completeness solely on the committer's `_SUCCESS`, which common
+    * production configs disable
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`) — the
+    * bucketed sink would then read EVERY accumulated table as a
+    * partial first write and wipe it each micro-batch (round-11
+    * ADVICE). The sinks now write their own marker after each
+    * committed batch, so liveness never depends on committer config;
+    * `_SUCCESS` is still honored for tables written by older builds. */
+  private[streaming] val CommitMarker = "_graft_commit"
+
+  private def touchMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit =
+    fs.create(new org.apache.hadoop.fs.Path(dir, CommitMarker), true).close()
+
+  private def hasMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(dir, CommitMarker)) ||
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+
   /** Streaming MERGE INTO: maintain a keyed parquet table from a
     * stream via per-micro-batch upsert (`foreachBatch` + Merge.upsert)
     * — the streaming CDC-apply pattern. `profile` collapses each
@@ -169,16 +189,16 @@ object EventStream {
         // leaves the live table untouched; after the staging write is
         // COMPLETE the swap is delete+rename. A crash between those two
         // leaves a complete staging dir and no target — recovered below.
-        // Completeness is judged by the committer's _SUCCESS marker
-        // (written last): on the FIRST-ever batch no target exists yet,
-        // so "no target + staging present" alone cannot distinguish an
-        // interrupted swap from a crash mid-staging-write — promoting a
+        // Completeness is judged by the sink-owned [[CommitMarker]]
+        // (written after the staging write returns; the committer's
+        // _SUCCESS is honored too for pre-marker staging dirs): on the
+        // FIRST-ever batch no target exists yet, so "no target +
+        // staging present" alone cannot distinguish an interrupted
+        // swap from a crash mid-staging-write — promoting a
         // footer-less partial dir would wedge every replay's read.
         val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
         val fs = target.getFileSystem(conf)
-        val stagingDone =
-          new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
-        if (!fs.exists(target) && fs.exists(stagingDone))
+        if (!fs.exists(target) && hasMarker(fs, staging))
           require(fs.rename(staging, target),
             s"recovery rename $staging -> $target failed")
         // stale staging (partial write, or complete-but-target-exists
@@ -196,6 +216,7 @@ object EventStream {
             graft.engine.Merge.upsert(tgt, upd, keys, checkUniqueKeys = true)
           } else upd
         merged.write.mode("overwrite").parquet(staging.toString)
+        touchMarker(fs, staging)
         // a silently-failed swap step would surface batches later as a
         // confusing recovery case — fail THIS batch loudly instead
         if (fs.exists(target))
@@ -244,19 +265,34 @@ object EventStream {
           .localCheckpoint(true)
         val target = new org.apache.hadoop.fs.Path(targetDir)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // liveness = the job-commit marker, not bare dir existence: a
-        // crash during the FIRST batch write leaves a partial target
-        // (moved part files, no _SUCCESS) that the merge branch would
-        // read as the real table on replay — clear the debris and let
-        // the re-delivered batch rewrite it. Every committed write
-        // (initial AND dynamic-overwrite) re-emits _SUCCESS at the
-        // root, so a live table always carries it.
-        val live = fs.exists(target) &&
-          fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+        // liveness = a commit marker, not bare dir existence: a crash
+        // during the FIRST batch write leaves a partial target (moved
+        // part files, no marker) that the merge branch would read as
+        // the real table on replay — clear the debris and let the
+        // re-delivered batch rewrite it. The SINK-OWNED marker is
+        // written after every committed batch (initial AND
+        // dynamic-overwrite), so liveness holds even where the
+        // committer's _SUCCESS is disabled; _SUCCESS alone still
+        // counts for tables committed by older builds.
+        val live = fs.exists(target) && hasMarker(fs, target)
         if (!live) {
-          if (fs.exists(target))
+          if (fs.exists(target)) {
+            // only provable first-write debris may be auto-cleared: a
+            // committed table of THIS sink always carries the marker,
+            // so a marker-less dir holding anything but Spark write
+            // shapes (bucket dirs, part files, _temporary, hidden
+            // files) is a foreign dataset — refuse, don't destroy
+            val foreign = fs.listStatus(target).map(_.getPath.getName)
+              .filterNot(n => n.startsWith("_") || n.startsWith(".") ||
+                n.startsWith("part-") || n.startsWith("part_bucket="))
+            require(foreign.isEmpty,
+              s"refusing to clear $target: it has no commit marker but " +
+                s"holds non-debris entries [${foreign.mkString(", ")}] — " +
+                "not provably this sink's partial first write; move it " +
+                "aside or delete it manually")
             require(fs.delete(target, true),
               s"clearing partial first write at $target failed")
+          }
           upd.write.partitionBy("part_bucket").parquet(targetDir)
         } else {
           val touched = upd.select("part_bucket").distinct()
@@ -272,9 +308,59 @@ object EventStream {
             .option("partitionOverwriteMode", "dynamic")
             .parquet(targetDir)
         }
+        // marker LAST: a crash before this line leaves either no table
+        // (first write — debris-cleared and rewritten on replay) or the
+        // previous batch's marker (merge — re-merged idempotently)
+        touchMarker(fs, target)
         ()
       }
       .start()
+
+  /** Sessionizer state-schema version: bumped when the keyed state
+    * layout changes. v2 since round 10 (`lateAge` joined
+    * [[SessionFullState]]) — a checkpoint written by a v1 build fails
+    * Spark's state-store schema check on restore, BY DESIGN: restart
+    * the query with a fresh checkpoint directory (the sessionizer's
+    * state is reconstructible from the stream; SURVEY §2.11 documents
+    * the rule). [[diagnoseStateRestore]] names this instead of leaving
+    * the operator with a raw STATE_STORE_*_SCHEMA_NOT_COMPATIBLE. */
+  val SessionStateSchemaVersion = 2
+
+  private val stateSchemaRule: String =
+    "graft sessionizer state schema is v" + SessionStateSchemaVersion +
+      " (since round 10: SessionFullState gained `lateAge`); the " +
+      "checkpoint being restored was written by an older build and " +
+      "cannot migrate — delete the checkpoint directory and restart " +
+      "fresh (state is reconstructible from the stream). Do NOT set " +
+      "spark.sql.streaming.stateStore.stateSchemaCheck=false: decoding " +
+      "old state bytes with the new layout is silent corruption. " +
+      "See SURVEY.md §2.11 'state-schema note'."
+
+  /** Maps Spark's state-store schema-incompatibility (anywhere in `t`'s
+    * cause chain — it usually surfaces wrapped in a
+    * StreamingQueryException) to an [[IllegalStateException]] carrying
+    * the documented migration rule; any other throwable is returned
+    * unchanged. Wrap awaitTermination/processAllAvailable:
+    * `try q.awaitTermination() catch { case e: Throwable => throw
+    * EventStream.diagnoseStateRestore(e) }`. */
+  def diagnoseStateRestore(t: Throwable): Throwable = {
+    def chain(x: Throwable, seen: Set[Throwable] = Set.empty): List[Throwable] =
+      if (x == null || seen(x)) Nil
+      else x :: chain(x.getCause, seen + x)
+    val hit = chain(t).exists { c =>
+      val cond = c match {
+        case st: org.apache.spark.SparkThrowable =>
+          Option(st.getCondition).getOrElse("")
+        case _ => ""
+      }
+      cond.startsWith("STATE_STORE_KEY_SCHEMA_NOT_COMPATIBLE") ||
+        cond.startsWith("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE") ||
+        Option(c.getMessage).exists(m =>
+          m.contains("does not match existing state") ||
+            m.contains("StateSchemaNotCompatible"))
+    }
+    if (hit) new IllegalStateException(stateSchemaRule, t) else t
+  }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionRevEvent(user_id: Long, ts: java.sql.Timestamp,

@@ -138,20 +138,88 @@ class BucketedUpsertSinkSpec extends SparkSuite {
       src.addData(Seq(ev(1, 1L, 0, "view"), ev(2, 2L, 1, "view")))
       q.processAllAvailable()
       assert(table() == Set((1L, "view"), (2L, "view")))
-      assert(Files.exists(target.resolve("_SUCCESS")),
-        "committed initial write must carry the job-commit marker")
+      assert(Files.exists(target.resolve("_graft_commit")),
+        "committed initial write must carry the sink-owned commit marker")
       // a later dynamic-overwrite batch must KEEP the marker (else the
       // next batch would treat the live table as debris and clobber it)
       src.addData(Seq(ev(3, 1L, 10, "purchase")))
       q.processAllAvailable()
-      assert(Files.exists(target.resolve("_SUCCESS")),
-        "dynamic partition overwrite dropped the job-commit marker")
+      assert(Files.exists(target.resolve("_graft_commit")),
+        "dynamic partition overwrite dropped the sink-owned commit marker")
       assert(table() == Set((1L, "purchase"), (2L, "view")))
       // and the accumulated state survives a further batch (liveness
       // held — nothing clobbered batch 1's untouched keys)
       src.addData(Seq(ev(4, 3L, 20, "view")))
       q.processAllAvailable()
       assert(table() == Set((1L, "purchase"), (2L, "view"), (3L, "view")))
+    } finally q.stop()
+  }
+
+  test("liveness holds with the committer's _SUCCESS disabled (sink-owned marker)") {
+    // round-11 ADVICE (medium): with
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs=false — common on
+    // object-store/production committers — the r10 sink saw live=false
+    // every micro-batch and silently wiped all accumulated state. The
+    // sink-owned marker decouples liveness from committer config.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prev = hconf.get("mapreduce.fileoutputcommitter.marksuccessfuljobs")
+    hconf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    val nBuckets = 4
+    implicit val enc = org.apache.spark.sql.Encoders.row(EventStream.eventSchema)
+    val base = Files.createTempDirectory("graft-cow-nosuccess")
+    val target = base.resolve("t")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Row](spark)
+    val q = EventStream.upsertSinkBucketed(src.toDF(), target.toString,
+      Seq("user_id"), nBuckets, base.resolve("ckpt").toString)(profile)
+    def table() = spark.read.parquet(target.toString)
+      .select(col("user_id"), col("last_type"))
+      .as[(Long, String)].collect().toSet
+    try {
+      src.addData(Seq(ev(1, 1L, 0, "view"), ev(2, 2L, 1, "view")))
+      q.processAllAvailable()
+      assert(!Files.exists(target.resolve("_SUCCESS")),
+        "test precondition: the committer must not have written _SUCCESS")
+      assert(Files.exists(target.resolve("_graft_commit")))
+      // pre-fix this batch read live=false, DELETED the table, and
+      // rewrote only user 3 — users 1 and 2 silently lost
+      src.addData(Seq(ev(3, 3L, 10, "view")))
+      q.processAllAvailable()
+      assert(table() == Set((1L, "view"), (2L, "view"), (3L, "view")),
+        "accumulated state must survive a batch without _SUCCESS")
+    } finally {
+      q.stop()
+      if (prev == null)
+        hconf.unset("mapreduce.fileoutputcommitter.marksuccessfuljobs")
+      else hconf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", prev)
+    }
+  }
+
+  test("a marker-less target holding foreign data is refused, not destroyed") {
+    // the auto-clear covers PROVABLE first-write debris only; pointing
+    // the sink at an unrelated directory must fail the batch loudly
+    // instead of recursively deleting someone's data
+    val nBuckets = 4
+    implicit val enc = org.apache.spark.sql.Encoders.row(EventStream.eventSchema)
+    val base = Files.createTempDirectory("graft-cow-foreign")
+    val target = base.resolve("t")
+    Files.createDirectories(target)
+    Files.write(target.resolve("precious.csv"), "not ours".getBytes)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Row](spark)
+    val q = EventStream.upsertSinkBucketed(src.toDF(), target.toString,
+      Seq("user_id"), nBuckets, base.resolve("ckpt").toString)(profile)
+    try {
+      src.addData(Seq(ev(1, 1L, 0, "view")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("refusing to clear")),
+        s"expected the refusal message, got: ${messages(e)}")
+      assert(Files.exists(target.resolve("precious.csv")),
+        "the foreign file must survive the refused batch")
     } finally q.stop()
   }
 }
