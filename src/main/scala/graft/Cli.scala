@@ -30,6 +30,14 @@ import graft.engine.{Grapefruit, MapleJuice, ShuffleOption}
   */
 object Cli {
 
+  /** numTasks must parse as a positive Int; guarding the main cases on
+    * it routes a bad numeral to the named maple/juice usage error
+    * instead of letting a raw NumberFormatException escape n.toInt
+    * (round-11 ADVICE). */
+  private def isNumTasks(s: String): Boolean =
+    s.nonEmpty && s.forall(_.isDigit) &&
+      scala.util.Try(s.toInt).toOption.exists(_ > 0)
+
   def run(spark: SparkSession, root: String, cmd: Seq[String]): Unit = {
     import spark.implicits._
     val gf = new Grapefruit(spark, root)
@@ -41,7 +49,8 @@ object Cli {
       case Seq("store")             => gf.sdfs.store().foreach(println)
       case Seq("global")            => gf.sdfs.global().foreach(println)
 
-      case "maple" +: exe +: n +: prefix +: srcDir +: exeArgs =>
+      case "maple" +: exe +: n +: prefix +: srcDir +: exeArgs
+          if isNumTasks(n) =>
         // argv mode and exeArgs do NOT compose: the reference contract
         // is argv[1] = the batch (`MapleJuice.java:408-412`), so any
         // extra argv would displace the batch and the exe would parse
@@ -65,7 +74,8 @@ object Cli {
         println(s"maple done -> $prefix")
 
       case "juice" +: exe +: n +: prefix +: dest +: del +: shuffleOpt +: rest
-          if rest.isEmpty || rest == Seq("stream") || rest == Seq("files") =>
+          if isNumTasks(n) &&
+            (rest.isEmpty || rest == Seq("stream") || rest == Seq("files")) =>
         val opt = shuffleOpt match {
           case "range" => ShuffleOption.Range
           case "hash"  => ShuffleOption.Hash

@@ -145,5 +145,16 @@ class CliSpec extends SparkSuite {
     val e3 = intercept[IllegalArgumentException](Cli.run(spark,
       root.toString, Seq("juice", "x.py", "2", "pre", "out", "1", "hash", "file")))
     assert(e3.getMessage.contains("juice usage:"), e3.getMessage)
+    // round-11 ADVICE: a non-numeric (or non-positive, or overflowing)
+    // numTasks must hit the SAME named usage error, not escape as a
+    // raw NumberFormatException from n.toInt
+    for (bad <- Seq("abc", "0", "-2", "2x", "99999999999")) {
+      val em = intercept[IllegalArgumentException](Cli.run(spark,
+        root.toString, Seq("maple", "x.py", bad, "pre", "src")))
+      assert(em.getMessage.contains("maple usage:"), s"'$bad': ${em.getMessage}")
+      val ej = intercept[IllegalArgumentException](Cli.run(spark,
+        root.toString, Seq("juice", "x.py", bad, "pre", "out", "1", "hash")))
+      assert(ej.getMessage.contains("juice usage:"), s"'$bad': ${ej.getMessage}")
+    }
   }
 }
