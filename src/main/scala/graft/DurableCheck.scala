@@ -36,7 +36,11 @@ object DurableCheck {
       "q_ann_ivf_sampled", "q_ann_lsh_idx", "q_pipeline_incremental",
       // round-7 artifacts: part co-purchase edges (graph consumers)
       // and the customer-supplier incidence (basket consumers)
-      "q_triangles", "q_assoc_rules")
+      "q_triangles", "q_assoc_rules",
+      // round-10 artifacts, pinned by the shell proof (round-11
+      // verdict item 5): the full-fit IVF index and the whole-corpus
+      // band index the near-dup trio now rides
+      "q_ann_ivf", "q_dedup_minhash")
     val hashes = names.map { n =>
       val txt = SparkEntry.queries(n)(spark, sfDir)
         .collect().map(_.toString).mkString("\n")
@@ -45,7 +49,10 @@ object DurableCheck {
     }
     val hs = hashes.map { case (n, h) => s""""$n":"$h"""" }
       .mkString("{", ",", "}")
-    println(s"""{"durable_builds":${graft.engine.Scratch.buildCount},"hashes":$hs}""")
+    val bp = graft.engine.Scratch.builtPrefixList
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"durable_builds":${graft.engine.Scratch.buildCount},""" +
+      s""""built_prefixes":$bp,"hashes":$hs}""")
     spark.stop()
   }
 }

@@ -43,6 +43,22 @@ object Scratch {
     * process over the same durable root must report 0. */
   def buildCount: Long = builds.get()
 
+  private val builtPrefixes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Artifact prefixes BUILT by this process, sorted — the durability
+    * proof (scripts/durable_check.sh) pins named artifacts by prefix:
+    * process 1 must list them, process 2 must list nothing, so a
+    * cache-key edit that silently turns a build-once artifact back
+    * into per-invocation rebuilds fails the proof BY NAME (round-11
+    * verdict item 5). */
+  def builtPrefixList: Seq[String] = {
+    val it = builtPrefixes.iterator()
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result().sorted
+  }
+
   /** Test hook: overrides GRAFT_SCRATCH_DIR (env vars can't be set
     * in-JVM). Production code never touches it. */
   private[engine] var durableRootOverride: Option[String] = None
@@ -59,6 +75,7 @@ object Scratch {
     resolveMemo.clear()
     Bucketing.clearKeyMemoForTest()
     builds.set(0)
+    builtPrefixes.clear()
   }
 
   private def deleteTree(r: Path): Unit =
@@ -201,6 +218,7 @@ object Scratch {
           // builders without overwrite semantics can't trip on debris
           deleteTree(path)
           builds.incrementAndGet()
+          builtPrefixes.add(prefix)
           build(path.toString)
           Files.write(marker, key.getBytes(UTF_8))
         }
