@@ -34,7 +34,10 @@ N=$( (ls CORRECTNESS_r*.json 2>/dev/null || true) \
   | sed 's/.*_r0*\([0-9]*\).json/\1/' | sort -n | tail -1 )
 N=$(( ${N:-0} + 1 ))
 DEST=$(printf 'BENCH_LOCAL_r%02d.json' "$N")
-NEWEST=$( (ls BENCH_LOCAL_r*.json 2>/dev/null || true) | sort | tail -1 )
+# version sort: plain `sort` puts r100 before r11 once rounds hit
+# three digits, so NEWEST would pick the wrong archive (round-11
+# ADVICE); -V compares the embedded round number numerically
+NEWEST=$( (ls BENCH_LOCAL_r*.json 2>/dev/null || true) | sort -V | tail -1 )
 
 MATCH=""
 for f in BENCH_LOCAL_r*.json; do
@@ -43,6 +46,17 @@ for f in BENCH_LOCAL_r*.json; do
 done
 
 if [ -z "$MATCH" ]; then
+  if [ -e "$DEST" ]; then
+    # a bench re-run within the same round: the new numbers become the
+    # round's archive (they measure the round's final code), but the
+    # earlier record must not be silently clobbered (round-11 ADVICE) —
+    # rotate it to a name OUTSIDE the BENCH_LOCAL_r*.json glob so the
+    # diff tooling never picks it up
+    i=1
+    while [ -e "$DEST.superseded.$i" ]; do i=$((i+1)); done
+    mv "$DEST" "$DEST.superseded.$i"
+    echo "[archive_bench] same-round re-run: kept old archive as $DEST.superseded.$i"
+  fi
   cp bench_last.json "$DEST"
   echo "[archive_bench] archived bench_last.json -> $DEST"
 elif [ "$MATCH" = "$NEWEST" ]; then

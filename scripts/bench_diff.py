@@ -1,39 +1,79 @@
 #!/usr/bin/env python3
 """Bench regression gate (round-9 verdict item 7).
 
-Compares the per-query best-pass (min) times of the two most recent
-BENCH_LOCAL_r*.json archives (or two explicit paths) and exits
-nonzero when any query regressed more than REL_GATE without a
-SCALE.md note naming it in the "Accepted bench regressions" section.
-Deliberate trades (e.g. the r8 q_triangles degree-orientation
-skew-proofing) get a one-line entry there; anything else failing the
-gate means an unexplained slowdown shipped.
+Compares per-query times of the two most recent BENCH_LOCAL_r*.json
+archives (or two explicit paths) and exits nonzero when any query
+regressed — RELATIVE TO THE RUN-LEVEL MEDIAN RATIO — more than
+REL_GATE without a SCALE.md note naming it in the "Accepted bench
+regressions" section.
+
+Cohort normalization (round 11): the two archives usually come from
+different days/VMs, and a uniformly busier (or slower) environment
+shifts EVERY query by a common factor — round 10's driver artifact
+was a uniform 1.38x of the builder's with zero real regressions, and
+the judge adjudicated it by exactly this median-ratio test. A query is
+flagged when cur > prev * median_ratio * REL_GATE (and the absolute
+floor), i.e. when it moved AGAINST its cohort; a uniform shift flags
+nothing but is printed loudly as UNIFORM-SHIFT (with the cross-run
+canary ratio when both artifacts carry one — the canary is the same
+trivial query every round, so its cross-run ratio estimates the pure
+environment factor; a UNIFORM-SHIFT line NOT explained by the canary
+is how an across-the-board code slowdown, like r10's periodicGC
+config, surfaces for human adjudication and a SCALE.md note).
+
+Per-file metric preference (round-11 verdict item 6): queries_p2min
+(min of passes 2..n — artifact builds land in pass 1, so this is the
+steady state) > queries_min > queries. Archives predating a field fall
+back, so a cross-round diff may compare an old all-pass min against a
+new steady-state min; p2min >= min, which only makes the gate stricter
+on the newer side.
+
+Noise canary (round-11 verdict item 2): Bench times a fixed trivial
+scan at sweep start AND end (canary_start_sec / canary_end_sec, each
+a min-of-3). The within-run end/start ratio is printed with the
+summary and next to any flagged regression — a run whose canary
+inflated mid-sweep is self-identifying as host interference.
 
 Usage:
     scripts/bench_diff.py                 # two newest archives
     scripts/bench_diff.py PREV.json CUR.json
 
-Gate: cur_min > prev_min * 1.5 AND cur_min - prev_min > 0.15s (the
+Gate: cur > prev * median_ratio * 1.5 AND cur - prev > 0.15s (the
 absolute floor keeps sub-100ms queries from tripping on scheduler
 noise; min-vs-min already filters most run-to-run variance).
 """
 import json
 import re
+import statistics
 import sys
 from pathlib import Path
 
 REL_GATE = 1.5
-ABS_FLOOR = 0.15  # seconds
+ABS_FLOOR = 0.15       # seconds
+UNIFORM_NOTE = 0.10    # |median_ratio - 1| beyond this prints UNIFORM-SHIFT
 
 REPO = Path(__file__).resolve().parent.parent
 
 
+def round_no(path):
+    m = re.search(r"_r0*(\d+)\.json$", Path(path).name)
+    return int(m.group(1)) if m else -1
+
+
 def load(path):
     d = json.loads(Path(path).read_text())
-    q = d.get("queries_min") or d.get("queries")
+    q = d.get("queries_p2min") or d.get("queries_min") or d.get("queries")
     if not q:
-        sys.exit(f"bench_diff: {path} has no queries_min/queries table")
-    return q
+        sys.exit(f"bench_diff: {path} has no queries table")
+    s, e = d.get("canary_start_sec"), d.get("canary_end_sec")
+    cmin = min(s, e) if s and e and s > 0 and e > 0 else None
+    return q, s, e, cmin
+
+
+def canary_note(start, end):
+    if not start or not end or start <= 0 or end <= 0:
+        return "canary: n/a (pre-r11 artifact)"
+    return f"canary: start {start:.3f}s end {end:.3f}s ratio {end / start:.2f}"
 
 
 def accepted_names(scale_md):
@@ -51,12 +91,16 @@ def main():
     if len(sys.argv) == 3:
         prev_p, cur_p = sys.argv[1], sys.argv[2]
     else:
-        archives = sorted(REPO.glob("BENCH_LOCAL_r*.json"))
+        # numeric round order — lexicographic sorting would put r100
+        # before r11 (round-11 ADVICE)
+        archives = sorted(REPO.glob("BENCH_LOCAL_r*.json"), key=round_no)
         if len(archives) < 2:
             print("bench_diff: fewer than two archives — nothing to diff")
             return 0
         prev_p, cur_p = archives[-2], archives[-1]
-    prev, cur = load(prev_p), load(cur_p)
+    prev, _, _, prev_cmin = load(prev_p)
+    cur, c_start, c_end, cur_cmin = load(cur_p)
+    cnote = canary_note(c_start, c_end)
     accepted = accepted_names(REPO / "SCALE.md")
 
     added = sorted(set(cur) - set(prev))
@@ -66,23 +110,39 @@ def main():
     if removed:
         print(f"removed queries ({len(removed)}): {', '.join(removed)}")
 
+    shared = sorted(set(prev) & set(cur))
+    if not shared:
+        print("bench_diff: no shared queries — nothing to gate")
+        return 0
+    med = statistics.median(cur[n] / prev[n] for n in shared)
+
     flagged, waived = [], []
-    for name in sorted(set(prev) & set(cur)):
+    for name in shared:
         p, c = prev[name], cur[name]
-        if c > p * REL_GATE and c - p > ABS_FLOOR:
+        if c > p * med * REL_GATE and c - p > ABS_FLOOR:
             (waived if name in accepted else flagged).append((name, p, c))
 
     for name, p, c in waived:
         print(f"waived  {name}: {p:.2f}s -> {c:.2f}s "
               f"({c / p:.1f}x, SCALE.md-accepted)")
     for name, p, c in flagged:
-        print(f"REGRESS {name}: {p:.2f}s -> {c:.2f}s ({c / p:.1f}x) — "
-              "not named under SCALE.md '## Accepted bench regressions'")
+        print(f"REGRESS {name}: {p:.2f}s -> {c:.2f}s ({c / p:.1f}x vs "
+              f"cohort median {med:.2f}x) — not named under SCALE.md "
+              f"'## Accepted bench regressions' [{cnote}]")
 
-    tp = sum(prev[n] for n in set(prev) & set(cur))
-    tc = sum(cur[n] for n in set(prev) & set(cur))
-    print(f"shared-query total: {tp:.1f}s -> {tc:.1f}s "
-          f"({prev_p} -> {cur_p})")
+    if abs(med - 1.0) > UNIFORM_NOTE:
+        env = (f"cross-run canary ratio {cur_cmin / prev_cmin:.2f}x"
+               if prev_cmin and cur_cmin else
+               "no cross-run canary (pre-r11 prev archive)")
+        print(f"UNIFORM-SHIFT: cohort median {med:.2f}x across "
+              f"{len(shared)} shared queries ({env}) — an environment "
+              "shift if the canary moved with it; otherwise an "
+              "across-the-board code change needing a SCALE.md note")
+
+    tp = sum(prev[n] for n in shared)
+    tc = sum(cur[n] for n in shared)
+    print(f"shared-query total: {tp:.1f}s -> {tc:.1f}s, "
+          f"cohort median {med:.2f}x ({prev_p} -> {cur_p}) [{cnote}]")
     if flagged:
         print(f"bench_diff: {len(flagged)} unexplained regression(s)")
         return 1

@@ -46,7 +46,8 @@ bash scripts/archive_bench.sh
 echo "[presnap] bench regression gate"
 if [ -f bench_last.json ]; then
   GATE_PREV=""
-  for f in $( (ls BENCH_LOCAL_r*.json 2>/dev/null || true) | sort -r ); do
+  # -V: numeric round order — plain sort -r would scan r11 before r100
+  for f in $( (ls BENCH_LOCAL_r*.json 2>/dev/null || true) | sort -rV ); do
     if ! cmp -s bench_last.json "$f"; then GATE_PREV="$f"; break; fi
   done
   if [ -n "$GATE_PREV" ]; then

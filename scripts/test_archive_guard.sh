@@ -39,4 +39,28 @@ echo "$out" | grep -q "FATAL: bench_last.json matches OLDER archive BENCH_LOCAL_
   || fail "expected stale-refusal branch, got: $out"
 [ ! -e "$TMP/BENCH_LOCAL_r03.json" ] || fail "stale bench was relabeled"
 
-echo "test_archive_guard: OK (3/3 branches)"
+# 4. same-round re-run with DIFFERENT content -> old archive rotated
+#    aside (outside the r*.json glob), new numbers become the round's
+#    archive (round-11 ADVICE: no silent clobber)
+rm "$TMP/CORRECTNESS_r02.json"   # back to round 2 being current
+echo '{"pass_total_min": 90.0}' > "$TMP/bench_last.json"
+out=$(bash "$HERE/archive_bench.sh" "$TMP")
+echo "$out" | grep -q "kept old archive as BENCH_LOCAL_r02.json.superseded.1" \
+  || fail "expected supersede branch, got: $out"
+cmp -s "$TMP/bench_last.json" "$TMP/BENCH_LOCAL_r02.json" \
+  || fail "re-archived content differs"
+grep -q '95.0' "$TMP/BENCH_LOCAL_r02.json.superseded.1" \
+  || fail "superseded archive lost the old numbers"
+
+# 5. round numbers >= 100 must order numerically: with r02 and r100
+#    present, a bench_last matching r02 is STALE (older archive), not
+#    "already archived" (lexicographic sort would call r02 the newest)
+echo '{"round":100}' > "$TMP/CORRECTNESS_r100.json"
+echo '{"pass_total_min": 80.0}' > "$TMP/BENCH_LOCAL_r100.json"
+cp "$TMP/BENCH_LOCAL_r02.json" "$TMP/bench_last.json"
+if out=$(bash "$HERE/archive_bench.sh" "$TMP"); then
+  fail "r02-stale bench with r100 present must exit nonzero, got: $out"
+fi
+echo "$out" | grep -q "FATAL" || fail "expected stale refusal, got: $out"
+
+echo "test_archive_guard: OK (5/5 branches)"

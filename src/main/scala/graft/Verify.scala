@@ -19,9 +19,6 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // same long-lived-session hygiene as Bench: let ContextCleaner
-      // reclaim dead localCheckpoint blocks during the 270-query dump
-      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -32,6 +29,13 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // same long-lived-session hygiene as Bench: each finished
+        // dump's localCheckpoint blocks are dead — drop them here
+        // rather than letting them pile up over 270 queries (the
+        // r10 periodicGC config did this via System.gc() and cost
+        // ~10% of bench time; see SCALE.md round-11 notes)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
