@@ -71,8 +71,12 @@ def load(path):
 
 
 def canary_note(start, end):
-    if not start or not end or start <= 0 or end <= 0:
+    if start is None or end is None:
         return "canary: n/a (pre-r11 artifact)"
+    if start <= 0 or end <= 0:
+        # Bench writes -1.0 when a canary sample itself threw — that is
+        # a run problem worth investigating, not an old file format
+        return "canary: FAILED in-run (sentinel values)"
     return f"canary: start {start:.3f}s end {end:.3f}s ratio {end / start:.2f}"
 
 
@@ -111,13 +115,27 @@ def main():
         print(f"removed queries ({len(removed)}): {', '.join(removed)}")
 
     shared = sorted(set(prev) & set(cur))
-    if not shared:
-        print("bench_diff: no shared queries — nothing to gate")
-        return 0
-    med = statistics.median(cur[n] / prev[n] for n in shared)
+    # Bench records -1.0 for a query that failed every pass (and still
+    # writes bench_last.json before exiting nonzero), so archives can
+    # carry sentinels: they are not times — comparing them would skew
+    # the median, flag every fixed query, and let a newly-broken query
+    # sail under the c > p test. Newly-failing queries fail the gate
+    # outright; recoveries are informational.
+    newly_failing = [n for n in shared if prev[n] >= 0 > cur[n]]
+    recovered = [n for n in shared if cur[n] >= 0 > prev[n]]
+    comparable = [n for n in shared if prev[n] >= 0 and cur[n] >= 0]
+    for n in recovered:
+        print(f"recovered {n}: failed in prev, {cur[n]:.2f}s now")
+    for n in newly_failing:
+        print(f"REGRESS {n}: {prev[n]:.2f}s -> FAILED (ran in prev, "
+              f"fails every pass now)")
+    if not comparable:
+        print("bench_diff: no comparable queries — nothing to gate")
+        return 1 if newly_failing else 0
+    med = statistics.median(cur[n] / prev[n] for n in comparable)
 
     flagged, waived = [], []
-    for name in shared:
+    for name in comparable:
         p, c = prev[name], cur[name]
         if c > p * med * REL_GATE and c - p > ABS_FLOOR:
             (waived if name in accepted else flagged).append((name, p, c))
@@ -135,16 +153,17 @@ def main():
                if prev_cmin and cur_cmin else
                "no cross-run canary (pre-r11 prev archive)")
         print(f"UNIFORM-SHIFT: cohort median {med:.2f}x across "
-              f"{len(shared)} shared queries ({env}) — an environment "
+              f"{len(comparable)} shared queries ({env}) — an environment "
               "shift if the canary moved with it; otherwise an "
               "across-the-board code change needing a SCALE.md note")
 
-    tp = sum(prev[n] for n in shared)
-    tc = sum(cur[n] for n in shared)
+    tp = sum(prev[n] for n in comparable)
+    tc = sum(cur[n] for n in comparable)
     print(f"shared-query total: {tp:.1f}s -> {tc:.1f}s, "
           f"cohort median {med:.2f}x ({prev_p} -> {cur_p}) [{cnote}]")
-    if flagged:
-        print(f"bench_diff: {len(flagged)} unexplained regression(s)")
+    if flagged or newly_failing:
+        print(f"bench_diff: {len(flagged) + len(newly_failing)} "
+              "unexplained regression(s)")
         return 1
     print("bench_diff: OK")
     return 0

@@ -23,12 +23,11 @@ python3 - "$R1" "$R2" <<'EOF'
 import json, sys
 a, b = json.loads(sys.argv[1]), json.loads(sys.argv[2])
 assert a["durable_builds"] > 0, "first process should have built artifacts"
-assert b["durable_builds"] == 0, \
-    f"second process rebuilt {b['durable_builds']} artifacts (expected 0)"
-assert a["hashes"] == b["hashes"], "artifact reuse changed query results"
 # pinned build-once artifacts (round-11 verdict item 5): a cache-key
 # edit that silently turns one back into a per-invocation rebuild must
-# fail this proof BY NAME, not just by count
+# fail this proof BY NAME, not just by count — so the named checks run
+# BEFORE the aggregate count assert (which would otherwise always fire
+# first and reduce the diagnostic back to a bare number)
 pinned = ["ivf_idx_full", "band_idx", "band_idx_all"]
 built1, built2 = set(a.get("built_prefixes", [])), set(b.get("built_prefixes", []))
 missing = [p for p in pinned if p not in built1]
@@ -36,6 +35,9 @@ assert not missing, f"process 1 never built pinned artifacts: {missing}"
 rebuilt = [p for p in pinned if p in built2]
 assert not rebuilt, f"process 2 REBUILT pinned artifacts: {rebuilt}"
 assert not built2, f"process 2 built artifacts: {sorted(built2)}"
+assert b["durable_builds"] == 0, \
+    f"second process rebuilt {b['durable_builds']} artifacts (expected 0)"
+assert a["hashes"] == b["hashes"], "artifact reuse changed query results"
 print(f"OK: process 1 built {a['durable_builds']} artifacts "
       f"({', '.join(sorted(built1))}), process 2 built 0 "
       f"(pinned {', '.join(pinned)}: builds=0), "

@@ -52,15 +52,19 @@ cmp -s "$TMP/bench_last.json" "$TMP/BENCH_LOCAL_r02.json" \
 grep -q '95.0' "$TMP/BENCH_LOCAL_r02.json.superseded.1" \
   || fail "superseded archive lost the old numbers"
 
-# 5. round numbers >= 100 must order numerically: with r02 and r100
-#    present, a bench_last matching r02 is STALE (older archive), not
-#    "already archived" (lexicographic sort would call r02 the newest)
+# 5. round numbers >= 100 must order numerically. The regression case
+#    is r11 vs r100: lexicographically "r100" < "r11" (char '0' < '1'),
+#    so a plain sort calls r11 the NEWEST and a bench_last matching it
+#    reads "already archived" — silently passing a STALE bench. Version
+#    sort picks r100, so the r11 match is correctly FATAL-stale.
 echo '{"round":100}' > "$TMP/CORRECTNESS_r100.json"
+echo '{"pass_total_min": 85.0}' > "$TMP/BENCH_LOCAL_r11.json"
 echo '{"pass_total_min": 80.0}' > "$TMP/BENCH_LOCAL_r100.json"
-cp "$TMP/BENCH_LOCAL_r02.json" "$TMP/bench_last.json"
+cp "$TMP/BENCH_LOCAL_r11.json" "$TMP/bench_last.json"
 if out=$(bash "$HERE/archive_bench.sh" "$TMP"); then
-  fail "r02-stale bench with r100 present must exit nonzero, got: $out"
+  fail "r11-stale bench with r100 present must exit nonzero, got: $out"
 fi
-echo "$out" | grep -q "FATAL" || fail "expected stale refusal, got: $out"
+echo "$out" | grep -q "FATAL: bench_last.json matches OLDER archive BENCH_LOCAL_r11.json" \
+  || fail "expected r11 stale refusal (lexicographic sort would call it newest), got: $out"
 
 echo "test_archive_guard: OK (5/5 branches)"

@@ -80,6 +80,26 @@ out=$(python3 "$HERE/bench_diff.py" "$TMP/prev_canary.json" "$TMP/cur_uniform.js
 echo "$out" | grep -q "cross-run canary ratio 1.33x" \
   || fail "expected cross-run canary attribution, got: $out"
 
+# failed-query sentinels (-1.0) are not times: a newly-FAILING query
+# fails the gate by name; a RECOVERED query (prev -1.0, now real) must
+# neither flag as a regression nor skew the median
+cat > "$TMP/prev_sentinel.json" <<'EOF'
+{"queries_p2min":{"q_a":-1.0,"q_b":1.0,"q_c":1.0,"q_d":1.0}}
+EOF
+cat > "$TMP/cur_sentinel.json" <<'EOF'
+{"queries_p2min":{"q_a":0.5,"q_b":-1.0,"q_c":1.0,"q_d":1.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.31}
+EOF
+if out=$(python3 "$HERE/bench_diff.py" "$TMP/prev_sentinel.json" "$TMP/cur_sentinel.json"); then
+  fail "newly-failing query must exit nonzero, got: $out"
+fi
+echo "$out" | grep -q "REGRESS q_b: 1.00s -> FAILED" \
+  || fail "expected q_b flagged as newly failing, got: $out"
+echo "$out" | grep -q "recovered q_a" \
+  || fail "expected q_a reported as recovered, got: $out"
+echo "$out" | grep -q "REGRESS q_a" \
+  && fail "recovered q_a must not read as a regression: $out"
+
 # two pre-r11 artifacts still diff on queries_min (fallback intact)
 if out=$(python3 "$HERE/bench_diff.py" "$TMP/prev.json" "$TMP/prev.json"); then
   echo "$out" | grep -q "bench_diff: OK" || fail "self-diff should pass"

@@ -56,15 +56,16 @@ object Bench {
 
     def runFull(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      // finally: a FAILED query's checkpoint blocks must not leak into
+      // the next query's timed region either
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      dropDeadCheckpoints()
-      dt
+        -1.0
+      } finally dropDeadCheckpoints()
     }
 
     // warm-up (not reported): small scan+agg touches parquet + codegen

@@ -53,10 +53,8 @@ object Scratch {
     * into per-invocation rebuilds fails the proof BY NAME (round-11
     * verdict item 5). */
   def builtPrefixList: Seq[String] = {
-    val it = builtPrefixes.iterator()
-    val b = Seq.newBuilder[String]
-    while (it.hasNext) b += it.next()
-    b.result().sorted
+    import scala.jdk.CollectionConverters._
+    builtPrefixes.asScala.toSeq.sorted
   }
 
   /** Test hook: overrides GRAFT_SCRATCH_DIR (env vars can't be set

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+import scala.util.chaining._
 
 /** Structured Streaming surface: the engine's event-time operators as
   * streams. The reference has no streaming (SURVEY §2.11); this is
@@ -226,6 +227,7 @@ object EventStream {
         ()
       }
       .start()
+      .pipe(diagnosed)
 
   /** Bucketed COPY-ON-WRITE streaming upsert: the 100 TB form of
     * [[upsertSink]]. The plain sink rewrites the WHOLE target every
@@ -279,12 +281,16 @@ object EventStream {
           if (fs.exists(target)) {
             // only provable first-write debris may be auto-cleared: a
             // committed table of THIS sink always carries the marker,
-            // so a marker-less dir holding anything but Spark write
-            // shapes (bucket dirs, part files, _temporary, hidden
-            // files) is a foreign dataset — refuse, don't destroy
+            // so a marker-less dir holding anything but THIS SINK's
+            // write shapes (part_bucket=* dirs, _temporary, hidden
+            // files) is a foreign dataset — refuse, don't destroy.
+            // Root-level part-* files are deliberately NOT whitelisted:
+            // this sink always writes partitionBy("part_bucket"), so a
+            // root part file can only be someone else's unpartitioned
+            // table (e.g. committed under marksuccessfuljobs=false)
             val foreign = fs.listStatus(target).map(_.getPath.getName)
               .filterNot(n => n.startsWith("_") || n.startsWith(".") ||
-                n.startsWith("part-") || n.startsWith("part_bucket="))
+                n.startsWith("part_bucket="))
             require(foreign.isEmpty,
               s"refusing to clear $target: it has no commit marker but " +
                 s"holds non-debris entries [${foreign.mkString(", ")}] — " +
@@ -315,6 +321,7 @@ object EventStream {
         ()
       }
       .start()
+      .pipe(diagnosed)
 
   /** Sessionizer state-schema version: bumped when the keyed state
     * layout changes. v2 since round 10 (`lateAge` joined
@@ -361,6 +368,43 @@ object EventStream {
     }
     if (hit) new IllegalStateException(stateSchemaRule, t) else t
   }
+
+  /** Wires [[diagnoseStateRestore]] into a running query: the returned
+    * delegate is the same StreamingQuery, but awaitTermination /
+    * processAllAvailable rethrow a state-schema restore failure under
+    * its documented name instead of the raw Spark condition. Every
+    * query THIS module starts is wrapped; wrap user-started session
+    * queries (the sessionizers return Datasets, so their query handle
+    * is user-constructed) the same way:
+    * `EventStream.diagnosed(ds.writeStream…start())`. */
+  def diagnosed(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    new org.apache.spark.sql.streaming.StreamingQuery {
+      private def mapped[T](body: => T): T =
+        try body catch { case t: Throwable => throw diagnoseStateRestore(t) }
+      def name: String = q.name
+      def id: java.util.UUID = q.id
+      def runId: java.util.UUID = q.runId
+      def sparkSession: org.apache.spark.sql.SparkSession = q.sparkSession
+      def isActive: Boolean = q.isActive
+      def exception
+          : Option[org.apache.spark.sql.streaming.StreamingQueryException] =
+        q.exception
+      def status: org.apache.spark.sql.streaming.StreamingQueryStatus =
+        q.status
+      def recentProgress
+          : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+        q.recentProgress
+      def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress =
+        q.lastProgress
+      def awaitTermination(): Unit = mapped(q.awaitTermination())
+      def awaitTermination(timeoutMs: Long): Boolean =
+        mapped(q.awaitTermination(timeoutMs))
+      def processAllAvailable(): Unit = mapped(q.processAllAvailable())
+      def stop(): Unit = q.stop()
+      def explain(): Unit = q.explain()
+      def explain(extended: Boolean): Unit = q.explain(extended)
+    }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionRevEvent(user_id: Long, ts: java.sql.Timestamp,

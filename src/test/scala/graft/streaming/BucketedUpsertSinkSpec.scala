@@ -198,28 +198,68 @@ class BucketedUpsertSinkSpec extends SparkSuite {
   test("a marker-less target holding foreign data is refused, not destroyed") {
     // the auto-clear covers PROVABLE first-write debris only; pointing
     // the sink at an unrelated directory must fail the batch loudly
-    // instead of recursively deleting someone's data
+    // instead of recursively deleting someone's data. Second case: an
+    // UNPARTITIONED parquet table (root part-* files, committed under
+    // marksuccessfuljobs=false so no _SUCCESS) — this sink always
+    // writes partitionBy("part_bucket"), so root part files can never
+    // be its own debris and must be refused too
     val nBuckets = 4
     implicit val enc = org.apache.spark.sql.Encoders.row(EventStream.eventSchema)
-    val base = Files.createTempDirectory("graft-cow-foreign")
-    val target = base.resolve("t")
-    Files.createDirectories(target)
-    Files.write(target.resolve("precious.csv"), "not ours".getBytes)
-    val src = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[Row](spark)
-    val q = EventStream.upsertSinkBucketed(src.toDF(), target.toString,
-      Seq("user_id"), nBuckets, base.resolve("ckpt").toString)(profile)
-    try {
-      src.addData(Seq(ev(1, 1L, 0, "view")))
-      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable()
-      }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-      assert(messages(e).exists(_.contains("refusing to clear")),
-        s"expected the refusal message, got: ${messages(e)}")
-      assert(Files.exists(target.resolve("precious.csv")),
-        "the foreign file must survive the refused batch")
-    } finally q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    for (foreignFile <- Seq("precious.csv", "part-00000-abc.snappy.parquet")) {
+      val base = Files.createTempDirectory("graft-cow-foreign")
+      val target = base.resolve("t")
+      Files.createDirectories(target)
+      Files.write(target.resolve(foreignFile), "not ours".getBytes)
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Row](spark)
+      val q = EventStream.upsertSinkBucketed(src.toDF(), target.toString,
+        Seq("user_id"), nBuckets, base.resolve("ckpt").toString)(profile)
+      try {
+        src.addData(Seq(ev(1, 1L, 0, "view")))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(messages(e).exists(_.contains("refusing to clear")),
+          s"$foreignFile: expected the refusal message, got: ${messages(e)}")
+        assert(Files.exists(target.resolve(foreignFile)),
+          s"$foreignFile must survive the refused batch")
+      } finally q.stop()
+    }
+  }
+
+  test("diagnosed() rethrows a state-schema restore failure under its documented name") {
+    // the sinks return diagnosed-wrapped queries; prove the wrapper
+    // maps the raw Spark condition on the blocking calls using a stub
+    // query (constructing a real v1 checkpoint would test Spark, not
+    // the wiring)
+    val raw = new org.apache.spark.SparkException(
+      "STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE",
+      Map("storedValueSchema" -> "a", "newValueSchema" -> "b"), null)
+    val stub = new org.apache.spark.sql.streaming.StreamingQuery {
+      def name = "stub"; def id = null; def runId = null
+      def sparkSession = spark
+      def isActive = false
+      def exception = None
+      def status = null
+      def recentProgress = Array.empty
+      def lastProgress = null
+      def awaitTermination(): Unit = throw new RuntimeException("wrapped", raw)
+      def awaitTermination(timeoutMs: Long) = throw raw
+      def processAllAvailable(): Unit = throw raw
+      def stop(): Unit = ()
+      def explain(): Unit = ()
+      def explain(extended: Boolean): Unit = ()
+    }
+    val q = EventStream.diagnosed(stub)
+    for (body <- Seq(() => q.awaitTermination(),
+        () => { q.awaitTermination(5L); () },
+        () => q.processAllAvailable())) {
+      val e = intercept[IllegalStateException](body())
+      assert(e.getMessage.contains("state schema is v2"), e.getMessage)
+    }
+    // non-failing delegates pass through
+    assert(!q.isActive && q.name == "stub")
   }
 }
