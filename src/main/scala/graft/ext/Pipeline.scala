@@ -57,10 +57,104 @@ object Pipeline {
             val bytes = MediaDecoder.wavBytes(rate, 1, samples)
             val out = fs.create(
               new org.apache.hadoop.fs.Path(s"$p/$id.wav"), true)
-            out.write(bytes); out.close()
+            // exception-safe: a mid-write failure (disk full, task
+            // kill) must not leak the stream handle into the retry
+            try out.write(bytes) finally out.close()
           }
         }
     }
+
+  /** Last-event-wins per-user profile snapshot over an event slice —
+    * ONE definition (with [[duckUserProfile]] as its oracle twin)
+    * consumed by q_merge_upsert AND q_table_diff, so the two can never
+    * drift on what a "profile" is (they previously carried verbatim
+    * copies; the curationScored/duckCurationScoredFrom pattern). */
+  private def userProfileOf(part: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    part
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("n"))
+  }
+
+  /** DuckDB twin of [[userProfileOf]]: a parenthesized subquery over
+    * `events` with the given (possibly empty) `WHERE …` suffix. */
+  private def duckUserProfile(pred: String): String =
+    s"""(SELECT user_id, ts AS last_ts, event_type AS last_type, n
+       |  FROM (SELECT user_id, ts, event_type,
+       |          row_number() OVER (PARTITION BY user_id
+       |            ORDER BY ts DESC, event_id DESC) AS rn,
+       |          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+       |        FROM events$pred)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** q_pack_sequences body, parameterized on the per-document token
+    * counter (whitespace vs VocabTok) with [[duckPackSequences]] as
+    * the oracle twin — the base query and its _tok variant share ONE
+    * definition of the packing arithmetic, so a budget/chunk-formula
+    * change can never drift between them. */
+  private def packSequences(s: SparkSession, dir: String,
+      tokens: Column): DataFrame = {
+    val budget = 2048
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(32)).as("bucket"),
+        tokens.cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_id",
+        floor((col("cum") - col("n_tokens")) / lit(budget)))
+      .select("doc_id", "bucket", "chunk_id", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  private def duckPackSequences(tokensSql: String): String =
+    s"""WITH d AS (SELECT doc_id, doc_id % 32 AS bucket,
+       |  $tokensSql AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, bucket, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+       |    AS cum FROM d)
+       |SELECT doc_id, bucket,
+       |CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_id,
+       |n_tokens FROM c ORDER BY doc_id""".stripMargin
+
+  /** q_mix_weights body, parameterized the same way: ONE definition of
+    * the fixed-point temperature weighting (floor(√n·10⁶) in
+    * DECIMAL(28,0), exact integer total) for the whitespace and
+    * tokenizer-faithful variants. */
+  private def mixWeights(s: SparkSession, dir: String,
+      tokens: Column): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .withColumn("n_tok", tokens.cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6))
+          .cast(DecimalType(28, 0)))
+    toks
+      .withColumn("w_total", sum(col("w")).over(Window.partitionBy()))
+      .withColumn("share",
+        col("w").cast("double") / col("w_total").cast("double"))
+      .select(col("source"), col("n_tokens"), col("share"))
+      .orderBy("source")
+  }
+
+  private def duckMixWeights(tokensSql: String): String =
+    s"""WITH toks AS (
+       |  SELECT source,
+       |    CAST(SUM($tokensSql) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, n_tokens,
+       |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS DECIMAL(28,0)) AS w
+       |  FROM toks)
+       |SELECT source, n_tokens,
+       |  CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS share
+       |FROM w
+       |ORDER BY source""".stripMargin
 
   /** THE curation scoring: quality (length gate + stopword ratio) and
     * exact-dedup canonical bit per document. One definition consumed by
@@ -250,28 +344,8 @@ object Pipeline {
     // (at 100 TB that means ~10⁵ buckets, not 32) — it is a LITERAL
     // here only because the DuckDB oracle is a static SQL string.
     Q("q_pack_sequences",
-      (s, dir) => {
-        val budget = 2048
-        val w = Window.partitionBy("bucket").orderBy("doc_id")
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            pmod(col("doc_id"), lit(32)).as("bucket"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
-          .withColumn("cum", sum(col("n_tokens")).over(w))
-          .withColumn("chunk_id",
-            floor((col("cum") - col("n_tokens")) / lit(budget)))
-          .select("doc_id", "bucket", "chunk_id", "n_tokens")
-          .orderBy("doc_id")
-      },
-      Some("""WITH d AS (SELECT doc_id, doc_id % 32 AS bucket,
-             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-             |  FROM documents),
-             |c AS (SELECT doc_id, bucket, n_tokens,
-             |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
-             |    AS cum FROM d)
-             |SELECT doc_id, bucket,
-             |CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_id,
-             |n_tokens FROM c ORDER BY doc_id""".stripMargin)),
+      (s, dir) => packSequences(s, dir, size(split(col("text"), " "))),
+      Some(duckPackSequences("CAST(len(string_split(text, ' ')) AS BIGINT)"))),
 
     // ── sequence packing under TOKENIZER budgets: q_pack_sequences ──
     // with the whitespace counter swapped for the VocabTok greedy
@@ -281,30 +355,9 @@ object Pipeline {
     // Same bucket-parallel window shape; the tokenizer is cross-engine
     // exact, so the oracle is full-fidelity.
     Q("q_pack_sequences_tok",
-      (s, dir) => {
-        val budget = 2048
-        val w = Window.partitionBy("bucket").orderBy("doc_id")
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            pmod(col("doc_id"), lit(32)).as("bucket"),
-            regexp_count(col("text"),
-              lit(graft.functions.VocabTok.sparkPattern)).cast("long")
-              .as("n_tokens"))
-          .withColumn("cum", sum(col("n_tokens")).over(w))
-          .withColumn("chunk_id",
-            floor((col("cum") - col("n_tokens")) / lit(budget)))
-          .select("doc_id", "bucket", "chunk_id", "n_tokens")
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH d AS (SELECT doc_id, doc_id % 32 AS bucket,
-             |  ${graft.functions.VocabTok.duck("text")} AS n_tokens
-             |  FROM documents),
-             |c AS (SELECT doc_id, bucket, n_tokens,
-             |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
-             |    AS cum FROM d)
-             |SELECT doc_id, bucket,
-             |CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_id,
-             |n_tokens FROM c ORDER BY doc_id""".stripMargin)),
+      (s, dir) => packSequences(s, dir, regexp_count(col("text"),
+        lit(graft.functions.VocabTok.sparkPattern))),
+      Some(duckPackSequences(graft.functions.VocabTok.duck("text")))),
 
     // ── deterministic stratified train/val/test split ──
     // The assignment every training pipeline needs BEFORE any of the
@@ -547,8 +600,10 @@ object Pipeline {
              |    AS n_bytes,
              |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
-             |  CAST(64 * list_sum(list_transform(range(1, length(text) + 1),
-             |    i -> ord(substr(text, i, 1)))) AS BIGINT) AS sample_sum
+             |  CAST(64 * coalesce(
+             |    list_sum(list_transform(range(1, length(text) + 1),
+             |      i -> ord(substr(text, i, 1)))), 0) AS BIGINT)
+             |    AS sample_sum
              |FROM documents WHERE doc_id % 50 = 0
              |ORDER BY asset_id""".stripMargin)),
 
@@ -679,32 +734,8 @@ object Pipeline {
     // that carries it is bounded by the number of SOURCES (20 here,
     // thousands at most in production — never row-scaled).
     Q("q_mix_weights",
-      (s, dir) => {
-        val toks = t(s, dir, "documents")
-          .withColumn("ws_tokens", expr("size(split(text, ' '))").cast("long"))
-          .groupBy(col("source"))
-          .agg(sum(col("ws_tokens")).as("n_tokens"))
-          .withColumn("w",
-            floor(sqrt(col("n_tokens").cast("double")) * lit(1e6))
-              .cast(DecimalType(28, 0)))
-        toks
-          .withColumn("w_total", sum(col("w")).over(Window.partitionBy()))
-          .withColumn("share",
-            col("w").cast("double") / col("w_total").cast("double"))
-          .select(col("source"), col("n_tokens"), col("share"))
-          .orderBy("source")
-      },
-      Some("""WITH toks AS (
-             |  SELECT source,
-             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-             |  FROM documents GROUP BY source),
-             |w AS (SELECT source, n_tokens,
-             |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS DECIMAL(28,0)) AS w
-             |  FROM toks)
-             |SELECT source, n_tokens,
-             |  CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS share
-             |FROM w
-             |ORDER BY source""".stripMargin)),
+      (s, dir) => mixWeights(s, dir, expr("size(split(text, ' '))")),
+      Some(duckMixWeights("len(string_split(text, ' '))"))),
 
     // ── mix weights under TOKENIZER-faithful budgets: the q_mix_weights ──
     // recipe with the whitespace counter swapped for the VocabTok
@@ -715,35 +746,9 @@ object Pipeline {
     // fixed-point temperature weighting, same oracle discipline (the
     // tokenizer is cross-engine exact, see VocabTok).
     Q("q_mix_weights_tok",
-      (s, dir) => {
-        val toks = t(s, dir, "documents")
-          .withColumn("n_tok",
-            regexp_count(col("text"),
-              lit(graft.functions.VocabTok.sparkPattern)).cast("long"))
-          .groupBy(col("source"))
-          .agg(sum(col("n_tok")).as("n_tokens"))
-          .withColumn("w",
-            floor(sqrt(col("n_tokens").cast("double")) * lit(1e6))
-              .cast(DecimalType(28, 0)))
-        toks
-          .withColumn("w_total", sum(col("w")).over(Window.partitionBy()))
-          .withColumn("share",
-            col("w").cast("double") / col("w_total").cast("double"))
-          .select(col("source"), col("n_tokens"), col("share"))
-          .orderBy("source")
-      },
-      Some(s"""WITH toks AS (
-             |  SELECT source,
-             |    CAST(SUM(${graft.functions.VocabTok.duck("text")}) AS BIGINT)
-             |      AS n_tokens
-             |  FROM documents GROUP BY source),
-             |w AS (SELECT source, n_tokens,
-             |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS DECIMAL(28,0)) AS w
-             |  FROM toks)
-             |SELECT source, n_tokens,
-             |  CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS share
-             |FROM w
-             |ORDER BY source""".stripMargin)),
+      (s, dir) => mixWeights(s, dir, regexp_count(col("text"),
+        lit(graft.functions.VocabTok.sparkPattern))),
+      Some(duckMixWeights(graft.functions.VocabTok.duck("text")))),
 
     // ── the end-to-end curation funnel: corpus in, training set out ──
     // ONE declared lazy plan chaining the stages a production pipeline
@@ -839,8 +844,16 @@ object Pipeline {
           .incrementalNearDupsAgainst(exactNew, bandIdx, 0.8)
           .select("doc_id").distinct()
         val fresh = exactNew.join(nearDup, Seq("doc_id"), "left_anti")
+        // cached: consumed three times (Merge's key check, the merged
+        // plan, the n_new join-back) — without this the band probe +
+        // verify + anti-join subtree re-executes per consumer. cache()
+        // (lazy), NOT localCheckpoint: the plan keeps its artifact
+        // lineage, which PipelineIncrementalSpec pins (scans = band
+        // index + hash table + profile + increment, never corpus
+        // documents); at most one row per language
         val incProf = fresh.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .cache()
         val add = (tc: Column, u: Column) =>
           coalesce(tc, lit(0L)) + coalesce(u, lit(0L))
         val merged = graft.engine.Merge.upsert(
@@ -898,37 +911,17 @@ object Pipeline {
     Q("q_merge_upsert",
       (s, dir) => {
         val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
-        def profile(part: DataFrame): DataFrame = {
-          val w = Window.partitionBy(col("user_id"))
-            .orderBy(col("ts").desc, col("event_id").desc)
-          part
-            .withColumn("rn", row_number().over(w))
-            .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
-            .filter(col("rn") === 1)
-            .select(col("user_id"), col("ts").as("last_ts"),
-              col("event_type").as("last_type"), col("n"))
-        }
         val ev = t(s, dir, "events")
         graft.engine.Merge.upsert(
-          profile(ev.filter(col("ts") < cutoff)),
-          profile(ev.filter(col("ts") >= cutoff)),
+          userProfileOf(ev.filter(col("ts") < cutoff)),
+          userProfileOf(ev.filter(col("ts") >= cutoff)),
           Seq("user_id"))
           .orderBy("user_id")
       },
-      Some("""WITH tp AS (SELECT user_id, ts AS last_ts, event_type AS last_type, n
-             |  FROM (SELECT user_id, ts, event_type,
-             |          row_number() OVER (PARTITION BY user_id
-             |            ORDER BY ts DESC, event_id DESC) AS rn,
-             |          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
-             |        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
-             |  WHERE rn = 1),
-             |up AS (SELECT user_id, ts AS last_ts, event_type AS last_type, n
-             |  FROM (SELECT user_id, ts, event_type,
-             |          row_number() OVER (PARTITION BY user_id
-             |            ORDER BY ts DESC, event_id DESC) AS rn,
-             |          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
-             |        FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
-             |  WHERE rn = 1)
+      Some(s"""WITH tp AS ${duckUserProfile(
+              " WHERE ts < TIMESTAMP '2024-01-16 00:00:00'")},
+             |up AS ${duckUserProfile(
+              " WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'")}
              |SELECT COALESCE(u.user_id, t.user_id) AS user_id,
              |  CASE WHEN u.user_id IS NOT NULL THEN u.last_ts ELSE t.last_ts END AS last_ts,
              |  CASE WHEN u.user_id IS NOT NULL THEN u.last_type ELSE t.last_type END AS last_type,
@@ -948,19 +941,9 @@ object Pipeline {
     Q("q_table_diff",
       (s, dir) => {
         val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
-        def profile(part: DataFrame): DataFrame = {
-          val w = Window.partitionBy(col("user_id"))
-            .orderBy(col("ts").desc, col("event_id").desc)
-          part
-            .withColumn("rn", row_number().over(w))
-            .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
-            .filter(col("rn") === 1)
-            .select(col("user_id"), col("ts").as("last_ts"),
-              col("event_type").as("last_type"), col("n"))
-        }
         val ev = t(s, dir, "events")
-        val a = profile(ev.filter(col("ts") < cutoff))
-        val b = profile(ev)
+        val a = userProfileOf(ev.filter(col("ts") < cutoff))
+        val b = userProfileOf(ev)
         val diffs = array(
           when(!(col("a.last_ts") <=> col("b.last_ts")), lit("last_ts")),
           when(!(col("a.last_type") <=> col("b.last_type")), lit("last_type")),
@@ -981,20 +964,9 @@ object Pipeline {
           .filter(col("status") =!= "same")
           .orderBy("user_id")
       },
-      Some("""WITH tp AS (SELECT user_id, ts AS last_ts, event_type AS last_type, n
-             |  FROM (SELECT user_id, ts, event_type,
-             |          row_number() OVER (PARTITION BY user_id
-             |            ORDER BY ts DESC, event_id DESC) AS rn,
-             |          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
-             |        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
-             |  WHERE rn = 1),
-             |up AS (SELECT user_id, ts AS last_ts, event_type AS last_type, n
-             |  FROM (SELECT user_id, ts, event_type,
-             |          row_number() OVER (PARTITION BY user_id
-             |            ORDER BY ts DESC, event_id DESC) AS rn,
-             |          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
-             |        FROM events)
-             |  WHERE rn = 1),
+      Some(s"""WITH tp AS ${duckUserProfile(
+              " WHERE ts < TIMESTAMP '2024-01-16 00:00:00'")},
+             |up AS ${duckUserProfile("")},
              |j AS (SELECT COALESCE(a.user_id, b.user_id) AS user_id,
              |  CASE WHEN a.user_id IS NULL THEN 'only_b'
              |       WHEN b.user_id IS NULL THEN 'only_a'
@@ -1111,18 +1083,25 @@ object Pipeline {
             "chunk_hash")
           .orderBy("doc_id", "chunk_idx")
       },
+      // chunk indices via unnest(range(...)) — per-document, UNCAPPED,
+      // matching the Spark side's sequence() exactly (a previous fixed
+      // generate_series(0, 8) cross join silently capped the oracle at
+      // 9 chunks, i.e. 217+-token documents would have mis-oracled;
+      // generate_series cannot take lateral column args in DuckDB,
+      // range() as a scalar list can)
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-             |  FROM documents)
-             |SELECT d.doc_id, CAST(i.i AS BIGINT) AS chunk_idx,
-             |  CAST(i.i * 24 AS BIGINT) AS start_tok,
-             |  CAST(LEAST(32, n - i.i * 24) AS BIGINT) AS chunk_tokens,
+             |  FROM documents),
+             |c AS (SELECT doc_id, toks, n,
+             |  unnest(range(0, (n - 1) // 24 + 1)) AS i FROM d)
+             |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             |  CAST(i * 24 AS BIGINT) AS start_tok,
+             |  CAST(LEAST(32, n - i * 24) AS BIGINT) AS chunk_tokens,
              |  md5(array_to_string(
-             |    toks[CAST(i.i * 24 + 1 AS BIGINT)
-             |         : CAST(i.i * 24 + LEAST(32, n - i.i * 24) AS BIGINT)],
+             |    toks[CAST(i * 24 + 1 AS BIGINT)
+             |         : CAST(i * 24 + LEAST(32, n - i * 24) AS BIGINT)],
              |    ' ')) AS chunk_hash
-             |FROM d, generate_series(0, 8) i(i)
-             |WHERE i.i <= (n - 1) // 24
+             |FROM c
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // ── incremental view maintenance: fold of increments == recompute ──

@@ -18,11 +18,27 @@ class PipelineIncrementalSpec extends SparkSuite {
   test("daily plan reads artifacts + increment only — never corpus documents") {
     val df = graft.SparkEntry.queries("q_pipeline_incremental")(spark, dir)
     // sparkPlan, not executedPlan: AQE wraps the tree in an
-    // AdaptiveSparkPlanExec whose collect() doesn't descend
-    val scans = df.queryExecution.sparkPlan.collect {
-      case f: FileSourceScanExec =>
-        f.relation.location.rootPaths.map(_.toString)
-    }.flatten
+    // AdaptiveSparkPlanExec whose collect() doesn't descend. The
+    // fan-out aggregate (incProf) is cache()d — consumed three times —
+    // so the walk must also descend through InMemoryTableScanExec into
+    // the cached plan: what the cache READS is still part of what the
+    // daily plan reads
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString).toSeq
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          fileScans(m.relation.cachedPlan)
+        // the cached plan is itself AQE-wrapped (collect does not
+        // descend into AdaptiveSparkPlanExec's inner tree). initialPlan,
+        // not executedPlan: the cache is materialized eagerly by the
+        // query's key check, and AQE's FINAL plan can legitimately
+        // elide scans (an empty anti-join side folds the join away),
+        // while the initial plan is what the query DECLARES it reads
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          fileScans(a.initialPlan)
+      }.flatten
+    val scans = fileScans(df.queryExecution.sparkPlan)
     assert(scans.nonEmpty, "expected artifact file scans in the daily plan")
     assert(!scans.exists(_.contains("documents.parquet")),
       s"daily plan scanned corpus documents: ${scans.mkString(", ")}")
