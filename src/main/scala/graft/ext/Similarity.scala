@@ -58,6 +58,12 @@ object Similarity {
     * for mass duplication. */
   val lshBucketCap = 256
 
+  /** Embedding near-dup cosine threshold — ONE definition interpolated
+    * into the [[fullVectorPairs]] builder AND every DuckDB oracle that
+    * replays it (pair report, resolve, incremental, DBSCAN ε-graph), so
+    * the artifact and its oracles cannot drift on the gate. */
+  val embedDupCos = 0.4
+
   /** Shared embedding prep (double cast + norm) — package-visible so
     * the recall harness/specs measure against the exact production
     * pipeline rather than a hand-rolled copy that can drift. */
@@ -85,8 +91,22 @@ object Similarity {
        |    list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
        |    (acc, x) -> acc + x) END)""".stripMargin
 
+  /** Cosine with a zero-norm guard. A zero embedding (the common
+    * missing-value fill in real corpora) otherwise yields 0/0 = NaN,
+    * and NaN sorts as the LARGEST double in both engines — so one junk
+    * vector would top every ANN top-k list and pass every `cos >=
+    * threshold` dedup gate (NaN >= x is true in the DESC-sort world
+    * both sides use). Similarity to nothing is 0. [[duckCos]] is the
+    * oracle twin; fixture embeddings have no zero norms (full or
+    * truncated prefixes), so every pinned hash is unchanged. */
   private def cosine(aE: Column, aN: Column, bE: Column, bN: Column): Column =
-    vec_dot(aE, bE) / (aN * bN)
+    when(aN * bN === 0.0, lit(0.0))
+      .otherwise(vec_dot(aE, bE) / (aN * bN))
+
+  /** DuckDB twin of [[cosine]] (same zero-norm guard). */
+  private def duckCos(ae: String, an: String, be: String, bn: String): String =
+    s"""(CASE WHEN $an * $bn = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE ${duckDot(ae, be)} / ($an * $bn) END)""".stripMargin
 
   // ── deterministic k-means (Lloyd) for the IVF codebook ──
   //
@@ -94,8 +114,8 @@ object Similarity {
   // vectors as centroids; each step assigns every vector to the
   // centroid minimizing the Euclidean distance key
   // `dot(c,c) - 2*dot(x,c)` (ties on lowest cid) and recomputes
-  // dimension-wise means with DECIMAL(18,9) accumulation (order-
-  // independent exact sums, one deterministic cast back to double) —
+  // dimension-wise means with floor(x·10⁹) fixed-point accumulation
+  // (order-independent exact integer sums, deterministic divisions) —
   // so Spark and the DuckDB oracle derive bit-identical codebooks,
   // assignments, and therefore identical IVF results. At cluster scale
   // the fit runs on a sample (centroid count and iteration count are
@@ -143,13 +163,23 @@ object Similarity {
       .filter(col("rn") === 1)
       .select("vec_id", "cid")
 
-  /** Dimension-wise decimal-exact means of each cluster. */
+  /** Dimension-wise fixed-point-exact means of each cluster. The
+    * accumulation quantizes each element with `floor(x·10⁹)` into
+    * DECIMAL(38,0) (exact, order-free integer sums; HUGEINT on the
+    * DuckDB side) — the Holt-backtest idiom — NOT a double→DECIMAL
+    * cast: a value landing exactly on a 9-decimal tie (any odd
+    * multiple of 2⁻¹⁰, representable in float) rounds HALF_UP in
+    * Spark but half-even in DuckDB, diverging the codebook by one
+    * quantum and every downstream assignment with it (the
+    * q_cluster_outlier lesson). floor of the identical IEEE product
+    * is bit-equal on both engines; the mean is two deterministic
+    * double divisions in fixed order. */
   private def centroidsOf(v: DataFrame, assign: DataFrame): DataFrame =
     assign.join(v.select("vec_id", "e"), "vec_id")
       .select(col("cid"), posexplode(col("e")))
       .groupBy(col("cid"), col("pos"))
-      .agg((sum(col("col").cast(DecimalType(18, 9))).cast("double") /
-        count(lit(1))).as("m"))
+      .agg((sum(floor(col("col") * lit(1e9)).cast(DecimalType(38, 0)))
+        .cast("double") / count(lit(1)) / lit(1e9)).as("m"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
         .as("ce"))
@@ -231,10 +261,16 @@ object Similarity {
   /** The shared Scratch-cached [[buildIvfIndex]] artifact every IVF
     * consumer (q_ann_ivf_sampled, q_cluster_balance, q_silhouette,
     * q_cluster_outlier) resolves — one build per (root, corpus,
-    * layout); the declared-layout fingerprint rides the key. */
+    * layout); the declared-layout fingerprint rides the key, and so do
+    * the ALGORITHM constants (k, iteration count, sample modulus, the
+    * mean-arithmetic version tag): the schema alone cannot tell two
+    * parameterizations apart, so a durable root would otherwise keep
+    * serving the stale fit after a constant change (the same rule
+    * applies to vec_pairs and both LSH index keys below). */
   private def ivfIdxArtifact(s: SparkSession, dir: String): String =
     graft.engine.Scratch.cached("ivf_idx",
-      s"$dir outs=${graft.engine.Scratch.outsKey(ivfIndexOuts)}") { path =>
+      s"$dir outs=${graft.engine.Scratch.outsKey(ivfIndexOuts)} " +
+        s"k=$ivfK iters=$ivfIters mod=$ivfSampleMod mean=fx9") { path =>
       buildIvfIndex(emb(s, dir).select("vec_id", "e", "nrm")
         .localCheckpoint(true), path, ivfSampleMod)
     }
@@ -250,7 +286,8 @@ object Similarity {
     * q_ann_ivf_sampled). */
   private def ivfIdxFullArtifact(s: SparkSession, dir: String): String =
     graft.engine.Scratch.cached("ivf_idx_full",
-      s"$dir outs=${graft.engine.Scratch.outsKey(ivfIndexOuts)}") { path =>
+      s"$dir outs=${graft.engine.Scratch.outsKey(ivfIndexOuts)} " +
+        s"k=$ivfK iters=$ivfIters mean=fx9") { path =>
       val v = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
       val (cent, cells) = kmeansFit(v)
       writeIvfIndex(cent, cells, path)
@@ -280,8 +317,8 @@ object Similarity {
        |    FROM $fit v CROSS JOIN (
        |      SELECT iter, cid, list(m ORDER BY d) AS ce FROM (
        |        SELECT a.iter, a.cid, t.d,
-       |          CAST(SUM(CAST(v2.e[t.d] AS DECIMAL(18,9))) AS DOUBLE)
-       |            / COUNT(*) AS m
+       |          CAST(SUM(CAST(floor(v2.e[t.d] * 1e9) AS HUGEINT)) AS DOUBLE)
+       |            / COUNT(*) / 1e9 AS m
        |        FROM assign a JOIN $fit v2 ON v2.vec_id = a.vec_id
        |        CROSS JOIN range(1, 65) t(d)
        |        GROUP BY a.iter, a.cid, t.d)
@@ -292,8 +329,8 @@ object Similarity {
        |cent AS (
        |  SELECT cid, list(m ORDER BY d) AS ce FROM (
        |    SELECT a.cid, t.d,
-       |      CAST(SUM(CAST(v2.e[t.d] AS DECIMAL(18,9))) AS DOUBLE)
-       |        / COUNT(*) AS m
+       |      CAST(SUM(CAST(floor(v2.e[t.d] * 1e9) AS HUGEINT)) AS DOUBLE)
+       |        / COUNT(*) / 1e9 AS m
        |    FROM af a JOIN $fit v2 ON v2.vec_id = a.vec_id
        |    CROSS JOIN range(1, 65) t(d)
        |    GROUP BY a.cid, t.d)
@@ -321,8 +358,16 @@ object Similarity {
     * the broadcast codebook, candidates come from the cell equi-join,
     * exact cosine re-rank, top-5. Works identically whether cent/cells
     * were just trained or read from a parquet artifact. */
-  private[ext] def ivfProbe(v: DataFrame, cent: DataFrame,
+  private[ext] def ivfProbe(v0: DataFrame, cent: DataFrame,
       cells: DataFrame): DataFrame = {
+    // materialize the corpus prep once: v is referenced THREE times
+    // (probe filter, candidate join-back, query side) — lazily each
+    // reference replays the parquet scan + double-cast + norm (the
+    // lshMultiRank/componentsOf lesson, previously paid ~3 corpus
+    // scans per probe). Same bound as the LSH rankers' v0 contract:
+    // the embedding working set, already checkpointed by every other
+    // ANN path.
+    val v = v0.localCheckpoint(true)
     val probes = explodeCentroids(
         v.filter(col("vec_id") >= 100 && col("vec_id") < 108), cent)
       .withColumn("dk", distKey(col("e"), col("ce")))
@@ -356,7 +401,7 @@ object Similarity {
        |cand AS (SELECT p.query_id, a.vec_id FROM cells a JOIN probes p USING (cid)
        |         WHERE a.vec_id <> p.query_id),
        |scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
-       |  ${duckDot("qv.e", "nv.e")} / (qv.nrm * nv.nrm) AS cos
+       |  ${duckCos("qv.e", "qv.nrm", "nv.e", "nv.nrm")} AS cos
        |  FROM cand
        |  JOIN v qv ON qv.vec_id = cand.query_id
        |  JOIN v nv ON nv.vec_id = cand.vec_id),
@@ -538,10 +583,12 @@ object Similarity {
 
   def fullVectorPairs(s: SparkSession, dir: String): String =
     graft.engine.Scratch.cached("vec_pairs",
-      s"$dir schema=${graft.engine.Scratch.schemaKey(vecPairsOut)}") { path =>
+      s"$dir schema=${graft.engine.Scratch.schemaKey(vecPairsOut)} " +
+        s"thr=$embedDupCos lsh=${lshTables}x$lshPlanesPerTable " +
+        s"cap=$lshBucketCap seed=42") { path =>
       val v = emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true)
       graft.engine.Scratch.writeDeclared(
-        cosineVerifiedPairs(v, 0.4).select("id1", "id2", "cos"),
+        cosineVerifiedPairs(v, embedDupCos).select("id1", "id2", "cos"),
         vecPairsOut, path)
     }
 
@@ -580,7 +627,7 @@ object Similarity {
     * consumers apply their threshold). */
   private def duckCosineVerified: String =
     s"""vp AS (SELECT id1, id2,
-       |  ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+       |  ${duckCos("a.e", "a.nrm", "b.e", "b.nrm")} AS cos
        |  FROM cand JOIN v a ON a.vec_id = cand.id1
        |            JOIN v b ON b.vec_id = cand.id2)""".stripMargin
 
@@ -618,7 +665,7 @@ object Similarity {
         s"""WITH v AS ($duckEmb),
            |$duckLshCandidatePairs,
            |$duckCosineVerified
-           |SELECT id1, id2, cos FROM vp WHERE cos >= 0.4
+           |SELECT id1, id2, cos FROM vp WHERE cos >= $embedDupCos
            |ORDER BY id1, id2""".stripMargin)),
 
     // ── embedding dedup end-to-end: candidates → cosine verify → ──
@@ -641,7 +688,7 @@ object Similarity {
         s"""WITH RECURSIVE v AS ($duckEmb),
            |$duckLshCandidatePairs,
            |$duckCosineVerified,
-           |vpt AS (SELECT id1, id2 FROM vp WHERE cos >= 0.4),
+           |vpt AS (SELECT id1, id2 FROM vp WHERE cos >= $embedDupCos),
            |${Dedup.duckClosure("vpt")}
            |SELECT d.vec_id,
            |  coalesce(c.lbl, d.vec_id) AS keep_id,
@@ -658,7 +705,7 @@ object Similarity {
         s"""WITH v AS ($duckEmb),
            |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 8),
            |p AS (SELECT q.query_id, v.vec_id AS neighbor_id,
-           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  ${duckCos("qe", "qn", "e", "nrm")} AS cos
            |  FROM v JOIN q ON v.vec_id <> q.query_id),
            |r AS (SELECT query_id, neighbor_id, cos,
            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
@@ -710,12 +757,12 @@ object Similarity {
            |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, et AS qet,
            |  nt AS qnt FROM t WHERE vec_id < 8),
            |s1 AS (SELECT q.query_id, t.vec_id, t.e, t.nrm, q.qe, q.qn,
-           |  ${duckDot("qet", "et")} / (qnt * nt) AS tcos
+           |  ${duckCos("qet", "qnt", "et", "nt")} AS tcos
            |  FROM t JOIN q ON t.vec_id <> q.query_id),
            |c AS (SELECT *, row_number() OVER (PARTITION BY query_id
            |  ORDER BY tcos DESC, vec_id) AS crk FROM s1),
            |r0 AS (SELECT query_id, vec_id AS neighbor_id,
-           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  ${duckCos("qe", "qn", "e", "nrm")} AS cos
            |  FROM c WHERE crk <= 50),
            |r AS (SELECT query_id, neighbor_id, cos,
            |  row_number() OVER (PARTITION BY query_id
@@ -861,7 +908,7 @@ object Similarity {
            |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
            |  FROM v) WHERE rn <= $lshBucketCap),
            |p AS (SELECT q.query_id, vc.vec_id AS neighbor_id,
-           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  ${duckCos("qe", "qn", "e", "nrm")} AS cos
            |  FROM vc JOIN q USING (bucket) WHERE vc.vec_id <> q.query_id),
            |r AS (SELECT query_id, neighbor_id, cos,
            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
@@ -892,7 +939,9 @@ object Similarity {
     Q("q_ann_lsh_idx",
       (s, dir) => {
         val idx = graft.engine.Scratch.cached("lsh_idx",
-          s"$dir outs=${graft.engine.Scratch.outsKey(lshIndexOuts)}") { path =>
+          s"$dir outs=${graft.engine.Scratch.outsKey(lshIndexOuts)} " +
+            s"lsh=${lshTables}x$lshPlanesPerTable cap=$lshBucketCap " +
+            "seed=42") { path =>
           buildLshIndex(
             emb(s, dir).select("vec_id", "e", "nrm").localCheckpoint(true),
             path)
@@ -917,7 +966,9 @@ object Similarity {
       (s, dir) => {
         val all = emb(s, dir).select("vec_id", "e", "nrm")
         val idx = graft.engine.Scratch.cached("lsh_idx_corpus",
-          s"$dir outs=${graft.engine.Scratch.outsKey(lshIndexOuts)}") { path =>
+          s"$dir outs=${graft.engine.Scratch.outsKey(lshIndexOuts)} " +
+            s"lsh=${lshTables}x$lshPlanesPerTable cap=$lshBucketCap " +
+            "seed=42") { path =>
           buildLshIndex(
             all.filter(col("vec_id") % 10 =!= 7).localCheckpoint(true), path)
         }
@@ -932,7 +983,7 @@ object Similarity {
           .join(inc.select(col("vec_id").as("inc_id"), col("e").as("qe"),
             col("nrm").as("qn")), "inc_id")
           .withColumn("cos", cosine(col("qe"), col("qn"), col("ce"), col("cn")))
-          .filter(col("cos") >= 0.4)
+          .filter(col("cos") >= embedDupCos)
           .select(col("inc_id").as("vec_id"), col("dup_of"), col("cos"))
           .orderBy("vec_id", "dup_of")
       },
@@ -949,11 +1000,11 @@ object Similarity {
            |pairs AS (SELECT DISTINCT inc_id, bc.vec_id AS dup_of
            |  FROM bc JOIN ib USING (bucket)),
            |scored AS (SELECT p.inc_id AS vec_id, p.dup_of,
-           |  ${duckDot("qv.e", "nv.e")} / (qv.nrm * nv.nrm) AS cos
+           |  ${duckCos("qv.e", "qv.nrm", "nv.e", "nv.nrm")} AS cos
            |  FROM pairs p
            |  JOIN v qv ON qv.vec_id = p.inc_id
            |  JOIN v nv ON nv.vec_id = p.dup_of)
-           |SELECT vec_id, dup_of, cos FROM scored WHERE cos >= 0.4
+           |SELECT vec_id, dup_of, cos FROM scored WHERE cos >= $embedDupCos
            |ORDER BY vec_id, dup_of""".stripMargin)),
 
     // ── cluster-balanced curation (SemDeDup / DoReMi-style mixing) ──
@@ -1031,7 +1082,7 @@ object Similarity {
            |bq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v
            |       WHERE vec_id < 8),
            |bp AS (SELECT q.query_id, v2.vec_id AS neighbor_id,
-           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  ${duckCos("qe", "qn", "e", "nrm")} AS cos
            |  FROM v v2 JOIN bq q ON v2.vec_id <> q.query_id),
            |br AS (SELECT query_id, neighbor_id,
            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
@@ -1093,7 +1144,7 @@ object Similarity {
            |q AS (SELECT vec_id AS query_id, label AS true_label,
            |  e AS qe, nrm AS qn FROM v WHERE vec_id % 10 = 0),
            |p AS (SELECT q.query_id, q.true_label, v.label, v.vec_id,
-           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  ${duckCos("qe", "qn", "e", "nrm")} AS cos
            |  FROM v JOIN q ON v.vec_id <> q.query_id),
            |r AS (SELECT query_id, true_label, label,
            |  row_number() OVER (PARTITION BY query_id
@@ -1342,7 +1393,7 @@ object Similarity {
            |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v
            |      WHERE vec_id < 4),
            |sc AS (SELECT q.query_id, v.vec_id AS neighbor_id,
-           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  ${duckCos("qe", "qn", "e", "nrm")} AS cos
            |  FROM v JOIN q ON v.vec_id <> q.query_id),
            |c AS (SELECT query_id, neighbor_id, cos FROM (
            |    SELECT query_id, neighbor_id, cos,
@@ -1351,7 +1402,7 @@ object Similarity {
            |  WHERE rnk <= 8),
            |p AS (SELECT ca.query_id AS pq, ca.neighbor_id AS a,
            |    cb.neighbor_id AS b,
-           |    ${duckDot("va.e", "vb.e")} / (va.nrm * vb.nrm) AS sim
+           |    ${duckCos("va.e", "va.nrm", "vb.e", "vb.nrm")} AS sim
            |  FROM c ca JOIN c cb ON ca.query_id = cb.query_id
            |    AND ca.neighbor_id <> cb.neighbor_id
            |  JOIN v va ON va.vec_id = ca.neighbor_id
@@ -1370,8 +1421,8 @@ object Similarity {
       }),
 
     // ── DBSCAN-style density clustering over the pair artifact ──
-    // Density clustering without k: a vector is CORE when it has ≥ 3
-    // cosine-0.4 neighbors (the ε-graph IS the persisted
+    // Density clustering without k: a vector is CORE when it has ≥ 2
+    // cosine-[[embedDupCos]] neighbors (the ε-graph IS the persisted
     // [[fullVectorPairs]] artifact — the expensive stage is already
     // paid and shared with q_dedup_embed/_resolve); clusters are
     // connected components of the core-core subgraph
@@ -1423,7 +1474,7 @@ object Similarity {
         s"""WITH RECURSIVE v AS ($duckEmb),
            |$duckLshCandidatePairs,
            |$duckCosineVerified,
-           |vpt AS (SELECT id1, id2 FROM vp WHERE cos >= 0.4),
+           |vpt AS (SELECT id1, id2 FROM vp WHERE cos >= $embedDupCos),
            |und AS (SELECT id1 AS n, id2 AS d FROM vpt
            |        UNION ALL SELECT id2, id1 FROM vpt),
            |core AS (SELECT n FROM (
@@ -1485,7 +1536,7 @@ object Similarity {
            |bq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v
            |       WHERE vec_id < 8),
            |bp AS (SELECT q.query_id, v2.vec_id AS neighbor_id,
-           |  ${duckDot("qe", "e")} / (qn * nrm) AS cos
+           |  ${duckCos("qe", "qn", "e", "nrm")} AS cos
            |  FROM v v2 JOIN bq q ON v2.vec_id <> q.query_id),
            |br AS (SELECT query_id, neighbor_id,
            |  row_number() OVER (PARTITION BY query_id
@@ -1530,7 +1581,7 @@ object Similarity {
        |pairs AS (SELECT DISTINCT qb.query_id, bc.vec_id
        |  FROM bc JOIN qb USING (bucket) WHERE bc.vec_id <> qb.query_id),
        |scored AS (SELECT p.query_id, p.vec_id AS neighbor_id,
-       |  ${duckDot("qv.e", "nv.e")} / (qv.nrm * nv.nrm) AS cos
+       |  ${duckCos("qv.e", "qv.nrm", "nv.e", "nv.nrm")} AS cos
        |  FROM pairs p
        |  JOIN v qv ON qv.vec_id = p.query_id
        |  JOIN v nv ON nv.vec_id = p.vec_id),
