@@ -79,6 +79,11 @@ object Dedup {
     */
   val bucketCap = 64
 
+  /** q_entity_resolve's supplier-id offset into the unified entity-id
+    * space: 10^12 clears any reachable TPC-H key (custkey = 150k x sf)
+    * where the previous 10^6 collided from sf >= 7 onward. */
+  private val EntityOffset = 1000000000000L
+
   /** THE skew-cap idiom, shared by every candidate generator (band
     * buckets, incremental corpus buckets, LSH sign buckets): bucket
     * membership ranked deterministically by `orderCol`, truncated at
@@ -122,9 +127,19 @@ object Dedup {
 
   /** (doc_id, hs) → exploded (doc_id, band, sig) band signatures for an
     * arbitrary (perms, bands × rowsPerBand) LSH configuration. */
-  def bandBucketsParam(sh: DataFrame, ps: Seq[(Long, Long)],
+  def bandBucketsParam(sh0: DataFrame, ps: Seq[(Long, Long)],
       bands: Int, rowsPerBand: Int): DataFrame = {
     require(ps.size >= bands * rowsPerBand, "not enough permutations")
+    // a NULL/empty shingle array (null or too-short text on arbitrary
+    // "documents-shaped" production frames) yields all-NULL minhashes,
+    // and Spark's concat_ws SWALLOWS nulls — every such doc would land
+    // in one shared "" signature bucket and cross-pair, while the
+    // DuckDB twins' `||` propagates NULL and never pairs them. Neither
+    // has shingles to verify against, so the correct semantics on both
+    // engines is "no shingles, no buckets" (size(NULL) is NULL here,
+    // so the predicate drops both shapes; fixture docs all have >= 10
+    // words — no pinned hash moves)
+    val sh = sh0.filter(size(col("hs")) > 0)
     val sig = sh.select(
       col("doc_id") +:
         ps.zipWithIndex.map { case ((a, b), i) =>
@@ -145,17 +160,21 @@ object Dedup {
 
   /** [[bandCandidates]] for an arbitrary LSH configuration. */
   def bandCandidatesParam(sh: DataFrame, ps: Seq[(Long, Long)], bands: Int,
-      rowsPerBand: Int, cap: Int = bucketCap): DataFrame = {
-    val capped = capBuckets(bandBucketsParam(sh, ps, bands, rowsPerBand),
-      Seq("band", "sig"), "doc_id", cap)
-    val a = capped.as("a")
-    val b = capped.as("b")
-    a.join(b,
+      rowsPerBand: Int, cap: Int = bucketCap): DataFrame =
+    pairsOf(capBuckets(bandBucketsParam(sh, ps, bands, rowsPerBand),
+      Seq("band", "sig"), "doc_id", cap))
+
+  /** Capped (doc_id, band, sig) bucket rows → distinct candidate pairs
+    * (id1 < id2): ONE definition of the pair self-join, consumed by
+    * the in-query generator ([[bandCandidatesParam]]) and the
+    * persisted-index generator ([[candidatesFromIndex]]) so pair
+    * semantics can never drift between them. */
+  private def pairsOf(capped: DataFrame): DataFrame =
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-  }
 
   /** Candidate near-dup pairs (id1 < id2) via the skew-capped
     * band-bucket equi-join. This is THE candidate generator: both the
@@ -196,17 +215,12 @@ object Dedup {
        |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
-  /** DuckDB transitive-closure CTE bodies over a pair relation
-    * `src(id1, id2)`: emits `edges`, recursive `reach`, and
-    * `comp(n, lbl)` with lbl = component minimum — the oracle twin of
-    * [[componentsOf]], shared by q_dedup_resolve and
-    * q_dedup_embed_resolve so the closure semantics can never drift.
-    * Callers must open their WITH as `WITH RECURSIVE`. */
-  /** DuckDB twin of [[verifiedPairs]] as a `vp(id1, id2)` CTE (expects
-    * `h` and `cand` in scope): exact-Jaccard threshold over the band
-    * candidates. ONE definition consumed by q_dedup_resolve and the
-    * end-to-end funnel so the verification stage the oracles replay
-    * can never drift from the Spark side's threshold or formula. */
+  /** DuckDB twin of [[verifiedPairsFromIndex]]'s verification stage as
+    * a `vp(id1, id2)` CTE (expects `h` and `cand` in scope):
+    * exact-Jaccard threshold over the band candidates. ONE definition
+    * consumed by q_dedup_resolve and the end-to-end funnel so the
+    * verification stage the oracles replay can never drift from the
+    * Spark side's threshold or formula. */
   private[ext] def duckVerifiedPairs(threshold: Double): String =
     s"""vp AS (SELECT id1, id2 FROM (
        |  SELECT id1, id2,
@@ -216,6 +230,12 @@ object Dedup {
        |            JOIN h b ON b.doc_id = cand.id2)
        |  WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $threshold)""".stripMargin
 
+  /** DuckDB transitive-closure CTE bodies over a pair relation
+    * `src(id1, id2)`: emits `edges`, recursive `reach`, and
+    * `comp(n, lbl)` with lbl = component minimum — the oracle twin of
+    * [[componentsOf]], shared by q_dedup_resolve and
+    * q_dedup_embed_resolve so the closure semantics can never drift.
+    * Callers must open their WITH as `WITH RECURSIVE`. */
   private[ext] def duckClosure(src: String): String =
     s"""edges AS (SELECT id1 AS n, id2 AS m FROM $src
        |          UNION SELECT id2, id1 FROM $src),
@@ -228,7 +248,7 @@ object Dedup {
   /** Exact-Jaccard verification of candidate pairs: join the shingle
     * arrays back on both keys, codegen'd merge-walk intersection,
     * threshold filter. ONE definition consumed by the whole-corpus
-    * path ([[verifiedPairs]]) and the incremental path
+    * path ([[verifiedPairsFromIndex]]) and the incremental path
     * ([[incrementalNearDups]]) so the two can never drift. */
   private def jaccardVerify(cand: DataFrame, left: DataFrame,
       right: DataFrame, leftKey: String, rightKey: String,
@@ -243,19 +263,6 @@ object Dedup {
           (expr("size(hs1)") + expr("size(hs2)") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col(leftKey), col(rightKey), col("jac"))
-
-  /** Verified near-dup pairs (id1, id2, jac — exact Jaccard ≥ threshold
-    * over the band candidates): THE verification stage, consumed by
-    * q_dedup_ngram directly and by the cluster resolution stage. */
-  private[ext] def verifiedPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    // materialize the shingle table once (eager local checkpoint): the
-    // per-token md5 pass is the module's dominant cost and is referenced
-    // by the candidate generation AND both verification join-backs —
-    // without truncation each reference replays it. Deployment-scale
-    // note: this is the table a cluster job caches/persists.
-    val slim = sh.select(col("doc_id"), col("hs")).localCheckpoint(true)
-    jaccardVerify(bandCandidates(slim), slim, slim, "id1", "id2", threshold)
-  }
 
   /** Connected components of a pair graph by min-label propagation
     * WITH pointer jumping: each round every node takes the min label
@@ -417,6 +424,16 @@ object Dedup {
     jaccardVerify(cand, shInc, shCorp, "doc_id", "dup_of", threshold)
   }
 
+  /** Declared band-index layout — folded into the Scratch cache keys
+    * (a layout change re-keys the artifact under durable roots) and
+    * enforced by [[graft.engine.Scratch.writeDeclared]] on every
+    * build AND append (drift fails loudly at write time). */
+  val bandIndexOuts: Seq[(String, org.apache.spark.sql.types.StructType)] = Seq(
+    "buckets" -> org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, band INT, sig STRING"),
+    "shingles" -> org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, hs ARRAY<BIGINT>"))
+
   /** Build the PERSISTED corpus-side near-dup index at `path` — the
     * build-once artifact a daily pipeline probes instead of
     * re-shingling the corpus per batch:
@@ -434,16 +451,6 @@ object Dedup {
     * metastore-bucketed so the probe join and verify join-back shuffle
     * ONLY the increment); the repartition here gives the plain-parquet
     * stand-in the same co-location. */
-  /** Declared band-index layout — folded into the Scratch cache keys
-    * (a layout change re-keys the artifact under durable roots) and
-    * enforced by [[graft.engine.Scratch.writeDeclared]] on every
-    * build AND append (drift fails loudly at write time). */
-  val bandIndexOuts: Seq[(String, org.apache.spark.sql.types.StructType)] = Seq(
-    "buckets" -> org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id BIGINT, band INT, sig STRING"),
-    "shingles" -> org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id BIGINT, hs ARRAY<BIGINT>"))
-
   def buildBandIndex(corpus: DataFrame, path: String,
       cap: Int = bucketCap): Unit = {
     val sh = shingled(corpus).select(col("doc_id"), col("hs"))
@@ -469,9 +476,24 @@ object Dedup {
     * bucket back); until the next [[compactBandIndex]] a hot bucket
     * may exceed the cap, which errs in the benign direction: probes
     * see a superset of candidates (more verify work, never less
-    * recall). The cap is restored by the periodic compaction. */
+    * recall). The cap is restored by the periodic compaction.
+    *
+    * Crash/retry contract (parquet appends are not transactional):
+    * the increment is anti-joined against the SHINGLE table (docs
+    * already fully absorbed become a no-op — a retried daily job is
+    * idempotent and shingle rows can never duplicate, which matters
+    * because duplicate shingles would duplicate every verify output
+    * row), and buckets append BEFORE shingles. A crash between the
+    * two leaves bucket rows whose verify join-back finds no shingles
+    * (temporarily weaker recall, never wrong pairs) — and the RETRY
+    * still sees those docs as unabsorbed and re-appends both tables;
+    * the duplicated bucket rows are harmless because every candidate
+    * consumer applies distinct() before verification. */
   def appendToBandIndex(inc: DataFrame, indexPath: String): Unit = {
+    val s = inc.sparkSession
+    val absorbed = s.read.parquet(s"$indexPath/shingles").select("doc_id")
     val sh = shingled(inc).select(col("doc_id"), col("hs"))
+      .join(absorbed, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val declared = bandIndexOuts.toMap
     graft.engine.Scratch.writeDeclared(
@@ -491,12 +513,35 @@ object Dedup {
     * at increment + index cost instead of corpus-reshingle cost. */
   def compactBandIndex(s: SparkSession, indexPath: String,
       cap: Int = bucketCap): Unit = {
-    // eager read BEFORE the overwrite rewrites the dir being read
-    val capped = capBuckets(s.read.parquet(s"$indexPath/buckets"),
-        Seq("band", "sig"), "doc_id", cap)
-      .repartition(col("band"), col("sig"))
-      .localCheckpoint(true)
-    capped.write.mode("overwrite").parquet(s"$indexPath/buckets")
+    // STAGED swap, never an in-place overwrite: overwrite deletes the
+    // only durable copy BEFORE the rewrite commits, so a crash (or an
+    // executor loss recomputing a truncated-lineage checkpoint) would
+    // leave a Scratch-marked index permanently truncated — every later
+    // process would trust the marker and serve it. Writing the capped
+    // table to a sibling dir (through the declared-layout enforcement,
+    // like every other index write) and renaming keeps the live index
+    // intact at every instant; the recovery branch finishes a swap
+    // that crashed between delete and rename.
+    val buckets = new org.apache.hadoop.fs.Path(s"$indexPath/buckets")
+    val staging = new org.apache.hadoop.fs.Path(s"$indexPath/buckets.compact")
+    val fs = buckets.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(buckets)) {
+      require(fs.exists(staging),
+        s"band index at $indexPath has neither buckets nor a staged compact")
+      require(fs.rename(staging, buckets),
+        s"recovery rename $staging -> $buckets failed")
+      return
+    }
+    if (fs.exists(staging))
+      require(fs.delete(staging, true), s"could not clear stale $staging")
+    graft.engine.Scratch.writeDeclared(
+      capBuckets(s.read.parquet(buckets.toString),
+          Seq("band", "sig"), "doc_id", cap)
+        .repartition(col("band"), col("sig")),
+      bandIndexOuts.toMap.apply("buckets"), staging.toString)
+    require(fs.delete(buckets, true), s"delete of $buckets failed")
+    require(fs.rename(staging, buckets),
+      s"swap rename $staging -> $buckets failed")
   }
 
   /** Scratch-cached [[buildBandIndex]] artifact over the corpus
@@ -506,7 +551,8 @@ object Dedup {
     * GRAFT_SCRATCH_DIR root. */
   def corpusBandIndex(s: SparkSession, dir: String): String =
     graft.engine.Scratch.cached("band_idx",
-      s"$dir outs=${graft.engine.Scratch.outsKey(bandIndexOuts)}") { path =>
+      s"$dir outs=${graft.engine.Scratch.outsKey(bandIndexOuts)} " +
+        s"cap=$bucketCap bands=${nBands}x2 perms=${perms.size}") { path =>
       buildBandIndex(docs(s, dir).filter(col("doc_id") % 10 =!= 7), path)
     }
 
@@ -515,33 +561,28 @@ object Dedup {
     * by the batch curation funnel's near-dup stage. */
   def fullBandIndex(s: SparkSession, dir: String): String =
     graft.engine.Scratch.cached("band_idx_all",
-      s"$dir outs=${graft.engine.Scratch.outsKey(bandIndexOuts)}") { path =>
+      s"$dir outs=${graft.engine.Scratch.outsKey(bandIndexOuts)} " +
+        s"cap=$bucketCap bands=${nBands}x2 perms=${perms.size}") { path =>
       buildBandIndex(docs(s, dir), path)
     }
 
-  /** [[verifiedPairs]] computed from a PREBUILT [[buildBandIndex]]
-    * artifact instead of re-shingling the corpus in-query: candidates
-    * from the persisted (already skew-capped) bucket table self-joined
-    * on (band, sig), verified against the persisted shingle table.
-    * The index is deterministic in the corpus, so the relation — and
-    * any oracle hash over it — is IDENTICAL to the in-query path; the
-    * per-token md5 pass (the dominant cost) is paid once per corpus
-    * version instead of once per query. */
   /** Candidate pair set from a PREBUILT [[buildBandIndex]] artifact —
     * the persisted (already skew-capped) bucket table self-joined on
     * (band, sig). Identical to `bandCandidates(hashedShingles(…))`
     * because the index build runs the same shingle → bucket → cap
     * pipeline; the per-token md5 pass is paid once per corpus version
     * instead of once per query. */
-  def candidatesFromIndex(s: SparkSession, indexPath: String): DataFrame = {
-    val capped = s.read.parquet(s"$indexPath/buckets")
-    capped.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
-  }
+  def candidatesFromIndex(s: SparkSession, indexPath: String): DataFrame =
+    pairsOf(s.read.parquet(s"$indexPath/buckets"))
 
+  /** Exact-Jaccard verified near-dup pairs from a PREBUILT
+    * [[buildBandIndex]] artifact instead of re-shingling the corpus
+    * in-query: [[candidatesFromIndex]] verified against the persisted
+    * shingle table. The index is deterministic in the corpus, so the
+    * relation — and any oracle hash over it — is IDENTICAL to the
+    * in-query path (the q_dedup_ngram / q_dedup_resolve verification
+    * stage); the per-token md5 pass (the dominant cost) is paid once
+    * per corpus version instead of once per query. */
   def verifiedPairsFromIndex(s: SparkSession, indexPath: String,
       threshold: Double): DataFrame = {
     val sh = s.read.parquet(s"$indexPath/shingles")
@@ -574,29 +615,16 @@ object Dedup {
     * bucketed on the anti-join key, so the nightly probe shuffles ONLY
     * the increment (the corpus branch reads co-located buckets with no
     * exchange — IncrementalBucketedSpec pins the plan). */
-  def hashCorpusTable(s: SparkSession, dir: String): String = {
-    // lazy plan — its schema keys the cache (Scratch.schemaKey): a
-    // layout change rebuilds instead of serving a stale durable root
-    val frame = docs(s, dir).filter(col("doc_id") % 10 =!= 7)
-      .select(col("doc_id"), md5(col("text")).as("h"))
-    def name(id: String) = s"graft_bkt_hash_corpus_$id"
-    def build(p: String): Unit =
-      graft.engine.Bucketing.writeBucketed(
-        frame, "h", 8, name(p.split('/').last), s"$p/data")
-    val path = graft.engine.Scratch.cached("hash_corpus",
-      s"$dir schema=${graft.engine.Scratch.schemaKey(frame.schema)} " +
-        "key=h buckets=8")(build)
-    val tbl = name(path.split('/').last)
-    // the Scratch memo outlives any single SparkSession but the
-    // catalog entry doesn't — re-register over the existing data if a
-    // fresh session's catalog doesn't know the memoized name (see
-    // Bucketing.registerExisting; rebuilding would re-pay the shuffle)
-    this.synchronized {
-      if (!s.catalog.tableExists(tbl))
-        graft.engine.Bucketing.registerExisting(s, tbl, "h", 8, s"$path/data")
+  def hashCorpusTable(s: SparkSession, dir: String): String =
+    // the generic build-once bucketed-artifact helper: schema-keyed
+    // Scratch cache, lost-catalog re-registration, key memoization and
+    // the prefix-ownership guard all come with it (this used to be a
+    // ~20-line hand copy of the same logic, minus the memo and guard)
+    graft.engine.Bucketing.cachedTable(s, "hash_corpus", dir, "h", 8,
+      owner = "Dedup.hashCorpusTable") {
+      docs(s, dir).filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), md5(col("text")).as("h"))
     }
-    tbl
-  }
 
   /** Oracle for the incremental exact-dedup relation (shared by the
     * in-query and bucketed-corpus variants). */
@@ -758,8 +786,7 @@ object Dedup {
     // (lang, n_chars div 100) blocking key had bounded cardinality, so
     // its blocks grew linearly with the corpus and the pair join went
     // quadratic at scale. Intersection runs on the int shingle hashes
-    // via the codegen'd merge walk; see [[verifiedPairs]] for the
-    // materialization policy (shingle table checkpointed once).
+    // via the codegen'd merge walk over the persisted shingle table.
     // Rides the persisted band index (round-10, same amortization as
     // q_dedup_resolve — identical relation, md5 pass paid once).
     Q("q_dedup_ngram",
@@ -941,8 +968,10 @@ object Dedup {
     // (1) candidate pairs by blocked edit distance (the q_fuzzy_join
     // discipline — block on a cheap key, levenshtein only inside
     // blocks, never the cross product) over a UNIFIED id space
-    // (customers as-is, suppliers offset by 10^6 — disjoint by
-    // construction since custkeys stay far below it); (2) transitive
+    // (customers as-is, suppliers offset by 10^12 — disjoint by
+    // construction at ANY reachable TPC-H scale: custkeys are
+    // 150k x sf, so a 10^6 offset would collide at sf >= 7 and weld
+    // unrelated customer/supplier rows into one entity); (2) transitive
     // clustering with [[componentsOf]] (a fuzzy match is not
     // transitive — A~B and B~C links A and C into one entity even if
     // lev(A,C) = 2, exactly what the closure expresses and a plain
@@ -967,7 +996,7 @@ object Dedup {
             expr(s"substring($name, 10)").as("sfx"),
             expr(s"substring($name, 10, 8)").as("blk"))
         val e = src("customer", "c_custkey", "c_name", 0L)
-          .unionByName(src("supplier", "s_suppkey", "s_name", 1000000L))
+          .unionByName(src("supplier", "s_suppkey", "s_name", EntityOffset))
           .localCheckpoint(true) // referenced by both join sides + output
         val pairs = e.select(col("eid").as("id1"), col("sfx").as("sfx1"),
             col("blk"))
@@ -990,7 +1019,7 @@ object Dedup {
              |    substring(c_name, 10) AS sfx, substring(c_name, 10, 8) AS blk
              |  FROM customer
              |  UNION ALL
-             |  SELECT CAST(s_suppkey + 1000000 AS BIGINT), 's',
+             |  SELECT CAST(s_suppkey + $EntityOffset AS BIGINT), 's',
              |    substring(s_name, 10), substring(s_name, 10, 8)
              |  FROM supplier),
              |p AS (SELECT a.eid AS id1, b.eid AS id2

@@ -62,6 +62,36 @@ class BandIndexMaintenanceSpec extends SparkSuite {
     assert(probe(grown) == probe(fresh))
   }
 
+  test("a retried append is a no-op; a crashed compact swap recovers") {
+    // parquet appends are not transactional, so the daily job WILL be
+    // retried: absorbing the same increment twice must not duplicate
+    // shingle rows (duplicates would double every verify output row)
+    val idx = java.nio.file.Files.createTempDirectory("band_maint_r_").toString
+    Dedup.buildBandIndex(corpus, idx)
+    Dedup.appendToBandIndex(inc1, idx)
+    def shingleRows() = spark.read.parquet(s"$idx/shingles").count()
+    val once = shingleRows()
+    Dedup.appendToBandIndex(inc1, idx) // the retry
+    assert(shingleRows() == once, "retried append duplicated shingle rows")
+    val after = Dedup.incrementalNearDupsAgainst(inc2, idx, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set((201L, 101L)))
+    // crash between compact's delete and rename: buckets gone, the
+    // complete staged table still present — the next compact call must
+    // finish the swap instead of dying on the missing dir
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = new org.apache.hadoop.fs.Path(s"$idx/buckets")
+    val staged = new org.apache.hadoop.fs.Path(s"$idx/buckets.compact")
+    assert(fs.rename(buckets, staged), "test setup: stage the table")
+    Dedup.compactBandIndex(spark, idx)
+    assert(fs.exists(buckets) && !fs.exists(staged),
+      "recovery must promote the staged compact")
+    assert(Dedup.incrementalNearDupsAgainst(inc2, idx, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((201L, 101L)))
+  }
+
   test("compaction restores the skew cap after appends") {
     import org.apache.spark.sql.functions.{col, max}
     val idx = java.nio.file.Files.createTempDirectory("band_maint_c_").toString
