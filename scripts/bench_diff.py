@@ -41,8 +41,26 @@ Usage:
 Gate: cur > prev * median_ratio * 1.5 AND cur - prev > 0.15s (the
 absolute floor keeps sub-100ms queries from tripping on scheduler
 noise; min-vs-min already filters most run-to-run variance).
+
+Small-cohort degeneracy (round-12, ADVICE): with one shared query the
+cohort median IS that query's own ratio, so the relative gate can
+mathematically never fire on a targeted SPARK_GRAFT_ONLY diff; with
+2-4 it is nearly as diluted. Below MIN_COHORT shared queries the
+median is therefore forced to 1.0 (absolute gating) and a note is
+printed.
+
+Uncorroborated uniform shift (round-12): a slower-side UNIFORM-SHIFT
+that the cross-run canary does NOT explain (canary moved less than
+half the cohort shift, or the CURRENT run's canary failed) is the
+signature of an across-the-board code slowdown — r10's periodicGC
+class — and FAILS the gate unless SCALE.md's 'Accepted bench
+regressions' section carries the literal token `uniform-shift`. A
+pre-r11 prev archive has no canary to corroborate against; that case
+stays informational (legacy comparisons only — every r11+ archive
+carries canaries).
 """
 import json
+import os
 import re
 import statistics
 import sys
@@ -51,8 +69,11 @@ from pathlib import Path
 REL_GATE = 1.5
 ABS_FLOOR = 0.15       # seconds
 UNIFORM_NOTE = 0.10    # |median_ratio - 1| beyond this prints UNIFORM-SHIFT
+MIN_COHORT = 5         # below this, median normalization is disabled
 
 REPO = Path(__file__).resolve().parent.parent
+# test seam: scripts/test_bench_diff.sh injects a temp SCALE.md
+SCALE_MD = Path(os.environ.get("BENCH_DIFF_SCALE_MD", REPO / "SCALE.md"))
 
 
 def round_no(path):
@@ -80,15 +101,18 @@ def canary_note(start, end):
     return f"canary: start {start:.3f}s end {end:.3f}s ratio {end / start:.2f}"
 
 
-def accepted_names(scale_md):
-    """Query names listed in SCALE.md's 'Accepted bench regressions'
-    section (one line per accepted trade, naming the query)."""
+def accepted_section(scale_md):
+    """Body of SCALE.md's 'Accepted bench regressions' section."""
     text = Path(scale_md).read_text() if Path(scale_md).exists() else ""
     m = re.search(r"^##\s*Accepted bench regressions\s*$(.*?)(?=^##\s|\Z)",
                   text, re.M | re.S)
-    if not m:
-        return set()
-    return set(re.findall(r"\bq_[a-z0-9_]+\b", m.group(1)))
+    return m.group(1) if m else ""
+
+
+def accepted_names(scale_md):
+    """Query names listed in the accepted section (one line per
+    accepted trade, naming the query)."""
+    return set(re.findall(r"\bq_[a-z0-9_]+\b", accepted_section(scale_md)))
 
 
 def main():
@@ -102,10 +126,10 @@ def main():
             print("bench_diff: fewer than two archives — nothing to diff")
             return 0
         prev_p, cur_p = archives[-2], archives[-1]
-    prev, _, _, prev_cmin = load(prev_p)
+    prev, p_start, p_end, prev_cmin = load(prev_p)
     cur, c_start, c_end, cur_cmin = load(cur_p)
     cnote = canary_note(c_start, c_end)
-    accepted = accepted_names(REPO / "SCALE.md")
+    accepted = accepted_names(SCALE_MD)
 
     added = sorted(set(cur) - set(prev))
     removed = sorted(set(prev) - set(cur))
@@ -132,7 +156,17 @@ def main():
     if not comparable:
         print("bench_diff: no comparable queries — nothing to gate")
         return 1 if newly_failing else 0
-    med = statistics.median(cur[n] / prev[n] for n in comparable)
+    raw_med = statistics.median(cur[n] / prev[n] for n in comparable)
+    # below MIN_COHORT the median degenerates toward the flagged
+    # query's own ratio (with exactly one query it IS that ratio and
+    # the relative gate can never fire) — gate absolutely instead
+    if len(comparable) < MIN_COHORT:
+        print(f"small cohort ({len(comparable)} < {MIN_COHORT} shared "
+              "queries): median normalization disabled, gating on "
+              "absolute ratios")
+        med = 1.0
+    else:
+        med = raw_med
 
     flagged, waived = [], []
     for name in comparable:
@@ -148,22 +182,65 @@ def main():
               f"cohort median {med:.2f}x) — not named under SCALE.md "
               f"'## Accepted bench regressions' [{cnote}]")
 
-    if abs(med - 1.0) > UNIFORM_NOTE:
-        env = (f"cross-run canary ratio {cur_cmin / prev_cmin:.2f}x"
-               if prev_cmin and cur_cmin else
-               "no cross-run canary (pre-r11 prev archive)")
-        print(f"UNIFORM-SHIFT: cohort median {med:.2f}x across "
+    uniform_fail = False
+    if abs(raw_med - 1.0) > UNIFORM_NOTE:
+        prev_pre_r11 = p_start is None or p_end is None
+        if prev_cmin and cur_cmin:
+            cratio = cur_cmin / prev_cmin
+            env = f"cross-run canary ratio {cratio:.2f}x"
+            # corroborated = the canary (fixed code across rounds, so
+            # its cross-run ratio estimates the pure environment
+            # factor) moved at least half as far as the cohort; a
+            # faster cohort needs no adjudication
+            corroborated = (raw_med <= 1.0 or
+                            cratio >= 1.0 + (raw_med - 1.0) / 2)
+        else:
+            # name WHICH side lacks a usable canary: a pre-r11 prev
+            # archive simply predates the field, but a -1.0 sentinel
+            # means that run's canary itself threw — exactly the case
+            # worth investigating (round-12 ADVICE)
+            sides = []
+            if prev_cmin is None:
+                sides.append("prev archive pre-dates the canary"
+                             if prev_pre_r11 else
+                             "PREV canary FAILED in-run")
+            if cur_cmin is None:
+                sides.append("CURRENT canary FAILED in-run")
+            env = "no cross-run canary (" + "; ".join(sides) + ")"
+            # only a pre-r11 prev is a legitimate reason to have
+            # nothing to corroborate against (legacy comparison)
+            corroborated = prev_pre_r11
+        print(f"UNIFORM-SHIFT: cohort median {raw_med:.2f}x across "
               f"{len(comparable)} shared queries ({env}) — an environment "
               "shift if the canary moved with it; otherwise an "
               "across-the-board code change needing a SCALE.md note")
+        # the hard-fail is a COHORT property: on a small targeted diff
+        # the "median" is one query's own ratio and the absolute
+        # per-query gate above is the right (and sufficient) check
+        if (raw_med > 1.0 + UNIFORM_NOTE and not corroborated
+                and len(comparable) >= MIN_COHORT):
+            # an across-the-board slowdown the canary does not explain
+            # is r10's periodicGC class — machine-fail it unless
+            # SCALE.md explicitly accepts it (literal token)
+            if "uniform-shift" in accepted_section(SCALE_MD):
+                print("UNIFORM-SHIFT waived: `uniform-shift` token under "
+                      "SCALE.md '## Accepted bench regressions'")
+            else:
+                uniform_fail = True
+                print("UNIFORM-SHIFT UNCORROBORATED: the cohort slowed "
+                      f"{raw_med:.2f}x but the canary does not explain it "
+                      "— failing the gate; if adjudicated as environment "
+                      "or accepted, add the token `uniform-shift` under "
+                      "SCALE.md '## Accepted bench regressions'")
 
     tp = sum(prev[n] for n in comparable)
     tc = sum(cur[n] for n in comparable)
     print(f"shared-query total: {tp:.1f}s -> {tc:.1f}s, "
-          f"cohort median {med:.2f}x ({prev_p} -> {cur_p}) [{cnote}]")
-    if flagged or newly_failing:
+          f"cohort median {raw_med:.2f}x ({prev_p} -> {cur_p}) [{cnote}]")
+    if flagged or newly_failing or uniform_fail:
         print(f"bench_diff: {len(flagged) + len(newly_failing)} "
-              "unexplained regression(s)")
+              "unexplained regression(s)" +
+              (" + uncorroborated uniform shift" if uniform_fail else ""))
         return 1
     print("bench_diff: OK")
     return 0

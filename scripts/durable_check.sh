@@ -28,7 +28,13 @@ assert a["durable_builds"] > 0, "first process should have built artifacts"
 # fail this proof BY NAME, not just by count — so the named checks run
 # BEFORE the aggregate count assert (which would otherwise always fire
 # first and reduce the diagnostic back to a bare number)
-pinned = ["ivf_idx_full", "band_idx", "band_idx_all"]
+# round-12 (verdict item 4): beyond the round-10 amortizations, pin
+# the tokenize+prefix artifacts (set-similarity family) and the
+# bucketed co-purchase / graph-edge artifacts the graph suite rides
+pinned = ["ivf_idx_full", "band_idx", "band_idx_all",
+          "tok_sets", "tau_prefix",
+          "bucketed_part_cooc_ms2", "bucketed_graph_edges",
+          "bucketed_graph_ed"]
 built1, built2 = set(a.get("built_prefixes", [])), set(b.get("built_prefixes", []))
 missing = [p for p in pinned if p not in built1]
 assert not missing, f"process 1 never built pinned artifacts: {missing}"

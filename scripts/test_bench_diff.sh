@@ -109,4 +109,83 @@ else
   fail "self-diff of a pre-r11 artifact must pass"
 fi
 
+# ── round-12: small-cohort degeneracy ──  a targeted one-query diff
+# must still flag a large regression: with cohort normalization the
+# single query's own ratio IS the median and the relative gate could
+# never fire (round-12 ADVICE)
+cat > "$TMP/prev_one.json" <<'EOF'
+{"queries_p2min":{"q_a":1.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.31}
+EOF
+cat > "$TMP/cur_one_bad.json" <<'EOF'
+{"queries_p2min":{"q_a":3.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.31}
+EOF
+if out=$(python3 "$HERE/bench_diff.py" "$TMP/prev_one.json" "$TMP/cur_one_bad.json"); then
+  fail "one-query 3x regression must exit nonzero, got: $out"
+fi
+echo "$out" | grep -q "small cohort (1 < 5 shared" \
+  || fail "expected small-cohort note, got: $out"
+echo "$out" | grep -q "REGRESS q_a: 1.00s -> 3.00s" \
+  || fail "expected q_a flagged despite being the whole cohort, got: $out"
+
+# ── round-12: uncorroborated uniform shift ──  a >=5-query cohort that
+# uniformly slowed while the canary stayed flat is an across-the-board
+# code slowdown (the periodicGC class) — fails without a SCALE.md token
+cat > "$TMP/prev5.json" <<'EOF'
+{"queries_p2min":{"q_a":1.0,"q_b":1.0,"q_c":1.0,"q_d":1.0,"q_e":1.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.31}
+EOF
+cat > "$TMP/cur5_uniform_flat_canary.json" <<'EOF'
+{"queries_p2min":{"q_a":1.3,"q_b":1.3,"q_c":1.32,"q_d":1.28,"q_e":1.3},
+ "canary_start_sec":0.30,"canary_end_sec":0.31}
+EOF
+echo "## Accepted bench regressions" > "$TMP/scale_empty.md"
+if out=$(BENCH_DIFF_SCALE_MD="$TMP/scale_empty.md" \
+    python3 "$HERE/bench_diff.py" "$TMP/prev5.json" "$TMP/cur5_uniform_flat_canary.json"); then
+  fail "uncorroborated uniform shift must exit nonzero, got: $out"
+fi
+echo "$out" | grep -q "UNIFORM-SHIFT UNCORROBORATED" \
+  || fail "expected UNCORROBORATED failure, got: $out"
+
+# ...the same shift WITH a canary that moved along is environment: OK
+cat > "$TMP/cur5_uniform_canary_moved.json" <<'EOF'
+{"queries_p2min":{"q_a":1.3,"q_b":1.3,"q_c":1.32,"q_d":1.28,"q_e":1.3},
+ "canary_start_sec":0.40,"canary_end_sec":0.41}
+EOF
+out=$(BENCH_DIFF_SCALE_MD="$TMP/scale_empty.md" \
+  python3 "$HERE/bench_diff.py" "$TMP/prev5.json" "$TMP/cur5_uniform_canary_moved.json") \
+  || fail "canary-corroborated uniform shift must pass, got: $out"
+echo "$out" | grep -q "bench_diff: OK" \
+  || fail "corroborated shift should be OK, got: $out"
+
+# ...and the SCALE.md `uniform-shift` token waives the uncorroborated case
+cat > "$TMP/scale_waived.md" <<'EOF'
+## Accepted bench regressions
+
+- uniform-shift — r12 test waiver line.
+EOF
+out=$(BENCH_DIFF_SCALE_MD="$TMP/scale_waived.md" \
+  python3 "$HERE/bench_diff.py" "$TMP/prev5.json" "$TMP/cur5_uniform_flat_canary.json") \
+  || fail "SCALE.md-waived uniform shift must pass, got: $out"
+echo "$out" | grep -q "UNIFORM-SHIFT waived" \
+  || fail "expected waiver note, got: $out"
+
+# ── round-12: canary-side attribution ──  when the CURRENT run's
+# canary failed in-run (-1.0 sentinels), the UNIFORM-SHIFT env note
+# must say so instead of blaming a pre-r11 prev (round-12 ADVICE) —
+# and an r11+ pair with a failed canary is uncorroborated -> fails
+cat > "$TMP/cur5_uniform_failed_canary.json" <<'EOF'
+{"queries_p2min":{"q_a":1.3,"q_b":1.3,"q_c":1.32,"q_d":1.28,"q_e":1.3},
+ "canary_start_sec":-1.0,"canary_end_sec":-1.0}
+EOF
+if out=$(BENCH_DIFF_SCALE_MD="$TMP/scale_empty.md" \
+    python3 "$HERE/bench_diff.py" "$TMP/prev5.json" "$TMP/cur5_uniform_failed_canary.json"); then
+  fail "uniform shift with failed current canary must exit nonzero, got: $out"
+fi
+echo "$out" | grep -q "CURRENT canary FAILED in-run" \
+  || fail "expected current-side canary attribution, got: $out"
+echo "$out" | grep -q "pre-dates" \
+  && fail "must not blame a pre-r11 prev when prev HAS a canary: $out"
+
 echo "test_bench_diff: OK"

@@ -32,27 +32,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // ~50 query sites localCheckpoint per-invocation frames (rank
-    // vectors, CC labels, ANN probe sets) whose blocks outlive the
-    // query; left alone they pile up across 270 queries × 3 passes
-    // (the "session pressure" in SCALE.md's round-10 graph-trio
-    // notes). Round 10 tried periodicGC.interval=1min, which calls
-    // System.gc() INSIDE timed queries — the judge's controlled A/B
-    // measured a 1.10× median per-query pessimization (SCALE.md
-    // round-11 notes), so the blocks are instead unpersisted
-    // explicitly BETWEEN queries: every persistent RDD at that point
-    // is a finished invocation's checkpoint frame (artifacts live as
-    // parquet, never as cached RDDs), and the unpersist is a
-    // driver-side map walk outside the timed region.
-    // SPARK_GRAFT_KEEP_CHECKPOINTS=1 disables the unpersist — the A/B
-    // lever that lets the cleanup itself clear the bench gate the way
-    // any perf change must (SCALE.md round-11 notes)
-    val keepCheckpoints =
-      sys.env.get("SPARK_GRAFT_KEEP_CHECKPOINTS").contains("1")
+    // ── deterministic class-load order (round-12 verdict item 1) ──
+    // Force the FULL query registry (270 closures across 22 modules,
+    // transitively class-loading the whole operator surface) BEFORE
+    // the first Spark job. The r11 harness rewrite dropped an
+    // incidental pre-warm-up `SparkEntry.queries` reference, so those
+    // classes loaded DURING/AFTER the first compiled jobs — and
+    // late class loading invalidates the JIT's class-hierarchy-based
+    // speculative inlining in shared Spark/Scala infrastructure, a
+    // degradation that persists for the whole process. Measured round
+    // 12 (same library, same box, interleaved A/B, 3+ replicates per
+    // arm): registry-first q_tok_vocab 2.0–2.1 s; registry-after-
+    // first-job 2.8–3.2 s (q_mix_weights_tok/q_pack_sequences_tok
+    // move 1.1→1.6 s the same way) — the whole round-11 "VocabTok
+    // trio" shift. GC logs rule the collector out (~100 ms total
+    // pauses, zero full GCs, both arms; -Xms/-Xmx pinning and
+    // ParallelGC measurably change nothing). See SCALE.md round-12.
+    val registrySize = SparkEntry.queries.size
+    require(registrySize > 0, "query registry is empty")
+
+    // Between-queries unpersist of dead localCheckpoint frames —
+    // shared with Verify (SessionHygiene scaladoc has the rationale;
+    // SPARK_GRAFT_KEEP_CHECKPOINTS=1 is the A/B lever).
     def dropDeadCheckpoints(): Unit =
-      if (!keepCheckpoints)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+      SessionHygiene.dropDeadCheckpoints(spark)
 
     def runFull(name: String): Double = {
       val t0 = System.nanoTime()
@@ -75,12 +78,27 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // min of 3: a single early sample still carries tiered-JIT warmup
-    // (first full run measured start 0.38 s vs end 0.17 s on an
-    // otherwise-quiet box) — the min filters that the same way the
-    // per-query mins do
+    // min of 3: a single sample still carries scheduler jitter — the
+    // min filters it the same way the per-query mins do
     def canarySample(): Double = (1 to 3).map(_ => canaryRun()).min
-    try canaryRun() catch { case _: Throwable => () }
+    // JIT settle before the start anchor (round-12 verdict item 2):
+    // the r11 artifact shipped canary_start 0.198 / canary_end 0.075
+    // (ratio 0.38) on a box whose cohort gate read 1.05× — one warm-up
+    // run followed by min-of-3 still measures tiered-JIT warm-up, not
+    // environment, biasing the cross-run environment estimate ~2.6× at
+    // the start anchor. Run the canary until two CONSECUTIVE samples
+    // agree within 10% (capped), THEN take the reported min-of-3.
+    def canarySettle(): Unit = {
+      var prev = canaryRun()
+      var attempts = 1
+      var settled = false
+      while (!settled && attempts < 10) {
+        val cur = canaryRun()
+        settled = math.abs(cur - prev) <= 0.10 * math.max(cur, prev)
+        prev = cur
+        attempts += 1
+      }
+    }
     // ── noise canary ──  The same trivial scan timed right after
     // warm-up and again after the last pass. Three r10 measurements of
     // identical code disagreed 1.4× while every RELATIVE improvement
@@ -89,7 +107,9 @@ object Bench {
     // fixed query is that missing attribution: ~1 on a quiet box, a
     // uniform inflation when the host got busier mid-sweep
     // (bench_diff.py prints it next to any flagged regression).
-    val canaryStart = try canarySample() catch { case _: Throwable => -1.0 }
+    val canaryStart =
+      try { canarySettle(); canarySample() }
+      catch { case _: Throwable => -1.0 }
 
     // SPARK_GRAFT_ONLY=q_a,q_b restricts to named queries — targeted
     // regression timing without the full 269-query sweep; the JSON

@@ -40,7 +40,12 @@ object DurableCheck {
       // round-10 artifacts, pinned by the shell proof (round-11
       // verdict item 5): the full-fit IVF index and the whole-corpus
       // band index the near-dup trio now rides
-      "q_ann_ivf", "q_dedup_minhash")
+      "q_ann_ivf", "q_dedup_minhash",
+      // round-12 (verdict item 4): the tokenize (tok_sets) + τ-prefix
+      // (tau_prefix) artifacts the set-similarity family rides, now
+      // pinned by name in the shell proof alongside the bucketed
+      // co-purchase / graph-edge artifacts
+      "q_setsim_join")
     val hashes = names.map { n =>
       val txt = SparkEntry.queries(n)(spark, sfDir)
         .collect().map(_.toString).mkString("\n")

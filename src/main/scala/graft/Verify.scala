@@ -29,13 +29,10 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        // same long-lived-session hygiene as Bench: each finished
-        // dump's localCheckpoint blocks are dead — drop them here
-        // rather than letting them pile up over 270 queries (the
-        // r10 periodicGC config did this via System.gc() and cost
-        // ~10% of bench time; see SCALE.md round-11 notes)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // same long-lived-session hygiene as Bench, via the ONE shared
+        // helper (round-12 verdict item 3: the two call sites drifted
+        // in r11 — Bench had the KEEP_CHECKPOINTS lever, this didn't)
+        SessionHygiene.dropDeadCheckpoints(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -257,7 +257,7 @@ object EventStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         // bucket id appended BEFORE the merge so target and update
         // agree on it (it is a pure function of the merge keys)
@@ -279,6 +279,22 @@ object EventStream {
         val live = fs.exists(target) && hasMarker(fs, target)
         if (!live) {
           if (fs.exists(target)) {
+            // THIS sink's partial first write can only exist while
+            // batch 0 is replaying: every committed batch (including
+            // the one whose crash a replay recovers) left a marker
+            // behind, so a marker-less target at batchId > 0 means the
+            // marker was removed externally or the dir was swapped —
+            // live data, never debris (round-12 ADVICE: the name-based
+            // whitelist below alone could not tell a foreign dataset
+            // partitioned by a column literally named part_bucket from
+            // first-write debris)
+            require(batchId == 0L,
+              s"refusing to clear $target: no commit marker but the " +
+                s"checkpoint shows batch ${batchId - 1} already " +
+                "committed — the sink-owned marker was removed " +
+                "externally; restore it (touch " +
+                s"$targetDir/$CommitMarker) if the table is intact, " +
+                "or move the directory aside")
             // only provable first-write debris may be auto-cleared: a
             // committed table of THIS sink always carries the marker,
             // so a marker-less dir holding anything but THIS SINK's
@@ -334,11 +350,13 @@ object EventStream {
   val SessionStateSchemaVersion = 2
 
   private val stateSchemaRule: String =
-    "graft sessionizer state schema is v" + SessionStateSchemaVersion +
-      " (since round 10: SessionFullState gained `lateAge`); the " +
-      "checkpoint being restored was written by an older build and " +
-      "cannot migrate — delete the checkpoint directory and restart " +
-      "fresh (state is reconstructible from the stream). Do NOT set " +
+    "graft streaming state-schema mismatch: the checkpoint being " +
+      "restored was written by a build whose keyed state layout " +
+      "differs from this one (for the sessionizer, state schema is v" +
+      SessionStateSchemaVersion + " since round 10 — SessionFullState " +
+      "gained `lateAge`) and cannot migrate — delete the checkpoint " +
+      "directory and restart fresh (state is reconstructible from the " +
+      "stream). Do NOT set " +
       "spark.sql.streaming.stateStore.stateSchemaCheck=false: decoding " +
       "old state bytes with the new layout is silent corruption. " +
       "See SURVEY.md §2.11 'state-schema note'."
@@ -372,39 +390,58 @@ object EventStream {
   /** Wires [[diagnoseStateRestore]] into a running query: the returned
     * delegate is the same StreamingQuery, but awaitTermination /
     * processAllAvailable rethrow a state-schema restore failure under
-    * its documented name instead of the raw Spark condition. Every
-    * query THIS module starts is wrapped; wrap user-started session
-    * queries (the sessionizers return Datasets, so their query handle
-    * is user-constructed) the same way:
+    * its documented name instead of the raw Spark condition, and the
+    * POLLED path — [[DiagnosedStreamingQuery.diagnosedException]] —
+    * applies the same mapping (round-12 ADVICE: `exception` alone
+    * still surfaced the raw condition to operators who never block on
+    * the query). Every query THIS module starts is wrapped; wrap
+    * user-started session queries (the sessionizers return Datasets,
+    * so their query handle is user-constructed) the same way:
     * `EventStream.diagnosed(ds.writeStream…start())`. */
   def diagnosed(q: org.apache.spark.sql.streaming.StreamingQuery)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    new org.apache.spark.sql.streaming.StreamingQuery {
-      private def mapped[T](body: => T): T =
-        try body catch { case t: Throwable => throw diagnoseStateRestore(t) }
-      def name: String = q.name
-      def id: java.util.UUID = q.id
-      def runId: java.util.UUID = q.runId
-      def sparkSession: org.apache.spark.sql.SparkSession = q.sparkSession
-      def isActive: Boolean = q.isActive
-      def exception
-          : Option[org.apache.spark.sql.streaming.StreamingQueryException] =
-        q.exception
-      def status: org.apache.spark.sql.streaming.StreamingQueryStatus =
-        q.status
-      def recentProgress
-          : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
-        q.recentProgress
-      def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress =
-        q.lastProgress
-      def awaitTermination(): Unit = mapped(q.awaitTermination())
-      def awaitTermination(timeoutMs: Long): Boolean =
-        mapped(q.awaitTermination(timeoutMs))
-      def processAllAvailable(): Unit = mapped(q.processAllAvailable())
-      def stop(): Unit = q.stop()
-      def explain(): Unit = q.explain()
-      def explain(extended: Boolean): Unit = q.explain(extended)
-    }
+      : DiagnosedStreamingQuery =
+    new DiagnosedStreamingQuery(q)
+
+  /** [[diagnosed]]'s delegate. `exception` still returns Spark's
+    * StreamingQueryException verbatim (the class is not publicly
+    * constructible, so it cannot be re-wrapped in kind) —
+    * [[diagnosedException]] is the polling accessor that carries the
+    * documented migration rule when the failure is a state-schema
+    * restore; monitoring code should prefer it. */
+  final class DiagnosedStreamingQuery(
+      q: org.apache.spark.sql.streaming.StreamingQuery)
+      extends org.apache.spark.sql.streaming.StreamingQuery {
+    private def mapped[T](body: => T): T =
+      try body catch { case t: Throwable => throw diagnoseStateRestore(t) }
+    def name: String = q.name
+    def id: java.util.UUID = q.id
+    def runId: java.util.UUID = q.runId
+    def sparkSession: org.apache.spark.sql.SparkSession = q.sparkSession
+    def isActive: Boolean = q.isActive
+    def exception
+        : Option[org.apache.spark.sql.streaming.StreamingQueryException] =
+      q.exception
+    /** [[exception]] passed through [[diagnoseStateRestore]]: a
+      * state-schema restore failure polls as the named
+      * IllegalStateException (original attached as cause); any other
+      * failure polls as the raw StreamingQueryException. */
+    def diagnosedException: Option[Throwable] =
+      q.exception.map(diagnoseStateRestore)
+    def status: org.apache.spark.sql.streaming.StreamingQueryStatus =
+      q.status
+    def recentProgress
+        : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+      q.recentProgress
+    def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress =
+      q.lastProgress
+    def awaitTermination(): Unit = mapped(q.awaitTermination())
+    def awaitTermination(timeoutMs: Long): Boolean =
+      mapped(q.awaitTermination(timeoutMs))
+    def processAllAvailable(): Unit = mapped(q.processAllAvailable())
+    def stop(): Unit = q.stop()
+    def explain(): Unit = q.explain()
+    def explain(extended: Boolean): Unit = q.explain(extended)
+  }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionRevEvent(user_id: Long, ts: java.sql.Timestamp,

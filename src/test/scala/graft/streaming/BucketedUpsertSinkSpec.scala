@@ -229,6 +229,48 @@ class BucketedUpsertSinkSpec extends SparkSuite {
     }
   }
 
+  test("marker loss AFTER a committed batch is refused, never auto-cleared") {
+    // round-12 ADVICE: the debris whitelist is name-based, so a
+    // foreign dataset partitioned by a column literally named
+    // part_bucket was indistinguishable from first-write debris. The
+    // checkpoint batchId disambiguates: THIS sink's partial first
+    // write can only exist while replaying batch 0 — once any batch
+    // committed, a marker-less target means the marker was removed
+    // externally (or the dir was swapped), and auto-clearing it would
+    // delete live data
+    val nBuckets = 4
+    implicit val enc = org.apache.spark.sql.Encoders.row(EventStream.eventSchema)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val base = Files.createTempDirectory("graft-cow-markerloss")
+    val target = base.resolve("t")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Row](spark)
+    val q = EventStream.upsertSinkBucketed(src.toDF(), target.toString,
+      Seq("user_id"), nBuckets, base.resolve("ckpt").toString)(profile)
+    try {
+      src.addData(Seq(ev(1, 1L, 0, "view"), ev(2, 2L, 1, "view")))
+      q.processAllAvailable()
+      src.addData(Seq(ev(3, 3L, 10, "view")))
+      q.processAllAvailable()
+      // simulate external marker removal on the LIVE table
+      Files.deleteIfExists(target.resolve("_graft_commit"))
+      Files.deleteIfExists(target.resolve("_SUCCESS"))
+      src.addData(Seq(ev(4, 4L, 20, "purchase")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(messages(e).exists(_.contains("already committed")),
+        s"expected the committed-batch refusal, got: ${messages(e)}")
+      // the accumulated table must survive the refused batch
+      val got = spark.read.parquet(target.toString)
+        .select(col("user_id"), col("last_type"))
+        .as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "view", 2L -> "view", 3L -> "view"),
+        "live data must survive the refused batch")
+    } finally q.stop()
+  }
+
   test("diagnosed() rethrows a state-schema restore failure under its documented name") {
     // the sinks return diagnosed-wrapped queries; prove the wrapper
     // maps the raw Spark condition on the blocking calls using a stub
