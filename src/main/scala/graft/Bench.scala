@@ -81,13 +81,9 @@ object Bench {
     // min of 3: a single sample still carries scheduler jitter — the
     // min filters it the same way the per-query mins do
     def canarySample(): Double = (1 to 3).map(_ => canaryRun()).min
-    // JIT settle before the start anchor (round-12 verdict item 2):
-    // the r11 artifact shipped canary_start 0.198 / canary_end 0.075
-    // (ratio 0.38) on a box whose cohort gate read 1.05× — one warm-up
-    // run followed by min-of-3 still measures tiered-JIT warm-up, not
-    // environment, biasing the cross-run environment estimate ~2.6× at
-    // the start anchor. Run the canary until two CONSECUTIVE samples
-    // agree within 10% (capped), THEN take the reported min-of-3.
+    // JVM warm-up before pass 1: run the canary until two CONSECUTIVE
+    // runs agree within 10% (capped) — parquet footers, codegen, and
+    // the first JIT plateau, without hand-picking a run count.
     def canarySettle(): Unit = {
       var prev = canaryRun()
       var attempts = 1
@@ -99,17 +95,7 @@ object Bench {
         attempts += 1
       }
     }
-    // ── noise canary ──  The same trivial scan timed right after
-    // warm-up and again after the last pass. Three r10 measurements of
-    // identical code disagreed 1.4× while every RELATIVE improvement
-    // reproduced — pure host interference, indistinguishable in the
-    // artifact from "the code got slower". The end/start ratio of a
-    // fixed query is that missing attribution: ~1 on a quiet box, a
-    // uniform inflation when the host got busier mid-sweep
-    // (bench_diff.py prints it next to any flagged regression).
-    val canaryStart =
-      try { canarySettle(); canarySample() }
-      catch { case _: Throwable => -1.0 }
+    try canarySettle() catch { case _: Throwable => () }
 
     // SPARK_GRAFT_ONLY=q_a,q_b restricts to named queries — targeted
     // regression timing without the full 269-query sweep; the JSON
@@ -128,10 +114,34 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // ── noise canary ──  The same trivial scan timed right after
+    // pass 1 and again after the last pass. Three r10 measurements of
+    // identical code disagreed 1.4× while every RELATIVE improvement
+    // reproduced — pure host interference, indistinguishable in the
+    // artifact from "the code got slower". The end/start ratio of a
+    // fixed query is that missing attribution: ~1 on a quiet box, a
+    // uniform inflation when the host got busier mid-sweep
+    // (bench_diff.py prints it next to any flagged regression).
+    // The START anchor sits AFTER pass 1, not at process start
+    // (round-12 verdict item 2): a process-start anchor measures
+    // tiered-JIT warm-up, not environment — the r11 artifact shipped
+    // start 0.198 / end 0.075 (ratio 0.38) on a steady box, and no
+    // canary-only settle loop reaches the deep-warm state that 270
+    // queries × pass 1 produce (measured this round: a 10-attempt
+    // settle still anchored at 0.227 vs an end of 0.079). After
+    // pass 1 both anchors sit in the same warmth regime AND the
+    // start anchor aligns exactly with the window the gate actually
+    // scores (queries_p2min = passes 2..n).
+    var canaryStart = -1.0
     // iterate over full passes (not per-query loops): back-to-back
     // repeats of one query overstate cache warmth; pass-level repeats
     // reproduce the driver's measurement shape
-    val passes = (1 to iters).map(_ => names.map(n => n -> runFull(n)).toMap)
+    val passes = (1 to iters).map { p =>
+      val r = names.map(n => n -> runFull(n)).toMap
+      if (p == 1)
+        canaryStart = try canarySample() catch { case _: Throwable => -1.0 }
+      r
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2

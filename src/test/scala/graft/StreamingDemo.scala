@@ -28,10 +28,14 @@ object StreamingDemo {
     ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(dir)
     ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(dir)
 
-    val q = EventStream.dailyCounts(EventStream.readEvents(spark, dir))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName("demo_daily")
-      .trigger(Trigger.AvailableNow()).start()
+    // diagnosed(): the documented handle-wrapping pattern — a
+    // state-schema restore failure surfaces under its migration rule
+    // (blocking calls AND the diagnosedException polling accessor)
+    val q = EventStream.diagnosed(
+      EventStream.dailyCounts(EventStream.readEvents(spark, dir))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("demo_daily")
+        .trigger(Trigger.AvailableNow()).start())
     q.awaitTermination(120000)
     println("== streaming daily counts (both file batches, incl. out-of-order) ==")
     spark.table("demo_daily").orderBy("day", "event_type").show(8, false)
@@ -42,9 +46,9 @@ object StreamingDemo {
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.SessionEvent](spark)
     input.addData(ev.select(col("user_id"), col("ts").as("ts"))
       .as[EventStream.SessionEvent].collect().toSeq)
-    val q2 = EventStream.sessionize(input.toDS())
+    val q2 = EventStream.diagnosed(EventStream.sessionize(input.toDS())
       .writeStream.outputMode("append").format("memory").queryName("demo_sessions")
-      .trigger(Trigger.AvailableNow()).start()
+      .trigger(Trigger.AvailableNow()).start())
     q2.awaitTermination(120000)
     println(s"CLOSED_SESSIONS=${spark.table("demo_sessions").count()}")
     spark.table("demo_sessions").orderBy("user_id").show(5, false)
