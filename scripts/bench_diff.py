@@ -54,10 +54,12 @@ that the cross-run canary does NOT explain (canary moved less than
 half the cohort shift, or the CURRENT run's canary failed) is the
 signature of an across-the-board code slowdown — r10's periodicGC
 class — and FAILS the gate unless SCALE.md's 'Accepted bench
-regressions' section carries the literal token `uniform-shift`. A
-pre-r11 prev archive has no canary to corroborate against; that case
-stays informational (legacy comparisons only — every r11+ archive
-carries canaries).
+regressions' section carries a list line starting with the token
+`accept-uniform-shift` (bullet-anchored so prose MENTIONING the gate
+can never silently waive it; like every line in that section it is a
+standing waiver a later round must prune). A pre-r11 prev archive has
+no canary to corroborate against; that case stays informational
+(legacy comparisons only — every r11+ archive carries canaries).
 """
 import json
 import os
@@ -113,6 +115,16 @@ def accepted_names(scale_md):
     """Query names listed in the accepted section (one line per
     accepted trade, naming the query)."""
     return set(re.findall(r"\bq_[a-z0-9_]+\b", accepted_section(scale_md)))
+
+
+def uniform_shift_waived(scale_md):
+    """True when the accepted section carries a LIST line starting
+    with `accept-uniform-shift`. Bullet-anchored on purpose: the
+    section also holds narrative lines, and a prose mention of the
+    gate's name ('the uniform-shift gate never fired') must not read
+    as a standing waiver of the across-the-board-slowdown check."""
+    return re.search(r"^\s*-\s*accept-uniform-shift\b",
+                     accepted_section(scale_md), re.M) is not None
 
 
 def main():
@@ -221,17 +233,18 @@ def main():
                 and len(comparable) >= MIN_COHORT):
             # an across-the-board slowdown the canary does not explain
             # is r10's periodicGC class — machine-fail it unless
-            # SCALE.md explicitly accepts it (literal token)
-            if "uniform-shift" in accepted_section(SCALE_MD):
-                print("UNIFORM-SHIFT waived: `uniform-shift` token under "
-                      "SCALE.md '## Accepted bench regressions'")
+            # SCALE.md explicitly accepts it (bullet-anchored token)
+            if uniform_shift_waived(SCALE_MD):
+                print("UNIFORM-SHIFT waived: `- accept-uniform-shift` line "
+                      "under SCALE.md '## Accepted bench regressions'")
             else:
                 uniform_fail = True
                 print("UNIFORM-SHIFT UNCORROBORATED: the cohort slowed "
                       f"{raw_med:.2f}x but the canary does not explain it "
                       "— failing the gate; if adjudicated as environment "
-                      "or accepted, add the token `uniform-shift` under "
-                      "SCALE.md '## Accepted bench regressions'")
+                      "or accepted, add a `- accept-uniform-shift — "
+                      "<reason>` line under SCALE.md '## Accepted bench "
+                      "regressions'")
 
     tp = sum(prev[n] for n in comparable)
     tc = sum(cur[n] for n in comparable)

@@ -159,17 +159,32 @@ out=$(BENCH_DIFF_SCALE_MD="$TMP/scale_empty.md" \
 echo "$out" | grep -q "bench_diff: OK" \
   || fail "corroborated shift should be OK, got: $out"
 
-# ...and the SCALE.md `uniform-shift` token waives the uncorroborated case
+# ...and a bullet-anchored `- accept-uniform-shift` SCALE.md line waives it
 cat > "$TMP/scale_waived.md" <<'EOF'
 ## Accepted bench regressions
 
-- uniform-shift — r12 test waiver line.
+- accept-uniform-shift — r12 test waiver line.
 EOF
 out=$(BENCH_DIFF_SCALE_MD="$TMP/scale_waived.md" \
   python3 "$HERE/bench_diff.py" "$TMP/prev5.json" "$TMP/cur5_uniform_flat_canary.json") \
   || fail "SCALE.md-waived uniform shift must pass, got: $out"
 echo "$out" | grep -q "UNIFORM-SHIFT waived" \
   || fail "expected waiver note, got: $out"
+
+# ...but PROSE merely mentioning the gate must NOT waive it: the token
+# is bullet-anchored so a narrative line can't become a standing waiver
+cat > "$TMP/scale_prose.md" <<'EOF'
+## Accepted bench regressions
+
+- r13: none (the accept-uniform-shift gate never fired; no
+  uniform-shift was observed this round).
+EOF
+if out=$(BENCH_DIFF_SCALE_MD="$TMP/scale_prose.md" \
+    python3 "$HERE/bench_diff.py" "$TMP/prev5.json" "$TMP/cur5_uniform_flat_canary.json"); then
+  fail "a prose mention of the token must not waive the gate, got: $out"
+fi
+echo "$out" | grep -q "UNIFORM-SHIFT UNCORROBORATED" \
+  || fail "expected UNCORROBORATED failure despite prose mention, got: $out"
 
 # ── round-12: canary-side attribution ──  when the CURRENT run's
 # canary failed in-run (-1.0 sentinels), the UNIFORM-SHIFT env note

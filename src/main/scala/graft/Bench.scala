@@ -132,13 +132,22 @@ object Bench {
     // pass 1 both anchors sit in the same warmth regime AND the
     // start anchor aligns exactly with the window the gate actually
     // scores (queries_p2min = passes 2..n).
-    var canaryStart = -1.0
+    // On a SINGLE-pass run the scored window IS pass 1 (p2min falls
+    // back to it), and a post-pass-1 start anchor would sit
+    // back-to-back with the end anchor — blind to interference during
+    // the only pass. There the anchor stays BEFORE the sweep (settled
+    // above, so the JIT bias is bounded); multi-pass runs get the
+    // aligned post-pass-1 anchor.
+    var canaryStart =
+      if (iters == 1)
+        try canarySample() catch { case _: Throwable => -1.0 }
+      else -1.0
     // iterate over full passes (not per-query loops): back-to-back
     // repeats of one query overstate cache warmth; pass-level repeats
     // reproduce the driver's measurement shape
     val passes = (1 to iters).map { p =>
       val r = names.map(n => n -> runFull(n)).toMap
-      if (p == 1)
+      if (p == 1 && iters > 1)
         canaryStart = try canarySample() catch { case _: Throwable => -1.0 }
       r
     }

@@ -279,13 +279,34 @@ object EventStream {
         val live = fs.exists(target) && hasMarker(fs, target)
         if (!live) {
           if (fs.exists(target)) {
+            // only provable first-write debris may be auto-cleared: a
+            // committed table of THIS sink always carries the marker,
+            // so a marker-less dir holding anything but THIS SINK's
+            // write shapes (part_bucket=* dirs, _temporary, hidden
+            // files) is a foreign dataset — refuse, don't destroy.
+            // Root-level part-* files are deliberately NOT whitelisted:
+            // this sink always writes partitionBy("part_bucket"), so a
+            // root part file can only be someone else's unpartitioned
+            // table (e.g. committed under marksuccessfuljobs=false).
+            // This diagnosis runs FIRST: its "move it aside" advice is
+            // the safe one for a misconfigured targetDir, and the
+            // marker-restore advice below must never be issued for a
+            // dir that is not even sink-shaped.
+            val foreign = fs.listStatus(target).map(_.getPath.getName)
+              .filterNot(n => n.startsWith("_") || n.startsWith(".") ||
+                n.startsWith("part_bucket="))
+            require(foreign.isEmpty,
+              s"refusing to clear $target: it has no commit marker but " +
+                s"holds non-debris entries [${foreign.mkString(", ")}] — " +
+                "not provably this sink's partial first write; move it " +
+                "aside or delete it manually")
             // THIS sink's partial first write can only exist while
             // batch 0 is replaying: every committed batch (including
             // the one whose crash a replay recovers) left a marker
-            // behind, so a marker-less target at batchId > 0 means the
-            // marker was removed externally or the dir was swapped —
+            // behind, so a sink-shaped marker-less target at
+            // batchId > 0 means the marker was removed externally —
             // live data, never debris (round-12 ADVICE: the name-based
-            // whitelist below alone could not tell a foreign dataset
+            // whitelist above alone could not tell a foreign dataset
             // partitioned by a column literally named part_bucket from
             // first-write debris)
             require(batchId == 0L,
@@ -295,23 +316,6 @@ object EventStream {
                 "externally; restore it (touch " +
                 s"$targetDir/$CommitMarker) if the table is intact, " +
                 "or move the directory aside")
-            // only provable first-write debris may be auto-cleared: a
-            // committed table of THIS sink always carries the marker,
-            // so a marker-less dir holding anything but THIS SINK's
-            // write shapes (part_bucket=* dirs, _temporary, hidden
-            // files) is a foreign dataset — refuse, don't destroy.
-            // Root-level part-* files are deliberately NOT whitelisted:
-            // this sink always writes partitionBy("part_bucket"), so a
-            // root part file can only be someone else's unpartitioned
-            // table (e.g. committed under marksuccessfuljobs=false)
-            val foreign = fs.listStatus(target).map(_.getPath.getName)
-              .filterNot(n => n.startsWith("_") || n.startsWith(".") ||
-                n.startsWith("part_bucket="))
-            require(foreign.isEmpty,
-              s"refusing to clear $target: it has no commit marker but " +
-                s"holds non-debris entries [${foreign.mkString(", ")}] — " +
-                "not provably this sink's partial first write; move it " +
-                "aside or delete it manually")
             require(fs.delete(target, true),
               s"clearing partial first write at $target failed")
           }

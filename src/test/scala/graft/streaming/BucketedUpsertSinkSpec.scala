@@ -271,6 +271,60 @@ class BucketedUpsertSinkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreign target with an old checkpoint gets the move-aside refusal, not marker advice") {
+    // review finding (round 12): the batchId>0 marker-loss refusal
+    // advises restoring the commit marker — for a MISCONFIGURED
+    // targetDir pointing at someone else's data that advice would
+    // hand the foreign table to the overwrite path, so the
+    // foreign-entries diagnosis (whose advice is "move it aside")
+    // must win whenever the dir is not even sink-shaped
+    val nBuckets = 4
+    implicit val enc = org.apache.spark.sql.Encoders.row(EventStream.eventSchema)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val base = Files.createTempDirectory("graft-cow-foreign-ckpt")
+    val ckpt = base.resolve("ckpt").toString
+    // FILE source, not MemoryStream: the second query must restore
+    // the first query's checkpoint, and a fresh MemoryStream cannot
+    // replay another stream's committed offsets
+    val inDir = base.resolve("in").toString
+    def writeBatch(rows: Seq[Row]): Unit = {
+      implicit val e = enc
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), EventStream.eventSchema)
+        .write.mode("append").parquet(inDir)
+    }
+    def stream() = spark.readStream
+      .schema(EventStream.eventSchema).parquet(inDir)
+    // two committed batches against the REAL target → batchId > 0
+    writeBatch(Seq(ev(1, 1L, 0, "view")))
+    val q1 = EventStream.upsertSinkBucketed(stream(),
+      base.resolve("t").toString, Seq("user_id"), nBuckets, ckpt)(profile)
+    try {
+      q1.processAllAvailable()
+      writeBatch(Seq(ev(2, 2L, 1, "view")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // same checkpoint, targetDir misconfigured onto a foreign dataset
+    val foreignDir = base.resolve("precious")
+    Files.createDirectories(foreignDir)
+    Files.write(foreignDir.resolve("precious.csv"), "not ours".getBytes)
+    writeBatch(Seq(ev(3, 3L, 2, "view")))
+    val q2 = EventStream.upsertSinkBucketed(stream(),
+      foreignDir.toString, Seq("user_id"), nBuckets, ckpt)(profile)
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(messages(e).exists(_.contains("non-debris entries")),
+        s"expected the foreign move-aside refusal, got: ${messages(e)}")
+      assert(!messages(e).exists(_.contains("restore it")),
+        "the marker-restore advice must not be issued for a foreign dir")
+      assert(Files.exists(foreignDir.resolve("precious.csv")),
+        "foreign data must survive")
+    } finally q2.stop()
+  }
+
   test("diagnosed() rethrows a state-schema restore failure under its documented name") {
     // the sinks return diagnosed-wrapped queries; prove the wrapper
     // maps the raw Spark condition on the blocking calls using a stub
