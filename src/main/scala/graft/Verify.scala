@@ -28,6 +28,18 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a failed query must not leave a PREVIOUS run's parquet in
+          // its slot: analysis-time failures throw before overwrite
+          // deletes the old dir, and the oracle gate would then PASS
+          // the query against stale data (round-12 review) — clear the
+          // slot so the gate reports "no spark output" instead
+          try {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles).foreach(_.foreach(rm))
+              f.delete(); ()
+            }
+            rm(new java.io.File(s"$outDir/$name"))
+          } catch { case _: Throwable => () }
         }
         // same long-lived-session hygiene as Bench, via the ONE shared
         // helper (round-12 verdict item 3: the two call sites drifted
