@@ -43,9 +43,9 @@ object MapleJuice {
 
   /** First of base, base1, base2, … whose name AND derived `_c`
     * aggregate name are free — single definition for every helper
-    * column the join operators inject, so collision avoidance can't
-    * drift between them. */
-  private def freshName(taken: Set[String], base: String): String =
+    * column the join operators (and Merge's key-contract probe)
+    * inject, so collision avoidance can't drift between them. */
+  private[engine] def freshName(taken: Set[String], base: String): String =
     (Iterator(base) ++ Iterator.from(1).map(i => s"$base$i"))
       .find(n => !taken(n) && !taken(s"${n}_c")).get
 

@@ -1,7 +1,9 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{coalesce, col, when}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{assert_true, coalesce, col, concat,
+  concat_ws, count, lit, when}
 
 /** MERGE INTO (upsert) as a relational operator.
   *
@@ -44,9 +46,16 @@ object Merge {
     * `updates` must also be key-UNIQUE (one row per key) — duplicate
     * update keys fan out matched target rows through the full-outer
     * join. The relational contract can't be checked for free at scale,
-    * so it is opt-in: `checkUniqueKeys = true` spends one aggregate
-    * over the (increment-sized) update side and fails fast instead of
-    * silently multiplying rows. */
+    * so it is opt-in: `checkUniqueKeys = true` folds a per-key count
+    * window + assertion into the update side of the SAME plan, so the
+    * data the check sees is exactly the data the join consumes (a
+    * separate eager pre-check would re-execute the updates plan and a
+    * nondeterministic or re-read source could pass the check yet still
+    * fan out — round-12 review), at the cost of one window stage over
+    * the (increment-sized) update side; its exchange is the same
+    * hash-by-keys the join needs. A violation therefore surfaces at
+    * EXECUTION time (a SparkException naming the offending key), not
+    * at call time. */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
       combine: Map[String, (Column, Column) => Column] = Map.empty,
       checkUniqueKeys: Boolean = false): DataFrame = {
@@ -60,31 +69,35 @@ object Merge {
     val badCombine = combine.keySet.filterNot(c => uCols(c) && !keys.contains(c))
     require(badCombine.isEmpty,
       s"combine must name non-key update columns: ${badCombine.mkString(", ")}")
-    if (checkUniqueKeys) {
-      // one aggregate checks BOTH halves of the key contract: duplicate
+    val checkedUpdates = if (!checkUniqueKeys) updates else {
+      // one window checks BOTH halves of the key contract: duplicate
       // keys (fan out matched target rows) and null keys (the matched-
       // row test rides on keys.head being non-null, so a null-keyed
-      // update row silently INSERTS instead of matching — and groupBy
-      // treats null as a key, so it is visible to this same aggregate).
-      // The count is ALIASED to a collision-free name: a merge key
-      // literally named "count" would otherwise make col("count")
-      // ambiguous against RelationalGroupedDataset.count()'s output.
-      val cnt = Iterator.from(0).map(i => s"__graft_cnt$i")
-        .find(n => !uCols(n)).get
-      val bad = updates.groupBy(keys.map(qcol): _*)
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as(cnt))
-        .filter(col(cnt) > 1 || keys.map(qcol(_).isNull).reduce(_ || _))
-        .head(1)
-      require(bad.isEmpty,
-        s"updates side violates the merge-key contract on " +
-          s"(${keys.mkString(", ")}): offending key ${bad.headOption.orNull} — " +
-          "duplicate keys fan out matched target rows; null keys insert " +
-          "instead of matching")
+      // update row silently INSERTS instead of matching — and the
+      // window treats null as a partition, so it is visible here too).
+      // The count column gets a collision-free name (a merge key could
+      // literally be named "__graft_cnt"); assert_true returns NULL
+      // when the contract holds, so the filter keeps every row while
+      // forcing the assertion to evaluate inside the SAME execution
+      // the join consumes — column pruning cannot elide a filter.
+      val cnt = MapleJuice.freshName(uCols, "__graft_cnt")
+      val ok = col(cnt) === 1 && keys.map(qcol(_).isNotNull).reduce(_ && _)
+      val msg = concat(
+        lit("updates side violates the merge-key contract on " +
+          s"(${keys.mkString(", ")}): offending key ("),
+        concat_ws(", ",
+          keys.map(k => coalesce(qcol(k).cast("string"), lit("null"))): _*),
+        lit(") — duplicate keys fan out matched target rows; null keys " +
+          "insert instead of matching"))
+      updates
+        .withColumn(cnt, count(lit(1)).over(
+          Window.partitionBy(keys.map(qcol): _*)))
+        .filter(assert_true(ok, msg).isNull)
+        .drop(cnt)
     }
 
     val t = target.alias("t")
-    val u = updates.alias("u")
+    val u = checkedUpdates.alias("u")
     def tc(c: String) = col(s"t.${quoted(c)}")
     def uc(c: String) = col(s"u.${quoted(c)}")
     val cond = keys.map(k => tc(k) === uc(k)).reduce(_ && _)

@@ -46,4 +46,38 @@ class MergeSpec extends SparkSuite {
       Merge.upsert(target, Seq(1L).toDF("cnt"), Seq("k"))
     }
   }
+
+  private def rootMessages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ rootMessages(t.getCause)
+
+  test("checkUniqueKeys: duplicate update keys fail IN the merge execution, naming the key") {
+    // the check rides the SAME plan the join consumes (no separate
+    // eager pre-scan — round-12 review closed a check-vs-use race), so
+    // the violation surfaces when the merged result executes
+    val dup = Seq((2L, "x", 1L), (2L, "y", 2L)).toDF("k", "name", "cnt")
+    val merged = Merge.upsert(target, dup, Seq("k"), checkUniqueKeys = true)
+    val e = intercept[Throwable](merged.collect())
+    assert(rootMessages(e).exists(m =>
+      m.contains("merge-key contract") && m.contains("(2)")),
+      s"expected the named key-contract failure, got: ${rootMessages(e)}")
+  }
+
+  test("checkUniqueKeys: a null update key fails instead of silently inserting") {
+    val nullKey = Seq((Option.empty[Long], "x", 1L), (Some(9L), "y", 2L))
+      .toDF("k", "name", "cnt")
+    val merged = Merge.upsert(target, nullKey, Seq("k"), checkUniqueKeys = true)
+    val e = intercept[Throwable](merged.collect())
+    assert(rootMessages(e).exists(_.contains("merge-key contract")),
+      s"expected the key-contract failure, got: ${rootMessages(e)}")
+  }
+
+  test("checkUniqueKeys: a clean increment merges identically to the unchecked path") {
+    val updates = Seq((2L, "B2", 7L), (9L, "new", 1L)).toDF("k", "name", "cnt")
+    val checked = Merge.upsert(target, updates, Seq("k"), checkUniqueKeys = true)
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    val unchecked = Merge.upsert(target, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(checked == unchecked)
+    assert(checked == Seq((1L, "a", 10L), (2L, "B2", 7L), (3L, "c", 30L), (9L, "new", 1L)))
+  }
 }
