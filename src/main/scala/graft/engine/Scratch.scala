@@ -105,16 +105,25 @@ object Scratch {
     md.digest(key.getBytes(UTF_8)).map("%02x".format(_)).mkString.take(16)
   }
 
+  /** Order-sensitive fingerprint text of a frame schema: column names,
+    * types, AND nullability — a builder edit that only flips a
+    * column's nullability (e.g. wrapping it in coalesce) changes the
+    * data contract just as much as a type change, and a fingerprint
+    * without it would keep serving the stale artifact (round-12
+    * review). */
+  private def schemaText(schema: org.apache.spark.sql.types.StructType): String =
+    schema.map(f => s"${f.name}:${f.dataType.catalogString}:${f.nullable}")
+      .mkString(",")
+
   /** Order-sensitive fingerprint of a frame schema (column names +
-    * types) for folding into a cache key. Any change to the builder's
-    * output layout then auto-invalidates durable roots instead of
-    * silently serving the stale artifact — the generalization of the
-    * round-8 tau_prefix "v2" hand-bump, which existed because a
-    * schema change without a key change kept resolving to the old
-    * on-disk layout. */
+    * types + nullability) for folding into a cache key. Any change to
+    * the builder's output layout then auto-invalidates durable roots
+    * instead of silently serving the stale artifact — the
+    * generalization of the round-8 tau_prefix "v2" hand-bump, which
+    * existed because a schema change without a key change kept
+    * resolving to the old on-disk layout. */
   def schemaKey(schema: org.apache.spark.sql.types.StructType): String =
-    leafOf(schema.map(f => s"${f.name}:${f.dataType.catalogString}")
-      .mkString(","))
+    leafOf(schemaText(schema))
 
   /** Fingerprint of a DECLARED multi-output artifact layout (name →
     * schema), for builders whose frames cannot be constructed lazily
@@ -133,7 +142,21 @@ object Scratch {
   def writeDeclared(df: org.apache.spark.sql.DataFrame,
       declared: org.apache.spark.sql.types.StructType, path: String,
       mode: String = "overwrite"): Unit = {
-    if (schemaKey(df.schema) != schemaKey(declared))
+    // compare fingerprint TEXTS, not their truncated hashes: the
+    // strings are already in hand, and hashing first would let exactly
+    // the drift this guard exists to catch ship on a hash collision.
+    // Names + types ONLY here (no nullability): declarations are
+    // hand-written while a plan's nullability is optimizer-INFERRED —
+    // requiring them equal would fail builds whenever inference
+    // differs from the hand declaration (observed immediately on the
+    // band-index builder). The residual staleness class — a builder
+    // change that only flips nullability under an unchanged
+    // declaration — is accepted for declared multi-output artifacts;
+    // single-frame [[cachedFrame]] artifacts fingerprint the ACTUAL
+    // schema via [[schemaKey]], which does include nullability.
+    def declaredText(s: org.apache.spark.sql.types.StructType): String =
+      s.map(f => s"${f.name}:${f.dataType.catalogString}").mkString(",")
+    if (declaredText(df.schema) != declaredText(declared))
       throw new IllegalStateException(
         s"artifact schema drift at $path: declared " +
           s"<${declared.catalogString}> != written " +
@@ -145,9 +168,16 @@ object Scratch {
   /** Resolved (prefix, logical key) → artifact path, so warm
     * [[cachedFrame]] hits skip re-constructing the builder plan just
     * to hash its schema (plan analysis is mills-per-call — real at
-    * bench cadence). Sound because a builder is CONSTANT within one
-    * JVM; [[resetForTest]] clears it alongside the build memo so the
-    * schema-change spec can swap builders mid-process. */
+    * bench cadence). CONTRACT (unchecked by design): a (prefix, key)
+    * pair has exactly ONE builder frame per JVM — a second call site
+    * reusing the pair with a DIFFERENT frame would be handed the first
+    * builder's path on a memo hit without the schema re-key that a
+    * cold call would apply (checking would require re-analyzing the
+    * frame on every hit, the exact cost this memo removes). Each
+    * (prefix, key) is owned by one private builder function in this
+    * codebase; keep it that way. [[resetForTest]] clears the memo
+    * alongside the build memo so the schema-change spec can swap
+    * builders mid-process. */
   private val resolveMemo = new ConcurrentHashMap[String, String]()
 
   /** DataFrame-artifact form of [[cached]]: materializes `frame` to
@@ -195,30 +225,68 @@ object Scratch {
     val k = s"$prefix\n$key"
     val fresh = new java.util.concurrent.CompletableFuture[String]()
     val prior = built.putIfAbsent(k, fresh)
-    if (prior != null) prior.join()
+    if (prior != null)
+      // unwrap so waiters on a failed build see the SAME exception
+      // type the building thread threw, not a CompletionException —
+      // a caller catching the builder's error by type would otherwise
+      // behave differently depending on who lost the race
+      try prior.join()
+      catch { case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e) }
     else
       try {
         val r = root(prefix)
         val leaf = leafOf(key)
         val path = r.resolve(leaf)
         val marker = r.resolve(s"$leaf.done")
-        if (Files.exists(marker)) {
-          val recorded = new String(Files.readAllBytes(marker), UTF_8)
-          // truncated-hash collision is ~2^-64 per pair but would
-          // silently serve the WRONG artifact — the marker carries the
-          // key so it can never happen quietly
-          if (recorded != key)
-            throw new IllegalStateException(
-              s"scratch leaf collision under $r: '$recorded' vs '$key'")
-          // built by an earlier process under this durable root
-        } else {
-          // no marker + existing dir = a crashed build; clear it so
-          // builders without overwrite semantics can't trip on debris
-          deleteTree(path)
-          builds.incrementAndGet()
-          builtPrefixes.add(prefix)
-          build(path.toString)
-          Files.write(marker, key.getBytes(UTF_8))
+        // cross-PROCESS mutual exclusion (the in-JVM race is already
+        // serialized by `built`): under a shared durable root two JVMs
+        // could both see no marker and build into the same
+        // deterministic path — one's debris-clearing deleteTree would
+        // then destroy the other's in-flight build and a marker could
+        // land on the mixed result. An OS file lock (released on
+        // process death, so a crash never wedges the key) makes
+        // check+build+marker atomic across processes; the loser of the
+        // race re-checks the marker under the lock and reuses the
+        // winner's artifact.
+        val lockCh = java.nio.channels.FileChannel.open(
+          r.resolve(s"$leaf.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val flock = lockCh.lock()
+        try {
+          val markerHit = Files.exists(marker) && {
+            val recorded = new String(Files.readAllBytes(marker), UTF_8)
+            // truncated-hash collision is ~2^-64 per pair but would
+            // silently serve the WRONG artifact — the marker carries
+            // the key so it can never happen quietly
+            if (recorded != key)
+              throw new IllegalStateException(
+                s"scratch leaf collision under $r: '$recorded' vs '$key'")
+            // a marker orphaned by external cleanup (artifact dir
+            // removed, sibling .done left behind) must trigger a
+            // rebuild, not permanently resolve to a path to nothing
+            Files.exists(path) || { Files.deleteIfExists(marker); false }
+          }
+          if (!markerHit) {
+            // no marker + existing dir = a crashed build; clear it so
+            // builders without overwrite semantics can't trip on debris
+            deleteTree(path)
+            builds.incrementAndGet()
+            builtPrefixes.add(prefix)
+            build(path.toString)
+            // marker write is tmp + ATOMIC_MOVE: a plain write could be
+            // torn by a crash mid-flush, and a truncated marker would
+            // poison the key forever as a phantom "leaf collision"
+            val tmp = r.resolve(s"$leaf.done.tmp")
+            Files.write(tmp, key.getBytes(UTF_8))
+            Files.move(tmp, marker,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally {
+          flock.release()
+          lockCh.close()
         }
         fresh.complete(path.toString)
         path.toString

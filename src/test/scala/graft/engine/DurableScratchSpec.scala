@@ -92,6 +92,65 @@ class DurableScratchSpec extends AnyFunSuite {
     }
   }
 
+  test("orphaned marker (artifact dir removed externally) self-heals by rebuilding") {
+    // round-12 review: a disk reaper that removes the artifact dir but
+    // leaves the sibling .done file used to make cached() permanently
+    // resolve to a path to nothing — the marker check must also require
+    // the artifact itself
+    withDurableRoot { _ =>
+      var builds = 0
+      def build(pth: String): Unit = {
+        builds += 1
+        Files.createDirectories(Paths.get(pth))
+        Files.write(Paths.get(pth, "d"), "x".getBytes(UTF_8))
+      }
+      val p = Scratch.cached("dspec6", "k6")(build)
+      assert(builds == 1)
+      // external cleanup: artifact gone, marker left behind
+      val s = Files.walk(Paths.get(p))
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+      Scratch.resetForTest() // "restart"
+      val p2 = Scratch.cached("dspec6", "k6")(build)
+      assert(builds == 2, "orphaned marker must rebuild, not serve a missing dir")
+      assert(Files.exists(Paths.get(p2, "d")))
+    }
+  }
+
+  test("waiters on a failed build see the builder's own exception type") {
+    // round-12 review: the losing thread used to get a
+    // CompletionException wrapper where the winner got the raw builder
+    // error — type-directed error handling then depended on a race
+    withDurableRoot { _ =>
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val winner = new Thread(() => {
+        try Scratch.cached("dspec7", "k7") { _ =>
+          entered.countDown()
+          release.await()
+          throw new IllegalStateException("boom-k7")
+        } catch { case _: Throwable => () }
+      })
+      winner.start()
+      entered.await()
+      @volatile var caught: Throwable = null
+      val waiter = new Thread(() => {
+        try { Scratch.cached("dspec7", "k7")(_ => ()); () }
+        catch { case t: Throwable => caught = t }
+      })
+      waiter.start()
+      Thread.sleep(200) // let the waiter park on the in-flight future
+      release.countDown()
+      winner.join()
+      waiter.join()
+      assert(caught != null, "waiter must observe the failure")
+      assert(caught.isInstanceOf[IllegalStateException],
+        s"waiter must see the builder's exception type, got: $caught")
+      assert(caught.getMessage == "boom-k7")
+    }
+  }
+
   test("failed build leaves no marker and is retryable") {
     withDurableRoot { root =>
       intercept[RuntimeException] {
