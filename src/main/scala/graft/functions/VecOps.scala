@@ -6,6 +6,42 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
+/** Shared null-element policy for the binary array expressions below.
+  *
+  * The guard is a PRE-SCAN, not a per-iteration branch (round-12
+  * review): checking inside the walk left a hole — SortedIntersect
+  * Count's merge walk never visits elements past the point where one
+  * array is exhausted, and `array_sort` places nulls LAST, so the
+  * realistic null position was exactly the one the in-loop guard
+  * could never reach (a trailing null returned a count instead of the
+  * documented NULL). Scanning for nulls up front makes the contract
+  * position-independent AND keeps the hot walk branch-free even for
+  * containsNull=true inputs — which is every real input: implicit
+  * casts and collect/transform builders all widen to
+  * containsNull=true, so the old "containsNull=false keeps the fast
+  * loop" claim was dead code for the pipelines these expressions
+  * exist for. containsNull=false inputs skip the pre-scan entirely. */
+private[functions] trait ArrayPairNullGuard { self: BinaryExpression =>
+  /** True when either child's ARRAY TYPE admits null elements —
+    * constant after resolution, so a lazy val, not a per-row def. */
+  protected lazy val mayHaveNullElems: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
+  /** Interpreted pre-scan: true iff any element of `x` is null. */
+  protected final def anyNullElem(x: ArrayData): Boolean = {
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+}
+
 /** Dot product of two double arrays as a native codegen'd Catalyst
   * expression.
   *
@@ -19,7 +55,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * part of the contract, so no reassociation/SIMD tricks here.
   */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes
+    with ArrayPairNullGuard {
 
   // declared input types: SQL callers get implicit casts (e.g.
   // array<int> → array<double>) or a clean analysis error, never a
@@ -35,25 +72,15 @@ case class VecDot(left: Expression, right: Expression)
   // form and the DuckDB list_reduce twin both return NULL there)
   override def nullable: Boolean = true
 
-  // element null-checks are emitted only when the array TYPE admits
-  // null elements — containsNull=false inputs keep the branch-free
-  // hot loop (billions of dot products at 100 TB)
-  private def mayHaveNullElems: Boolean =
-    Seq(left, right).exists(_.dataType match {
-      case ArrayType(_, cn) => cn
-      case _ => true
-    })
-
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val checkNulls = mayHaveNullElems
+    if (mayHaveNullElems && (anyNullElem(x) || anyNullElem(y))) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
-      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       sum += x.getDouble(i) * y.getDouble(i); i += 1
     }
     sum
@@ -62,23 +89,30 @@ case class VecDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
-      val nullCheck =
+      // pre-scan (see ArrayPairNullGuard): the value walk stays
+      // branch-free; containsNull=false inputs emit no scan at all
+      val nullScan =
         if (mayHaveNullElems)
-          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          s"""for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
+             |  if ($a.isNullAt($k) || $b.isNullAt($k)) { ${ev.isNull} = true; }
+             |}""".stripMargin
         else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $sum = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $nullCheck
-         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  $nullScan
+         |  if (!${ev.isNull}) {
+         |    double $sum = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $sum += $a.getDouble($i) * $b.getDouble($i);
+         |    }
+         |    ${ev.value} = $sum;
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}
        """.stripMargin
     })
@@ -99,7 +133,8 @@ case class VecDot(left: Expression, right: Expression)
   * per document (`array_sort`), amortized over all its pairs.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes
+    with ArrayPairNullGuard {
 
   override def inputTypes: Seq[GraftBridge.ADT] =
     Seq(ArrayType(LongType), ArrayType(LongType))
@@ -109,23 +144,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   // slot as 0 (spurious match against a real 0), and array_sort places
   // nulls LAST, so the decoded 0 lands after larger values and the
   // sortedness invariant breaks (silent early termination). Result is
-  // NULL instead — same guard shape as VecDot; containsNull=false
-  // inputs keep the branch-free hot loop.
+  // NULL instead, wherever the null sits — including positions the
+  // merge walk itself would never visit (the pre-scan guarantees it).
   override def nullable: Boolean = true
-
-  private def mayHaveNullElems: Boolean =
-    Seq(left, right).exists(_.dataType match {
-      case ArrayType(_, cn) => cn
-      case _ => true
-    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val checkNulls = mayHaveNullElems
+    if (mayHaveNullElems && (anyNullElem(x) || anyNullElem(y))) return null
+    val nx = x.numElements()
+    val ny = y.numElements()
     var i = 0; var j = 0; var n = 0L
-    while (i < x.numElements() && j < y.numElements()) {
-      if (checkNulls && (x.isNullAt(i) || y.isNullAt(j))) return null
+    while (i < nx && j < ny) {
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv == yv) { n += 1; i += 1; j += 1 }
       else if (xv < yv) i += 1
@@ -137,21 +167,34 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val n = ctx.freshName("n")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
-      val nullCheck =
+      // pre-scan (see ArrayPairNullGuard): a trailing null — the spot
+      // array_sort actually puts nulls — nulls the result even though
+      // the merge walk below would exhaust the other side first
+      val nullScan =
         if (mayHaveNullElems)
-          s"if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }"
+          s"""for (int $k = 0; $k < $nx && !${ev.isNull}; $k++) {
+             |  if ($a.isNullAt($k)) { ${ev.isNull} = true; }
+             |}
+             |for (int $k = 0; $k < $ny && !${ev.isNull}; $k++) {
+             |  if ($b.isNullAt($k)) { ${ev.isNull} = true; }
+             |}""".stripMargin
         else ""
       s"""
-         |int $i = 0; int $j = 0; long $n = 0L;
-         |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  $nullCheck
-         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $n++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  int $i = 0; int $j = 0; long $n = 0L;
+         |  while ($i < $nx && $j < $ny) {
+         |    long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |    if ($xv == $yv) { $n++; $i++; $j++; }
+         |    else if ($xv < $yv) { $i++; } else { $j++; }
+         |  }
+         |  ${ev.value} = $n;
          |}
-         |if (!${ev.isNull}) { ${ev.value} = $n; }
        """.stripMargin
     })
 

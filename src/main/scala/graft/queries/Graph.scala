@@ -271,7 +271,14 @@ object Graph {
       col("v") === col("av"), "left")
     withBoth
       .select(graft.functions.VecOps.sorted_intersect_count(
-        col("nu"), coalesce(col("nv"), array().cast("array<bigint>"))).as("t"))
+        // the empty-array default is typed containsNull=FALSE: the DDL
+        // string "array<bigint>" parses to containsNull=true and
+        // Coalesce would widen the whole branch, forcing the null
+        // pre-scan into every edge's merge walk even though both
+        // adjacency arrays are provably null-free (round-12 review)
+        col("nu"), coalesce(col("nv"), array().cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false)))).as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("tri_cnt"),
         count(lit(1)).as("edge_cnt"))
   }

@@ -75,4 +75,28 @@ class VecOpsSpec extends SparkSuite {
     assert(r.getDouble(2) == 8.0 && r.getLong(3) == 2L,
       "null-free inputs must be unaffected")
   }
+
+  test("a TRAILING null element is poison too, on both codegen and interpreted paths") {
+    // round-12 review (confirmed live): the old in-loop guard only
+    // checked positions the merge walk visited, so a null past the
+    // point where one array is exhausted returned a count — and
+    // array_sort puts nulls LAST, making that exactly the realistic
+    // position. The pre-scan contract is position-independent.
+    def probe() = spark.range(1).select(
+      VecOps.sorted_intersect_count(expr("array(1L, CAST(NULL AS BIGINT))"),
+        expr("array(1L)")).as("c_trail"),
+      VecOps.sorted_intersect_count(expr("array(1L)"),
+        expr("array(1L, CAST(NULL AS BIGINT))")).as("c_trail_r"),
+      VecOps.vec_dot(expr("array(1.0D, CAST(NULL AS DOUBLE))"),
+        expr("array(2.0D, 3.0D)")).as("d_trail")).collect().head
+    val cg = probe()
+    assert(cg.isNullAt(0) && cg.isNullAt(1) && cg.isNullAt(2),
+      s"codegen path must null on trailing null elements, got $cg")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val in = probe()
+      assert(in.isNullAt(0) && in.isNullAt(1) && in.isNullAt(2),
+        s"interpreted path must null on trailing null elements, got $in")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }
