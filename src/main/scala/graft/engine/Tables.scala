@@ -39,9 +39,14 @@ object Tables {
     * silently empties every absolute-date filter. */
   private def isNanosRefusal(e: Throwable): Boolean = {
     val m = Option(e.getMessage).getOrElse("")
+    // NANOS must co-occur with the parquet marker: a bare
+    // PARQUET_TYPE_ILLEGAL clause would match ANY illegal-typed column
+    // (e.g. a TIME(MILLIS) field beside a perfectly valid micros ts)
+    // and route the file into the div-1000 read — the exact
+    // silent-1970 corruption this predicate exists to prevent
+    // (round-12 review, reproduced live)
     (m.contains("NANOS") &&
       (m.contains("Parquet") || m.contains("PARQUET"))) ||
-      m.contains("PARQUET_TYPE_ILLEGAL") ||
       Option(e.getCause).exists(isNanosRefusal)
   }
 
@@ -56,7 +61,16 @@ object Tables {
         try {
           spark.read.parquet(path).schema("ts").dataType match {
             case TimestampType | TimestampNTZType => true
-            case _ => false
+            // an unexpected NATIVE ts type (e.g. a generator drifting
+            // to plain un-annotated int64) must THROW, not guess: the
+            // div-1000 fallback is exact only for the NANOS refusal,
+            // and guessing here reads micros-as-nanos — silent
+            // 1970-era timestamps (round-12 review, reproduced live)
+            case other => throw new IllegalStateException(
+              s"events.ts at $path has unexpected native type " +
+                s"${other.catalogString} — expected a parquet TIMESTAMP " +
+                "(micros or NTZ), or TIMESTAMP(NANOS) which selects the " +
+                "raw-long fallback; refusing to guess a unit")
           }
         } catch { case e: Exception if isNanosRefusal(e) => false }
       tsNative.put(path, native)
