@@ -95,28 +95,52 @@ object MediaDecoder {
 
   // ── images: JDK ImageIO ──
 
+  /** Decompression-bomb bound: a few-KB payload can DECLARE huge
+    * dimensions (60000² ≈ 14 GB of ARGB) — ImageIO would then OOM the
+    * task as an Error the Exception belt never catches. Dimensions are
+    * read from the HEADER first (no pixel decode) and capped here;
+    * 64 MPix ≈ 256 MB decoded, comfortably above any real asset. */
+  private val MaxImagePixels = 64L * 1024 * 1024
+
   private def decodeImage(p: Array[Byte], fmt: String): Media = {
-    // ImageIO throws on truncated payloads — decode()'s catch-all maps
-    // that to the fallback; null (unrecognized content) handled here
-    val img = ImageIO.read(new ByteArrayInputStream(p))
-    if (img == null) return fallback(p, "unknown")
-    val (w, h) = (img.getWidth, img.getHeight)
-    // mean luminance (Rec. 601) over decoded pixels — the "content
-    // feature"; small per-asset images, so a full scan is fine
-    var lum = 0.0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        lum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-          0.114 * (rgb & 0xff)
-        x += 1
+    // header-first: reader dims come from metadata, so the bomb check
+    // runs BEFORE any pixel allocation; truncated payloads throw into
+    // decode()'s catch-all as before
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(p))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return fallback(p, "unknown")
+      val reader = readers.next()
+      reader.setInput(iis)
+      val img =
+        try {
+          val (w0, h0) = (reader.getWidth(0), reader.getHeight(0))
+          if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > MaxImagePixels)
+            return fallback(p, "unknown")
+          reader.read(0)
+        } finally reader.dispose()
+      if (img == null) return fallback(p, "unknown")
+      val (w, h) = (img.getWidth, img.getHeight)
+      // mean luminance (Rec. 601) over decoded pixels — the "content
+      // feature". Row-wise bulk getRGB: one color-model conversion per
+      // row instead of per pixel (same ARGB ints, same sum).
+      var lum = 0.0
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          lum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
       }
-      y += 1
-    }
-    Media(fmt, w, h, -1, -1, -1L, -1.0,
-      Array(w.toDouble, h.toDouble, lum / math.max(w.toLong * h, 1L)))
+      Media(fmt, w, h, -1, -1, -1L, -1.0,
+        Array(w.toDouble, h.toDouble, lum / math.max(w.toLong * h, 1L)))
+    } finally iis.close()
   }
 
   // ── audio: RIFF/WAVE chunk walk ──
@@ -265,21 +289,32 @@ object MediaDecoder {
     }
     if (timescale <= 0 || duration < 0) return fallback(p, "unknown")
     val durationMs = duration * 1000.0 / timescale
-    Media("mp4", w, h, timescale.toInt, -1, tracks, durationMs,
+    // mvhd timescale is u32; the Media field is an Int — a timescale
+    // above 2^31 would .toInt to a NEGATIVE "sample rate" (silently
+    // corrupt metadata) while duration_ms stayed right. Clamp to the
+    // documented -1 sentinel instead; durationMs above already used
+    // the full Long value.
+    val tsField = if (timescale <= Int.MaxValue) timescale.toInt else -1
+    Media("mp4", w, h, tsField, -1, tracks, durationMs,
       Array(tracks.toDouble, timescale.toDouble, durationMs), codec)
   }
 
   // ── video frame sampling: stts/stsz sample-table walk ──
 
-  /** One sample (frame) from an MP4 sample table: index, presentation
-    * time in media-timescale units (cumulative stts deltas BEFORE this
-    * sample), and byte size (from stsz). */
+  /** One sample (frame) from an MP4 sample table: decode index,
+    * presentation time in media-timescale units (cumulative stts
+    * decode deltas BEFORE this sample PLUS its ctts composition
+    * offset when the track carries one — B-frame tracks store pts =
+    * dts + offset, and ignoring ctts would report decode timestamps
+    * as presentation times), and byte size from stsz (`-1` = the
+    * table carried no size information, distinct from a real
+    * zero-byte sample). */
   final case class Frame(idx: Int, ptsUnits: Long, size: Long)
 
   /** A track's frame table: the mdhd media timescale (ticks/second —
-    * pts_ms = ptsUnits * 1000.0 / timescale) and the frames in
-    * presentation order. `timescale == -1` and empty frames means no
-    * parseable sample table was found. */
+    * pts_ms = ptsUnits * 1000.0 / timescale) and the frames in DECODE
+    * order, each carrying its presentation time. `timescale == -1`
+    * and empty frames means no parseable sample table was found. */
   final case class FrameTable(timescale: Int, frames: Array[Frame])
 
   // crafted entry counts could claim 2^31 samples in a 100-byte box;
@@ -295,60 +330,90 @@ object MediaDecoder {
     * throw (same contract as [[decode]]'s fallback). */
   def frames(p: Array[Byte]): FrameTable = try {
     if (!isMp4(p)) return FrameTable(-1, Array.empty)
+    // the COMMITTED tables — written only when one trak yields a full
+    // parse, so tables from different tracks can never mix (round-12
+    // review: globally-accumulated deltas/sizes let trak 1's byte
+    // sizes pair with trak 2's timing — a fabricated frame table)
     var mediaTs = -1
-    var deltas: Array[Long] = null // per-sample stts deltas, expanded
+    var deltas: Array[Long] = null
     var sizes: Array[Long] = null
+    var offsets: Array[Long] = null // ctts composition offsets (pts = dts + off)
     var constSize = -1L
     var done = false // first track with an stts wins
+
+    // (count, value) run-length expansion shared by stts and ctts;
+    // crafted entry counts are capped at MaxFrames (null = unusable)
+    def runLengths(s: Long, e: Long, signedValues: Boolean): Array[Long] = {
+      if (s + 8 > e) return null
+      val entries = be32(p, s.toInt + 4)
+      val out = Array.newBuilder[Long]
+      var total = 0L
+      var i = 0L
+      var ok = true
+      while (ok && i < entries) {
+        val o = s + 8 + i * 8
+        if (o + 8 > e) ok = false
+        else {
+          val count = be32(p, o.toInt)
+          val raw = be32(p, o.toInt + 4)
+          val value = if (signedValues) raw.toInt.toLong else raw
+          if (total + count > MaxFrames) ok = false
+          else {
+            var j = 0L
+            while (j < count) { out += value; j += 1 }
+            total += count
+          }
+        }
+        i += 1
+      }
+      if (ok) out.result() else null
+    }
+
     walkBoxes(p, 0, p.length) { (id, s, e) =>
       if (id == "moov") walkBoxes(p, s, e) { (id2, s2, e2) =>
-        if (id2 == "trak" && !done) walkBoxes(p, s2, e2) { (id3, s3, e3) =>
-          if (id3 == "mdia") walkBoxes(p, s3, e3) { (id4, s4, e4) =>
-            if (id4 == "mdhd" && s4 + 4 <= e4) {
-              val v = p(s4.toInt) & 0xff
-              // FullBox: v0 cre(4) mod(4) ts(4) dur(4); v1 cre(8) mod(8) ts(4) dur(8)
-              if (v == 0 && s4 + 16 <= e4) mediaTs = be32(p, s4.toInt + 12).toInt
-              else if (v == 1 && s4 + 24 <= e4) mediaTs = be32(p, s4.toInt + 20).toInt
-            } else if (id4 == "minf") walkBoxes(p, s4, e4) { (id5, s5, e5) =>
-              if (id5 == "stbl") walkBoxes(p, s5, e5) { (id6, s6, e6) =>
-                if (id6 == "stts" && s6 + 8 <= e6 && deltas == null) {
-                  // ver/flags(4) entry_count(4) then (count, delta) pairs
-                  val entries = be32(p, s6.toInt + 4)
-                  val out = Array.newBuilder[Long]
-                  var total = 0L
-                  var i = 0L
-                  var ok = true
-                  while (ok && i < entries) {
-                    val o = s6 + 8 + i * 8
-                    if (o + 8 > e6) ok = false
-                    else {
-                      val count = be32(p, o.toInt)
-                      val delta = be32(p, o.toInt + 4)
-                      if (total + count > MaxFrames) ok = false
-                      else {
-                        var j = 0L
-                        while (j < count) { out += delta; j += 1 }
-                        total += count
-                      }
+        if (id2 == "trak" && !done) {
+          // per-TRACK working state, committed as a unit below
+          var tTs = -1
+          var tDeltas: Array[Long] = null
+          var tSizes: Array[Long] = null
+          var tOffsets: Array[Long] = null
+          var tConst = -1L
+          walkBoxes(p, s2, e2) { (id3, s3, e3) =>
+            if (id3 == "mdia") walkBoxes(p, s3, e3) { (id4, s4, e4) =>
+              if (id4 == "mdhd" && s4 + 4 <= e4) {
+                val v = p(s4.toInt) & 0xff
+                // FullBox: v0 cre(4) mod(4) ts(4) dur(4); v1 cre(8) mod(8) ts(4) dur(8)
+                if (v == 0 && s4 + 16 <= e4) tTs = be32(p, s4.toInt + 12).toInt
+                else if (v == 1 && s4 + 24 <= e4) tTs = be32(p, s4.toInt + 20).toInt
+              } else if (id4 == "minf") walkBoxes(p, s4, e4) { (id5, s5, e5) =>
+                if (id5 == "stbl") walkBoxes(p, s5, e5) { (id6, s6, e6) =>
+                  if (id6 == "stts" && tDeltas == null)
+                    tDeltas = runLengths(s6, e6, signedValues = false)
+                  else if (id6 == "ctts" && tOffsets == null && s6 + 4 <= e6) {
+                    // composition offsets: v0 stores u32, v1 stores s32
+                    // (negative offsets legal); pts = dts + offset
+                    val v = p(s6.toInt) & 0xff
+                    tOffsets = runLengths(s6, e6, signedValues = v == 1)
+                  } else if (id6 == "stsz" && s6 + 12 <= e6 && tSizes == null) {
+                    // ver/flags(4) sample_size(4) sample_count(4) [sizes]
+                    val sampleSize = be32(p, s6.toInt + 4)
+                    val count = be32(p, s6.toInt + 8)
+                    if (sampleSize > 0) tConst = sampleSize
+                    else if (count <= MaxFrames &&
+                        s6 + 12 + count * 4 <= e6) {
+                      tSizes = Array.tabulate(count.toInt)(i =>
+                        be32(p, (s6 + 12 + i * 4L).toInt))
                     }
-                    i += 1
-                  }
-                  if (ok) deltas = out.result()
-                } else if (id6 == "stsz" && s6 + 12 <= e6 && sizes == null) {
-                  // ver/flags(4) sample_size(4) sample_count(4) [sizes]
-                  val sampleSize = be32(p, s6.toInt + 4)
-                  val count = be32(p, s6.toInt + 8)
-                  if (sampleSize > 0) constSize = sampleSize
-                  else if (count <= MaxFrames &&
-                      s6 + 12 + count * 4 <= e6) {
-                    sizes = Array.tabulate(count.toInt)(i =>
-                      be32(p, (s6 + 12 + i * 4L).toInt))
                   }
                 }
               }
             }
           }
-          if (deltas != null) done = true
+          if (tDeltas != null) {
+            mediaTs = tTs; deltas = tDeltas; sizes = tSizes
+            offsets = tOffsets; constSize = tConst
+            done = true
+          }
         }
       }
     }
@@ -356,13 +421,18 @@ object MediaDecoder {
     val n =
       if (sizes != null) math.min(deltas.length, sizes.length)
       else deltas.length
-    var pts = 0L
+    var dts = 0L
     val out = new Array[Frame](n)
     var i = 0
     while (i < n) {
-      val sz = if (sizes != null) sizes(i) else math.max(constSize, 0L)
-      out(i) = Frame(i, pts, sz)
-      pts += deltas(i)
+      // size -1 = "no size information" (stsz absent/rejected), NOT a
+      // zero-byte sample — a byte-budgeting sampler must see unknown
+      val sz =
+        if (sizes != null) sizes(i)
+        else constSize // -1 sentinel when the table carried no sizes
+      val off = if (offsets != null && i < offsets.length) offsets(i) else 0L
+      out(i) = Frame(i, dts + off, sz)
+      dts += deltas(i)
       i += 1
     }
     FrameTable(mediaTs, out)
@@ -389,14 +459,20 @@ object MediaDecoder {
     val (sw, sh) = (img.getWidth, img.getHeight)
     val out = new java.awt.image.BufferedImage(
       dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // row-wise bulk getRGB/setRGB: one color-model conversion per row
+    // instead of per pixel (~10x on this measured-hot path); the x
+    // index map is precomputed once — both produce the identical ARGB
+    // ints, so the bit-determinism contract is unchanged
+    val xmap = Array.tabulate(dstW)(x => (x.toLong * sw / dstW).toInt)
+    val srcRow = new Array[Int](sw)
+    val dstRow = new Array[Int](dstW)
     var y = 0
     while (y < dstH) {
       val sy = (y.toLong * sh / dstH).toInt
+      img.getRGB(0, sy, sw, 1, srcRow, 0, sw)
       var x = 0
-      while (x < dstW) {
-        out.setRGB(x, y, img.getRGB((x.toLong * sw / dstW).toInt, sy))
-        x += 1
-      }
+      while (x < dstW) { dstRow(x) = srcRow(xmap(x)); x += 1 }
+      out.setRGB(0, y, dstW, 1, dstRow, 0, dstW)
       y += 1
     }
     out
