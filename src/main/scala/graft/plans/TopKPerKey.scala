@@ -27,6 +27,10 @@ case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     child: LogicalPlan) extends UnaryNode {
+  // the node is public and the strategy session-injected, so a plan
+  // built around the TopK.perKey facade must fail HERE, not as a
+  // per-row NoSuchElementException on an empty heap inside executors
+  require(k > 0, s"TopKPerKey k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
@@ -121,11 +125,50 @@ object TopK {
             s"aggregate/generator is not (analyzed to ${other.nodeName}); " +
             "aggregate first, then rank the aggregated frame")
       }
+    // generators and window functions ALSO analyze to a Project — over
+    // a Generate/Window node — so the match above alone would let
+    // explode(...)/rank().over(...) through with a multiplied child
+    // and extra synthetic columns. The operator's child must be df's
+    // own analyzed plan, which shows as id-identical output.
+    require(proj.child.output == GraftBridge.logicalPlan(df).output,
+      "TopK.perKey columns must be row-level expressions over the " +
+        s"input frame — analysis introduced a ${proj.child.nodeName} " +
+        "node (a generator or window function does this); compute such " +
+        "columns with select/withColumn first, then rank")
     val resolved = proj.projectList.map {
       case a: Alias => a.child
       case e        => e
     }
+    // a Column can EXPAND to several expressions (col("*"), struct.*) —
+    // splitAt/zip below would then silently misalign keys and order
+    require(resolved.size == keyCols.size + orderCols.size,
+      s"TopK.perKey columns must be single expressions: " +
+        s"${keyCols.size} key + ${orderCols.size} order columns " +
+        s"resolved to ${resolved.size} expressions (a star or " +
+        "struct expansion is ambiguous here — name the columns)")
+    // nondeterministic expressions (rand(), ...) need per-partition
+    // initialization the exec's projections never perform — refuse at
+    // the API instead of an executor-side initialization failure; the
+    // operator's contract is a deterministic ranking anyway
+    require(resolved.forall(_.deterministic),
+      "TopK.perKey key/order expressions must be deterministic " +
+        "(materialize a random column with withColumn first if a " +
+        "random ranking is really intended)")
     val (keyExprs0, orderExprs) = resolved.splitAt(keyCols.size)
+    // UnsafeRow grouping keys compare by BYTES and map entry order is
+    // not canonical — Spark's own groupBy rejects map-typed grouping
+    // for exactly this reason, and bypassing the check here would let
+    // one logical key split across heaps and partitions
+    keyExprs0.foreach { e =>
+      require(!GraftBridge.containsMapType(e.dataType),
+        s"TopK.perKey key ${e.sql} is (or contains) a map — maps have " +
+          "no canonical binary form and cannot be grouping keys")
+    }
+    orderExprs.foreach { e =>
+      require(RowOrdering.isOrderable(e.dataType),
+        s"TopK.perKey order column ${e.sql} has unorderable type " +
+          s"${e.dataType.catalogString}")
+    }
     // normalize float/double keys (-0.0 vs 0.0, NaN bit patterns):
     // Spark inserts NormalizeFloatingNumbers above ITS OWN grouping
     // operators only, and UnsafeRow grouping keys compare by bytes —

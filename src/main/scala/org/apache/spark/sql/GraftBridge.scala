@@ -27,16 +27,30 @@ object GraftBridge {
   def normalizeFloats(e: Expression): Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 
+  /** True when `dt` is (or nests, at any depth) a MapType — maps have
+    * no canonical binary form, so byte-compared grouping keys must
+    * reject them, same rule as Spark's own groupBy analysis check.
+    * (Wraps the private[sql] DataType.existsRecursively.) */
+  def containsMapType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt.existsRecursively(_.isInstanceOf[org.apache.spark.sql.types.MapType])
+
   /** The analyzed logical plan behind a DataFrame. */
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
   /** Idempotently add a planner strategy to a running session (for
-    * sessions not built with GraftExtensions). */
+    * sessions not built with GraftExtensions). Synchronized: the
+    * check-then-append on `extraStrategies` is a read-modify-write of
+    * a plain var, and two concurrent registrations (e.g. parallel
+    * first calls of two strategy-backed operators) could each append
+    * to the same stale snapshot, losing one strategy (round-12
+    * review). */
   def registerStrategy(spark: SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(strategy))
-      exp.extraStrategies = exp.extraStrategies :+ strategy
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(strategy))
+        exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
   }
 }

@@ -86,6 +86,51 @@ class TopKPerKeySpec extends SparkSuite {
     assert(eOrd.getMessage.contains("orderCols"), eOrd.getMessage)
   }
 
+  test("resolution-layer misuse is refused, never silently misaligned (round-12 review)") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, Seq(1L, 2L))).toDF("k", "v", "arr")
+    // a star expands to several expressions: splitAt/zip would silently
+    // misalign keys and order — must be a named error
+    val eStar = intercept[IllegalArgumentException] {
+      TopK.perKey(df, 1, Seq(col("*")), Seq(col("v") -> true))
+    }
+    assert(eStar.getMessage.contains("single expressions"), eStar.getMessage)
+    // a generator analyzes to Project-over-Generate: pre-fix it slipped
+    // through the aggregate guard, multiplying rows and adding columns
+    val eGen = intercept[IllegalArgumentException] {
+      TopK.perKey(df, 1, Seq(col("k")), Seq(explode(col("arr")) -> true))
+    }
+    assert(eGen.getMessage.contains("generator or window"), eGen.getMessage)
+    // a window function likewise analyzes to Project-over-Window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v"))
+    val eWin = intercept[IllegalArgumentException] {
+      TopK.perKey(df, 1, Seq(col("k")), Seq(row_number().over(w) -> true))
+    }
+    assert(eWin.getMessage.contains("generator or window"), eWin.getMessage)
+    // map-typed keys have no canonical binary form (entry order splits
+    // one logical key across heaps/partitions) — Spark's own groupBy
+    // rejects them; so does the operator
+    val dfm = Seq((Map(1 -> 2), 1L)).toDF("mk", "v")
+    val eMap = intercept[IllegalArgumentException] {
+      TopK.perKey(dfm, 1, Seq(col("mk")), Seq(col("v") -> true))
+    }
+    assert(eMap.getMessage.contains("map"), eMap.getMessage)
+    // nondeterministic expressions would fail partition-init inside
+    // executors — refused at the API
+    val eRand = intercept[IllegalArgumentException] {
+      TopK.perKey(df, 1, Seq(col("k")), Seq(rand() -> true))
+    }
+    assert(eRand.getMessage.contains("deterministic"), eRand.getMessage)
+    // the logical node itself guards k: the strategy is session-wide,
+    // so a directly-built plan must fail at construction
+    val eK = intercept[IllegalArgumentException] {
+      TopKPerKey(0, Seq.empty, Seq.empty,
+        org.apache.spark.sql.GraftBridge.logicalPlan(df))
+    }
+    assert(eK.getMessage.contains("positive"), eK.getMessage)
+  }
+
   test("outputPartitioning propagates: same-key downstream agg adds no exchange") {
     import spark.implicits._
     val df = Seq((1L, 10L), (1L, 5L), (2L, 7L)).toDF("k", "v")
