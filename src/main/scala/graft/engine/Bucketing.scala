@@ -31,6 +31,16 @@ object Bucketing {
     df.write.bucketBy(nBuckets, key).sortBy(key)
       .option("path", path).mode("overwrite").saveAsTable(table)
 
+  /** Backtick-quote an identifier for string-built DDL (backticks in
+    * the name escape by doubling), and SQL-string-quote a path
+    * (single quotes double) — a column named with a backtick or a
+    * scratch root under e.g. /home/o'brien must not produce a
+    * malformed CREATE TABLE (round-12 review). */
+  private def qid(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+  private def qpath(p: String): String =
+    "'" + p.replace("'", "''") + "'"
+
   /** Register an ALREADY-WRITTEN bucketed artifact as an external
     * catalog table, without rebuilding it: the lost-catalog path (a
     * fresh SparkSession in this JVM, or a new process reusing a durable
@@ -38,14 +48,68 @@ object Bucketing {
     * the build would re-pay the artifact's one-time shuffle for data
     * that already sits at `dataPath`. Spark encodes the bucket id in
     * each file name, so a CREATE TABLE with the matching bucket spec
-    * over the existing files restores the exchange-free scans. */
+    * over the existing files restores the exchange-free scans.
+    *
+    * Pass `schema` when the caller knows it: a legitimately EMPTY
+    * artifact (a zero-row builder writes only _SUCCESS) has nothing to
+    * infer from, and inference would make every lost-catalog
+    * resolution of it a permanent crash (round-12 review). */
   def registerExisting(s: SparkSession, table: String, key: String,
-      nBuckets: Int, dataPath: String): Unit = {
-    val cols = s.read.parquet(dataPath).schema
-      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-    s.sql(s"CREATE TABLE `$table` ($cols) USING parquet " +
-      s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $nBuckets BUCKETS " +
-      s"LOCATION '$dataPath'")
+      nBuckets: Int, dataPath: String,
+      schema: org.apache.spark.sql.types.StructType = null): Unit = {
+    val st = if (schema != null) schema else s.read.parquet(dataPath).schema
+    val cols = st.map(f => s"${qid(f.name)} ${f.dataType.sql}").mkString(", ")
+    s.sql(s"CREATE TABLE ${qid(table)} ($cols) USING parquet " +
+      s"CLUSTERED BY (${qid(key)}) SORTED BY (${qid(key)}) " +
+      s"INTO $nBuckets BUCKETS LOCATION ${qpath(dataPath)}")
+  }
+
+  /** Per-(session, table) registration memo: the warm path of every
+    * artifact resolution used to take the global lock AND a catalog
+    * tableExists round-trip per call, serializing unrelated concurrent
+    * queries (round-12 review) — one successful registration check per
+    * session/table is enough. Cleared with the key memo for tests. */
+  private val registeredMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Catalog location of `table` (DESCRIBE FORMATTED — the public
+    * surface for it), as a filesystem path string. */
+  private def tableLocation(s: SparkSession, table: String): Option[String] = {
+    import org.apache.spark.sql.functions.col
+    s.sql(s"DESCRIBE FORMATTED ${qid(table)}")
+      .where(col("col_name") === "Location")
+      .collect().headOption.map(_.getString(1))
+  }
+
+  /** Ensure `table` exists in `s`'s catalog AND points at `dataPath`.
+    * Existence by name alone is not enough: table names encode only
+    * the artifact KEY hash, not the scratch root, so a same-named
+    * catalog entry left by a different root (shared metastore across
+    * processes; an in-JVM durable-root swap with a surviving session)
+    * would silently serve the other root's — possibly deleted — data
+    * (round-12 review). A mismatched location is dropped and
+    * re-registered over the resolved path. */
+  private def ensureRegistered(s: SparkSession, table: String, key: String,
+      nBuckets: Int, dataPath: String,
+      schema: => org.apache.spark.sql.types.StructType): Unit = {
+    val rk = s"${System.identityHashCode(s)}\n$table"
+    if (registeredMemo.contains(rk)) return
+    this.synchronized {
+      if (!registeredMemo.contains(rk)) {
+        if (!s.catalog.tableExists(table))
+          registerExisting(s, table, key, nBuckets, dataPath, schema)
+        else {
+          val want = new org.apache.hadoop.fs.Path(dataPath).toUri.getPath
+          val got = tableLocation(s, table)
+            .map(l => new org.apache.hadoop.fs.Path(l).toUri.getPath)
+          if (!got.contains(want)) {
+            s.sql(s"DROP TABLE ${qid(table)}")
+            registerExisting(s, table, key, nBuckets, dataPath, schema)
+          }
+        }
+        registeredMemo.add(rk)
+      }
+    }
   }
 
   /** Bucket count for the co-bucketed TPC-H facts. Sized for the test
@@ -74,6 +138,7 @@ object Bucketing {
   private[engine] def clearKeyMemoForTest(): Unit = {
     keyMemo.clear()
     prefixOwner.clear()
+    registeredMemo.clear()
   }
 
   /** First stack frame outside this object — the cachedTable CALL SITE
@@ -93,7 +158,11 @@ object Bucketing {
     * artifact key) fingerprint the builder's SCHEMA, not its content —
     * a second claim reusing a prefix with a different builder of the
     * same schema would silently be served the first builder's
-    * artifact. The contract is "one builder per prefix"; this map
+    * artifact; worse, a WARM keyMemo hit never re-analyzes the builder
+    * at all, so even a different-SCHEMA builder behind the same
+    * (prefix, dirKey) would be served the first artifact (round-12
+    * review) — this ownership check is what makes the memo sound, not
+    * a nicety. The contract is "one builder per prefix"; this map
     * ENFORCES it, failing the second claim loudly instead of serving
     * it wrong data. Cleared with the memo so specs can re-own
     * prefixes.
@@ -151,12 +220,10 @@ object Bucketing {
         s"key=$key buckets=$nBuckets")
     val path = Scratch.cached(s"bucketed_$prefix", fullKey)(doBuild)
     val t = name(path.split('/').last)
-    this.synchronized {
-      // lost-catalog session: the data already sits at the memoized
-      // path — re-register it, don't re-pay the build shuffle
-      if (!s.catalog.tableExists(t))
-        registerExisting(s, t, key, nBuckets, s"$path/$prefix")
-    }
+    // lost-catalog session: the data already sits at the memoized
+    // path — re-register it (schema from the builder plan, so even an
+    // EMPTY artifact re-registers), don't re-pay the build shuffle
+    ensureRegistered(s, t, key, nBuckets, s"$path/$prefix", build.schema)
     t
   }
 
@@ -189,12 +256,10 @@ object Bucketing {
         s"buckets=$tpchBuckets")
     val path = Scratch.cached("bucketed", fullKey)(build)
     val (to, tl) = names(path.split('/').last)
-    this.synchronized {
-      if (!s.catalog.tableExists(to))
-        registerExisting(s, to, "o_orderkey", tpchBuckets, s"$path/orders")
-      if (!s.catalog.tableExists(tl))
-        registerExisting(s, tl, "l_orderkey", tpchBuckets, s"$path/lineitem")
-    }
+    ensureRegistered(s, to, "o_orderkey", tpchBuckets, s"$path/orders",
+      Tables(s, dir, "orders").schema)
+    ensureRegistered(s, tl, "l_orderkey", tpchBuckets, s"$path/lineitem",
+      Tables(s, dir, "lineitem").schema)
     (to, tl)
   }
 }

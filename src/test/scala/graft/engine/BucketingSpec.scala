@@ -38,6 +38,69 @@ class BucketingSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("an EMPTY bucketed artifact survives a lost-catalog re-registration") {
+    // a zero-row builder writes only _SUCCESS; schema inference over
+    // that dir throws, so re-registration must use the builder's plan
+    // schema (round-12 review: pre-fix, every lost-catalog resolution
+    // of an empty artifact crashed permanently)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bkt-empty").toString
+    Scratch.durableRootOverride = Some(dir)
+    Scratch.resetForTest()
+    try {
+      def build = Seq((1L, "x")).toDF("k", "v").filter(col("k") < 0) // 0 rows
+      val t1 = Bucketing.cachedTable(spark, "emptyspec", "d1", "k", 2,
+        owner = "empty-spec")(build)
+      assert(spark.table(t1).count() == 0)
+      // "restart": catalog entry survives in the session, so drop it to
+      // simulate the fresh-session lost-catalog path, and reset the
+      // in-JVM memos (disk + marker survive)
+      spark.sql(s"DROP TABLE `$t1`")
+      Scratch.resetForTest()
+      Scratch.durableRootOverride = Some(dir)
+      val t2 = Bucketing.cachedTable(spark, "emptyspec", "d1", "k", 2,
+        owner = "empty-spec")(build)
+      assert(t2 == t1, "deterministic name must be stable across restarts")
+      assert(spark.table(t2).count() == 0,
+        "the empty artifact must re-register from the builder schema")
+    } finally {
+      Scratch.durableRootOverride = None
+      Scratch.resetForTest()
+    }
+  }
+
+  test("a same-named catalog entry pointing at a STALE location is re-pointed") {
+    // table names encode only the artifact key hash, not the scratch
+    // root — an entry left by another root must not be silently served
+    // (round-12 review)
+    import spark.implicits._
+    val dirA = Files.createTempDirectory("graft-bkt-rootA").toString
+    val dirB = Files.createTempDirectory("graft-bkt-rootB").toString
+    def build = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    try {
+      Scratch.durableRootOverride = Some(dirA)
+      Scratch.resetForTest()
+      val t1 = Bucketing.cachedTable(spark, "relocspec", "d1", "k", 2,
+        owner = "reloc-spec")(build)
+      assert(spark.table(t1).count() == 2)
+      // root swap with the SESSION (and its catalog entry) surviving:
+      // the same key resolves to a path under dirB now
+      Scratch.durableRootOverride = Some(dirB)
+      Scratch.resetForTest()
+      val t2 = Bucketing.cachedTable(spark, "relocspec", "d1", "k", 2,
+        owner = "reloc-spec")(build)
+      assert(t2 == t1, "same key, same deterministic name")
+      val loc = spark.sql(s"DESCRIBE FORMATTED `$t2`")
+        .where(col("col_name") === "Location").head().getString(1)
+      assert(loc.contains(dirB.split('/').last),
+        s"catalog entry must be re-pointed at the new root, got $loc")
+      assert(spark.table(t2).count() == 2)
+    } finally {
+      Scratch.durableRootOverride = None
+      Scratch.resetForTest()
+    }
+  }
+
   test("cachedTable: a prefix reused from a second call site fails loudly") {
     import spark.implicits._
     // the schema-keyed cache cannot tell two builders with the SAME
