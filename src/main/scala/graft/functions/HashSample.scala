@@ -15,11 +15,18 @@ object HashSample {
   /** The underlying uniform hash bucket in [0, mod) — the same
     * construction exposed as a VALUE, for consumers that partition the
     * keyspace instead of filtering it (train/val/test splits, salting
-    * diagnostics). */
-  def sparkBucket(key: String, mod: Int): String =
+    * diagnostics). mod must be positive: under non-ANSI Spark, `% 0`
+    * is NULL and the sample predicate would silently keep ZERO rows
+    * while the DuckDB twin errors — fail at construction instead
+    * (round-12 review). */
+  def sparkBucket(key: String, mod: Int): String = {
+    require(mod > 0, s"hash-sample mod must be positive, got $mod")
     s"${sparkRaw(key)} % $mod"
-  def duckBucket(key: String, mod: Int): String =
+  }
+  def duckBucket(key: String, mod: Int): String = {
+    require(mod > 0, s"hash-sample mod must be positive, got $mod")
     s"${duckRaw(key)} % $mod"
+  }
 
   /** The raw 32-bit hash VALUE (< 2³², always non-negative) — for
     * consumers that need a total hash ORDER rather than a bucket

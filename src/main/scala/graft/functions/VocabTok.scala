@@ -58,28 +58,46 @@ object VocabTok {
 
   private val alternation = ordered.mkString("|")
 
+  /** Whitespace for the fallback class, ENUMERATED identically in both
+    * dialects instead of each engine's `\s` (round-12 review): Java's
+    * `\s` and RE2's `\s` disagree on U+000B (vertical tab — Java yes,
+    * RE2 no), and NEITHER counts Unicode spaces as whitespace, so an
+    * ideographic space (U+3000 — the standard space of CJK typography)
+    * or an nbsp would each add one "token", inflating exactly the CJK
+    * budgets this tokenizer exists to make honest. The list is the
+    * Unicode White_Space set. */
+  private val wsJava =
+    " \\t\\n\\x0B\\f\\r\\x85\\u00A0\\u1680\\u2000-\\u200A" +
+      "\\u2028\\u2029\\u202F\\u205F\\u3000"
+  private val wsRe2 =
+    " \\t\\n\\x{0B}\\f\\r\\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}" +
+      "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}"
+
   /** Java-regex pattern (Spark `regexp_count`). Pass it via
     * `lit(...)`, NOT inside a SQL string literal — Spark's SQL parser
-    * would eat the backslashes. (Scala resolves the \\uXXXX escapes to
-    * literal chars at compile time; Java regex takes them as char-class
-    * members.) */
+    * would eat the backslashes. (The \\uXXXX escapes reach Java regex
+    * as escape sequences, interpreted by the regex compiler.) */
   val sparkPattern: String =
-    s"(?:$alternation|[一-鿿぀-ヿ가-힯]|[^\\s])"
+    s"(?:$alternation|[一-鿿぀-ヿ가-힯]|[^$wsJava])"
 
   /** RE2 twin (DuckDB `regexp_extract_all`): identical alternation,
-    * RE2's \x{...} syntax for the CJK classes. */
+    * RE2's \x{...} syntax for the CJK and whitespace classes. */
   val duckPattern: String =
     s"(?:$alternation|[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}" +
-      "\\x{ac00}-\\x{d7af}]|[^\\s])"
+      s"\\x{ac00}-\\x{d7af}]|[^$wsRe2])"
 
   /** DuckDB SQL: BIGINT token count of a string expression. */
   def duck(strExpr: String): String =
     s"CAST(len(regexp_extract_all($strExpr, '$duckPattern')) AS BIGINT)"
 
+  // compiled once: the ~140-alternative Pattern is expensive to build
+  // and constant (the spec twin calls this per document)
+  private lazy val compiledSparkPattern =
+    java.util.regex.Pattern.compile(sparkPattern)
+
   /** Scala-side reference count (spec golden-check twin). */
   def countReference(text: String): Long = {
-    val p = java.util.regex.Pattern.compile(sparkPattern)
-    val m = p.matcher(text)
+    val m = compiledSparkPattern.matcher(text)
     var n = 0L
     while (m.find()) n += 1
     n

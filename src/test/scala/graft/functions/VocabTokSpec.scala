@@ -35,6 +35,20 @@ class VocabTokSpec extends SparkSuite {
     assert(VocabTok.countReference("你好 world 世界") == 8L)
   }
 
+  test("whitespace is the enumerated Unicode set, identical in both dialects") {
+    // round-12 review: Java's \s and RE2's \s disagree on U+000B, and
+    // neither excludes Unicode spaces — an ideographic space (U+3000)
+    // counted as a "token" inflated the CJK budgets. Probe: 7 letters
+    // separated by vertical tab, ideographic space, ASCII space, and
+    // NEL — 7 tokens, none for the separators. The DuckDB twin was
+    // verified live at the same count (7; the old \s class gave 12).
+    val probe = "a\u000Bb\u3000c d e f\u0085g"
+    assert(VocabTok.countReference(probe) == 7L,
+      s"got ${VocabTok.countReference(probe)}")
+    assert(VocabTok.countReference("x\u00A0y\u2003z") == 3L,
+      "nbsp and em-space are whitespace, not tokens")
+  }
+
   test("vocab ordering invariants") {
     // duplicates would silently shift counts if an entry is edited
     assert(VocabTok.vocab.distinct.size == VocabTok.vocab.size)
