@@ -57,16 +57,38 @@ object Layout {
     * clustering, so compacted tables get NO skipping on subsequent
     * range filters; a deployment compacting a time-series or
     * key-ordered table should always pass its filter key here. */
+  /** Shared prologue of both compaction forms: validates the knobs and
+    * paths (cheap checks BEFORE any data pass), sizes the output file
+    * count from the actual input bytes, and returns (nIn, bytes, nOut).
+    * One definition so the sizing rule and its guards cannot drift
+    * between the flat and z-order forms (round-12 review). */
+  private def plan(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): (Long, Long, Int) = {
+    // targetBytes = 0 would size nOut to Int.MaxValue (a two-billion-
+    // partition shuffle); negative silently produced ONE giant file
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    // self-overwrite guard, BEFORE the stats pass: Spark's own check
+    // fires only at write time — after compactZ's full min/max scan —
+    // and compares exact qualified paths (best-effort here too; a
+    // filesystem alias that qualifies differently is on the caller)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String) = { val p = new Path(d); p.getFileSystem(conf).makeQualified(p) }
+    require(qual(inDir) != qual(outDir),
+      s"compaction cannot overwrite its own input ($inDir); write to a " +
+        "sibling dir and swap")
+    val (nIn, bytes) = parquetStats(spark, inDir)
+    require(nIn > 0, s"no parquet files under $inDir — nothing to compact")
+    (nIn, bytes, math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
+  }
+
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024,
       sortBy: Seq[String] = Nil): CompactStats = {
-    val (nIn, bytes) = parquetStats(spark, inDir)
-    require(nIn > 0, s"no parquet files under $inDir — nothing to compact")
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val (nIn, bytes, nOut) = plan(spark, inDir, outDir, targetBytes)
     val df = spark.read.parquet(inDir)
     val laid =
       if (sortBy.isEmpty) df.repartition(nOut)
-      else df.repartitionByRange(nOut, sortBy.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartitionByRange(nOut, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
     laid.write.mode("overwrite").parquet(outDir)
     val (nAfter, _) = parquetStats(spark, outDir)
@@ -100,18 +122,23 @@ object Layout {
   def compactZ(spark: SparkSession, inDir: String, outDir: String,
       zCols: (String, String),
       targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
-    val (nIn, bytes) = parquetStats(spark, inDir)
-    require(nIn > 0, s"no parquet files under $inDir — nothing to compact")
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val (nIn, bytes, nOut) = plan(spark, inDir, outDir, targetBytes)
     val df = spark.read.parquet(inDir)
     val (c1, c2) = (col(zCols._1).cast("double"), col(zCols._2).cast("double"))
     val r = df.agg(min(c1), max(c1), min(c2), max(c2)).head()
     // empty input (0-row part files are a normal artifact of filtered
     // writes) or an all-null/non-numeric dimension yields null stats —
-    // fail with the cause, not an NPE out of getDouble
-    require((0 to 3).forall(!r.isNullAt(_)),
-      s"compactZ needs rows and non-null numeric stats for $zCols under " +
-        s"$inDir — got $r")
+    // fail with the cause, not an NPE out of getDouble. Finiteness is
+    // part of the contract (round-12 review): ONE NaN row makes max()
+    // NaN and `mx > mn` false, silently collapsing the whole dimension
+    // to bucket 0 (no skipping, no error); one +Infinity row buckets
+    // every finite row to 0 the same way. Refuse loudly — a corpus
+    // carrying non-finite values must clean them before layout.
+    require((0 to 3).forall(i =>
+        !r.isNullAt(i) && java.lang.Double.isFinite(r.getDouble(i))),
+      s"compactZ needs rows and FINITE numeric stats for $zCols under " +
+        s"$inDir — got $r (a NaN/Infinity row would silently collapse " +
+        "the dimension's bucketing)")
     def bucket(c: Column, mn: Double, mx: Double): Column =
       if (mx > mn) floor((c - lit(mn)) * lit(65535.0) / lit(mx - mn)).cast("long")
       else lit(0L)

@@ -82,6 +82,34 @@ class CompactionSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("bad knobs and self-overwrite are refused before any data pass (round-12 review)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-compact-guards")
+    val in = base.resolve("in").toString
+    Seq((1L, 2.0), (2L, 3.0)).toDF("k", "d").write.parquet(in)
+    // targetBytes = 0 used to size a ~2-billion-partition shuffle;
+    // negative silently produced one giant file
+    for (bad <- Seq(0L, -1L)) {
+      val e = intercept[IllegalArgumentException] {
+        Layout.compact(spark, in, base.resolve("out").toString, bad)
+      }
+      assert(e.getMessage.contains("targetBytes"), e.getMessage)
+    }
+    // in == out would delete the input mid-read under mode(overwrite)
+    val eSelf = intercept[IllegalArgumentException] {
+      Layout.compact(spark, in, in)
+    }
+    assert(eSelf.getMessage.contains("own input"), eSelf.getMessage)
+    // a NaN row makes max() NaN and used to silently collapse the
+    // z-dimension to one bucket — refused with the cause named
+    val nanIn = base.resolve("nan").toString
+    Seq((1L, 2.0), (2L, Double.NaN)).toDF("k", "d").write.parquet(nanIn)
+    val eNan = intercept[IllegalArgumentException] {
+      Layout.compactZ(spark, nanIn, base.resolve("out2").toString, ("k", "d"))
+    }
+    assert(eNan.getMessage.contains("FINITE"), eNan.getMessage)
+  }
+
   test("compact handles a hive-partitioned layout (recursive listing)") {
     val base = Files.createTempDirectory("graft-compact-part")
     val in = base.resolve("in").toString
