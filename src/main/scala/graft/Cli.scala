@@ -38,6 +38,18 @@ object Cli {
     s.nonEmpty && s.forall(_.isDigit) &&
       scala.util.Try(s.toInt).toOption.exists(_ > 0)
 
+  /** Refuse overlapping (equal or nested) dataset paths for a job's
+    * input and output: `rdd.pipe` severs the DataFrame lineage, so
+    * Spark's own "cannot overwrite a path being read from" check never
+    * fires and `mode("overwrite")` would DELETE THE INPUT before tasks
+    * read it (round-12 review); a dest nested under a
+    * delete-flagged input would be destroyed right after being
+    * written. */
+  private def requireDisjoint(what: String, a: String, b: String): Unit =
+    require(a != b && !a.startsWith(b + "/") && !b.startsWith(a + "/"),
+      s"$what paths must not overlap: '$a' vs '$b' — the overwrite " +
+        "write (or delete-input flag) would destroy data mid-job")
+
   def run(spark: SparkSession, root: String, cmd: Seq[String]): Unit = {
     import spark.implicits._
     val gf = new Grapefruit(spark, root)
@@ -61,6 +73,8 @@ object Cli {
           "argv-batch maple follows the reference argv[1]=batch " +
             "contract — exe args cannot be combined with the " +
             s"trailing 'argv' token (got: ${exeArgs.mkString(" ")})")
+        requireDisjoint("maple output/input",
+          gf.sdfs.path(prefix), gf.sdfs.path(srcDir))
         val lines = spark.read.textFile(gf.sdfs.path(srcDir))
         // trailing `argv` = the reference's argv-batch contract so
         // reference maple exes run unmodified; default = stdin stream
@@ -85,6 +99,13 @@ object Cli {
         if (del != "0" && del != "1")
           throw new IllegalArgumentException(
             s"delete flag must be 0 or 1, got '$del'")
+        requireDisjoint("juice dest/input",
+          gf.sdfs.path(dest), gf.sdfs.path(prefix))
+        // split on the FIRST comma (reference key,value lines). A
+        // comma-less line reads as (line, "") and stream mode
+        // re-serializes it as "line," — a documented normalization of
+        // malformed input (the reference's maple stage always emits
+        // the comma), not a parse error
         val kv = spark.read.textFile(gf.sdfs.path(prefix)).map { l =>
           val i = l.indexOf(',')
           if (i < 0) (l, "") else (l.substring(0, i), l.substring(i + 1))
@@ -112,6 +133,24 @@ object Cli {
           "juice usage: juice <exe> <numTasks> <sifPrefix> <destName> " +
             "<delete 0|1> <hash|range> [stream|files]; got: juice " +
             badRest.mkString(" "))
+      // the same named-arity rule for the storage verbs (round-12
+      // review: `put localfile` fell through to "unknown command: put"
+      // — a message that called put unknown while listing it)
+      case "put" +: badRest =>
+        throw new IllegalArgumentException(
+          s"put usage: put <localPath> <name>; got: put ${badRest.mkString(" ")}")
+      case "get" +: badRest =>
+        throw new IllegalArgumentException(
+          s"get usage: get <name> <localPath>; got: get ${badRest.mkString(" ")}")
+      case "delete" +: badRest =>
+        throw new IllegalArgumentException(
+          s"delete usage: delete <name>; got: delete ${badRest.mkString(" ")}")
+      case "ls" +: badRest =>
+        throw new IllegalArgumentException(
+          s"ls usage: ls <name>; got: ls ${badRest.mkString(" ")}")
+      case ("store" | "global") +: badRest =>
+        throw new IllegalArgumentException(
+          s"store/global take no arguments; got: ${badRest.mkString(" ")}")
 
       case other =>
         // throw, don't exit: run() is callable programmatically and must

@@ -22,10 +22,16 @@ final class Sdfs(spark: SparkSession, root: String) {
     // Hadoop Path resolution keeps an absolute child ("/data"
     // resolves to /data outright) and normalizes ".." out of the
     // parent — either would let a mistyped CLI argument operate on
-    // data outside the sdfsRoot the command line names
+    // data outside the sdfsRoot the command line names. "." (and an
+    // empty name) resolve to the ROOT ITSELF, so `delete .` would
+    // recursively destroy the whole namespace (round-12 review) —
+    // every segment must be a real name
     val rel = new Path(name)
-    require(!rel.isAbsolute && !name.split("/").contains(".."),
-      s"sdfs name must be a relative path inside the namespace, got '$name'")
+    val segs = name.split("/")
+    require(!rel.isAbsolute && segs.nonEmpty &&
+        segs.forall(s => s.nonEmpty && s != "." && s != ".."),
+      s"sdfs name must be a relative path inside the namespace " +
+        s"(no empty, '.', or '..' segments), got '$name'")
     new Path(root, name)
   }
 
@@ -44,8 +50,20 @@ final class Sdfs(spark: SparkSession, root: String) {
   def put(localPath: String, name: String): Unit = {
     fs.mkdirs(new Path(root))
     val dest = p(name)
+    // STAGED replace (round-12 review): deleting the destination before
+    // the copy meant any copy failure (mistyped/unreadable source)
+    // destroyed the old dataset and left nothing — copy into a hidden
+    // temp name first, swap only after the copy succeeded. A crash
+    // between delete and rename leaves the temp beside a missing dest;
+    // the next put overwrites the temp.
+    require(new java.io.File(localPath).exists(),
+      s"put source $localPath does not exist")
+    val tmp = new Path(root, s".${dest.getName}.puttmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    fs.copyFromLocalFile(false, true, new Path(localPath), tmp)
     if (fs.exists(dest)) fs.delete(dest, true)
-    fs.copyFromLocalFile(false, true, new Path(localPath), dest)
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(tmp, dest), s"put rename $tmp -> $dest failed")
   }
 
   /** Write a DataFrame as a named text/parquet dataset (sink S4/S8). */
