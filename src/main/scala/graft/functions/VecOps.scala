@@ -8,19 +8,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Shared null-element policy for the binary array expressions below.
   *
-  * The guard is a PRE-SCAN, not a per-iteration branch (round-12
-  * review): checking inside the walk left a hole — SortedIntersect
-  * Count's merge walk never visits elements past the point where one
-  * array is exhausted, and `array_sort` places nulls LAST, so the
-  * realistic null position was exactly the one the in-loop guard
-  * could never reach (a trailing null returned a count instead of the
-  * documented NULL). Scanning for nulls up front makes the contract
-  * position-independent AND keeps the hot walk branch-free even for
-  * containsNull=true inputs — which is every real input: implicit
-  * casts and collect/transform builders all widen to
-  * containsNull=true, so the old "containsNull=false keeps the fast
-  * loop" claim was dead code for the pipelines these expressions
-  * exist for. containsNull=false inputs skip the pre-scan entirely. */
+  * Contract (round-12 review): a null ELEMENT anywhere in either
+  * input — including positions a merge walk would never visit —
+  * makes the result NULL. `array_sort` places nulls LAST, so the
+  * realistic null position is exactly the one an in-loop-only guard
+  * can never reach once the other side is exhausted.
+  *
+  * Implementation (round 13): the position-independent contract is
+  * enforced in ONE pass, not a separate up-front scan. Round 12 used
+  * a full pre-scan of both arrays before the value walk; that is an
+  * extra O(n) memory pass per pair whenever either input's type
+  * admits null elements — which is every parquet-fed embedding
+  * column (containsNull=true), i.e. the ANN family's per-candidate
+  * hot path. Instead:
+  *   - VecDot walks the two arrays in LOCKSTEP over equal lengths, so
+  *     checking each element as it is read already covers every
+  *     position — no hole exists, no second pass needed.
+  *   - SortedIntersectCount checks the two CURRENT elements before
+  *     reading them (every index that becomes current is checked),
+  *     then scans only the UNVISITED tail after the walk exhausts one
+  *     side. Visited ∪ tail = all positions; total null tests stay
+  *     ≤ nx + ny and the arrays are traversed once.
+  * containsNull=false inputs emit no checks at all (the adjacency
+  * builders type their arrays that way on purpose — see the typed
+  * empty-array note at queries/Graph.scala's triangleCount).
+  * The check-before-read order also matters for safety: GenericArrayData
+  * .getLong/getDouble NPEs on a null slot (only UnsafeArrayData
+  * zero-fills), so values are never read at an unchecked index. */
 private[functions] trait ArrayPairNullGuard { self: BinaryExpression =>
   /** True when either child's ARRAY TYPE admits null elements —
     * constant after resolution, so a lazy val, not a per-row def. */
@@ -30,10 +44,11 @@ private[functions] trait ArrayPairNullGuard { self: BinaryExpression =>
       case _ => true
     })
 
-  /** Interpreted pre-scan: true iff any element of `x` is null. */
-  protected final def anyNullElem(x: ArrayData): Boolean = {
+  /** Interpreted tail scan: true iff any element of `x` in
+    * [from, numElements) is null. */
+  protected final def anyNullElemFrom(x: ArrayData, from: Int): Boolean = {
     val n = x.numElements()
-    var i = 0
+    var i = from
     while (i < n) {
       if (x.isNullAt(i)) return true
       i += 1
@@ -77,10 +92,14 @@ case class VecDot(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    if (mayHaveNullElems && (anyNullElem(x) || anyNullElem(y))) return null
+    // lockstep over equal lengths: the loop visits EVERY index unless
+    // it has already returned null, so the in-loop check alone is
+    // position-independent (ArrayPairNullGuard scaladoc)
+    val checkNulls = mayHaveNullElems
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       sum += x.getDouble(i) * y.getDouble(i); i += 1
     }
     sum
@@ -89,30 +108,25 @@ case class VecDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
-      val k = ctx.freshName("k")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
-      // pre-scan (see ArrayPairNullGuard): the value walk stays
-      // branch-free; containsNull=false inputs emit no scan at all
-      val nullScan =
+      // emitted only when the type admits null elements; the lockstep
+      // loop covers every position, so no tail scan is needed here
+      val nullCheck =
         if (mayHaveNullElems)
-          s"""for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
-             |  if ($a.isNullAt($k) || $b.isNullAt($k)) { ${ev.isNull} = true; }
-             |}""".stripMargin
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  $nullScan
-         |  if (!${ev.isNull}) {
-         |    double $sum = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $sum += $a.getDouble($i) * $b.getDouble($i);
-         |    }
-         |    ${ev.value} = $sum;
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
          |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}
        """.stripMargin
     })
@@ -145,56 +159,67 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   // nulls LAST, so the decoded 0 lands after larger values and the
   // sortedness invariant breaks (silent early termination). Result is
   // NULL instead, wherever the null sits — including positions the
-  // merge walk itself would never visit (the pre-scan guarantees it).
+  // merge walk itself would never visit: the walk checks each element
+  // it reads, and the unvisited remainder is tail-scanned after.
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (mayHaveNullElems && (anyNullElem(x) || anyNullElem(y))) return null
+    val checkNulls = mayHaveNullElems
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0; var j = 0; var n = 0L
     while (i < nx && j < ny) {
+      // check-before-read: every index that becomes current is
+      // checked exactly here, before getLong can touch it
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(j))) return null
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv == yv) { n += 1; i += 1; j += 1 }
       else if (xv < yv) i += 1
       else j += 1
     }
+    // tail scan: the walk exhausts one side first; positions it never
+    // visited ([i, nx) and [j, ny)) still null the result — this is
+    // the trailing-null case array_sort actually produces
+    if (checkNulls && (anyNullElemFrom(x, i) || anyNullElemFrom(y, j)))
+      return null
     n
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val k = ctx.freshName("k")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val n = ctx.freshName("n")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
-      // pre-scan (see ArrayPairNullGuard): a trailing null — the spot
-      // array_sort actually puts nulls — nulls the result even though
-      // the merge walk below would exhaust the other side first
-      val nullScan =
+      // in-loop check + tail scan = position-independent coverage in
+      // ONE traversal (ArrayPairNullGuard scaladoc); after a break the
+      // tail loops are skipped via !isNull
+      val nullCheck =
         if (mayHaveNullElems)
-          s"""for (int $k = 0; $k < $nx && !${ev.isNull}; $k++) {
-             |  if ($a.isNullAt($k)) { ${ev.isNull} = true; }
+          s"if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }"
+        else ""
+      val tailScan =
+        if (mayHaveNullElems)
+          s"""for (; $i < $nx && !${ev.isNull}; $i++) {
+             |  if ($a.isNullAt($i)) { ${ev.isNull} = true; }
              |}
-             |for (int $k = 0; $k < $ny && !${ev.isNull}; $k++) {
-             |  if ($b.isNullAt($k)) { ${ev.isNull} = true; }
+             |for (; $j < $ny && !${ev.isNull}; $j++) {
+             |  if ($b.isNullAt($j)) { ${ev.isNull} = true; }
              |}""".stripMargin
         else ""
       s"""
          |int $nx = $a.numElements(); int $ny = $b.numElements();
-         |$nullScan
-         |if (!${ev.isNull}) {
-         |  int $i = 0; int $j = 0; long $n = 0L;
-         |  while ($i < $nx && $j < $ny) {
-         |    long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-         |    if ($xv == $yv) { $n++; $i++; $j++; }
-         |    else if ($xv < $yv) { $i++; } else { $j++; }
-         |  }
-         |  ${ev.value} = $n;
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  $nullCheck
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $n++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
          |}
+         |$tailScan
+         |if (!${ev.isNull}) { ${ev.value} = $n; }
        """.stripMargin
     })
 

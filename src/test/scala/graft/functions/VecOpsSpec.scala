@@ -81,7 +81,9 @@ class VecOpsSpec extends SparkSuite {
     // checked positions the merge walk visited, so a null past the
     // point where one array is exhausted returned a count — and
     // array_sort puts nulls LAST, making that exactly the realistic
-    // position. The pre-scan contract is position-independent.
+    // position. The contract is position-independent; round 13
+    // enforces it with a tail scan over the unvisited remainder
+    // instead of round 12's full pre-scan (one traversal, not two).
     def probe() = spark.range(1).select(
       VecOps.sorted_intersect_count(expr("array(1L, CAST(NULL AS BIGINT))"),
         expr("array(1L)")).as("c_trail"),
