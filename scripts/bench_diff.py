@@ -220,8 +220,12 @@ def main():
                 sides.append("CURRENT canary FAILED in-run")
             env = "no cross-run canary (" + "; ".join(sides) + ")"
             # only a pre-r11 prev is a legitimate reason to have
-            # nothing to corroborate against (legacy comparison)
-            corroborated = prev_pre_r11
+            # nothing to corroborate against (legacy comparison) —
+            # and only when the CURRENT canary is itself usable: a
+            # current-run canary that threw (-1 sentinel) must never
+            # let a uniform slowdown pass as corroborated, whatever
+            # the prev archive's age (round-12 ADVICE)
+            corroborated = prev_pre_r11 and cur_cmin is not None
         print(f"UNIFORM-SHIFT: cohort median {raw_med:.2f}x across "
               f"{len(comparable)} shared queries ({env}) — an environment "
               "shift if the canary moved with it; otherwise an "
