@@ -68,9 +68,20 @@ object Bucketing {
     * artifact resolution used to take the global lock AND a catalog
     * tableExists round-trip per call, serializing unrelated concurrent
     * queries (round-12 review) — one successful registration check per
-    * session/table is enough. Cleared with the key memo for tests. */
+    * session/table is enough. Keyed WEAKLY on the session OBJECT
+    * (round-12 ADVICE): the previous identityHashCode key could
+    * collide after a stopped session was GC'd and its hash reused,
+    * skipping registration in the new session; a weak key dies with
+    * the session instead. Cleared with the key memo for tests. */
   private val registeredMemo =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+
+  private def memoTables(s: SparkSession): java.util.Set[String] =
+    // Collections.SynchronizedMap overrides computeIfAbsent to hold
+    // the mutex, so this is atomic per session
+    registeredMemo.computeIfAbsent(
+      s, _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
 
   /** Catalog location of `table` (DESCRIBE FORMATTED — the public
     * surface for it), as a filesystem path string. */
@@ -92,22 +103,31 @@ object Bucketing {
   private def ensureRegistered(s: SparkSession, table: String, key: String,
       nBuckets: Int, dataPath: String,
       schema: => org.apache.spark.sql.types.StructType): Unit = {
-    val rk = s"${System.identityHashCode(s)}\n$table"
-    if (registeredMemo.contains(rk)) return
+    val tables = memoTables(s)
+    if (tables.contains(table)) return
     this.synchronized {
-      if (!registeredMemo.contains(rk)) {
-        if (!s.catalog.tableExists(table))
-          registerExisting(s, table, key, nBuckets, dataPath, schema)
-        else {
-          val want = new org.apache.hadoop.fs.Path(dataPath).toUri.getPath
-          val got = tableLocation(s, table)
-            .map(l => new org.apache.hadoop.fs.Path(l).toUri.getPath)
-          if (!got.contains(want)) {
-            s.sql(s"DROP TABLE ${qid(table)}")
+      if (!tables.contains(table)) {
+        def attempt(): Unit =
+          if (!s.catalog.tableExists(table))
             registerExisting(s, table, key, nBuckets, dataPath, schema)
+          else {
+            val want = new org.apache.hadoop.fs.Path(dataPath).toUri.getPath
+            val got = tableLocation(s, table)
+              .map(l => new org.apache.hadoop.fs.Path(l).toUri.getPath)
+            if (!got.contains(want)) {
+              s.sql(s"DROP TABLE ${qid(table)}")
+              registerExisting(s, table, key, nBuckets, dataPath, schema)
+            }
           }
-        }
-        registeredMemo.add(rk)
+        // the JVM-local lock above cannot serialize OTHER processes
+        // sharing this metastore: their DROP/CREATE can interleave
+        // with ours (exists→we skip CREATE→they DROP→our first read
+        // fails; or our CREATE lands on their racing CREATE). One
+        // retry re-runs the full check from scratch — whichever
+        // process won, the second attempt sees the settled catalog
+        // state and verifies the location (round-12 ADVICE).
+        try attempt() catch { case _: Exception => attempt() }
+        tables.add(table)
       }
     }
   }

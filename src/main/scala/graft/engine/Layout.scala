@@ -70,12 +70,20 @@ object Layout {
     // self-overwrite guard, BEFORE the stats pass: Spark's own check
     // fires only at write time — after compactZ's full min/max scan —
     // and compares exact qualified paths (best-effort here too; a
-    // filesystem alias that qualifies differently is on the caller)
+    // filesystem alias that qualifies differently is on the caller).
+    // Ancestor/descendant nesting is rejected too (round-12 ADVICE):
+    // an outDir under inDir is read while being overwritten (the
+    // recursive input listing sees the partial output), and an inDir
+    // under outDir is destroyed by the overwrite — same contract as
+    // Cli.requireDisjoint.
     val conf = spark.sparkContext.hadoopConfiguration
-    def qual(d: String) = { val p = new Path(d); p.getFileSystem(conf).makeQualified(p) }
-    require(qual(inDir) != qual(outDir),
-      s"compaction cannot overwrite its own input ($inDir); write to a " +
-        "sibling dir and swap")
+    def qual(d: String) = {
+      val p = new Path(d); p.getFileSystem(conf).makeQualified(p).toString
+    }
+    val (qi, qo) = (qual(inDir), qual(outDir))
+    require(qi != qo && !qi.startsWith(qo + "/") && !qo.startsWith(qi + "/"),
+      s"compaction input and output must not overlap ('$inDir' vs " +
+        s"'$outDir'); write to a disjoint dir and swap")
     val (nIn, bytes) = parquetStats(spark, inDir)
     require(nIn > 0, s"no parquet files under $inDir — nothing to compact")
     (nIn, bytes, math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))

@@ -58,11 +58,27 @@ final class Sdfs(spark: SparkSession, root: String) {
     // the next put overwrites the temp.
     require(new java.io.File(localPath).exists(),
       s"put source $localPath does not exist")
-    val tmp = new Path(root, s".${dest.getName}.puttmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    fs.copyFromLocalFile(false, true, new Path(localPath), tmp)
-    if (fs.exists(dest)) fs.delete(dest, true)
+    // temp staged BESIDE the destination parent and uniquified by
+    // PID+nanotime (round-12 ADVICE): the old fixed root-level
+    // `.<leaf>.puttmp` collided across nested names sharing a leaf
+    // (a/data vs b/data) and across racing puts of one name, letting
+    // one put's copy stomp another's mid-flight. Distinct names now
+    // never share a temp; racing puts of the SAME name each stage
+    // privately (the destination swap stays last-wins, as before).
     fs.mkdirs(dest.getParent)
+    val tmpPrefix = s".${dest.getName}.puttmp."
+    val tmp = new Path(dest.getParent,
+      tmpPrefix + ProcessHandle.current().pid() + "." + System.nanoTime())
+    // sweep temps left by CRASHED puts of this name — unique suffixes
+    // would otherwise accumulate forever (a concurrent same-name put's
+    // in-flight temp can be swept too; its rename then fails loudly,
+    // which is the honest outcome of racing the same destination)
+    fs.listStatus(dest.getParent).toSeq
+      .filter(_.getPath.getName.startsWith(tmpPrefix))
+      .foreach(st => fs.delete(st.getPath, true))
+    try fs.copyFromLocalFile(false, true, new Path(localPath), tmp)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    if (fs.exists(dest)) fs.delete(dest, true)
     require(fs.rename(tmp, dest), s"put rename $tmp -> $dest failed")
   }
 

@@ -95,11 +95,15 @@ class CompactionSpec extends SparkSuite {
       }
       assert(e.getMessage.contains("targetBytes"), e.getMessage)
     }
-    // in == out would delete the input mid-read under mode(overwrite)
-    val eSelf = intercept[IllegalArgumentException] {
-      Layout.compact(spark, in, in)
+    // in == out would delete the input mid-read under mode(overwrite);
+    // nesting either way is the same hazard via the recursive listing
+    // (round-12 ADVICE) — all three shapes refused before any data pass
+    for (out <- Seq(in, s"$in/nested/out", base.toString)) {
+      val eSelf = intercept[IllegalArgumentException] {
+        Layout.compact(spark, in, out)
+      }
+      assert(eSelf.getMessage.contains("must not overlap"), eSelf.getMessage)
     }
-    assert(eSelf.getMessage.contains("own input"), eSelf.getMessage)
     // a NaN row makes max() NaN and used to silently collapse the
     // z-dimension to one bucket — refused with the cause named
     val nanIn = base.resolve("nan").toString

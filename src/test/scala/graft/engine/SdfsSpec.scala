@@ -71,6 +71,32 @@ class SdfsSpec extends SparkSuite {
       "put over an existing name must replace, not nest")
   }
 
+  test("put staging: nested names sharing a leaf never collide; stale temps are swept") {
+    val (sdfs, root) = newSdfs()
+    // round-12 ADVICE: the old fixed root-level `.<leaf>.puttmp` meant
+    // put("a/data") and put("b/data") shared one temp — a crash or
+    // interleaving could publish one name's bytes under the other
+    val la = Files.createTempFile("graft-pa", ".txt")
+    val lb = Files.createTempFile("graft-pb", ".txt")
+    Files.writeString(la, "alpha\n")
+    Files.writeString(lb, "beta\n")
+    sdfs.put(la.toString, "a/data")
+    sdfs.put(lb.toString, "b/data")
+    val ba = Files.createTempFile("graft-ba", ".txt")
+    val bb = Files.createTempFile("graft-bb", ".txt")
+    sdfs.get("a/data", ba.toString)
+    sdfs.get("b/data", bb.toString)
+    assert(Files.readString(ba) == "alpha\n" && Files.readString(bb) == "beta\n",
+      "nested names sharing a leaf must stage independently")
+    // a temp left by a crashed put of the same name is swept by the
+    // next put (unique suffixes would otherwise accumulate forever)
+    val stale = root.resolve("a").resolve(".data.puttmp.999.1")
+    Files.writeString(stale, "crashed\n")
+    sdfs.put(la.toString, "a/data")
+    assert(!Files.exists(stale), "stale puttmp must be swept by the next put")
+    assert(Files.list(root.resolve("a")).count() == 1)
+  }
+
   test("names escaping the namespace are rejected (delete is recursive)") {
     val (sdfs, root) = newSdfs()
     // a sibling dir outside the namespace a '..' name would resolve to
