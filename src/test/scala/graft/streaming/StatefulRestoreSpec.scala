@@ -18,6 +18,15 @@ case class V1GrowthState(firstDay: Long, lastDay: Long)
 case class V1SweepState(openPrev: Long, peak: Long, peak_day: Long,
     curDay: Long)
 case class V1PatternState(stage: Int)
+case class V1CdcState(n_live: Long, live_since: Long, last_type: String)
+case class V1BarState(firstKey: (Long, Long), open: Long, high: Long,
+    low: Long)
+case class V1BottomKState(hvs: List[Long])
+case class V1HistState(bins: Map[Long, Long])
+// row shape for the built-in-operator surfaces (dedup / windowed agg /
+// stream-stream join): the minimal event columns those ops consume
+case class EvtRow(event_id: Long, user_id: Long,
+    ts: java.sql.Timestamp, event_type: String)
 
 /** Round-12 verdict item 5: every stateful streaming operator, not
   * just the sessionizer, must surface a state-schema restore failure
@@ -165,5 +174,122 @@ class StatefulRestoreSpec extends SparkSuite {
       ds => ds.groupByKey(_.user_id).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(v1fn))(
       ds => detectPattern(ds))
+  }
+
+  // ── round-13 (verdict item 3): the REMAINING stateful surfaces ──
+  // The five ops above cover flatMap/mapGroupsWithState sessions; the
+  // four fold ops below use the same keyed-state machinery, and the
+  // last three are Spark BUILT-IN state (dedup keys / agg buffer /
+  // join buffer) whose layout changes whenever OUR query shape does —
+  // every one must surface the same named rule through `diagnosed`.
+
+  test("cdcApplyStream: restoring a v1 (pre-last_value) checkpoint names the rule") {
+    def v1fn(uid: Long, evs: Iterator[CdcEvent],
+        st: GroupState[V1CdcState]): CdcOut = {
+      val n = evs.size.toLong
+      st.update(V1CdcState(n, 0L, "x"))
+      CdcOut(uid, n, 0L, "x", 0.0)
+    }
+    assertDiagnosedRestore[CdcEvent](
+      Seq(CdcEvent(1L, tsOf(0), 1L, "create", 1.0)),
+      Seq(CdcEvent(1L, tsOf(1), 2L, "update", 2.0)), "update")(
+      ds => ds.groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(v1fn))(
+      ds => cdcApplyStream(ds))
+  }
+
+  test("barsStream: restoring a v1 (pre-close) checkpoint names the rule") {
+    def v1fn(d: Long, evs: Iterator[BarTick],
+        st: GroupState[V1BarState]): BarOut = {
+      val fps = evs.map(_.fp).toArray
+      st.update(V1BarState((d, 0L), fps.head, fps.max, fps.min))
+      BarOut(d, fps.head, fps.max, fps.min, fps.last, fps.length.toLong)
+    }
+    assertDiagnosedRestore[BarTick](
+      Seq(BarTick(1L, 10L, 1L, 100L)),
+      Seq(BarTick(1L, 20L, 2L, 90L)), "update")(
+      ds => ds.groupByKey(_.d)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(v1fn))(
+      ds => barsStream(ds))
+  }
+
+  test("bottomKSketch: restoring a v1 (pre-users) checkpoint names the rule") {
+    def v1fn(et: String, evs: Iterator[SketchEvent],
+        st: GroupState[V1BottomKState]): SketchOut = {
+      val hs = evs.map(_.user_id).toList
+      st.update(V1BottomKState(hs))
+      SketchOut(et, hs.size.toLong, 0L, -1L, hs)
+    }
+    assertDiagnosedRestore[SketchEvent](
+      Seq(SketchEvent(1L, "view")),
+      Seq(SketchEvent(2L, "view")), "update")(
+      ds => ds.groupByKey(_.event_type)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(v1fn))(
+      ds => bottomKSketch(ds))
+  }
+
+  test("tvdDrift: restoring a v1 (pre-n) checkpoint names the rule") {
+    def v1fn(key: String, evs: Iterator[BinEvent],
+        st: GroupState[V1HistState]): DriftOut = {
+      val bins = evs.map(_.bin).toSeq.groupBy(identity)
+        .map { case (b, xs) => b -> xs.size.toLong }
+      st.update(V1HistState(bins))
+      DriftOut(key, bins.values.sum, 0L, 0.0)
+    }
+    assertDiagnosedRestore[BinEvent](
+      Seq(BinEvent("k", 0L)),
+      Seq(BinEvent("k", 1L)), "update")(
+      ds => ds.groupByKey(_.key)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(v1fn))(
+      ds => tvdDrift(ds, Map("k" -> Map(0L -> 1L, 1L -> 1L))))
+  }
+
+  test("dedupEvents: a checkpoint written with different dedup KEYS names the rule") {
+    // dropDuplicatesWithinWatermark keys its state store BY the dedup
+    // columns — adding one changes the state KEY schema on restore
+    assertDiagnosedRestore[EvtRow](
+      Seq(EvtRow(1L, 1L, tsOf(0), "view")),
+      Seq(EvtRow(2L, 1L, tsOf(1), "click")), "append")(
+      ds => dedupEvents(ds.toDF(), Seq("user_id")))(
+      ds => dedupEvents(ds.toDF(), Seq("user_id", "event_type")))
+  }
+
+  test("uniqueUsersPerWindow: a checkpoint with a different agg buffer names the rule") {
+    // the windowed agg's state VALUE is the aggregation buffer — the
+    // v1 shape lacks the `cnt` count column today's op carries
+    assertDiagnosedRestore[EvtRow](
+      Seq(EvtRow(1L, 1L, tsOf(0), "view")),
+      Seq(EvtRow(2L, 2L, tsOf(1), "view")), "append")(
+      ds => ds.toDF().withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .select(to_date(col("w.start")).as("day"), col("event_type"),
+          col("approx_users")))(
+      ds => uniqueUsersPerWindow(ds.toDF()))
+  }
+
+  test("correlate: a checkpoint with different buffered columns names the rule") {
+    // the stream-stream join buffers each side's PROJECTED rows in
+    // state — the v1 shape lacks the a_type/b_type payload columns
+    def v1corr(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val a = df.withWatermark("ts", "1 hour")
+        .select(col("event_id").as("a_id"), col("user_id"),
+          col("ts").as("a_ts"))
+      val b = df.withWatermark("ts", "1 hour")
+        .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+          col("ts").as("b_ts"))
+      a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+        .select("a_id", "b_id", "user_id", "a_ts", "b_ts")
+    }
+    assertDiagnosedRestore[EvtRow](
+      Seq(EvtRow(1L, 1L, tsOf(0), "view"),
+        EvtRow(2L, 1L, tsOf(10), "purchase")),
+      Seq(EvtRow(3L, 1L, tsOf(20), "purchase")), "append")(
+      ds => v1corr(ds.toDF()))(
+      ds => correlate(ds.toDF(), ds.toDF()))
   }
 }
