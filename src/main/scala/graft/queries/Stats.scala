@@ -33,30 +33,43 @@ object Stats {
     // ── per-group OLS: value regressed on hour-of-month ──
     // slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) over EXACT integer
     // moments: x = hour offset (0..743), y in fixed-point 1e-4 units
-    // (the floor·10⁴ product idiom). Bounds: Σxy ≤ 744·y_fp·n ~ 1e14,
-    // n·Σxy ~ 1e18 < 2^63 — checked against the sf0.1 magnitudes. The
+    // (the floor·10⁴ product idiom). Headroom (round-13 review): the
+    // all-long form's n·Σxy was ~1e18 at sf0.1 — ONE order of
+    // magnitude under 2^63, so sf1 would already wrap silently while
+    // the DuckDB oracle (HUGEINT sums) stayed exact. Σxy therefore
+    // accumulates DECIMAL(38,0) (per-row product is a cheap long —
+    // ≤744·y_fp ~ 4e9 — only the sum needs width; the q_standardize
+    // s2 precedent) and the final n·moment products compute in
+    // decimal over the ≤|event_type| moment rows, which is free. The
+    // remaining long moments hold to ~10¹¹ rows/group (sx ≤ 7e13,
+    // sy ≤ 6e17, sxx ≤ 6e16 there) — the 100 TB design point. The
     // final slope/intercept are ONE double division each (correctly
-    // rounded, engine-identical). One partial+final aggregate, one
-    // shuffle of 5 moment rows per group — the textbook distributed
-    // regression shape (moments are algebraic, never the raw points).
+    // rounded, engine-identical; decimal→double rounds identically to
+    // long→double on the same integer). One partial+final aggregate,
+    // one shuffle of 5 moment rows per group — the textbook
+    // distributed regression shape (moments, never the raw points).
     Q("q_linreg",
-      (s, dir) =>
+      (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
         t(s, dir, "events")
           .withColumn("x", expr(s"(unix_micros(ts) - ${EpochJan2024Us}L) div 3600000000L"))
           .withColumn("y_fp", floor(col("value") * lit(10000.0)).cast("long"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("y_fp")).as("sy"), sum(col("x") * col("y_fp")).as("sxy"),
+            sum(col("y_fp")).as("sy"),
+            sum(dec(col("x") * col("y_fp"))).as("sxy"),
             sum(col("x") * col("x")).as("sxx"))
           .select(col("event_type"), col("n"),
-            (((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
-              ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) / lit(1e4))
+            (((dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy")).cast("double")) /
+              ((dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx")).cast("double")) / lit(1e4))
               .as("slope"),
             ((col("sy").cast("double") / lit(1e4) -
-              ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / lit(1e4)) *
+              ((dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy")).cast("double") /
+                (dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx")).cast("double") / lit(1e4)) *
                 col("sx").cast("double")) / col("n").cast("double")).as("intercept"))
-          .orderBy("event_type"),
+          .orderBy("event_type")
+      },
       Some(s"""WITH m AS (
               |  SELECT event_type, count(*) AS n,
               |    SUM(x) AS sx, SUM(y_fp) AS sy,
@@ -274,10 +287,16 @@ object Stats {
     // ── Exponentially-decayed trending score (half-life = 1 day) ──
     // weight(e) = 2^(29 − age_days) for events in the trailing 30
     // days of the corpus — powers of two via integer shiftleft, so
-    // the score is an EXACT int64 sum (max 10⁶ events · 2²⁹ ≈ 5·10¹⁴
-    // < 2⁶³): no float decay drift, any accumulation order. The
-    // anchor date is a 1-row broadcast (never a driver round-trip);
-    // the rest is one partial+final aggregate over event_type.
+    // the score is an EXACT integer sum: no float decay drift, any
+    // accumulation order. The weights accumulate DECIMAL(38,0)
+    // (round-13 review): the all-long sum held only to ~2e9 trailing
+    // events (2^63 / 2^29) and wrapped SILENTLY past that, below the
+    // design point; decimal keeps the sum exact to 10³⁸ and the final
+    // BIGINT cast — the declared output type, matching the oracle —
+    // turns a score too large for int64 into an overt NULL instead of
+    // a wrapped wrong number. The anchor date is a 1-row broadcast
+    // (never a driver round-trip); the rest is one partial+final
+    // aggregate over event_type.
     Q("q_decay_trend",
       (s, dir) => {
         val ev = t(s, dir, "events")
@@ -286,7 +305,9 @@ object Stats {
           .withColumn("age", datediff(col("maxd"), to_date(col("ts"))))
           .filter(col("age") < 30)
           .groupBy(col("event_type"))
-          .agg(sum(expr("shiftleft(1L, cast(29 - age as int))")).as("score"),
+          .agg(sum(expr(
+              "CAST(shiftleft(1L, cast(29 - age as int)) AS DECIMAL(38,0))"))
+              .cast("long").as("score"),
             count(lit(1)).as("cnt"))
           .orderBy("event_type")
       },
@@ -309,14 +330,23 @@ object Stats {
     // epoch) mod 7 ∈ {2,3} ⇔ Sat/Sun (1970-01-01 was a Thursday) —
     // because dayofweek() numbering differs between engines. Each
     // cell's χ² contribution (o−e)²/e is algebraically rearranged to
-    // (o·T − r·c)²/(r·c·T): diff = o·T − r·c stays int64-exact
-    // (≲2·10¹¹ at sf0.1), and the double evaluation
+    // (o·T − r·c)²/(r·c·T). The products run in DECIMAL(38,0) over
+    // the ≤|event_type|·2 CELLS — free, and necessary (round-13
+    // review): o and T are both corpus-sized counts, so the all-long
+    // o·T wraps once the corpus passes ~3e9 events (√2^63) — far
+    // below the 100 TB design point — while the DuckDB twin computes
+    // the same product in HUGEINT. diff ≲ 1e22 and r·c·T ≲ 1e33 both
+    // sit well inside 38 digits; the double evaluation
     // (diff·diff)/(r·c·T) is three IEEE-correctly-rounded ops with an
-    // identical tree in both engines — bit-exact. Per-cell output, no
-    // cross-cell double sum (double addition order is engine-defined;
-    // a consumer sums the ≤10 contributions driver-side). */
+    // identical tree in both engines — bit-exact (decimal→double
+    // rounds identically to long→double on the same integer).
+    // Per-cell output, no cross-cell double sum (double addition
+    // order is engine-defined; a consumer sums the ≤10 contributions
+    // driver-side). */
     Q("q_chisq",
       (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
         val cell = t(s, dir, "events")
           .withColumn("is_weekend",
             expr("(unix_micros(ts) div 86400000000L) % 7 IN (2, 3)"))
@@ -328,10 +358,11 @@ object Stats {
           .withColumn("c",
             sum(col("o")).over(Window.partitionBy(col("is_weekend"))))
           .withColumn("tot", sum(col("o")).over(Window.partitionBy()))
-          .withColumn("diff", col("o") * col("tot") - col("r") * col("c"))
+          .withColumn("diff",
+            dec(col("o")) * col("tot") - dec(col("r")) * col("c"))
           .withColumn("chi2_part",
             (col("diff").cast("double") * col("diff").cast("double")) /
-              (col("r") * col("c") * col("tot")).cast("double"))
+              (dec(col("r")) * col("c") * col("tot")).cast("double"))
           .select("event_type", "is_weekend", "o", "r", "c", "chi2_part")
           .orderBy("event_type", "is_weekend")
       },
@@ -351,37 +382,44 @@ object Stats {
 
     // ── autocorrelation of the daily event-count series, lags 1..7 ──
     // r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², cleared of the rational
-    // mean μ=S/n by multiplying through by n²: every moment (S, ΣXX,
-    // per-lag Σx_t·x_{t+k} and the head/tail partial sums) is an EXACT
-    // int64 (n=30 days, S≲10⁶ at sf0.1 → worst term n·S·2S ≈ 6·10¹³),
-    // and r_k is ONE double division of two exact longs. The daily
-    // series is one keyed aggregate; the 7 lag pairings are joins over
-    // the ~30-row aggregate — cost lives in the first aggregate, the
-    // lag algebra is free. A weekly cycle in the synthetic data would
-    // surface as r_7 > r_1; the oracle recomputes the identical
-    // moments, so agreement pins the clearing algebra itself. */
+    // mean μ=S/n by multiplying through by n². Moments and products
+    // run in DECIMAL(38,0) over the ~30-row daily aggregate — free,
+    // and needed at the design point (round-13 review): a 100 TB
+    // month has x ≈ 3e9 events/day, so a single x·x term is ~9e18
+    // (at the int64 edge) and the cleared products (n·S·2S, S²) pass
+    // 10²² — the all-long form wraps silently there while the DuckDB
+    // oracle's HUGEINT moments stay exact; at tested SFs the values
+    // are identical integers either way. r_k is ONE double division
+    // of two exact integers. The daily series is one keyed aggregate;
+    // the 7 lag pairings are joins over the ~30-row aggregate — cost
+    // lives in the first aggregate, the lag algebra is free. A weekly
+    // cycle in the synthetic data would surface as r_7 > r_1; the
+    // oracle recomputes the identical moments, so agreement pins the
+    // clearing algebra itself. */
     Q("q_acf",
       (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
         val daily = t(s, dir, "events")
           .groupBy(expr(
             s"(unix_micros(ts) - ${EpochJan2024Us}L) div 86400000000L").as("d"))
           .agg(count(lit(1)).as("x"))
         val glob = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
-          sum(col("x") * col("x")).as("sxx"))
+          sum(dec(col("x")) * col("x")).as("sxx"))
         val ks = daily.sparkSession.range(1, 8).select(col("id").as("k"))
         daily.crossJoin(broadcast(ks)).alias("a")
           .join(broadcast(daily.select(col("d").as("d2"), col("x").as("x2"))),
             col("d2") === col("a.d") + col("k"))
           .groupBy(col("k"))
-          .agg(count(lit(1)).as("m"), sum(col("a.x") * col("x2")).as("sxy"),
+          .agg(count(lit(1)).as("m"), sum(dec(col("a.x")) * col("x2")).as("sxy"),
             sum(col("a.x")).as("head"), sum(col("x2")).as("tail"))
           .crossJoin(broadcast(glob))
           .select(col("k"), col("m"),
-            ((col("n") * col("n") * col("sxy") -
-              col("n") * col("s") * (col("head") + col("tail")) +
-              col("m") * col("s") * col("s")).cast("double") /
-              (col("n") * col("n") * col("sxx") -
-                col("n") * col("s") * col("s")).cast("double")).as("acf"))
+            ((dec(col("n")) * col("n") * col("sxy") -
+              dec(col("n")) * col("s") * (col("head") + col("tail")) +
+              dec(col("m")) * col("s") * col("s")).cast("double") /
+              (dec(col("n")) * col("n") * col("sxx") -
+                dec(col("n")) * col("s") * col("s")).cast("double")).as("acf"))
           .orderBy("k")
       },
       Some(s"""WITH daily AS (
@@ -480,11 +518,15 @@ object Stats {
     // target, enc = (Σ_target_u + m·μ)/(n_u + m), m = 10 — shrinking
     // rare users toward the global mean so the feature doesn't
     // memorize. Division-cleared to ONE double divide over exact
-    // fixed-point moments: enc = (N·s_u + m·S)/(N·(n_u + m)); bounds
-    // at sf0.1: N·s_u ≲ 4e13, m·S ≲ 6e12 — int64-safe. 100 TB shape:
-    // one keyed aggregate (map-side combined) + a broadcast 1-row
-    // global; the encoding table is dictionary-sized, broadcast back
-    // to the feature join in a real pipeline.
+    // fixed-point moments: enc = (N·s_u + m·S)/(N·(n_u + m)). The
+    // cleared products run in DECIMAL(38,0) — one decimal multiply
+    // per USER row, nothing on the event scan — because N and s_u
+    // both grow with the corpus: the all-long N·s_u (~4e13 at sf0.1)
+    // wraps by ~sf30 while the DuckDB twin's HUGEINT stays exact
+    // (round-13 review; values identical at tested SFs). 100 TB
+    // shape: one keyed aggregate (map-side combined) + a broadcast
+    // 1-row global; the encoding table is dictionary-sized, broadcast
+    // back to the feature join in a real pipeline.
     Q("q_target_encode",
       (s, dir) => {
         val e = t(s, dir, "events")
@@ -494,8 +536,10 @@ object Stats {
           .agg(count(lit(1)).as("n_u"), sum(col("vfp")).as("s_u"))
           .crossJoin(broadcast(g))
           .withColumn("enc", expr(
-            """CAST(nn * s_u + 10L * ss AS DOUBLE) /
-              |CAST(nn * (n_u + 10L) AS DOUBLE) / 10000.0""".stripMargin))
+            """CAST(CAST(nn AS DECIMAL(38,0)) * s_u
+              |     + CAST(10L AS DECIMAL(38,0)) * ss AS DOUBLE) /
+              |CAST(CAST(nn AS DECIMAL(38,0)) * (n_u + 10L) AS DOUBLE)
+              |/ 10000.0""".stripMargin))
           .select("user_id", "n_u", "enc")
           .orderBy("user_id")
       },
