@@ -212,12 +212,17 @@ object Forecast {
     // open (first value by the (event time, event_id) total order),
     // high, low, close (last), and the tick count — the lossy day
     // grain a dashboard reads instead of raw events. Values in exact
-    // 1e-4 fixed point (the MlEval scored convention). One shuffle on
-    // the day key; both edge picks ride the same sort as window
-    // row_numbers (first/last ≡ rn = 1 ascending/descending — no
-    // argmax structs, no double comparisons). At 100 TB bars are the
-    // canonical incremental rollup: day partitions close and never
-    // recompute (the q_sketch_rollup story, minus the sketch).
+    // 1e-4 fixed point (the MlEval scored convention). ONE map-side-
+    // combinable aggregate (round-13 review): open/close are
+    // min/max over the (us, event_id, fp) struct — lexicographic
+    // comparison over all-LONG fields, exact, and the streaming-twin
+    // BarState fold uses the identical total order — where the
+    // previous form ran TWO full window sorts (asc + desc row_number)
+    // over the events just to mark rn=1. At 100 TB that is the
+    // difference between one combine-then-shuffle of day-sized
+    // partials and two whole-corpus sorts. Bars remain the canonical
+    // incremental rollup: day partitions close and never recompute
+    // (the q_sketch_rollup story, minus the sketch).
     Q("q_ohlc",
       (s, dir) => {
         val e = t(s, dir, "events")
@@ -225,15 +230,13 @@ object Forecast {
             " div 86400000000L").as("d"),
             expr("unix_micros(ts)").as("us"), col("event_id"),
             floor(col("value") * 10000).cast("long").as("fp"))
-        val wAsc = Window.partitionBy("d").orderBy(col("us"), col("event_id"))
-        val wDesc = Window.partitionBy("d")
-          .orderBy(col("us").desc, col("event_id").desc)
-        e.withColumn("rna", row_number().over(wAsc))
-          .withColumn("rnd", row_number().over(wDesc))
-          .groupBy("d")
-          .agg(max(when(col("rna") === 1, col("fp"))).as("open_fp"),
+        e.groupBy("d")
+          .agg(
+            min(struct(col("us"), col("event_id"), col("fp")))
+              .getField("fp").as("open_fp"),
             max(col("fp")).as("high_fp"), min(col("fp")).as("low_fp"),
-            max(when(col("rnd") === 1, col("fp"))).as("close_fp"),
+            max(struct(col("us"), col("event_id"), col("fp")))
+              .getField("fp").as("close_fp"),
             count(lit(1)).as("n_ticks"))
           .orderBy("d")
       },

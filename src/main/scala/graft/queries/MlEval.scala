@@ -38,12 +38,19 @@ object MlEval {
     // AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with R⁺ the tie-averaged rank
     // sum of positives — the Mann–Whitney identity, kept integer by
     // the doubled-rank idiom on score bins: AUC = (2R⁺ − n⁺(n⁺+1)) /
-    // (2·n⁺·n⁻), ONE double division of exact int64s. Ties (shared
+    // (2·n⁺·n⁻), ONE double division of exact integers. Ties (shared
     // bins) get the standard ½ credit through the averaged rank. The
     // bin table (≤5e6 bins by fixed-point construction; ~5k here)
-    // bounds the rank window at any event count.
+    // bounds the rank window at any event count. The doubled rank sum
+    // and the final products run DECIMAL(38,0) (round-13 review):
+    // r2 ≈ 2·N·n⁺ and n⁺·n⁻ are PRODUCTS of corpus-sized counts, so
+    // the all-long form wraps past ~10¹⁰ events while the DuckDB twin
+    // (HUGEINT) stays exact — and every decimal op here runs on the
+    // bin table or the 1-row final, never the scan.
     Q("q_auc",
       (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
         val cell = scored(s, dir)
           .groupBy("v")
           .agg(sum(when(col("label"), 1L).otherwise(0L)).as("p"),
@@ -54,10 +61,10 @@ object MlEval {
         cell
           .withColumn("cb", coalesce(sum(col("tot")).over(before), lit(0L)))
           .agg(sum(col("p")).as("np"), sum(col("q")).as("nq"),
-            sum(col("p") * (col("cb") * 2 + col("tot") + 1)).as("r2"))
+            sum(dec(col("p")) * (col("cb") * 2 + col("tot") + 1)).as("r2"))
           .select(col("np"), col("nq"),
-            ((col("r2") - col("np") * (col("np") + 1)).cast("double") /
-              (col("np") * col("nq") * 2).cast("double")).as("auc"))
+            ((col("r2") - dec(col("np")) * (col("np") + 1)).cast("double") /
+              (dec(col("np")) * col("nq") * 2).cast("double")).as("auc"))
       },
       Some(s"""WITH sc AS ($scoredSql),
               |cell AS (SELECT v,
@@ -210,12 +217,18 @@ object MlEval {
           .withColumn("pos", sum(col("hpos")).over(wAll))
           .filter(col("nl") < col("n"))
         val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        // the squared side-counts are corpus-sized products — decimal
+        // over the ≤30 candidate cells (free), where all-long posl²
+        // wraps past ~3e9 documents (round-13 review); the DuckDB twin
+        // squares in HUGEINT
+        val dd = (c: org.apache.spark.sql.Column) =>
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
         val score =
-          (d(col("posl") * col("posl") +
-            (col("nl") - col("posl")) * (col("nl") - col("posl"))) /
+          (d(dd(col("posl")) * col("posl") +
+            dd(col("nl") - col("posl")) * (col("nl") - col("posl"))) /
             d(col("nl"))) +
-          (d((col("pos") - col("posl")) * (col("pos") - col("posl")) +
-            (col("n") - col("nl") - col("pos") + col("posl")) *
+          (d(dd(col("pos") - col("posl")) * (col("pos") - col("posl")) +
+            dd(col("n") - col("nl") - col("pos") + col("posl")) *
               (col("n") - col("nl") - col("pos") + col("posl"))) /
             d(col("n") - col("nl")))
         cand.withColumn("score", score)
