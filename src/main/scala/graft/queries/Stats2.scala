@@ -632,8 +632,13 @@ object Stats2 {
 
     // ── burstiness (Fano factor) of daily counts per event type ──
     // F = σ²/μ over the daily series, cleared of both rational means:
-    // F = (n·Σx² − S²)/((n−1)·S) — EXACT int64 moments (n=31,
-    // Σx² ≤ 1.2e10 at sf0.1), ONE double division. F ≈ 1 is Poisson;
+    // F = (n·Σx² − S²)/((n−1)·S) — exact integer moments (n=31 days),
+    // ONE double division. The x² accumulator and the cleared
+    // products are DECIMAL(38,0) over the ≤31-row daily table (free —
+    // the q_corr discipline, round-13 review): a 100 TB month has
+    // x ≈ 6e8 events/day/type, so x² sits near the int64 edge and S²
+    // passes it, while the DuckDB twin's HUGEINT stays exact; tested-
+    // SF values are identical integers either way. F ≈ 1 is Poisson;
     // F ≫ 1 flags bursty/incident-driven streams. The daily rollup is
     // the only full pass; the statistic computes from 3 numbers per
     // type.
@@ -645,10 +650,12 @@ object Stats2 {
           .agg(count(lit(1)).as("x"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("x") * col("x")).as("sxx"))
+            sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
           .select(col("event_type"), col("n"),
-            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
-              ((col("n") - 1) * col("sx")).cast("double")).as("fano"))
+            ((col("n").cast(DecimalType(38, 0)) * col("sxx") -
+              col("sx").cast(DecimalType(38, 0)) * col("sx")).cast("double") /
+              ((col("n") - 1).cast(DecimalType(38, 0)) * col("sx")).cast("double"))
+              .as("fano"))
           .orderBy("event_type"),
       Some(s"""WITH daily AS (
               |  SELECT event_type,

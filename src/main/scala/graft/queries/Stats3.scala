@@ -774,15 +774,21 @@ object Stats3 {
           .join(daily.select(col("d").as("d2"), col("y")),
             col("d2") === col("d") + col("lag"))
         val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        // day-count products in DECIMAL(38,0) over the ≤30-row aligned
+        // table (free — the q_corr discipline, round-13 review): at
+        // 100 TB the per-day counts make x·y and the cleared products
+        // pass int64 while the DuckDB twin's HUGEINT stays exact
+        val dd = (c: org.apache.spark.sql.Column) =>
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
         aligned.groupBy("lag")
           .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("y") * col("y")).as("syy"))
+            sum(col("y")).as("sy"), sum(dd(col("x")) * col("y")).as("sxy"),
+            sum(dd(col("x")) * col("x")).as("sxx"),
+            sum(dd(col("y")) * col("y")).as("syy"))
           .select(col("lag"), col("n"),
-            ((d(col("n") * col("sxy") - col("sx") * col("sy"))) /
-              (sqrt(d(col("n") * col("sxx") - col("sx") * col("sx"))) *
-                sqrt(d(col("n") * col("syy") - col("sy") * col("sy")))))
+            ((d(dd(col("n")) * col("sxy") - dd(col("sx")) * col("sy"))) /
+              (sqrt(d(dd(col("n")) * col("sxx") - dd(col("sx")) * col("sx"))) *
+                sqrt(d(dd(col("n")) * col("syy") - dd(col("sy")) * col("sy")))))
               .as("r"))
           .orderBy("lag")
       },
@@ -828,22 +834,27 @@ object Stats3 {
             " div 86400000000L").as("d"))
           .agg(count(lit(1)).as("x"))
           .localCheckpoint(true)
+        // decimal moments/products over the ~30-row daily table — the
+        // same round-13 widening q_acf received (per-day x·x at the
+        // int64 edge at 100 TB; the recursion below is unchanged)
+        val dd = (c: org.apache.spark.sql.Column) =>
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
         val glob = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
-          sum(col("x") * col("x")).as("sxx"))
+          sum(dd(col("x")) * col("x")).as("sxx"))
         val ks = daily.sparkSession.range(1, 4).select(col("id").as("k"))
         val acf = daily.crossJoin(broadcast(ks)).alias("a")
           .join(broadcast(daily.select(col("d").as("d2"), col("x").as("x2"))),
             col("d2") === col("a.d") + col("k"))
           .groupBy(col("k"))
-          .agg(count(lit(1)).as("m"), sum(col("a.x") * col("x2")).as("sxy"),
+          .agg(count(lit(1)).as("m"), sum(dd(col("a.x")) * col("x2")).as("sxy"),
             sum(col("a.x")).as("head"), sum(col("x2")).as("tail"))
           .crossJoin(broadcast(glob))
           .select(col("k"),
-            ((col("n") * col("n") * col("sxy") -
-              col("n") * col("s") * (col("head") + col("tail")) +
-              col("m") * col("s") * col("s")).cast("double") /
-              (col("n") * col("n") * col("sxx") -
-                col("n") * col("s") * col("s")).cast("double")).as("r"))
+            ((dd(col("n")) * col("n") * col("sxy") -
+              dd(col("n")) * col("s") * (col("head") + col("tail")) +
+              dd(col("m")) * col("s") * col("s")).cast("double") /
+              (dd(col("n")) * col("n") * col("sxx") -
+                dd(col("n")) * col("s") * col("s")).cast("double")).as("r"))
         acf.groupBy()
           .agg(max(when(col("k") === 1, col("r"))).as("r1"),
             max(when(col("k") === 2, col("r"))).as("r2"),
