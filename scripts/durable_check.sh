@@ -80,7 +80,16 @@ conc_run() {
 
 conc_run c1 & PID1=$!
 conc_run c2 & PID2=$!
-wait "$PID1"; wait "$PID2"
+# collect BOTH exit statuses before failing (round-13 ADVICE): with
+# set -e, dying at the first wait left the second JVM running while
+# the EXIT trap rm -rf'd its scratch/output under it — confusing
+# secondary errors and possible /tmp litter
+S1=0; S2=0
+wait "$PID1" || S1=$?
+wait "$PID2" || S2=$?
+if [ "$S1" -ne 0 ] || [ "$S2" -ne 0 ]; then
+  echo "concurrent drill FAILED (c1=$S1 c2=$S2)"; exit 1
+fi
 R3=$(cat "$CONCOUT/c1.json"); R4=$(cat "$CONCOUT/c2.json")
 echo "concurrent 1: $R3"
 echo "concurrent 2: $R4"

@@ -25,6 +25,28 @@ sbt -batch -error "runMain graft.Verify $SF_DIR $OUT_DIR"
 echo "[presnap] oracle check"
 python3 scripts/check.py "$SF_DIR" "$OUT_DIR"
 
+# Durability drill + reference-scale throughput as ROUND-DEFAULT gates
+# (round-13 verdict item 4): both passed every round they were run,
+# but were only run when someone remembered — a regression in the
+# artifact locking or a reference-workload crash would have sailed
+# into a snapshot. Their one-line summaries are archived per round in
+# GATES_LAST.txt (commit it with the snapshot). PRESNAP_FAST=1 skips
+# them for mid-round iteration ONLY — never for the end-of-round run.
+if [ "${PRESNAP_FAST:-0}" != "1" ]; then
+  echo "[presnap] durability drill (sequential + concurrent)"
+  bash scripts/durable_check.sh | tee /tmp/presnap_durable.log | grep '^OK'
+  echo "[presnap] RefBench (reference-scale throughput)"
+  sbt -batch "Test/runMain graft.RefBench" \
+    | tee /tmp/presnap_refbench.log | grep -F '[refbench]'
+  {
+    echo "# gate summaries at $(git rev-parse --short HEAD) ($(date -u +%FT%TZ))"
+    grep '^OK' /tmp/presnap_durable.log
+    grep -F '[refbench]' /tmp/presnap_refbench.log | grep -v 'winner row'
+  } > GATES_LAST.txt
+else
+  echo "[presnap] PRESNAP_FAST=1 — durability + RefBench SKIPPED (iteration only)"
+fi
+
 # Archive the current full-run bench as this round's local artifact
 # (round-7 verdict item 5): the driver's BENCH_r*.json tail capture
 # truncates (~68 of 269 queries visible at r7) and bench_last.json is

@@ -18,6 +18,32 @@ import org.apache.spark.sql.SparkSession
   * alongside for a noise bound.
   */
 object Bench {
+  /** Pass-`p` sweep order (1-based) for an `iters`-pass run: the
+    * sorted name list rotated by (p−1)·n/iters. Extracted so
+    * BenchScheduleSpec can pin the rotation (round-13 verdict item 2:
+    * a fixed alphabetical sweep made per-query mins sample the same
+    * wall-clock position every pass, so slow host drift masqueraded
+    * as movement of whatever queries sat at the sweep tail — this
+    * one line of measurement infrastructure now underwrites every
+    * round-over-round claim and must not be revertible silently).
+    * Deterministic (no RNG): same code + box ⇒ same schedule. */
+  private[graft] def passOrder(names: Seq[String], pass: Int,
+      iters: Int): Seq[String] = {
+    val off =
+      if (names.isEmpty) 0
+      else (((pass - 1).toLong * names.size / iters) % names.size).toInt
+    names.drop(off) ++ names.take(off)
+  }
+
+  /** The exact stdout lines of a run, in print order: the full
+    * per-query record first, the compact summary LAST — the driver
+    * captures only the tail of stdout and the full line overflows it
+    * every round, so the captured tail must always end with one
+    * complete, parseable JSON object (r12 verdict: BENCH_r12.json
+    * had parsed:null). Extracted so the spec can pin the order. */
+  private[graft] def outputLines(fullJson: String,
+      compactJson: String): Seq[String] = Seq(fullJson, compactJson)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -156,8 +182,7 @@ object Bench {
     // order-correlated cluster can no longer form. Deterministic (no
     // RNG): same code + box ⇒ same schedule, so runs stay comparable.
     val passes = (1 to iters).map { p =>
-      val off = ((p - 1).toLong * names.size / iters).toInt
-      val order = names.drop(off) ++ names.take(off)
+      val order = passOrder(names, p, iters)
       val r = order.map(n => n -> runFull(n)).toMap
       if (p == 1 && iters > 1)
         canaryStart = try canarySample() catch { case _: Throwable => -1.0 }
@@ -215,17 +240,18 @@ object Bench {
       s""""sf":"$sfDir""""
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"queries_p2min":$qsP2,""" + summaryFields + "}"
-    println(json)
     // the driver captures only the last ~2000 chars of stdout, and the
-    // full per-query line above overflows that every round (r12
-    // verdict item: BENCH_r12.json had parsed:null). Print a compact
-    // summary — same shape minus the three per-query maps — as the
-    // LAST line, so the captured tail always ends with one complete,
-    // parseable JSON object; the full record stays in the line above
-    // and in bench_last.json (committed per round as BENCH_LOCAL_rNN).
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+    // full per-query line overflows that every round (r12 verdict
+    // item: BENCH_r12.json had parsed:null). The compact summary —
+    // same shape minus the three per-query maps — prints LAST, so the
+    // captured tail always ends with one complete, parseable JSON
+    // object; the full record stays in the line above and in
+    // bench_last.json (committed per round as BENCH_LOCAL_rNN).
+    // outputLines owns the order; BenchScheduleSpec pins it.
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""detail":"per-query maps on the previous stdout line and bench_last.json",""" +
-      summaryFields + "}")
+      summaryFields + "}"
+    outputLines(json, compact).foreach(println)
     // partial (SPARK_GRAFT_ONLY) runs must not clobber the full-run
     // record the round-over-round diffs depend on
     if (only.isEmpty)

@@ -125,8 +125,17 @@ object Bucketing {
         // fails; or our CREATE lands on their racing CREATE). One
         // retry re-runs the full check from scratch — whichever
         // process won, the second attempt sees the settled catalog
-        // state and verifies the location (round-12 ADVICE).
-        try attempt() catch { case _: Exception => attempt() }
+        // state and verifies the location (round-12 ADVICE). The
+        // first failure is kept: a DETERMINISTIC error (bad dataPath,
+        // permissions) fails both attempts, and surfacing only the
+        // retry's exception would hide the original context — it
+        // rides along as a suppressed exception (round-13 ADVICE).
+        try attempt() catch { case first: Exception =>
+          try attempt() catch { case second: Exception =>
+            if (second ne first) second.addSuppressed(first)
+            throw second
+          }
+        }
         tables.add(table)
       }
     }

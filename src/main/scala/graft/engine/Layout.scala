@@ -81,7 +81,15 @@ object Layout {
       val p = new Path(d); p.getFileSystem(conf).makeQualified(p).toString
     }
     val (qi, qo) = (qual(inDir), qual(outDir))
-    require(qi != qo && !qi.startsWith(qo + "/") && !qo.startsWith(qi + "/"),
+    // strip any trailing slash before comparing/appending the
+    // separator (round-13 ADVICE): a ROOT dir qualifies WITH one
+    // (qual("/") = "file:/"), so the old qo + "/" was "file://" and
+    // a path nested under the root never matched the prefix — the
+    // overwrite guard silently waved the one case that destroys the
+    // most data through
+    def norm(q: String) = q.stripSuffix("/")
+    val (ni, no) = (norm(qi), norm(qo))
+    require(ni != no && !ni.startsWith(no + "/") && !no.startsWith(ni + "/"),
       s"compaction input and output must not overlap ('$inDir' vs " +
         s"'$outDir'); write to a disjoint dir and swap")
     val (nIn, bytes) = parquetStats(spark, inDir)

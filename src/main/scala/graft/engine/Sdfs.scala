@@ -28,12 +28,23 @@ final class Sdfs(spark: SparkSession, root: String) {
     // every segment must be a real name
     val rel = new Path(name)
     val segs = name.split("/")
+    // dot-prefixed segments are RESERVED for engine temps (the put()
+    // staging dir): listings skip them, so a user dataset named that
+    // way would be invisible — and '.staging' itself would collide
     require(!rel.isAbsolute && segs.nonEmpty &&
-        segs.forall(s => s.nonEmpty && s != "." && s != ".."),
+        segs.forall(s => s.nonEmpty && s != "." && s != ".." &&
+          !s.startsWith(".")),
       s"sdfs name must be a relative path inside the namespace " +
-        s"(no empty, '.', or '..' segments), got '$name'")
+        s"(no empty, '.', '..', or dot-prefixed segments), got '$name'")
     new Path(root, name)
   }
+
+  // put() staging-dir name and crash-reclaim grace window — a temp in
+  // the staging dir younger than the grace period is presumed to be a
+  // LIVE concurrent put and is never swept; package-private so the
+  // spec exercises the same values
+  private[engine] val stagingDirName = ".staging"
+  private[engine] val putGraceMs = 15L * 60 * 1000
 
   /** Resolved namespace path of `name` — the ONE resolution scheme
     * (confinement included) for callers that hand paths to
@@ -58,26 +69,31 @@ final class Sdfs(spark: SparkSession, root: String) {
     // the next put overwrites the temp.
     require(new java.io.File(localPath).exists(),
       s"put source $localPath does not exist")
-    // temp staged BESIDE the destination parent and uniquified by
-    // PID+nanotime (round-12 ADVICE): the old fixed root-level
-    // `.<leaf>.puttmp` collided across nested names sharing a leaf
-    // (a/data vs b/data) and across racing puts of one name, letting
-    // one put's copy stomp another's mid-flight. Distinct names now
-    // never share a temp; racing puts of the SAME name each stage
-    // privately (the destination swap stays last-wins, as before).
-    fs.mkdirs(dest.getParent)
-    val tmpPrefix = s".${dest.getName}.puttmp."
-    val tmp = new Path(dest.getParent,
+    // Temps live in ONE hidden flat staging dir under the namespace
+    // root, keyed by the flattened name + PID + nanotime (round-13
+    // ADVICE). Staging beside the destination parent put a nested
+    // name's temp INSIDE another dataset's directory — put("a/data")
+    // staged under dataset a/, where a concurrent get("a") copied the
+    // in-flight temp into its local output — and the unconditional
+    // pre-copy sweep deleted a concurrent same-name put's LIVE temp,
+    // failing one of two racing puts instead of last-wins. Here temps
+    // never sit inside dataset directories (listings skip dot-names),
+    // PID+nanotime keeps racing puts private, and the sweep reclaims
+    // only temps older than a grace period — crashed puts, never
+    // in-flight ones.
+    val staging = new Path(root, stagingDirName)
+    fs.mkdirs(staging)
+    val tmpPrefix = name.replace("/", "__") + ".puttmp."
+    val tmp = new Path(staging,
       tmpPrefix + ProcessHandle.current().pid() + "." + System.nanoTime())
-    // sweep temps left by CRASHED puts of this name — unique suffixes
-    // would otherwise accumulate forever (a concurrent same-name put's
-    // in-flight temp can be swept too; its rename then fails loudly,
-    // which is the honest outcome of racing the same destination)
-    fs.listStatus(dest.getParent).toSeq
-      .filter(_.getPath.getName.startsWith(tmpPrefix))
+    val now = System.currentTimeMillis()
+    fs.listStatus(staging).toSeq
+      .filter(st => st.getPath.getName.startsWith(tmpPrefix) &&
+        now - st.getModificationTime > putGraceMs)
       .foreach(st => fs.delete(st.getPath, true))
     try fs.copyFromLocalFile(false, true, new Path(localPath), tmp)
     catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    fs.mkdirs(dest.getParent)
     if (fs.exists(dest)) fs.delete(dest, true)
     require(fs.rename(tmp, dest), s"put rename $tmp -> $dest failed")
   }
@@ -107,10 +123,14 @@ final class Sdfs(spark: SparkSession, root: String) {
     * namespace in Spark, so same as `global`. */
   def store(): Seq[String] = global()
 
-  /** `global` — all files in the namespace (`SdfsServer.java:215-232`). */
+  /** `global` — all files in the namespace (`SdfsServer.java:215-232`).
+    * Dot-prefixed entries are engine-internal (the put staging dir),
+    * not user datasets — p() rejects such names, so hiding them here
+    * can never hide real data. */
   def global(): Seq[String] =
     if (!fs.exists(new Path(root))) Seq.empty
-    else fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName).sorted
+    else fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted
 }
 
 /** Session facade: entry point mirroring the reference's single

@@ -44,9 +44,11 @@ object MlEval {
     // bounds the rank window at any event count. The doubled rank sum
     // and the final products run DECIMAL(38,0) (round-13 review):
     // r2 ≈ 2·N·n⁺ and n⁺·n⁻ are PRODUCTS of corpus-sized counts, so
-    // the all-long form wraps past ~10¹⁰ events while the DuckDB twin
-    // (HUGEINT) stays exact — and every decimal op here runs on the
-    // bin table or the 1-row final, never the scan.
+    // the all-long form overflows past ~10¹⁰ events (an ANSI
+    // ArithmeticException under the Spark 4 default; a silent wrap
+    // with ANSI off) while the DuckDB twin (HUGEINT) stays exact —
+    // and every decimal op here runs on the bin table or the 1-row
+    // final, never the scan.
     Q("q_auc",
       (s, dir) => {
         val dec = (c: org.apache.spark.sql.Column) =>
@@ -219,8 +221,9 @@ object MlEval {
         val d = (c: org.apache.spark.sql.Column) => c.cast("double")
         // the squared side-counts are corpus-sized products — decimal
         // over the ≤30 candidate cells (free), where all-long posl²
-        // wraps past ~3e9 documents (round-13 review); the DuckDB twin
-        // squares in HUGEINT
+        // overflows past ~3e9 documents (ANSI ArithmeticException
+        // under the Spark 4 default; silent wrap with ANSI off —
+        // round-13 review); the DuckDB twin squares in HUGEINT
         val dd = (c: org.apache.spark.sql.Column) =>
           c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
         val score =
@@ -287,8 +290,9 @@ object MlEval {
     // cumulated per decile, everything in exact ppm (capture =
     // cum_pos·10⁶ div total_pos; lift = capture_ppm·N div cum_n —
     // derived from the already-divided capture so the int64 product
-    // is bounded by 10⁶·N, not cum_pos·N·10⁶, which wraps past ~10M
-    // events with ~1M positives; the one extra div-truncation is
+    // is bounded by 10⁶·N, not cum_pos·N·10⁶, which overflows past
+    // ~10M events with ~1M positives (ANSI ArithmeticException under
+    // the Spark 4 default); the one extra div-truncation is
     // identical on both engines). One window shuffle on the global rank over
     // the scored base (the q_auc substrate), then a 10-row cum walk.
     // Near-chance on synthetic scores BY DESIGN — the metric algebra,

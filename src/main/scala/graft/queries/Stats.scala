@@ -35,8 +35,10 @@ object Stats {
     // moments: x = hour offset (0..743), y in fixed-point 1e-4 units
     // (the floor·10⁴ product idiom). Headroom (round-13 review): the
     // all-long form's n·Σxy was ~1e18 at sf0.1 — ONE order of
-    // magnitude under 2^63, so sf1 would already wrap silently while
-    // the DuckDB oracle (HUGEINT sums) stayed exact. Σxy therefore
+    // magnitude under 2^63, so sf1 would already overflow: an
+    // ArithmeticException under Spark 4's ANSI default (a silent
+    // wrap with ANSI off), either way diverging from the DuckDB
+    // oracle's exact HUGEINT sums. Σxy therefore
     // accumulates DECIMAL(38,0) (per-row product is a cheap long —
     // ≤744·y_fp ~ 4e9 — only the sum needs width; the q_standardize
     // s2 precedent) and the final n·moment products compute in
@@ -290,11 +292,13 @@ object Stats {
     // the score is an EXACT integer sum: no float decay drift, any
     // accumulation order. The weights accumulate DECIMAL(38,0)
     // (round-13 review): the all-long sum held only to ~2e9 trailing
-    // events (2^63 / 2^29) and wrapped SILENTLY past that, below the
-    // design point; decimal keeps the sum exact to 10³⁸ and the final
-    // BIGINT cast — the declared output type, matching the oracle —
-    // turns a score too large for int64 into an overt NULL instead of
-    // a wrapped wrong number. The anchor date is a 1-row broadcast
+    // events (2^63 / 2^29) and past that would die mid-aggregate
+    // (ANSI ArithmeticException under the Spark 4 default; a silent
+    // wrap with ANSI off), below the design point; decimal keeps the
+    // sum exact to 10³⁸. The final BIGINT cast — the declared output
+    // type, matching the oracle — still THROWS under ANSI on a score
+    // too large for int64 (NULL with ANSI off): an overt failure at
+    // the declared-type boundary, never a wrapped wrong number. The anchor date is a 1-row broadcast
     // (never a driver round-trip); the rest is one partial+final
     // aggregate over event_type.
     Q("q_decay_trend",
@@ -333,9 +337,11 @@ object Stats {
     // (o·T − r·c)²/(r·c·T). The products run in DECIMAL(38,0) over
     // the ≤|event_type|·2 CELLS — free, and necessary (round-13
     // review): o and T are both corpus-sized counts, so the all-long
-    // o·T wraps once the corpus passes ~3e9 events (√2^63) — far
-    // below the 100 TB design point — while the DuckDB twin computes
-    // the same product in HUGEINT. diff ≲ 1e22 and r·c·T ≲ 1e33 both
+    // o·T overflows once the corpus passes ~3e9 events (√2^63) — far
+    // below the 100 TB design point; under Spark 4's ANSI default
+    // that is a query-killing ArithmeticException (a silent wrap
+    // with ANSI off), while the DuckDB twin computes the same
+    // product in HUGEINT. diff ≲ 1e22 and r·c·T ≲ 1e33 both
     // sit well inside 38 digits; the double evaluation
     // (diff·diff)/(r·c·T) is three IEEE-correctly-rounded ops with an
     // identical tree in both engines — bit-exact (decimal→double
@@ -387,9 +393,10 @@ object Stats {
     // and needed at the design point (round-13 review): a 100 TB
     // month has x ≈ 3e9 events/day, so a single x·x term is ~9e18
     // (at the int64 edge) and the cleared products (n·S·2S, S²) pass
-    // 10²² — the all-long form wraps silently there while the DuckDB
-    // oracle's HUGEINT moments stay exact; at tested SFs the values
-    // are identical integers either way. r_k is ONE double division
+    // 10²² — the all-long form fails there (ANSI ArithmeticException
+    // under the Spark 4 default; a silent wrap with ANSI off) while
+    // the DuckDB oracle's HUGEINT moments stay exact; at tested SFs
+    // the values are identical integers either way. r_k is ONE double division
     // of two exact integers. The daily series is one keyed aggregate;
     // the 7 lag pairings are joins over the ~30-row aggregate — cost
     // lives in the first aggregate, the lag algebra is free. A weekly
@@ -522,8 +529,10 @@ object Stats {
     // cleared products run in DECIMAL(38,0) — one decimal multiply
     // per USER row, nothing on the event scan — because N and s_u
     // both grow with the corpus: the all-long N·s_u (~4e13 at sf0.1)
-    // wraps by ~sf30 while the DuckDB twin's HUGEINT stays exact
-    // (round-13 review; values identical at tested SFs). 100 TB
+    // overflows by ~sf30 (ANSI ArithmeticException under the Spark 4
+    // default; silent wrap with ANSI off) while the DuckDB twin's
+    // HUGEINT stays exact (round-13 review; values identical at
+    // tested SFs). 100 TB
     // shape: one keyed aggregate (map-side combined) + a broadcast
     // 1-row global; the encoding table is dictionary-sized, broadcast
     // back to the feature join in a real pipeline.

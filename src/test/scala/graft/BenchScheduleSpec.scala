@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the three bench-harness measurement invariants (round-13
+  * verdict item 2). These few lines of infrastructure now carry every
+  * round-over-round performance claim — a silent revert of any of
+  * them would quietly re-bias the archives:
+  *
+  *  (a) per-pass sweep ROTATION — distinct offsets across passes, so
+  *      a query's min samples different wall-clock positions and an
+  *      order-correlated host-drift cluster cannot form;
+  *  (b) the full query REGISTRY is forced before the first Spark job
+  *      (late class loading invalidates JIT speculative inlining in
+  *      shared infrastructure — the r11 "VocabTok trio" shift);
+  *  (c) the COMPACT summary is the last stdout line, so the driver's
+  *      truncated tail capture always ends in parseable JSON.
+  *
+  * (a) and (c) are pinned functionally against the extracted helpers
+  * main() actually calls. (b) is a statement-order property inside
+  * main() that no unit test can observe without running a full bench;
+  * it is pinned structurally against the source text — crude, but red
+  * on exactly the revert that matters.
+  */
+class BenchScheduleSpec extends AnyFunSuite {
+
+  private val names = ('a' to 'l').map(c => s"q_$c")
+
+  test("(a) rotation: pass offsets are distinct for iters=3 and cover " +
+      "distinct sweep positions") {
+    val iters = 3
+    val orders = (1 to iters).map(p => Bench.passOrder(names, p, iters))
+    // every pass is a rotation (same membership, a permutation)
+    orders.foreach(o => assert(o.sorted == names.sorted))
+    // the offsets (position of the alphabetically-first name) are
+    // DISTINCT — a fixed-order revert collapses them all to 0
+    val offsets = orders.map(_.indexOf(names.head))
+    assert(offsets.distinct.size == iters,
+      s"pass offsets must be distinct, got $offsets")
+    // and the rotation is the contiguous kind (drop/take), not a
+    // shuffle: each order must be names rotated by its own offset
+    orders.zip(offsets).foreach { case (o, off) =>
+      val rot = names.drop((names.size - off) % names.size) ++
+        names.take((names.size - off) % names.size)
+      assert(o == rot, s"pass order is not a contiguous rotation: $o")
+    }
+  }
+
+  test("(a) rotation: deterministic — same inputs, same schedule") {
+    for (p <- 1 to 3)
+      assert(Bench.passOrder(names, p, 3) == Bench.passOrder(names, p, 3))
+    // single-pass runs sweep in sorted order (offset 0): partial and
+    // full runs stay comparable with the historical archives
+    assert(Bench.passOrder(names, 1, 1) == names)
+    assert(Bench.passOrder(Nil, 1, 3) == Nil)
+  }
+
+  test("(c) the compact summary is the LAST output line") {
+    val full = """{"metric":"total","value":1.0,"unit":"sec","queries":{}}"""
+    val compact = """{"metric":"total","value":1.0,"unit":"sec","detail":"x"}"""
+    val lines = Bench.outputLines(full, compact)
+    assert(lines.last == compact,
+      "driver tail capture truncates — the compact record must print last")
+    assert(lines == Seq(full, compact))
+  }
+
+  test("(b) registry force precedes the first Spark job in main() " +
+      "(structural pin)") {
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/Bench.scala"))
+    val force = src.indexOf("SparkEntry.queries.size")
+    // the first job any run submits: the canary settle before pass 1
+    val firstJob = src.indexOf("canarySettle()")
+    assert(force >= 0, "registry force (SparkEntry.queries.size) missing")
+    assert(firstJob >= 0, "canary settle (first Spark job) missing")
+    assert(force < firstJob,
+      "the full query registry must be forced BEFORE the first Spark " +
+        "job — late class loading invalidates JIT speculative inlining " +
+        "for the whole process (SCALE.md round-12)")
+    // and main() still routes through the pinned helpers — a revert
+    // that inlines a fixed order would pass (a) vacuously
+    assert(src.contains("passOrder(names, p, iters)"),
+      "main() must take its sweep order from passOrder")
+    assert(src.contains("outputLines(json, compact).foreach(println)"),
+      "main() must print through outputLines")
+  }
+}

@@ -104,6 +104,15 @@ class CompactionSpec extends SparkSuite {
       }
       assert(eSelf.getMessage.contains("must not overlap"), eSelf.getMessage)
     }
+    // the filesystem ROOT qualifies WITH a trailing slash ("file:/"),
+    // which the old raw prefix check turned into "file://" — a dir
+    // nested under the root (i.e., everything) was never rejected
+    // (round-13 ADVICE). Root as INPUT is the safe arm to pin: if the
+    // guard regresses, the failure is a doomed read, not a write to /
+    val eRoot = intercept[IllegalArgumentException] {
+      Layout.compact(spark, "/", base.resolve("out3").toString)
+    }
+    assert(eRoot.getMessage.contains("must not overlap"), eRoot.getMessage)
     // a NaN row makes max() NaN and used to silently collapse the
     // z-dimension to one bucket — refused with the cause named
     val nanIn = base.resolve("nan").toString

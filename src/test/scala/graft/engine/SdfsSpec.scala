@@ -88,13 +88,33 @@ class SdfsSpec extends SparkSuite {
     sdfs.get("b/data", bb.toString)
     assert(Files.readString(ba) == "alpha\n" && Files.readString(bb) == "beta\n",
       "nested names sharing a leaf must stage independently")
-    // a temp left by a crashed put of the same name is swept by the
-    // next put (unique suffixes would otherwise accumulate forever)
-    val stale = root.resolve("a").resolve(".data.puttmp.999.1")
+    // temps live in the hidden staging dir, NEVER inside a dataset
+    // directory (round-13 ADVICE: a temp under a/ was visible to a
+    // concurrent get("a")) — the dataset dir holds exactly its data
+    assert(Files.list(root.resolve("a")).count() == 1,
+      "no put temp may sit inside a dataset directory")
+    // a temp OLDER than the grace period (a crashed put) is swept by
+    // the next put of that name; a YOUNG temp (a live concurrent put
+    // mid-copy) is left alone — sweeping it failed one of two racing
+    // puts instead of last-wins
+    val staging = root.resolve(sdfs.stagingDirName)
+    val stale = staging.resolve("a__data.puttmp.999.1")
+    val live = staging.resolve("a__data.puttmp.999.2")
     Files.writeString(stale, "crashed\n")
+    Files.writeString(live, "in-flight\n")
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - sdfs.putGraceMs - 60_000))
     sdfs.put(la.toString, "a/data")
     assert(!Files.exists(stale), "stale puttmp must be swept by the next put")
-    assert(Files.list(root.resolve("a")).count() == 1)
+    assert(Files.exists(live),
+      "a concurrent put's live temp must survive the sweep")
+    // the staging dir is engine-internal: hidden from global(), and
+    // its name space is unreachable from user names (dot-prefixed
+    // segments rejected), so it can never shadow a dataset
+    assert(sdfs.global() == Seq("a", "b"))
+    intercept[IllegalArgumentException](sdfs.put(la.toString, ".staging/x"))
+    intercept[IllegalArgumentException](sdfs.delete(".staging"))
   }
 
   test("names escaping the namespace are rejected (delete is recursive)") {
