@@ -149,8 +149,18 @@ object Behavior {
     // tie-break. Emits the split day, the two segment means, and the
     // variance-reduction ratio 1 − SSE(k*)/SST. All on the ≤31-row
     // daily aggregate; candidates are the 29 interior splits.
+    // qt = Σx² runs DECIMAL(38,0) on the ≤31-row aggregate (round-14
+    // headroom audit — the q_acf series): a 100 TB month has
+    // x ≈ 3e9 events/day, so one x·x term is ~9e18, AT the int64
+    // edge, and the 30-day sum passes it — an ANSI
+    // ArithmeticException under the Spark 4 default (silent wrap
+    // with ANSI off) while the DuckDB twin sums in HUGEINT. qt is
+    // consumed as double only, and decimal→double rounds identically
+    // to long→double on the same integer, so tested-SF hashes pin.
     Q("q_changepoint",
       (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
         val daily = t(s, dir, "events")
           .groupBy(expr(s"(unix_micros(ts) - ${Epoch}L) div 86400000000L").as("d"))
           .agg(count(lit(1)).as("x"))
@@ -162,7 +172,7 @@ object Behavior {
           .withColumn("sl", sum(col("x")).over(cum))
           .withColumn("n", count(lit(1)).over(all))
           .withColumn("st", sum(col("x")).over(all))
-          .withColumn("qt", sum(col("x") * col("x")).over(all))
+          .withColumn("qt", sum(dec(col("x")) * col("x")).over(all))
           .filter(col("k") < col("n"))
         val d = (c: org.apache.spark.sql.Column) => c.cast("double")
         val sse = d(col("qt")) -
@@ -469,9 +479,19 @@ object Behavior {
             .select(col("lat").as("median_us"))
           // LEFT join (not cross): a transition with zero converters
           // must still emit its row (NULL median/mean), matching the
-          // oracle's always-two-row UNION ALL of scalar subqueries
+          // oracle's always-two-row UNION ALL of scalar subqueries.
+          // Σlat accumulates DECIMAL(38,0) (round-14 headroom audit):
+          // a latency is bounded by the horizon (~2.6e12 µs for the
+          // month), so ~1e9 converting users × an hours-scale mean
+          // already brushes 2^63 — ANSI ArithmeticException under the
+          // Spark 4 default — while the DuckDB twin sums in HUGEINT.
+          // The decimal rides the USER-grain rows (one per converter),
+          // never the event scan; `div` (IntegralDivide) returns
+          // BIGINT for decimal inputs, so the output schema is
+          // unchanged and the truncated mean is exact.
           lat.agg(count(lit(1)).as("n_users"),
-              expr("sum(lat) div count(1)").as("mean_us"))
+              expr("sum(cast(lat as decimal(38,0))) div count(1)")
+                .as("mean_us"))
             .join(broadcast(med), lit(true), "left")
             .select(lit(name).as("transition"), col("n_users"),
               col("median_us"), col("mean_us"))

@@ -119,11 +119,24 @@ object Graph2 {
     // r = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is PURE RATIONAL — no
     // sqrt, emitted as truncating micro-unit fixed point, hash-exact.
     // One degree aggregate + one edge⋈degree join per side + a 1-row
-    // moment aggregate; numerator headroom is ~n·Σxy·10⁶ ≲ 2⁶³ at
-    // every driver SF (a web-scale corpus moves the moments to
-    // DECIMAL(38,0) — same query shape).
+    // moment aggregate. Headroom (round-14 audit — this query's own
+    // r7 comment deferred the widening; the design point calls it
+    // due): with ~1e11 symmetric edges and hub degrees ~1e6, a
+    // per-edge dx·dy term is ~1e12 and Σxy passes 2^63 at ~1e7 such
+    // terms — an ANSI ArithmeticException under the Spark 4 default
+    // (silent wrap with ANSI off) while the DuckDB twin sums in
+    // HUGEINT. Σxy/Σxx therefore accumulate DECIMAL(38,0) (the
+    // per-row product rides the EDGE table — itself an aggregate,
+    // two joins above the scan) and the cleared 1-row products run
+    // decimal too: n·Σxy ~ 1e28 and ×10⁶ ~ 1e34 for realistic
+    // magnitudes, inside 38 digits (an adversarial 1e11-edge/1e6-hub
+    // corpus tops 38 digits and fails LOUDLY — never a wrapped wrong
+    // number). `div` returns BIGINT for decimal inputs, so assort_fp
+    // keeps its declared type and tested-SF hashes pin.
     Q("q_assortativity",
       (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
         val e = Graph.partCoPurchase(s, dir, 2L)
         val und = e.select(col("u").as("s"), col("v").as("d"))
           .unionByName(e.select(col("v").as("s"), col("u").as("d")))
@@ -135,10 +148,11 @@ object Graph2 {
           .join(deg.select(col("node").as("d"), col("dg").as("dy")), Seq("d"))
           .agg(count(lit(1)).as("n"),
             sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-            sum(col("dx") * col("dy")).as("sxy"),
-            sum(col("dx") * col("dx")).as("sxx"))
+            sum(dec(col("dx")) * col("dy")).as("sxy"),
+            sum(dec(col("dx")) * col("dx")).as("sxx"))
           .select(col("n"),
-            expr("(n * sxy - sx * sy) * 1000000L div (n * sxx - sx * sx)")
+            expr("(n * sxy - sx * cast(sy as decimal(38,0))) * 1000000L " +
+                "div (n * sxx - sx * cast(sx as decimal(38,0)))")
               .as("assort_fp"))
       },
       Some(s"""WITH $symEdgeSql,
@@ -165,6 +179,16 @@ object Graph2 {
     // re-run the SAME 3-round loop as q_labelprop (and the oracle
     // unrolls the same rounds), so the score evidences THAT declared
     // partition, not an arbitrary one.
+    // The cleared per-community term and the 4m² divisor run
+    // DECIMAL(38,0) on the COMMUNITY cell table (round-14 audit):
+    // 4·m·e_c and d_c² are products of two edge-count-sized factors,
+    // so at the ~1e11-edge design point they sit at ~4e22 — past
+    // int64, an ANSI ArithmeticException under the Spark 4 default
+    // (silent wrap with ANSI off) — while the DuckDB twin multiplies
+    // in HUGEINT; ×10⁶ tops at ~4e29, inside 38 digits. q_fp
+    // (|Q|·10⁶ ≤ 10⁶) and the declared num_sum column stay BIGINT —
+    // num_sum's final cast fails overtly at the declared-type
+    // boundary, never silently (the q_decay_trend precedent).
     Q("q_modularity",
       (s, dir) => {
         val e = Graph.partCoPurchase(s, dir, 2L)
@@ -185,12 +209,17 @@ object Graph2 {
         dsum.join(intra, Seq("comm"), "left")
           .crossJoin(broadcast(mdf))
           .withColumn("num",
-            lit(4L) * col("m") * coalesce(col("e_in"), lit(0L)) -
-              col("d_sum") * col("d_sum"))
+            lit(4L) * col("m").cast(
+                org.apache.spark.sql.types.DecimalType(38, 0)) *
+              coalesce(col("e_in"), lit(0L)) -
+              col("d_sum").cast(
+                org.apache.spark.sql.types.DecimalType(38, 0)) * col("d_sum"))
           .groupBy("m")
-          .agg(count(lit(1)).as("n_comms"), sum(col("num")).as("num_sum"))
-          .select(col("n_comms"), col("m"), col("num_sum"),
-            expr("num_sum * 1000000L div (4L * m * m)").as("q_fp"))
+          .agg(count(lit(1)).as("n_comms"), sum(col("num")).as("num_sum_dec"))
+          .select(col("n_comms"), col("m"),
+            col("num_sum_dec").cast("long").as("num_sum"),
+            expr("num_sum_dec * 1000000L " +
+                "div (4L * cast(m as decimal(38,0)) * m)").as("q_fp"))
       },
       Some("""WITH op AS (
              |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
