@@ -358,7 +358,18 @@ object TextAnalysis {
           .partitionBy(col("doc_id"))
           .orderBy(col("score_fp").desc, col("token"))
         tf.join(df, "token")
-          .withColumn("score_fp", expr(s"(tf * ${nDocs}L * 10000) div df"))
+          // tf·N·10⁴ runs DECIMAL(38,0) (round-14 headroom audit): at
+          // N ≈ 1e11 docs the all-long product passes 2^63 once tf
+          // exceeds ~900 — a spammy repeated-token doc — as an ANSI
+          // ArithmeticException (silent wrap with ANSI off), even
+          // when the final QUOTIENT is small because df is large.
+          // One decimal multiply per (doc, token) row of the tf
+          // aggregate, nothing on the token explode; `div` returns
+          // BIGINT so score_fp keeps its declared type (a df=1,
+          // tf≥1e4 score would top int64 itself and fails overtly at
+          // the declared-type boundary — the q_decay_trend precedent).
+          .withColumn("score_fp",
+            expr(s"(cast(tf as decimal(38,0)) * ${nDocs}L * 10000) div df"))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 5)
           .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("score_fp"))
@@ -445,7 +456,16 @@ object TextAnalysis {
         val scored = bg
           .join(c2, Seq("w1", "w2"))
           .join(c1, Seq("w1"))
-          .withColumn("fp", expr(s"((c2 + 1L) * 1000000L) div (c1 + ${v}L)"))
+          // (c2+1)·10⁶ runs DECIMAL(38,0) (round-14 headroom audit):
+          // c2 is a corpus-wide bigram count (~1e14 at 1e11 docs ×
+          // ~1e3 tokens), so the all-long product passes 2^63 at
+          // ~9e12 occurrences of ONE bigram — plausible for "the the"
+          // class bigrams — as an ANSI ArithmeticException, while the
+          // smoothed likelihood fp ≤ 10⁶ always fits. One decimal
+          // multiply per scored transition row; `div` returns BIGINT.
+          .withColumn("fp",
+            expr(s"(cast(c2 + 1L as decimal(38,0)) * 1000000L) " +
+              s"div (c1 + ${v}L)"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_trans"), sum(col("fp")).as("sum_fp"))
         docs(s, dir).select(col("doc_id"))

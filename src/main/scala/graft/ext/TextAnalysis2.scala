@@ -168,22 +168,32 @@ object TextAnalysis2 {
     // ── Simpson lexical diversity per document source ──
     // λ = Σ c(c−1) / (n(n−1)) — the probability two tokens drawn
     // without replacement from a source's stream are the same type.
-    // EXACT integers end to end (c ≤ 14k, Σc(c−1) ≤ 2e8 at sf0.1;
-    // int64 headroom to ~1e5× before decimal is needed), one double
-    // division; 1/λ is the "effective vocabulary". The per-(source,
-    // term) count is the one full pass; the source rollup is
-    // dictionary×sources-sized. The log-free twin of Shannon
-    // diversity — same reason q_bm25 ships its rational idf.
+    // EXACT integers end to end, one double division; 1/λ is the
+    // "effective vocabulary". The per-(source, term) count is the one
+    // full pass; the source rollup is dictionary×sources-sized. The
+    // log-free twin of Shannon diversity — same reason q_bm25 ships
+    // its rational idf. Σc(c−1) and n(n−1) run DECIMAL(38,0)
+    // (round-14 headroom audit — this query's old "~1e5× headroom"
+    // note measured sf0.1 and forgot c scales LINEARLY with the
+    // corpus): at ~1e13 tokens/source a stopword's c(c−1) is ~1e25
+    // and n(n−1) ~1e26, both far past 2^63 — ANSI ArithmeticException
+    // under the Spark 4 default (silent wrap with ANSI off) while the
+    // DuckDB twin computes HUGEINT. The decimal lands on the
+    // dictionary-grain count table and the per-source moment rows,
+    // never the token explode; decimal→double rounds identically to
+    // long→double on the same integer, so tested-SF hashes pin.
     Q("q_simpson",
       (s, dir) => {
+        val dec = (x: org.apache.spark.sql.Column) =>
+          x.cast(org.apache.spark.sql.types.DecimalType(38, 0))
         val c = docs(s, dir)
           .select(col("source"), explode(split(col("text"), " ")).as("w"))
           .groupBy("source", "w").agg(count(lit(1)).as("c"))
         val lam = (col("sc").cast("double") /
-          (col("n") * (col("n") - 1)).cast("double"))
+          (dec(col("n")) * (col("n") - 1)).cast("double"))
         c.groupBy("source")
           .agg(sum(col("c")).as("n"), countDistinct(col("w")).as("vocab"),
-            sum(col("c") * (col("c") - 1)).as("sc"))
+            sum(dec(col("c")) * (col("c") - 1)).as("sc"))
           .select(col("source"), col("n"), col("vocab"), lam.as("simpson"),
             (lit(1.0) / lam).as("eff_vocab"))
           .orderBy("source")
