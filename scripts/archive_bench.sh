@@ -20,8 +20,22 @@
 #          (max CORRECTNESS_rNN + 1).
 #
 # Tested by scripts/test_archive_guard.sh (all three branches).
+#
+# Corroboration refusal (round-15, r14 verdict item 4): round 14's
+# first archive attempt failed bench_diff's UNCORROBORATED
+# uniform-shift gate and was discarded BY HAND — nothing stopped a
+# future round from rotating an uncorroborated sweep into the ledger
+# by forgetting the check. Before archiving fresh content, this
+# script now diffs it against the newest archive and REFUSES the
+# rotation when bench_diff prints `UNIFORM-SHIFT UNCORROBORATED`
+# (cohort slowed, canary does not explain it, no SCALE.md waiver).
+# Deliberate acceptance: BENCH_ACCEPT_UNCORROBORATED=1, or the
+# standing `- accept-uniform-shift` SCALE.md bullet bench_diff
+# already honors. Per-query regressions do NOT block the rotation —
+# the archive IS the evidence the later presnap gate adjudicates.
 set -euo pipefail
-cd "${1:-$(dirname "$0")/..}"
+SCRIPT_DIR="$(cd "$(dirname "$0")" && pwd)"
+cd "${1:-$SCRIPT_DIR/..}"
 
 if [ ! -f bench_last.json ]; then
   echo "[archive_bench] no bench_last.json — nothing to archive"
@@ -46,6 +60,19 @@ for f in BENCH_LOCAL_r*.json; do
 done
 
 if [ -z "$MATCH" ]; then
+  # fresh numbers about to enter the round ledger: refuse an
+  # UNCORROBORATED uniform shift (see header). bench_diff may exit
+  # nonzero for OTHER reasons (per-query regressions, no queries
+  # table in a minimal artifact) — only the uncorroborated token
+  # blocks; everything else archives and is gated downstream.
+  if [ -n "$NEWEST" ] && [ "${BENCH_ACCEPT_UNCORROBORATED:-0}" != "1" ]; then
+    GATE_OUT=$(python3 "$SCRIPT_DIR/bench_diff.py" "$NEWEST" bench_last.json 2>&1 || true)
+    if printf '%s\n' "$GATE_OUT" | grep -q 'UNIFORM-SHIFT UNCORROBORATED'; then
+      printf '%s\n' "$GATE_OUT"
+      echo "[archive_bench] FATAL: refusing to rotate an UNCORROBORATED bench into $DEST — re-run on a quieter box, or accept deliberately via BENCH_ACCEPT_UNCORROBORATED=1 / a '- accept-uniform-shift' SCALE.md bullet"
+      exit 1
+    fi
+  fi
   if [ -e "$DEST" ]; then
     # a bench re-run within the same round: the new numbers become the
     # round's archive (they measure the round's final code), but the

