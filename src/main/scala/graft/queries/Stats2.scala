@@ -38,9 +38,21 @@ object Stats2 {
 
     // ── Pearson correlation per group (qty vs price on lineitem) ──
     // r = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²)) over
-    // exact cent/centiquantity fixed-point moments. Bounds at sf0.1:
-    // Σxy ≤ 3.2e16 (int64 ok), Σy² ≤ 6.6e19 (OVERFLOWS int64 → the y²
-    // accumulator and all cleared products are DECIMAL(38,0)/HUGEINT).
+    // exact cent/centiquantity fixed-point moments. Round-15 headroom
+    // audit (the Stats2 sweep the r13/r14 passes skipped): the old
+    // "Σxy ≤ 3.2e16 int64 ok" note was sf0.1-static — at the 100 TB
+    // design point (lineitem ≈ 6e11 rows, ~3e11 in the largest flag)
+    // mean x·y ≈ 9.7e9 puts Σxy ≈ 3e21 PAST 2^63, so sxy accumulates
+    // DECIMAL(38,0) like syy (per-row product stays long ≤ 5.5e10) —
+    // exactly the q_linreg r13 recipe — while the DuckDB twin sums in
+    // HUGEINT. Σy ≈ 1.1e18 (~8×) and Σx² ≈ 2.6e18 (~3.5×) HOLD with
+    // the ANSI loud-failure backstop (Spark 4 default: a long-sum
+    // overflow throws, never wraps) — they stay long deliberately:
+    // the round-15 A/B priced a scan-side decimal accumulator at
+    // ~15–25% each on this query, so the widening bar for SCAN
+    // accumulators is "overflows at the design point", not "thin
+    // margin" (bounded-table sites stay widen-on-thin-margin).
+    // Σx ≤ 1.5e15 keeps ~6e3× headroom.
     // One map-side-combined aggregate, 6 moment columns per group —
     // the 100 TB shape: no second pass, no raw-row shuffle, r computes
     // from 6 numbers per group on the driver-sized result.
@@ -53,7 +65,7 @@ object Stats2 {
           .groupBy("rf")
           .agg(count(lit(1)).as("n"),
             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-            sum(col("x") * col("y")).as("sxy"),
+            sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
           .select(col("rf"), col("n"),
@@ -68,7 +80,7 @@ object Stats2 {
       Some("""WITH m AS (
              |  SELECT rf, CAST(count(*) AS BIGINT) AS n,
              |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    SUM(x * y) AS sxy,
              |    CAST(SUM(x * x) AS BIGINT) AS sxx,
              |    SUM(CAST(y AS HUGEINT) * y) AS syy
              |  FROM (SELECT l_returnflag AS rf,
@@ -167,15 +179,28 @@ object Stats2 {
         val cum = Window.orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val all = Window.partitionBy()
+        // The cleared-CDF products f·n multiply two corpus-scaled
+        // counts (round-15 audit — the q_chisq class the r13 Stats
+        // sweep widened but this file's sibling kept long): at 1e11
+        // events f1·n2 ≈ 1e21 passes 2^63, so the products run
+        // DECIMAL(38,0) on the ≤5k-row BIN table (never the scan)
+        // while the DuckDB twin uses HUGEINT. The declared d_num
+        // column stays BIGINT with an overt ANSI failure at the type
+        // boundary (the q_modularity precedent); the d statistic
+        // computes from the exact decimal BEFORE that boundary.
+        val dd = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
         cell
           .withColumn("f1", sum(col("c1")).over(cum))
           .withColumn("f2", sum(col("c2")).over(cum))
           .withColumn("n1", sum(col("c1")).over(all))
           .withColumn("n2", sum(col("c2")).over(all))
           .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-            max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("d_num"))
-          .select(col("n1"), col("n2"), col("d_num"),
-            (col("d_num").cast("double") / col("n1").cast("double") /
+            max(abs(dd(col("f1")) * col("n2") - dd(col("f2")) * col("n1")))
+              .as("d_num_dec"))
+          .select(col("n1"), col("n2"),
+            col("d_num_dec").cast("long").as("d_num"),
+            (col("d_num_dec").cast("double") / col("n1").cast("double") /
               col("n2").cast("double")).as("d"))
       },
       Some("""WITH cell AS (
@@ -190,15 +215,16 @@ object Stats2 {
              |  CAST(SUM(c2) OVER () AS BIGINT) AS n2
              |  FROM cell)
              |SELECT MAX(n1) AS n1, MAX(n2) AS n2,
-             |  MAX(abs(f1 * n2 - f2 * n1)) AS d_num,
-             |  CAST(MAX(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+             |  CAST(MAX(abs(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1)) AS BIGINT) AS d_num,
+             |  CAST(CAST(MAX(abs(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1)) AS VARCHAR) AS DOUBLE)
              |    / CAST(MAX(n1) AS DOUBLE) / CAST(MAX(n2) AS DOUBLE) AS d
              |FROM cum""".stripMargin)),
 
     // ── Mann–Whitney U rank-sum test (click vs view) ──
     // Tie-correct average ranks kept integer by DOUBLING: a bin with
     // cb predecessors and tot members has 2·avg_rank = 2·cb + tot + 1,
-    // so 2·R₁ = Σ c₁·(2·cb+tot+1) is exact int64 and U = (2R₁ −
+    // so 2·R₁ = Σ c₁·(2·cb+tot+1) is an exact integer (DECIMAL
+    // accumulation — see the widening note below) and U = (2R₁ −
     // n₁(n₁+1))/2 is one final halving. z uses the no-tie normal
     // approximation √(n₁n₂(n₁+n₂+1)/12) (documented; the tie
     // correction term is negligible at 5k bins over 40k rows). Same
@@ -217,14 +243,23 @@ object Stats2 {
         val before = Window.orderBy("v")
           .rowsBetween(Window.unboundedPreceding, -1L)
         val d = (c: String) => col(c).cast("double")
+        // Rank-sum clearing multiplies two corpus-scaled counts
+        // (round-15 audit): the per-bin term c1·(2cb+tot+1) reaches
+        // ~n1·2N ≈ 2e21 at 1e11 events — past 2^63 — so the doubled
+        // rank sum r1_2 and the n1(n1+1) / n1·n2 clearings run
+        // DECIMAL(38,0) on the ≤5k-row bin table (DuckDB: HUGEINT,
+        // with the VARCHAR→DOUBLE route for the >2^63-safe cast).
+        val dd = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
         cell
           .withColumn("cb", coalesce(sum(col("tot")).over(before), lit(0L)))
           .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
-            sum(col("c1") * (col("cb") * 2 + col("tot") + 1)).as("r1_2"))
+            sum(dd(col("c1")) * (col("cb") * 2 + col("tot") + 1)).as("r1_2"))
           .select(col("n1"), col("n2"),
-            ((col("r1_2") - col("n1") * (col("n1") + 1)).cast("double") / lit(2.0)).as("u"),
-            (((col("r1_2") - col("n1") * (col("n1") + 1)).cast("double") -
-              (col("n1") * col("n2")).cast("double")) / lit(2.0) /
+            ((col("r1_2") - dd(col("n1")) * (col("n1") + 1)).cast("double") /
+              lit(2.0)).as("u"),
+            (((col("r1_2") - dd(col("n1")) * (col("n1") + 1)).cast("double") -
+              d("n1") * d("n2")) / lit(2.0) /
               sqrt(d("n1") * d("n2") * (col("n1") + col("n2") + 1).cast("double") /
                 lit(12.0))).as("z"))
       },
@@ -238,10 +273,11 @@ object Stats2 {
              |  FROM cell),
              |m AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
              |  CAST(SUM(c2) AS BIGINT) AS n2,
-             |  CAST(SUM(c1 * (cb * 2 + tot + 1)) AS BIGINT) AS r1_2 FROM rk)
+             |  SUM(CAST(c1 AS HUGEINT) * (cb * 2 + tot + 1)) AS r1_2 FROM rk)
              |SELECT n1, n2,
-             |  CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u,
-             |  (CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE)) / 2.0
+             |  CAST(CAST(r1_2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS VARCHAR) AS DOUBLE) / 2.0 AS u,
+             |  (CAST(CAST(r1_2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS VARCHAR) AS DOUBLE)
+             |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0
              |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
              |           * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0) AS z
              |FROM m""".stripMargin)),
@@ -378,10 +414,11 @@ object Stats2 {
     // ── EWMA of the daily event-count series (α = 1/2, EXACT) ──
     // s₀ = x₀, sₜ = (xₜ + sₜ₋₁)/2 — closed form sₜ = 2⁻ᵗ·(x₀ +
     // Σᵢ₌₁..ₜ xᵢ·2ⁱ⁻¹). With α = 1/2 every term is a dyadic rational:
-    // cum = Σ x·w (w = 2^max(i−1,0)) stays < 2⁴⁴ at sf0.1 (x ≤ 2¹²,
-    // t ≤ 30), so ewma = cum/2ᵗ is an EXACT double division of two
-    // exact int64s — no rounding anywhere, hence hash-equal across
-    // engines (the reason α is a power of ½ and not 0.3). The series
+    // cum = Σ x·w (w = 2^max(i−1,0)) is an exact integer (DECIMAL
+    // accumulator — see the widening note below), so ewma = cum/2ᵗ is
+    // an EXACT division of exact integers — the doubles round
+    // identically in both engines (the reason α is a power of ½ and
+    // not 0.3; values below 2^53 are bit-exact). The series
     // is day-indexed by ROW order (gaps collapse — documented). One
     // keyed aggregate builds the ≤31-row daily table; the window
     // runs on that bounded table only.
@@ -394,10 +431,19 @@ object Stats2 {
         val ord = Window.orderBy("d")
         val cum = Window.orderBy("d")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // cum = Σ x·2^(i−1) accumulates DECIMAL(38,0) (round-15 audit:
+        // the "<2⁴⁴ at sf0.1" note was sf0.1-static — at 3e9 events/day
+        // the all-long cum brushes 2^63 by day 30 with only ~3×
+        // headroom; decimal is free on this ≤31-row table and is exact
+        // to day ~62, where the LONG weight w = 2^(t−1) itself tops
+        // out — a longer series needs the rescaling EWMA form
+        // regardless of corpus size, documented here). DuckDB sums in
+        // HUGEINT with the VARCHAR→DOUBLE route past 2^63.
         daily
           .withColumn("t", row_number().over(ord) - 1)
           .withColumn("w", expr("shiftleft(cast(1 as bigint), cast(greatest(t - 1, 0) as int))"))
-          .withColumn("cum", sum(col("x") * col("w")).over(cum))
+          .withColumn("cum",
+            sum(col("x").cast(DecimalType(38, 0)) * col("w")).over(cum))
           .select(col("d"), col("x"),
             (col("cum").cast("double") /
               expr("shiftleft(cast(1 as bigint), cast(t as int))").cast("double"))
@@ -412,11 +458,11 @@ object Stats2 {
               |  CAST(row_number() OVER (ORDER BY d) - 1 AS INTEGER) AS t
               |  FROM daily),
               |c AS (SELECT d, x, t,
-              |  CAST(SUM(x * (CAST(1 AS BIGINT) << CAST(greatest(t - 1, 0) AS INTEGER)))
-              |    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |  SUM(CAST(x AS HUGEINT) * (CAST(1 AS BIGINT) << CAST(greatest(t - 1, 0) AS INTEGER)))
+              |    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
               |  FROM w)
               |SELECT d, x,
-              |  CAST(cum AS DOUBLE) / CAST(CAST(1 AS BIGINT) << t AS DOUBLE) AS ewma
+              |  CAST(CAST(cum AS VARCHAR) AS DOUBLE) / CAST(CAST(1 AS BIGINT) << t AS DOUBLE) AS ewma
               |FROM c ORDER BY d""".stripMargin)),
 
     // ── CUSUM changepoint excursion over the daily count series ──
@@ -779,9 +825,15 @@ object Stats2 {
           .filter(col("d2") > col("x.d"))
           .select((col("x.a") - col("a2")).as("da"),
             (col("x.b") - col("b2")).as("db"))
+          // concordance by SIGN LOGIC, not the da·db product (round-15
+          // audit): at 3e9 events/day the delta product sits AT the
+          // int64 edge (9e18) — the comparison only needs signs, so no
+          // product exists to overflow at any magnitude (both engines)
           .agg(
-            sum(when(col("da") * col("db") > 0, 1L).otherwise(0L)).as("c"),
-            sum(when(col("da") * col("db") < 0, 1L).otherwise(0L)).as("disc"),
+            sum(when((col("da") > 0 && col("db") > 0) ||
+              (col("da") < 0 && col("db") < 0), 1L).otherwise(0L)).as("c"),
+            sum(when((col("da") > 0 && col("db") < 0) ||
+              (col("da") < 0 && col("db") > 0), 1L).otherwise(0L)).as("disc"),
             sum(when(col("da") === 0 && col("db") =!= 0, 1L).otherwise(0L)).as("ta"),
             sum(when(col("db") === 0 && col("da") =!= 0, 1L).otherwise(0L)).as("tb"),
             count(lit(1)).as("n0"))
@@ -798,8 +850,10 @@ object Stats2 {
               |pairs AS (SELECT x.a - y.a AS da, x.b - y.b AS db
               |  FROM daily x, daily y WHERE y.d > x.d),
               |m AS (SELECT
-              |  CAST(SUM(CASE WHEN da * db > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
-              |  CAST(SUM(CASE WHEN da * db < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+              |  CAST(SUM(CASE WHEN (da > 0 AND db > 0) OR (da < 0 AND db < 0)
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS c,
+              |  CAST(SUM(CASE WHEN (da > 0 AND db < 0) OR (da < 0 AND db > 0)
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS disc,
               |  CAST(SUM(CASE WHEN da = 0 AND db <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta,
               |  CAST(SUM(CASE WHEN db = 0 AND da <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tb,
               |  CAST(count(*) AS BIGINT) AS n0 FROM pairs)

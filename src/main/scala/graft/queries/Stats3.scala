@@ -93,9 +93,16 @@ object Stats3 {
             floor(col("l_quantity") * lit(100.0)).cast("long").as("x"),
             floor(col("l_extendedprice") * lit(100.0)).cast("long").as("y"))
           .groupBy("rf")
+          // sxy accumulates DECIMAL(38,0) (round-15 audit — the q_corr
+          // sibling widening: Σxy ≈ 3e21 at the 100 TB design point
+          // passes 2^63; the per-row product stays long ≤ 5.5e10).
+          // sy (~8×) and sxx (~3.5×) hold with the ANSI loud-failure
+          // backstop — scan accumulators widen only when they overflow
+          // at the design point (the A/B priced each scan-side decimal
+          // at ~15–25% on this query; see q_corr's note)
           .agg(count(lit(1)).as("n"),
             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-            sum(col("x") * col("y")).as("sxy"),
+            sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
         val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
@@ -114,7 +121,7 @@ object Stats3 {
       Some("""WITH m AS (
              |  SELECT rf, CAST(count(*) AS BIGINT) AS n,
              |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    SUM(x * y) AS sxy,
              |    CAST(SUM(x * x) AS BIGINT) AS sxx,
              |    SUM(CAST(y AS HUGEINT) * y) AS syy
              |  FROM (SELECT l_returnflag AS rf,
@@ -198,9 +205,17 @@ object Stats3 {
           .withColumn("c",
             sum(col("o")).over(Window.partitionBy(col("is_weekend"))))
           .withColumn("tot", sum(col("o")).over(Window.partitionBy()))
+          // the clearing products o·tot / r·c / r·c·tot multiply
+          // corpus-scale counts (round-15 audit — the q_chisq class
+          // the r13 Stats sweep widened but this sibling kept long):
+          // at 1e11 events o·tot ≈ 1e22 and r·c·tot ≈ 1e33, so both
+          // numerator and denominator clear in DECIMAL(38,0) on the
+          // ≤10-row cell grid before the double quantization (DuckDB:
+          // HUGEINT with the VARCHAR→DOUBLE route)
           .withColumn("part", expr(
-            """CAST((CAST(o * tot - r * c AS DOUBLE) * CAST(o * tot - r * c AS DOUBLE))
-              | / CAST(r * c * tot AS DOUBLE) AS DECIMAL(28,8))""".stripMargin))
+            """CAST((CAST(CAST(o AS DECIMAL(38,0)) * tot - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)
+              |  * CAST(CAST(o AS DECIMAL(38,0)) * tot - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE))
+              | / CAST(CAST(r AS DECIMAL(38,0)) * c * tot AS DOUBLE) AS DECIMAL(28,8))""".stripMargin))
         withTotals
           .agg(countDistinct(col("event_type")).as("rr"),
             countDistinct(col("is_weekend")).as("cc"),
@@ -221,8 +236,9 @@ object Stats3 {
              |  CAST(SUM(o) OVER (PARTITION BY is_weekend) AS BIGINT) AS c,
              |  CAST(SUM(o) OVER () AS BIGINT) AS tot FROM cell),
              |p AS (SELECT event_type, is_weekend, tot,
-             |  CAST((CAST(o * tot - r * c AS DOUBLE) * CAST(o * tot - r * c AS DOUBLE))
-             |    / CAST(r * c * tot AS DOUBLE) AS DECIMAL(28,8)) AS part
+             |  CAST((CAST(CAST(CAST(o AS HUGEINT) * tot - CAST(r AS HUGEINT) * c AS VARCHAR) AS DOUBLE)
+             |      * CAST(CAST(CAST(o AS HUGEINT) * tot - CAST(r AS HUGEINT) * c AS VARCHAR) AS DOUBLE))
+             |    / CAST(CAST(CAST(r AS HUGEINT) * c * tot AS VARCHAR) AS DOUBLE) AS DECIMAL(28,8)) AS part
              |  FROM tt),
              |m AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS rr,
              |  CAST(count(DISTINCT is_weekend) AS BIGINT) AS cc,
@@ -234,8 +250,9 @@ object Stats3 {
 
     // ── total-variation drift between the two halves of the month ──
     // TVD(P,Q) = ½·Σ_bins |p_i − q_i|, cleared of both rational
-    // densities: Σ|c₁ᵢ·n₂ − c₂ᵢ·n₁| / (2·n₁·n₂) — EXACT int64
-    // (Σ ≤ 1.2e13 at sf0.1). The log-free drift metric (the PSI
+    // densities: Σ|c₁ᵢ·n₂ − c₂ᵢ·n₁| / (2·n₁·n₂) — exact integers
+    // (DECIMAL accumulation; see the widening note below). The
+    // log-free drift metric (the PSI
     // role without PSI's log): 0 = identical, 1 = disjoint. Bins are
     // the 0.1 fixed-point value grid, so the drift table is bounded
     // (~5k bins) and the one full pass is the bin-count aggregate.
@@ -250,11 +267,19 @@ object Stats3 {
           .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("c1"),
             sum(when(!col("h1"), 1L).otherwise(0L)).as("c2"))
         val all = Window.partitionBy()
+        // the cleared-density products c·n multiply two corpus-scaled
+        // counts (round-15 audit — the "Σ ≤ 1.2e13" note above is
+        // sf0.1-static): at 1e11 events c1·n2 ≈ 1e21 passes 2^63, so
+        // the products and their sum run DECIMAL(38,0) on the ≤5k-row
+        // bin table (DuckDB: HUGEINT + the VARCHAR→DOUBLE route)
+        val dd = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
         binned
           .withColumn("n1", sum(col("c1")).over(all))
           .withColumn("n2", sum(col("c2")).over(all))
           .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-            sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("num"))
+            sum(abs(dd(col("c1")) * col("n2") - dd(col("c2")) * col("n1")))
+              .as("num"))
           .select(col("n1"), col("n2"),
             (col("num").cast("double") / lit(2.0) /
               col("n1").cast("double") / col("n2").cast("double")).as("tvd"))
@@ -271,7 +296,7 @@ object Stats3 {
               |  CAST(SUM(c1) OVER () AS BIGINT) AS n1,
               |  CAST(SUM(c2) OVER () AS BIGINT) AS n2 FROM cell)
               |SELECT MAX(n1) AS n1, MAX(n2) AS n2,
-              |  CAST(SUM(abs(c1 * n2 - c2 * n1)) AS DOUBLE) / 2.0
+              |  CAST(CAST(SUM(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)) AS VARCHAR) AS DOUBLE) / 2.0
               |    / CAST(MAX(n1) AS DOUBLE) / CAST(MAX(n2) AS DOUBLE) AS tvd
               |FROM tt""".stripMargin)),
 
@@ -513,8 +538,16 @@ object Stats3 {
         cell
           .withColumn("n1", sum(col("c1")).over(all))
           .withColumn("n2", sum(col("c2")).over(all))
+          // the geometric-mean product c1·c2 multiplies two bin counts
+          // that can both be corpus-scaled on a whale bin (round-15
+          // audit): 5e10·5e10 ≈ 2.5e21 passes int64, so the factors
+          // cast to DOUBLE individually BEFORE the multiply — each
+          // count is exactly representable below 2^53, the product is
+          // one correctly-rounded IEEE multiply in both engines, and
+          // the sqrt quantizes to DECIMAL(28,8) as before (values
+          // below 2^53 are bit-identical to the old int-product path)
           .withColumn("bcq", expr(
-            "CAST(sqrt(CAST(c1 * c2 AS DOUBLE)) AS DECIMAL(28,8))"))
+            "CAST(sqrt(CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) AS DECIMAL(28,8))"))
           .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
             sum(col("bcq")).as("bcs"))
           .select(col("n1"), col("n2"),
@@ -536,7 +569,7 @@ object Stats3 {
               |tt AS (SELECT c1, c2,
               |  CAST(SUM(c1) OVER () AS BIGINT) AS n1,
               |  CAST(SUM(c2) OVER () AS BIGINT) AS n2,
-              |  CAST(sqrt(CAST(c1 * c2 AS DOUBLE)) AS DECIMAL(28,8)) AS bcq
+              |  CAST(sqrt(CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) AS DECIMAL(28,8)) AS bcq
               |  FROM cell)
               |SELECT MAX(n1) AS n1, MAX(n2) AS n2,
               |  CAST(SUM(bcq) AS DOUBLE) / sqrt(CAST(MAX(n1) AS DOUBLE))
@@ -633,17 +666,28 @@ object Stats3 {
             .as("rev"))
         val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // The cleared threshold compares (cum·100 vs tot·80) and the
+        // ppm scaling multiply corpus-total cents (round-15 audit): at
+        // 100 TB tot ≈ 2.3e18, so cum·100 ≈ 2.3e20 and Σrev·10⁶ ≈
+        // 2.3e24 pass 2^63 — both run DECIMAL(38,0) on the part-grain
+        // walk / 3-row class aggregate (DuckDB: HUGEINT; `div` on
+        // decimal returns BIGINT, ppm ≤ 10⁶, so the output schema is
+        // unchanged). cum/tot themselves hold at ~4× with the ANSI
+        // loud-failure backstop.
+        val dd = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(38, 0))
         rev
           .withColumn("cum", sum(col("rev")).over(wCum))
           .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
           .withColumn("cls",
-            when(col("cum") * 100L <= col("tot") * 80L, "A")
-              .when(col("cum") * 100L <= col("tot") * 95L, "B")
+            when(dd(col("cum")) * 100 <= dd(col("tot")) * 80, "A")
+              .when(dd(col("cum")) * 100 <= dd(col("tot")) * 95, "B")
               .otherwise("C"))
           .groupBy("cls")
           .agg(count(lit(1)).as("n_parts"),
             sum(col("rev")).as("revenue_cents"),
-            expr("sum(rev) * 1000000L div max(tot)").as("share_ppm"))
+            expr("sum(cast(rev as decimal(38,0))) * 1000000 div max(tot)")
+              .as("share_ppm"))
           .orderBy("cls")
       },
       Some("""WITH rev AS (
@@ -657,13 +701,13 @@ object Stats3 {
              |      AS BIGINT) AS cum,
              |    CAST(SUM(rev) OVER () AS BIGINT) AS tot
              |  FROM rev),
-             |k AS (SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
-             |             WHEN cum * 100 <= tot * 95 THEN 'B'
+             |k AS (SELECT CASE WHEN CAST(cum AS HUGEINT) * 100 <= CAST(tot AS HUGEINT) * 80 THEN 'A'
+             |             WHEN CAST(cum AS HUGEINT) * 100 <= CAST(tot AS HUGEINT) * 95 THEN 'B'
              |             ELSE 'C' END AS cls, rev, tot
              |  FROM c)
              |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
              |  CAST(SUM(rev) AS BIGINT) AS revenue_cents,
-             |  CAST(SUM(rev) AS BIGINT) * 1000000 // MAX(tot) AS share_ppm
+             |  CAST(SUM(CAST(rev AS HUGEINT)) * 1000000 // MAX(tot) AS BIGINT) AS share_ppm
              |FROM k GROUP BY cls ORDER BY cls""".stripMargin)),
 
     // ── KMV (θ-sketch) set INTERSECTION estimate ──

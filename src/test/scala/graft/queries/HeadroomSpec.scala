@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.SparkSuite
 
-/** Pins the int64-headroom widenings (rounds 13–14) at the magnitudes
+/** Pins the int64-headroom widenings (rounds 13–15) at the magnitudes
   * they exist for. The DuckDB oracle gate is structurally blind to
   * this class — at tested SFs the long and decimal forms produce
   * identical integers — so these cases drive the widened aggregate
@@ -126,6 +126,103 @@ class HeadroomSpec extends SparkSuite {
           "(?s).*(overflow|cannot be represented|cast).*") ||
         c.isInstanceOf[ArithmeticException]),
       s"oversized BIGINT cast must fail overtly under ANSI, got: $e")
+  }
+
+  test("q_corr/q_pca2 shape (round-15): decimal moment accumulators " +
+      "exact past 2^63") {
+    import spark.implicits._
+    // scan-grain fixed-point pairs at the 100 TB magnitude: per-row
+    // x·y ≈ 5.5e10 stays long, but a handful of rows already push the
+    // Σxy accumulator past 2^63 when scaled — model it directly with
+    // row values whose products sum past the edge
+    // per-row products stay below 2^63 (4.2e18 each — the real
+    // queries bound them at 5.5e10); only the ACCUMULATOR crosses it
+    val rows = Seq.fill(3)((2000000000L, 2100000000L))
+    val expSxy = rows.map(r => BigInt(r._1) * BigInt(r._2)).sum
+    assert(expSxy > BigInt(Long.MaxValue), "test must cross 2^63")
+    val got = rows.toDF("x", "y")
+      .agg(sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"))
+      .head()
+    assert(BigInt(got.getDecimal(0).toBigInteger) == expSxy,
+      "decimal sxy accumulator must stay exact past 2^63")
+    // sy/sxx deliberately stay long (the scan-accumulator cost bar —
+    // see q_corr's in-code note): their design-point holds rely on the
+    // ANSI loud-failure backstop, which the ANSI pin below keeps true
+  }
+
+  test("q_ks_2samp/q_tvd/q_mannwhitney shape (round-15): cleared " +
+      "count products exact past 2^63; KS's declared BIGINT boundary " +
+      "fails overtly") {
+    import spark.implicits._
+    // bin counts at corpus scale: c·n ≈ 2.5e21 per product
+    val bins = Seq((50000000000L, 1000000000L),
+      (20000000000L, 30000000000L))
+    val n1 = bins.map(b => BigInt(b._1)).sum
+    val n2 = bins.map(b => BigInt(b._2)).sum
+    // q_tvd: Σ|c1·n2 − c2·n1| exact in decimal
+    val expNum = bins.map { case (c1, c2) =>
+      (BigInt(c1) * n2 - BigInt(c2) * n1).abs
+    }.sum
+    val df = bins.toDF("c1", "c2")
+      .withColumn("n1", lit(n1.toLong)).withColumn("n2", lit(n2.toLong))
+    val num = df
+      .agg(sum(abs(dec(col("c1")) * col("n2") - dec(col("c2")) * col("n1")))
+        .as("num")).head().getDecimal(0)
+    assert(BigInt(num.toBigInteger) == expNum,
+      s"cleared density products must stay exact: $num vs $expNum")
+    // q_mannwhitney: dec(c1)·rankterm exact
+    val expR = bins.map { case (c1, _) => BigInt(c1) * BigInt(3L * n2.toLong) }.sum
+    val r12 = df.agg(sum(dec(col("c1")) * (col("n2") * 3L)).as("r"))
+      .head().getDecimal(0)
+    assert(BigInt(r12.toBigInteger) == expR)
+    // q_ks_2samp's d_num output keeps BIGINT: past 2^63 the boundary
+    // cast fails OVERTLY under ANSI (the q_modularity precedent)
+    val e = intercept[Exception] {
+      df.agg(max(dec(col("c1")) * col("n2")).cast("long")).head()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+        String.valueOf(c.getMessage).toLowerCase.matches(
+          "(?s).*(overflow|cannot be represented|cast).*") ||
+        c.isInstanceOf[ArithmeticException]),
+      s"oversized d_num boundary cast must fail overtly, got: $e")
+  }
+
+  test("q_kendall shape (round-15): sign logic agrees with the product " +
+      "form at edge magnitudes where the product would overflow") {
+    import spark.implicits._
+    // deltas at ±3e9+: da·db ≈ ±9.6e18 crosses 2^63 — sign logic must
+    // classify concordance without any product
+    val ds = Seq((3100000000L, 3100000000L), (3100000000L, -3100000000L),
+      (-3100000000L, -3100000000L), (0L, 3100000000L), (3100000000L, 0L))
+    val expC = ds.count { case (a, b) => (a > 0 && b > 0) || (a < 0 && b < 0) }
+    val expD = ds.count { case (a, b) => (a > 0 && b < 0) || (a < 0 && b > 0) }
+    val row = ds.toDF("da", "db")
+      .agg(
+        sum(when((col("da") > 0 && col("db") > 0) ||
+          (col("da") < 0 && col("db") < 0), 1L).otherwise(0L)).as("c"),
+        sum(when((col("da") > 0 && col("db") < 0) ||
+          (col("da") < 0 && col("db") > 0), 1L).otherwise(0L)).as("d"))
+      .head()
+    assert(row.getLong(0) == expC && row.getLong(1) == expD,
+      "sign-logic concordance must match the mathematical definition")
+  }
+
+  test("q_abc shape (round-15): decimal threshold compare and ppm " +
+      "division exact at corpus-cents scale") {
+    import spark.implicits._
+    // cum/tot at 2.3e18 cents: cum·100 ≈ 2.3e20 must compare exactly
+    val rows = Seq((1840000000000000000L, 2300000000000000000L), // 80%
+      (1840000000000000001L, 2300000000000000000L)) // just past
+    val out = rows.toDF("cum", "tot")
+      .select((dec(col("cum")) * 100 <= dec(col("tot")) * 80).as("isA"),
+        expr("cast(cum as decimal(38,0)) * 1000000 div tot").as("ppm"))
+      .collect()
+    assert(out(0).getBoolean(0) && !out(1).getBoolean(0),
+      "decimal threshold compare must be exact at the 80% boundary")
+    assert(out(0).getLong(1) == 800000L && out(1).getLong(1) == 800000L,
+      "ppm integral division must be exact and BIGINT-typed")
   }
 
   test("q_modularity shape: 4·m·e_c − d_c² exact at 1e11-edge scale") {
