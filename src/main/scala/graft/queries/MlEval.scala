@@ -80,10 +80,10 @@ object MlEval {
               |  FROM cell),
               |m AS (SELECT CAST(SUM(p) AS BIGINT) AS np,
               |  CAST(SUM(q) AS BIGINT) AS nq,
-              |  CAST(SUM(p * (cb * 2 + tot + 1)) AS BIGINT) AS r2 FROM rk)
+              |  SUM(CAST(p AS HUGEINT) * (cb * 2 + tot + 1)) AS r2 FROM rk)
               |SELECT np, nq,
-              |  CAST(r2 - np * (np + 1) AS DOUBLE)
-              |    / CAST(np * nq * 2 AS DOUBLE) AS auc
+              |  CAST(CAST(r2 - CAST(np AS HUGEINT) * (np + 1) AS VARCHAR) AS DOUBLE)
+              |    / CAST(CAST(CAST(np AS HUGEINT) * nq * 2 AS VARCHAR) AS DOUBLE) AS auc
               |FROM m""".stripMargin)),
 
     // ── calibration (reliability) bins ──
