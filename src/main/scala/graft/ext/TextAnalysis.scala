@@ -513,9 +513,18 @@ object TextAnalysis {
     // normalization is cleared of fractions by multiplying numerator
     // and denominator by 10·TT (TT = total corpus tokens, avgdl =
     // TT/N): score_fp = 10⁴·(2N−2df+1)·22·TT·tf /
-    // ((2df+1)·(10·TT·tf + 3·TT + 9·dl·N)), one truncating BIGINT
-    // division per (doc, term), worst factor ≈ 2·10¹⁶ at sf0.1 —
-    // int64-safe. Per-doc totals are INTEGER sums (order-free), so
+    // ((2df+1)·(10·TT·tf + 3·TT + 9·dl·N)), one truncating division
+    // per (doc, term). The cleared products run DECIMAL(38,0)
+    // (round-15 audit — the old "worst factor ≈ 2·10¹⁶ at sf0.1 —
+    // int64-safe" note was sf-static: at TT ≈ 1e14 tokens and
+    // N ≈ 1e11 docs the all-long numerator is ~4e30·tf and the
+    // denominator ~2e26·tf, both far past 2^63 — an ANSI
+    // ArithmeticException under the Spark 4 default, silent wrap with
+    // ANSI off — while both fit 38 digits to tf ~2e7, i.e. any real
+    // document). The decimal rides the (doc, term)-grain tf rows,
+    // never the token explode; `div` returns BIGINT so score_fp keeps
+    // its declared type, and the DuckDB twin clears in HUGEINT.
+    // Per-doc totals are INTEGER sums (order-free), so
     // the final ranking hash-matches the oracle exactly. 100 TB
     // shape: tf filters to the query terms BEFORE grouping (the scan
     // prunes to matching tokens), df and the 1-row (N, TT) aggregate
@@ -535,8 +544,9 @@ object TextAnalysis {
           .join(dl, Seq("doc_id"))
           .crossJoin(broadcast(glob))
           .withColumn("score_fp", expr(
-            """(10000L * (2L*nn - 2L*df + 1L) * 22L * tt * tf) div
-              |((2L*df + 1L) * (10L*tt*tf + 3L*tt + 9L*dl*nn))""".stripMargin))
+            """(10000L * cast(2L*nn - 2L*df + 1L as decimal(38,0)) * 22L * tt * tf) div
+              |(cast(2L*df + 1L as decimal(38,0)) *
+              |  (cast(10L as decimal(38,0))*tt*tf + 3L*tt + 9L*dl*nn))""".stripMargin))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_terms"), sum(col("score_fp")).as("bm25_fp"))
           .orderBy(col("bm25_fp").desc, col("doc_id"))
@@ -555,8 +565,10 @@ object TextAnalysis {
              |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
              |          FROM tf GROUP BY token),
              |sc AS (SELECT tf.doc_id,
-             |    (10000 * (2*nn - 2*df + 1) * 22 * tt * tf)
-             |      // ((2*df + 1) * (10*tt*tf + 3*tt + 9*dl*nn)) AS score_fp
+             |    CAST((10000 * CAST(2*nn - 2*df + 1 AS HUGEINT) * 22 * tt * tf)
+             |      // (CAST(2*df + 1 AS HUGEINT)
+             |           * (CAST(10 AS HUGEINT)*tt*tf + 3*tt + 9*dl*nn)) AS BIGINT)
+             |      AS score_fp
              |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
              |       CROSS JOIN g)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
@@ -567,11 +579,16 @@ object TextAnalysis {
     // ── bigram PMI: collocation strength ranking ──
     // The phrase-mining primitive (PMI = log P(xy)/(P(x)P(y))) with
     // the log dropped — the ratio itself ranks identically PER PAIR
-    // and stays deterministic: all counts are exact BIGINTs, both
-    // products stay ≪ 2^53 on the driver corpora (vocab 31, tokens
-    // ≤ ~300k: c2·NU² ≲ 4e13, NB·cu1·cu2 ≲ 3e13), so the
-    // decimal→double casts are exact and the ONE double division is
-    // bit-identical in both engines. Support floor c2 ≥ 5 kills the
+    // and stays deterministic: all counts are exact BIGINTs, and each
+    // FACTOR casts to DOUBLE individually before the multiplies
+    // (round-15 audit — the old "products ≪ 2^53" note was sf-static:
+    // at 1e14 corpus tokens the all-long c2·nu² is ~1e28 and would
+    // ANSI-abort, and even DECIMAL(38,0) tops out at c2·nu² ~1e42;
+    // each COUNT stays < 2^53 at any realistic corpus, so the
+    // fixed-order double products are correctly-rounded identically
+    // in both engines, and below 2^53 they are bit-identical to the
+    // old exact-int path — the q_hellinger reform). Support floor
+    // c2 ≥ 5 kills the
     // noise tail — but the floor applies to BIGRAMS only: the unigram
     // table joined back for cu1/cu2 stays uncapped, so it carries NO
     // broadcast hint (Heaps-law-unbounded on an open-vocabulary
@@ -600,7 +617,8 @@ object TextAnalysis {
           .join(cu.select(col("w").as("w2"), col("c").as("cu2")), Seq("w2"))
           .crossJoin(broadcast(glob))
           .withColumn("pmi", expr(
-            "CAST(c2 * nu * nu AS DOUBLE) / CAST(nb * cu1 * cu2 AS DOUBLE)"))
+            "(CAST(c2 AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE)) " +
+              "/ (CAST(nb AS DOUBLE) * CAST(cu1 AS DOUBLE) * CAST(cu2 AS DOUBLE))"))
           .select("w1", "w2", "c2", "cu1", "cu2", "pmi")
           .orderBy(col("pmi").desc, col("w1"), col("w2"))
           .limit(20)
@@ -616,8 +634,8 @@ object TextAnalysis {
              |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg
              |      GROUP BY w1, w2 HAVING count(*) >= 5)
              |SELECT w1, w2, c2, cu1.c AS cu1, cu2.c AS cu2,
-             |  CAST(c2 * nu * nu AS DOUBLE)
-             |    / CAST(nb * cu1.c * cu2.c AS DOUBLE) AS pmi
+             |  (CAST(c2 AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE))
+             |    / (CAST(nb AS DOUBLE) * CAST(cu1.c AS DOUBLE) * CAST(cu2.c AS DOUBLE)) AS pmi
              |FROM p JOIN cu cu1 ON cu1.w = p.w1
              |       JOIN cu cu2 ON cu2.w = p.w2 CROSS JOIN g
              |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),

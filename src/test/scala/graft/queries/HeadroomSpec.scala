@@ -225,6 +225,41 @@ class HeadroomSpec extends SparkSuite {
       "ppm integral division must be exact and BIGINT-typed")
   }
 
+  test("q_bm25/q_pmi shapes (round-15): cleared retrieval products " +
+      "exact/stable at corpus-token scale") {
+    import spark.implicits._
+    // q_bm25: TT ≈ 1e14, N ≈ 1e11 — the cleared decimal quotient must
+    // match BigInt arithmetic where the all-long form passes 2^63
+    val (nn, tt, df, tfv, dl) = (100000000000L, 100000000000000L, 3L, 2000L, 900L)
+    val num = BigInt(10000) * (2 * BigInt(nn) - 2 * df + 1) * 22 * tt * tfv
+    val den = (2 * BigInt(df) + 1) *
+      (10 * BigInt(tt) * tfv + 3 * BigInt(tt) + 9 * dl * BigInt(nn))
+    assert(num > BigInt(Long.MaxValue) && den > BigInt(Long.MaxValue))
+    val got = Seq((nn, tt, df, tfv, dl)).toDF("nn", "tt", "df", "tf", "dl")
+      .select(expr(
+        """(10000L * cast(2L*nn - 2L*df + 1L as decimal(38,0)) * 22L * tt * tf) div
+          |(cast(2L*df + 1L as decimal(38,0)) *
+          |  (cast(10L as decimal(38,0))*tt*tf + 3L*tt + 9L*dl*nn))""".stripMargin)
+        .as("fp")).head().getLong(0)
+    assert(BigInt(got) == num / den,
+      s"bm25 decimal clearing must match BigInt: $got vs ${num / den}")
+    // q_pmi: per-factor double casts — each count < 2^53 is exact, so
+    // the fixed-order product is the correctly-rounded true ratio even
+    // where the integer product (~1e42) fits in NO engine integer type
+    val (c2, nu, nb, cu1, cu2) =
+      (9000000000000L, 100000000000000L, 99000000000000L,
+        8000000000000L, 6000000000000L)
+    val expected = (c2.toDouble * nu.toDouble * nu.toDouble) /
+      (nb.toDouble * cu1.toDouble * cu2.toDouble)
+    val gotPmi = Seq((c2, nu, nb, cu1, cu2))
+      .toDF("c2", "nu", "nb", "cu1", "cu2")
+      .select(expr(
+        "(CAST(c2 AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE)) " +
+          "/ (CAST(nb AS DOUBLE) * CAST(cu1 AS DOUBLE) * CAST(cu2 AS DOUBLE))")
+        .as("pmi")).head().getDouble(0)
+    assert(gotPmi == expected, s"pmi factor-double form: $gotPmi vs $expected")
+  }
+
   test("q_modularity shape: 4·m·e_c − d_c² exact at 1e11-edge scale") {
     import spark.implicits._
     val m = 100000000000L // 1e11 edges
