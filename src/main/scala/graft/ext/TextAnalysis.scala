@@ -412,10 +412,14 @@ object TextAnalysis {
           .orderBy(col("cnt").desc, col("pair"))
           .limit(20)
       },
+      // positions via per-row unnest(range(...)) — the q_chunk_stride
+      // idiom: UNCAPPED, so a regenerated fixture with longer docs can
+      // never silently under-enumerate the oracle (round-15; the old
+      // generate_series(1, 99) matched the Spark side only because
+      // fixture docs stay short)
       Some("""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
-             |p AS (SELECT toks[i.i] || ' ' || toks[i.i + 1] AS pair
-             |      FROM d, generate_series(1, 99) i(i)
-             |      WHERE i.i <= len(toks) - 1)
+             |p AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair
+             |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d))
              |SELECT pair, count(*) AS cnt FROM p
              |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)),
 
@@ -478,9 +482,9 @@ object TextAnalysis {
           .orderBy("doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |bg AS (SELECT doc_id, toks[i.i] AS w1, toks[i.i + 1] AS w2
-             |       FROM d, generate_series(1, 99) i(i)
-             |       WHERE i.i <= len(toks) - 1),
+             |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+             |       FROM (SELECT doc_id, toks,
+             |             unnest(range(1, len(toks))) AS i FROM d)),
              |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
              |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
              |v AS (SELECT count(DISTINCT w) AS v FROM
@@ -624,9 +628,8 @@ object TextAnalysis {
           .limit(20)
       },
       Some("""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
-             |bg AS (SELECT toks[i.i] AS w1, toks[i.i + 1] AS w2
-             |       FROM d, generate_series(1, 99) i(i)
-             |       WHERE i.i <= len(toks) - 1),
+             |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+             |       FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d)),
              |u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
              |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
              |g AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg) AS nb,
@@ -680,9 +683,9 @@ object TextAnalysis {
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
              |          FROM documents),
              |sh AS (SELECT DISTINCT doc_id,
-             |    toks[i.i] || ' ' || toks[i.i + 1] || ' ' || toks[i.i + 2] AS sh
-             |  FROM d, generate_series(1, 98) i(i)
-             |  WHERE i.i <= len(toks) - 2),
+             |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+             |  FROM (SELECT doc_id, toks,
+             |        unnest(range(1, len(toks) - 1)) AS i FROM d)),
              |fs AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
              |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
              |    CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
@@ -726,9 +729,9 @@ object TextAnalysis {
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
              |          FROM documents),
-             |p AS (SELECT doc_id, i.i AS pos, toks[i.i] AS w
-             |      FROM d, generate_series(1, 200) i(i)
-             |      WHERE i.i <= len(toks)),
+             |p AS (SELECT doc_id, i AS pos, toks[i] AS w
+             |      FROM (SELECT doc_id, toks,
+             |            unnest(range(1, len(toks) + 1)) AS i FROM d)),
              |t1 AS (SELECT doc_id, pos AS p1 FROM p WHERE w = 'part'),
              |t2 AS (SELECT doc_id, pos AS p2 FROM p WHERE w = 'filter')
              |SELECT doc_id,

@@ -63,9 +63,9 @@ object TextAnalysis2 {
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
              |          FROM documents),
-             |big AS (SELECT doc_id, toks[i.i] AS w1, toks[i.i + 1] AS w2
-             |        FROM d, generate_series(1, 200) i(i)
-             |        WHERE i.i <= len(toks) - 1),
+             |big AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+             |        FROM (SELECT doc_id, toks,
+             |              unnest(range(1, len(toks))) AS i FROM d)),
              |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
              |        FROM big GROUP BY w1, w2),
              |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
@@ -244,9 +244,9 @@ object TextAnalysis2 {
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
              |          FROM documents),
-             |p AS (SELECT doc_id, i.i AS pos, toks[i.i] AS w
-             |      FROM d, generate_series(1, 200) i(i)
-             |      WHERE i.i <= len(toks)),
+             |p AS (SELECT doc_id, i AS pos, toks[i] AS w
+             |      FROM (SELECT doc_id, toks,
+             |            unnest(range(1, len(toks) + 1)) AS i FROM d)),
              |s AS (SELECT doc_id, pos, w,
              |  CAST(SUM(CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END)
              |    OVER (PARTITION BY doc_id ORDER BY pos
