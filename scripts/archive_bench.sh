@@ -66,10 +66,28 @@ if [ -z "$MATCH" ]; then
   # table in a minimal artifact) — only the uncorroborated token
   # blocks; everything else archives and is gated downstream.
   if [ -n "$NEWEST" ] && [ "${BENCH_ACCEPT_UNCORROBORATED:-0}" != "1" ]; then
-    GATE_OUT=$(python3 "$SCRIPT_DIR/bench_diff.py" "$NEWEST" bench_last.json 2>&1 || true)
+    GATE_RC=0
+    GATE_OUT=$(python3 "$SCRIPT_DIR/bench_diff.py" "$NEWEST" bench_last.json 2>&1) || GATE_RC=$?
     if printf '%s\n' "$GATE_OUT" | grep -q 'UNIFORM-SHIFT UNCORROBORATED'; then
       printf '%s\n' "$GATE_OUT"
       echo "[archive_bench] FATAL: refusing to rotate an UNCORROBORATED bench into $DEST — re-run on a quieter box, or accept deliberately via BENCH_ACCEPT_UNCORROBORATED=1 / a '- accept-uniform-shift' SCALE.md bullet"
+      exit 1
+    fi
+    # The gate must not fail OPEN (round-16, r15 ADVICE): a nonzero
+    # exit WITHOUT any bench_diff verdict marker means the gate itself
+    # never ran to a verdict (missing python3, traceback on a
+    # malformed archive) — the token grep above would see nothing and
+    # an unvetted bench would rotate as if it had passed. Every path
+    # through bench_diff that reaches a verdict prints a line starting
+    # with 'bench_diff:' (OK / N regressions / no queries table /
+    # fewer than two archives), so "rc!=0 and no such marker" is
+    # exactly "the gate crashed". Per-query regressions and minimal
+    # artifacts still archive — the archive IS the evidence the later
+    # presnap gate adjudicates.
+    if [ "$GATE_RC" -ne 0 ] && \
+        ! printf '%s\n' "$GATE_OUT" | grep -q '^bench_diff:'; then
+      printf '%s\n' "$GATE_OUT"
+      echo "[archive_bench] FATAL: the corroboration gate itself failed (bench_diff rc=$GATE_RC, no verdict marker) — fix the gate (or accept deliberately via BENCH_ACCEPT_UNCORROBORATED=1) before archiving $DEST"
       exit 1
     fi
   fi

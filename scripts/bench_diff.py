@@ -90,7 +90,9 @@ def load(path):
         sys.exit(f"bench_diff: {path} has no queries table")
     s, e = d.get("canary_start_sec"), d.get("canary_end_sec")
     cmin = min(s, e) if s and e and s > 0 and e > 0 else None
-    return q, s, e, cmin
+    f = d.get("floor_sec")
+    floor = f if f and f > 0 else None
+    return q, s, e, cmin, floor
 
 
 def canary_note(start, end):
@@ -101,6 +103,25 @@ def canary_note(start, end):
         # a run problem worth investigating, not an old file format
         return "canary: FAILED in-run (sentinel values)"
     return f"canary: start {start:.3f}s end {end:.3f}s ratio {end / start:.2f}"
+
+
+def floor_note(prev_floor, cur_floor):
+    """Cross-run per-job-latency floor (round-16, r15 verdict item 2).
+
+    Bench's floor_sec is the median wall time of 10 trivial
+    one-partition jobs — a direct measurement of the box's per-job
+    scheduling latency, the axis the r15 host adjudication proved
+    varies ~2x across fleet VMs while bulk throughput varies ~1.2x.
+    Small-query movement that tracks the floor ratio is the box, not
+    code; previously this had to be re-derived from q_wordcount's raw
+    ratio by hand on every diff."""
+    if prev_floor and cur_floor:
+        return (f"floor: prev {prev_floor:.3f}s cur {cur_floor:.3f}s "
+                f"ratio {cur_floor / prev_floor:.2f}x")
+    if cur_floor:
+        return (f"floor: cur {cur_floor:.3f}s "
+                "(prev archive pre-dates floor_sec)")
+    return "floor: n/a"
 
 
 def accepted_section(scale_md):
@@ -138,9 +159,10 @@ def main():
             print("bench_diff: fewer than two archives — nothing to diff")
             return 0
         prev_p, cur_p = archives[-2], archives[-1]
-    prev, p_start, p_end, prev_cmin = load(prev_p)
-    cur, c_start, c_end, cur_cmin = load(cur_p)
+    prev, p_start, p_end, prev_cmin, prev_floor = load(prev_p)
+    cur, c_start, c_end, cur_cmin, cur_floor = load(cur_p)
     cnote = canary_note(c_start, c_end)
+    fnote = floor_note(prev_floor, cur_floor)
     accepted = accepted_names(SCALE_MD)
 
     added = sorted(set(cur) - set(prev))
@@ -227,7 +249,8 @@ def main():
             # the prev archive's age (round-12 ADVICE)
             corroborated = prev_pre_r11 and cur_cmin is not None
         print(f"UNIFORM-SHIFT: cohort median {raw_med:.2f}x across "
-              f"{len(comparable)} shared queries ({env}) — an environment "
+              f"{len(comparable)} shared queries ({env}; {fnote}) — "
+              "an environment "
               "shift if the canary moved with it; otherwise an "
               "across-the-board code change needing a SCALE.md note")
         # the hard-fail is a COHORT property: on a small targeted diff
@@ -253,7 +276,8 @@ def main():
     tp = sum(prev[n] for n in comparable)
     tc = sum(cur[n] for n in comparable)
     print(f"shared-query total: {tp:.1f}s -> {tc:.1f}s, "
-          f"cohort median {raw_med:.2f}x ({prev_p} -> {cur_p}) [{cnote}]")
+          f"cohort median {raw_med:.2f}x ({prev_p} -> {cur_p}) "
+          f"[{cnote}] [{fnote}]")
     if flagged or newly_failing or uniform_fail:
         print(f"bench_diff: {len(flagged) + len(newly_failing)} "
               "unexplained regression(s)" +

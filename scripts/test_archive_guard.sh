@@ -104,4 +104,39 @@ out=$(BENCH_DIFF_SCALE_MD="$TMP2/SCALE_EMPTY.md" \
 echo "$out" | grep -q "archived bench_last.json -> BENCH_LOCAL_r02.json" \
   || fail "canary-corroborated shift must archive, got: $out"
 
-echo "test_archive_guard: OK (6/6 branches)"
+# 7. gate fail-OPEN refusal (round-16, r15 ADVICE): when bench_diff
+#    itself crashes before reaching a verdict (here: a malformed
+#    newest archive -> JSON traceback, no 'bench_diff:' marker), the
+#    token grep sees no UNCORROBORATED line — the old `|| true` would
+#    have archived an unvetted bench as if it had passed. Must refuse
+#    (nonzero, no new archive); BENCH_ACCEPT_UNCORROBORATED=1 skips
+#    the gate entirely and still archives.
+TMP3=$(mktemp -d)
+trap 'rm -rf "$TMP" "$TMP2" "$TMP3"' EXIT
+echo '{"round":1}' > "$TMP3/CORRECTNESS_r01.json"
+echo 'not json at all' > "$TMP3/BENCH_LOCAL_r01.json"
+echo '{"queries_p2min":{"q_a":1.0},"canary_start_sec":0.1,"canary_end_sec":0.1}' \
+  > "$TMP3/bench_last.json"
+if out=$(bash "$HERE/archive_bench.sh" "$TMP3" 2>&1); then
+  fail "crashed gate must refuse to archive, got rc=0: $out"
+fi
+echo "$out" | grep -q "corroboration gate itself failed" \
+  || fail "expected gate-itself-failed refusal, got: $out"
+[ ! -e "$TMP3/BENCH_LOCAL_r02.json" ] \
+  || fail "bench was archived though the gate never reached a verdict"
+out=$(BENCH_ACCEPT_UNCORROBORATED=1 bash "$HERE/archive_bench.sh" "$TMP3")
+echo "$out" | grep -q "archived bench_last.json -> BENCH_LOCAL_r02.json" \
+  || fail "deliberate override must archive past a crashed gate, got: $out"
+# ...while a verdict-reaching nonzero exit (minimal artifact: the
+# 'no queries table' path) still archives — the archive IS the
+# evidence the later presnap gate adjudicates (branches 2/4/5 above
+# also cover this; this pins it against the new refusal directly)
+rm "$TMP3/BENCH_LOCAL_r02.json"
+echo '{"pass_total_min": 42.0}' > "$TMP3/bench_last.json"
+echo '{"queries_p2min":{"q_a":1.0},"canary_start_sec":0.1,"canary_end_sec":0.1}' \
+  > "$TMP3/BENCH_LOCAL_r01.json"
+out=$(bash "$HERE/archive_bench.sh" "$TMP3")
+echo "$out" | grep -q "archived bench_last.json -> BENCH_LOCAL_r02.json" \
+  || fail "a verdict-reaching nonzero gate must still archive, got: $out"
+
+echo "test_archive_guard: OK (7/7 branches)"

@@ -203,4 +203,40 @@ echo "$out" | grep -q "CURRENT canary FAILED in-run" \
 echo "$out" | grep -q "pre-dates" \
   && fail "must not blame a pre-r11 prev when prev HAS a canary: $out"
 
+# ── round-16: box-floor probe ──  both archives carry floor_sec ->
+# the summary prints the cross-run floor ratio (the per-job-latency
+# axis the r15 host adjudication proved) beside the canary; a prev
+# archive pre-dating the field says so instead of inventing a ratio
+cat > "$TMP/prev_floor.json" <<'EOF'
+{"queries_p2min":{"q_a":1.0,"q_b":2.0,"q_c":1.5,"q_d":1.0,"q_e":1.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.31,"floor_sec":0.050}
+EOF
+cat > "$TMP/cur_floor.json" <<'EOF'
+{"queries_p2min":{"q_a":1.0,"q_b":2.0,"q_c":1.5,"q_d":1.0,"q_e":1.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.31,"floor_sec":0.100}
+EOF
+out=$(python3 "$HERE/bench_diff.py" "$TMP/prev_floor.json" "$TMP/cur_floor.json") \
+  || fail "floor-carrying self-diff must pass, got: $out"
+echo "$out" | grep -q "floor: prev 0.050s cur 0.100s ratio 2.00x" \
+  || fail "expected cross-run floor ratio in summary, got: $out"
+out=$(python3 "$HERE/bench_diff.py" "$TMP/prev5.json" "$TMP/cur_floor.json") \
+  || true
+echo "$out" | grep -q "floor: cur 0.100s (prev archive pre-dates floor_sec)" \
+  || fail "expected one-sided floor note for a pre-floor prev, got: $out"
+out=$(python3 "$HERE/bench_diff.py" "$TMP/prev5.json" "$TMP/prev5.json") \
+  || fail "pre-floor self-diff must pass"
+echo "$out" | grep -q "floor: n/a" \
+  || fail "expected floor n/a on pre-floor archives, got: $out"
+# ...and the floor note rides the UNIFORM-SHIFT line so shift
+# adjudication sees the floor axis without hunting for it
+cat > "$TMP/cur_floor_uniform.json" <<'EOF'
+{"queries_p2min":{"q_a":1.3,"q_b":2.6,"q_c":1.95,"q_d":1.3,"q_e":1.3},
+ "canary_start_sec":0.40,"canary_end_sec":0.41,"floor_sec":0.100}
+EOF
+out=$(BENCH_DIFF_SCALE_MD="$TMP/scale_empty.md" \
+  python3 "$HERE/bench_diff.py" "$TMP/prev_floor.json" "$TMP/cur_floor_uniform.json") \
+  || fail "corroborated uniform shift with floors must pass, got: $out"
+echo "$out" | grep -q "UNIFORM-SHIFT: .*floor: prev 0.050s cur 0.100s ratio 2.00x" \
+  || fail "expected floor note on the UNIFORM-SHIFT line, got: $out"
+
 echo "test_bench_diff: OK"

@@ -154,7 +154,10 @@ object Behavior {
     // x ≈ 3e9 events/day, so one x·x term is ~9e18, AT the int64
     // edge, and the 30-day sum passes it — an ANSI
     // ArithmeticException under the Spark 4 default (silent wrap
-    // with ANSI off) while the DuckDB twin sums in HUGEINT. qt is
+    // with ANSI off) while the DuckDB twin widens PER-TERM via
+    // CAST(x AS HUGEINT) * x (r15 ADVICE: a bare SUM(x*x) widened
+    // only the accumulator and left the per-term BIGINT multiply at
+    // the same 9e18 edge — the Stats2/Stats3 syy idiom). qt is
     // consumed as double only, and decimal→double rounds identically
     // to long→double on the same integer, so tested-SF hashes pin.
     Q("q_changepoint",
@@ -200,7 +203,7 @@ object Behavior {
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sl,
               |  CAST(count(*) OVER () AS BIGINT) AS n,
               |  CAST(SUM(x) OVER () AS BIGINT) AS st,
-              |  SUM(x * x) OVER () AS qt
+              |  SUM(CAST(x AS HUGEINT) * x) OVER () AS qt
               |  FROM daily),
               |c AS (SELECT d, k, sl, n, st, qt,
               |  CAST(qt AS DOUBLE)

@@ -26,6 +26,21 @@ class BenchScheduleSpec extends AnyFunSuite {
 
   private val names = ('a' to 'l').map(c => s"q_$c")
 
+  /** Bench.scala source text for the structural pins, resolved from
+    * the project root (round-14 ADVICE: a bare relative path broke
+    * whenever the test JVM's working directory was not the project
+    * root — walk up to build.sbt instead). */
+  private def benchSource(): String = {
+    var rootDir = java.nio.file.Paths.get(
+      sys.props("user.dir")).toAbsolutePath.normalize
+    while (rootDir != null &&
+        !java.nio.file.Files.exists(rootDir.resolve("build.sbt")))
+      rootDir = rootDir.getParent
+    assert(rootDir != null, "project root (build.sbt) not found above user.dir")
+    java.nio.file.Files.readString(
+      rootDir.resolve("src/main/scala/graft/Bench.scala"))
+  }
+
   test("(a) rotation: pass offsets are distinct for iters=3 and cover " +
       "distinct sweep positions") {
     val iters = 3
@@ -64,19 +79,35 @@ class BenchScheduleSpec extends AnyFunSuite {
     assert(lines == Seq(full, compact))
   }
 
+  test("(d) box-floor probe: floorStat is a median with a -1 empty " +
+      "sentinel, probed warm and before pass 1, emitted as floor_sec") {
+    // the statistic: MEDIAN (typical per-job latency, not the one
+    // lucky min the sweep never gets), -1.0 when the probe failed
+    assert(Bench.floorStat(Nil) == -1.0)
+    assert(Bench.floorStat(Seq(0.3)) == 0.3)
+    assert(Bench.floorStat(Seq(9.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.floorStat(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+    // structural pins against main(): the probe runs AFTER the canary
+    // settle (JIT plateau paid — a cold probe measures warm-up, not
+    // the box) and BEFORE the scored passes; the artifact carries the
+    // field. A revert silently drops the per-job-latency axis every
+    // r16+ archive self-describes (SCALE.md round-15 host
+    // adjudication).
+    val src = benchSource()
+    val settle = src.indexOf("try canarySettle()")
+    val probe = src.indexOf("floorStat((1 to")
+    val pass1 = src.indexOf("val passes = (1 to iters)")
+    assert(settle >= 0 && probe >= 0 && pass1 >= 0,
+      "canary settle / floor probe / pass loop anchors missing")
+    assert(settle < probe && probe < pass1,
+      "floor probe must run after canarySettle and before pass 1")
+    assert(src.contains("\"floor_sec\":${f3(floorSec)}"),
+      "summary fields must emit floor_sec")
+  }
+
   test("(b) registry force precedes the first Spark job in main() " +
       "(structural pin)") {
-    // resolve from the project root (round-14 ADVICE: a bare relative
-    // path broke whenever the test JVM's working directory was not
-    // the project root — walk up to build.sbt instead)
-    var rootDir = java.nio.file.Paths.get(
-      sys.props("user.dir")).toAbsolutePath.normalize
-    while (rootDir != null &&
-        !java.nio.file.Files.exists(rootDir.resolve("build.sbt")))
-      rootDir = rootDir.getParent
-    assert(rootDir != null, "project root (build.sbt) not found above user.dir")
-    val src = java.nio.file.Files.readString(
-      rootDir.resolve("src/main/scala/graft/Bench.scala"))
+    val src = benchSource()
     val force = src.indexOf("SparkEntry.queries.size")
     // the first job any run submits: the canary settle before pass 1.
     // Anchor on the CALL site (round-14 ADVICE: a bare indexOf of
