@@ -411,43 +411,51 @@ object Stats2 {
              |  1.0 / (CAST(CAST(q AS VARCHAR) AS DOUBLE) / CAST(s AS DOUBLE) / CAST(s AS DOUBLE)) AS eff_n
              |FROM m ORDER BY c_mktsegment""".stripMargin)),
 
-    // ── EWMA of the daily event-count series (α = 1/2, EXACT) ──
-    // s₀ = x₀, sₜ = (xₜ + sₜ₋₁)/2 — closed form sₜ = 2⁻ᵗ·(x₀ +
-    // Σᵢ₌₁..ₜ xᵢ·2ⁱ⁻¹). With α = 1/2 every term is a dyadic rational:
-    // cum = Σ x·w (w = 2^max(i−1,0)) is an exact integer (DECIMAL
-    // accumulator — see the widening note below), so ewma = cum/2ᵗ is
-    // an EXACT division of exact integers — the doubles round
-    // identically in both engines (the reason α is a power of ½ and
-    // not 0.3; values below 2^53 are bit-exact). The series
-    // is day-indexed by ROW order (gaps collapse — documented). One
-    // keyed aggregate builds the ≤31-row daily table; the window
-    // runs on that bounded table only.
+    // ── EWMA of the daily event-count series (α = 1/2) ──
+    // The RECURSIVE form, computed as a left fold: s₀ = x₀,
+    // sₜ = (sₜ₋₁ + xₜ)/2. Both engines run the IDENTICAL sequence of
+    // IEEE-binary64 ops over the same row order — each step is one
+    // correctly-rounded add and one exact halving — so the results
+    // are bit-identical at ANY series length and ANY magnitude
+    // (counts ≤ 2^53 are exact doubles; 1e11 events on one day is
+    // 2e-5 of that). This replaced the closed form
+    // cum = Σ x·2^(i−1), ewma = cum/2ᵗ in round 16 (r15 verdict item
+    // 4): the closed form's LONG weight 2^(t−1) topped out at day
+    // ~62 — a STRUCTURAL ceiling independent of corpus size, the
+    // last hard-coded domain cap in any operator. The fold has no
+    // weights at all. Below 2^53 of cumulative weighted mass every
+    // fold step is exact (sₜ is a dyadic rational with ≤53 mantissa
+    // bits), so tested-SF values are bit-identical to the old closed
+    // form and the archived hashes pin; past it the fold is the
+    // correctly-rounded-per-step float EWMA — the standard streaming
+    // form — and the engines still agree bit-for-bit because they
+    // round identically.
+    // Scale shape: the series is day-indexed by ROW order (gaps
+    // collapse — documented). One keyed aggregate builds the daily
+    // table (the only full-data pass); the fold rides per-row prefix
+    // arrays in the single-partition ordered window — O(n²) doubles
+    // in the day count n, ~400 MB at n = 10⁴ (27 years of days);
+    // past that, the same fold moves to one sorted mapPartitions
+    // pass (O(n), identical float sequence).
     Q("q_ewma",
       (s, dir) => {
         val daily = t(s, dir, "events")
           .groupBy(expr(
             s"(unix_micros(ts) - ${1704067200000000L}L) div 86400000000L").as("d"))
           .agg(count(lit(1)).as("x"))
-        val ord = Window.orderBy("d")
         val cum = Window.orderBy("d")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // cum = Σ x·2^(i−1) accumulates DECIMAL(38,0) (round-15 audit:
-        // the "<2⁴⁴ at sf0.1" note was sf0.1-static — at 3e9 events/day
-        // the all-long cum brushes 2^63 by day 30 with only ~3×
-        // headroom; decimal is free on this ≤31-row table and is exact
-        // to day ~62, where the LONG weight w = 2^(t−1) itself tops
-        // out — a longer series needs the rescaling EWMA form
-        // regardless of corpus size, documented here). DuckDB sums in
-        // HUGEINT with the VARCHAR→DOUBLE route past 2^63.
+        // collect_list over a RUNNING frame appends in frame (row)
+        // order — the single-partition ordered window feeds rows in
+        // d-order, so px is the exact prefix series. The NULL seed +
+        // if() makes the first fold step return x₀ (= s₀), matching
+        // DuckDB's list_reduce, whose seed IS the first element.
         daily
-          .withColumn("t", row_number().over(ord) - 1)
-          .withColumn("w", expr("shiftleft(cast(1 as bigint), cast(greatest(t - 1, 0) as int))"))
-          .withColumn("cum",
-            sum(col("x").cast(DecimalType(38, 0)) * col("w")).over(cum))
+          .withColumn("px", collect_list(col("x")).over(cum))
           .select(col("d"), col("x"),
-            (col("cum").cast("double") /
-              expr("shiftleft(cast(1 as bigint), cast(t as int))").cast("double"))
-              .as("ewma"))
+            expr("aggregate(transform(px, v -> cast(v as double)), " +
+              "cast(null as double), " +
+              "(s, v) -> if(s is null, v, (s + v) / 2D))").as("ewma"))
           .orderBy("d")
       },
       Some(s"""WITH daily AS (
@@ -455,15 +463,13 @@ object Stats2 {
               |    CAST(count(*) AS BIGINT) AS x
               |  FROM events GROUP BY 1),
               |w AS (SELECT d, x,
-              |  CAST(row_number() OVER (ORDER BY d) - 1 AS INTEGER) AS t
-              |  FROM daily),
-              |c AS (SELECT d, x, t,
-              |  SUM(CAST(x AS HUGEINT) * (CAST(1 AS BIGINT) << CAST(greatest(t - 1, 0) AS INTEGER)))
-              |    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-              |  FROM w)
+              |  list(x) OVER (ORDER BY d
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px
+              |  FROM daily)
               |SELECT d, x,
-              |  CAST(CAST(cum AS VARCHAR) AS DOUBLE) / CAST(CAST(1 AS BIGINT) << t AS DOUBLE) AS ewma
-              |FROM c ORDER BY d""".stripMargin)),
+              |  list_reduce(list_transform(px, v -> CAST(v AS DOUBLE)),
+              |              (s, v) -> (s + v) / 2.0) AS ewma
+              |FROM w ORDER BY d""".stripMargin)),
 
     // ── CUSUM changepoint excursion over the daily count series ──
     // Cₜ = Σᵢ≤ₜ(xᵢ − μ) cleared of the rational mean μ = S/n by

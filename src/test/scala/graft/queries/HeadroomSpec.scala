@@ -280,4 +280,44 @@ class HeadroomSpec extends SparkSuite {
     assert(BigInt(got) == expected,
       s"modularity cell algebra must match BigInt: $got vs $expected")
   }
+
+  test("q_ewma shape (round-16): the fold form runs past day 62 where " +
+      "the old closed form's long weight topped out, and replays the " +
+      "IEEE recursion bit-exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // 100 daily counts at the 100 TB magnitude (x ≈ 3e9) — 38 days
+    // past the old 2^(t−1) long-weight ceiling. The fold form has no
+    // weights; its contract is "the identical sequence of
+    // IEEE-binary64 ops in both engines", so the Spark result must
+    // equal the same left fold run on the JVM bit-for-bit (and the
+    // DuckDB twin is the same fold — oracle-verified at tested SFs,
+    // cross-checked at 100 days in SCALE.md round-16).
+    val xs = (0L until 100L).map(i => 3070000000L + i * 1000L)
+    val cum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = xs.zipWithIndex.map { case (x, d) => (d.toLong, x) }
+      .toDF("d", "x")
+      .withColumn("px", collect_list(col("x")).over(cum))
+      .orderBy("d")
+      .select(expr("aggregate(transform(px, v -> cast(v as double)), " +
+        "cast(null as double), (s, v) -> if(s is null, v, (s + v) / 2D))"))
+      .collect().map(_.getDouble(0))
+    val ref = xs.tail.scanLeft(xs.head.toDouble)((s, x) => (s + x) / 2.0)
+    assert(got.length == 100)
+    got.zip(ref).zipWithIndex.foreach { case ((g, r), i) =>
+      assert(g == r, s"day $i: Spark fold $g != JVM fold $r")
+    }
+    // the ceiling this replaced was SILENT, not loud: Spark's
+    // shiftleft follows Java's mod-64 shift semantics, so the old
+    // weight 2^(t−1) wraps at day 65 (1 << 64 == 1) instead of
+    // raising — the one headroom site where ANSI would NOT have
+    // caught the overflow, which is why the fold reform (not a
+    // decimal widening) was the right close
+    val wrapped = spark.range(1).select(
+      expr("shiftleft(cast(1 as bigint), 64)")).head().getLong(0)
+    assert(wrapped == 1L,
+      s"shiftleft wrap semantics changed ($wrapped) — re-derive the " +
+        "q_ewma reform rationale if this ever fails")
+  }
 }
