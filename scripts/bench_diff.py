@@ -121,6 +121,12 @@ def floor_note(prev_floor, cur_floor):
     if cur_floor:
         return (f"floor: cur {cur_floor:.3f}s "
                 "(prev archive pre-dates floor_sec)")
+    if prev_floor:
+        # a -1.0 sentinel means the CURRENT run's probe itself threw —
+        # worth investigating, not an old file format (the canary_note
+        # discipline)
+        return (f"floor: prev {prev_floor:.3f}s, CURRENT probe FAILED "
+                "in-run")
     return "floor: n/a"
 
 

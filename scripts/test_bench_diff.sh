@@ -239,4 +239,13 @@ out=$(BENCH_DIFF_SCALE_MD="$TMP/scale_empty.md" \
 echo "$out" | grep -q "UNIFORM-SHIFT: .*floor: prev 0.050s cur 0.100s ratio 2.00x" \
   || fail "expected floor note on the UNIFORM-SHIFT line, got: $out"
 
+cat > "$TMP/cur_floor_failed.json" <<'EOF'
+{"queries_p2min":{"q_a":1.0,"q_b":2.0,"q_c":1.5,"q_d":1.0,"q_e":1.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.31,"floor_sec":-1.0}
+EOF
+out=$(python3 "$HERE/bench_diff.py" "$TMP/prev_floor.json" "$TMP/cur_floor_failed.json") \
+  || fail "failed-floor self-diff must still pass, got: $out"
+echo "$out" | grep -q "floor: prev 0.050s, CURRENT probe FAILED in-run" \
+  || fail "expected failed-current-probe floor attribution, got: $out"
+
 echo "test_bench_diff: OK"
