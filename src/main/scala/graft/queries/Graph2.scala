@@ -159,14 +159,14 @@ object Graph2 {
               |dg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
               |       FROM ee GROUP BY s),
               |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-              |        CAST(SUM(a.dg) AS BIGINT) AS sx,
-              |        CAST(SUM(b.dg) AS BIGINT) AS sy,
-              |        CAST(SUM(a.dg * b.dg) AS BIGINT) AS sxy,
-              |        CAST(SUM(a.dg * a.dg) AS BIGINT) AS sxx
+              |        SUM(CAST(a.dg AS HUGEINT)) AS sx,
+              |        SUM(CAST(b.dg AS HUGEINT)) AS sy,
+              |        SUM(CAST(a.dg AS HUGEINT) * b.dg) AS sxy,
+              |        SUM(CAST(a.dg AS HUGEINT) * a.dg) AS sxx
               |      FROM ee JOIN dg a ON a.node = ee.s
               |              JOIN dg b ON b.node = ee.d)
-              |SELECT n, (n * sxy - sx * sy) * 1000000
-              |          // (n * sxx - sx * sx) AS assort_fp
+              |SELECT n, CAST((n * sxy - sx * sy) * 1000000
+              |          // (n * sxx - sx * sx) AS BIGINT) AS assort_fp
               |FROM m""".stripMargin)),
 
     // ── modularity of the 3-round label-propagation communities ──

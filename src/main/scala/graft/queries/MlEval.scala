@@ -268,10 +268,12 @@ object MlEval {
              |    SUM(hpos) OVER (PARTITION BY feat) AS pos
              |  FROM h),
              |sc AS (SELECT feat, b, nl, posl, n, pos,
-             |    CAST(posl * posl + (nl - posl) * (nl - posl) AS DOUBLE)
+             |    CAST(CAST(posl * posl + (nl - posl) * (nl - posl)
+             |        AS VARCHAR) AS DOUBLE)
              |      / CAST(nl AS DOUBLE) +
-             |    CAST((pos - posl) * (pos - posl) +
-             |      (n - nl - pos + posl) * (n - nl - pos + posl) AS DOUBLE)
+             |    CAST(CAST((pos - posl) * (pos - posl) +
+             |      (n - nl - pos + posl) * (n - nl - pos + posl)
+             |        AS VARCHAR) AS DOUBLE)
              |      / CAST(n - nl AS DOUBLE) AS score
              |  FROM c WHERE nl < n),
              |r AS (SELECT *, row_number() OVER (

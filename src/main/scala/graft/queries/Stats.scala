@@ -81,11 +81,15 @@ object Stats {
               |          CAST(floor(value * 10000.0) AS BIGINT) AS y_fp
               |        FROM events) GROUP BY event_type)
               |SELECT event_type, n,
-              |  CAST(n * sxy - sx * sy AS DOUBLE)
-              |    / CAST(n * sxx - sx * sx AS DOUBLE) / 1e4 AS slope,
+              |  CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+              |      AS VARCHAR) AS DOUBLE)
+              |    / CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+              |        AS VARCHAR) AS DOUBLE) / 1e4 AS slope,
               |  (CAST(sy AS DOUBLE) / 1e4 -
-              |   (CAST(n * sxy - sx * sy AS DOUBLE)
-              |      / CAST(n * sxx - sx * sx AS DOUBLE) / 1e4)
+              |   (CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+              |       AS VARCHAR) AS DOUBLE)
+              |      / CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+              |          AS VARCHAR) AS DOUBLE) / 1e4)
               |     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
               |FROM m ORDER BY event_type""".stripMargin)),
 
@@ -382,8 +386,12 @@ object Stats {
              |  CAST(SUM(o) OVER (PARTITION BY is_weekend) AS BIGINT) AS c,
              |  CAST(SUM(o) OVER () AS BIGINT) AS tot FROM cell)
              |SELECT event_type, is_weekend, o, r, c,
-             |  (CAST(o * tot - r * c AS DOUBLE) * CAST(o * tot - r * c AS DOUBLE))
-             |    / CAST(r * c * tot AS DOUBLE) AS chi2_part
+             |  (CAST(CAST(CAST(o AS HUGEINT) * tot - CAST(r AS HUGEINT) * c
+             |      AS VARCHAR) AS DOUBLE)
+             |   * CAST(CAST(CAST(o AS HUGEINT) * tot - CAST(r AS HUGEINT) * c
+             |       AS VARCHAR) AS DOUBLE))
+             |    / CAST(CAST(CAST(r AS HUGEINT) * c * tot AS VARCHAR) AS DOUBLE)
+             |    AS chi2_part
              |FROM tt ORDER BY event_type, is_weekend""".stripMargin)),
 
     // ── autocorrelation of the daily event-count series, lags 1..7 ──
@@ -435,16 +443,18 @@ object Stats {
               |  FROM events GROUP BY 1),
               |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
               |  CAST(SUM(x) AS BIGINT) AS s,
-              |  CAST(SUM(x * x) AS BIGINT) AS sxx FROM daily),
+              |  SUM(CAST(x AS HUGEINT) * x) AS sxx FROM daily),
               |p AS (SELECT k, CAST(count(*) AS BIGINT) AS m,
-              |  CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+              |  SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy,
               |  CAST(SUM(a.x) AS BIGINT) AS head,
               |  CAST(SUM(b.x) AS BIGINT) AS tail
               |  FROM daily a, generate_series(1, 7) t(k), daily b
               |  WHERE b.d = a.d + k GROUP BY k)
               |SELECT CAST(k AS BIGINT) AS k, m,
-              |  CAST(n*n*sxy - n*s*(head + tail) + m*s*s AS DOUBLE)
-              |    / CAST(n*n*sxx - n*s*s AS DOUBLE) AS acf
+              |  CAST(CAST(CAST(n AS HUGEINT)*n*sxy - CAST(n AS HUGEINT)*s*(head + tail)
+              |    + CAST(m AS HUGEINT)*s*s AS VARCHAR) AS DOUBLE)
+              |    / CAST(CAST(CAST(n AS HUGEINT)*n*sxx - CAST(n AS HUGEINT)*s*s
+              |        AS VARCHAR) AS DOUBLE) AS acf
               |FROM p, g ORDER BY k""".stripMargin)),
 
     // ── per-group z-score standardization (feature scaling) ──

@@ -715,10 +715,12 @@ object Stats2 {
               |    CAST(count(*) AS BIGINT) AS x
               |  FROM events GROUP BY 1, 2),
               |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-              |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+              |  CAST(SUM(x) AS BIGINT) AS sx,
+              |  SUM(CAST(x AS HUGEINT) * x) AS sxx
               |  FROM daily GROUP BY event_type)
               |SELECT event_type, n,
-              |  CAST(n * sxx - sx * sx AS DOUBLE)
+              |  CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+              |      AS VARCHAR) AS DOUBLE)
               |    / CAST((n - 1) * sx AS DOUBLE) AS fano
               |FROM m ORDER BY event_type""".stripMargin)),
 

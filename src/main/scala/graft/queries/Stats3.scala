@@ -850,14 +850,17 @@ object Stats3 {
              |  JOIN daily b ON b.d = a.d + l.lag),
              |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
              |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
-             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-             |    CAST(SUM(y * y) AS BIGINT) AS syy
+             |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             |    SUM(CAST(y AS HUGEINT) * y) AS syy
              |  FROM al GROUP BY lag)
              |SELECT lag, n,
-             |  CAST(n * sxy - sx * sy AS DOUBLE) /
-             |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-             |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+             |  CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+             |      AS VARCHAR) AS DOUBLE) /
+             |  (sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+             |       AS VARCHAR) AS DOUBLE)) *
+             |   sqrt(CAST(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+             |       AS VARCHAR) AS DOUBLE))) AS r
              |FROM m ORDER BY lag""".stripMargin)),
 
     // ── PACF (3 lags, unrolled Durbin–Levinson) ──
@@ -917,16 +920,18 @@ object Stats3 {
              |  FROM events GROUP BY 1),
              |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
              |  CAST(SUM(x) AS BIGINT) AS s,
-             |  CAST(SUM(x * x) AS BIGINT) AS sxx FROM daily),
+             |  SUM(CAST(x AS HUGEINT) * x) AS sxx FROM daily),
              |p AS (SELECT k, CAST(count(*) AS BIGINT) AS m,
-             |  CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+             |  SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy,
              |  CAST(SUM(a.x) AS BIGINT) AS head,
              |  CAST(SUM(b.x) AS BIGINT) AS tail
              |  FROM daily a, generate_series(1, 3) t(k), daily b
              |  WHERE b.d = a.d + k GROUP BY k),
              |acf AS (SELECT k,
-             |  CAST(n*n*sxy - n*s*(head + tail) + m*s*s AS DOUBLE)
-             |    / CAST(n*n*sxx - n*s*s AS DOUBLE) AS r
+             |  CAST(CAST(CAST(n AS HUGEINT)*n*sxy - CAST(n AS HUGEINT)*s*(head + tail)
+             |    + CAST(m AS HUGEINT)*s*s AS VARCHAR) AS DOUBLE)
+             |    / CAST(CAST(CAST(n AS HUGEINT)*n*sxx - CAST(n AS HUGEINT)*s*s
+             |        AS VARCHAR) AS DOUBLE) AS r
              |  FROM p, g),
              |w AS (SELECT MAX(CASE WHEN k = 1 THEN r END) AS r1,
              |  MAX(CASE WHEN k = 2 THEN r END) AS r2,
