@@ -380,7 +380,8 @@ object TextAnalysis {
              |tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY doc_id, token),
              |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM ex GROUP BY token),
              |sc AS (SELECT t.doc_id, t.token, t.tf,
-             |         CAST((t.tf * n.n * 10000) // d.df AS BIGINT) AS score_fp
+             |         CAST((CAST(t.tf AS HUGEINT) * n.n * 10000) // d.df
+             |           AS BIGINT) AS score_fp
              |       FROM tf t JOIN df d ON t.token = d.token
              |       CROSS JOIN (SELECT count(*) AS n FROM documents) n),
              |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
@@ -490,7 +491,8 @@ object TextAnalysis {
              |v AS (SELECT count(DISTINCT w) AS v FROM
              |        (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
              |sc AS (SELECT bg.doc_id,
-             |         ((c2.c2 + 1) * 1000000) // (c1.c1 + v.v) AS fp
+             |         CAST((CAST(c2.c2 + 1 AS HUGEINT) * 1000000)
+             |           // (c1.c1 + v.v) AS BIGINT) AS fp
              |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
              |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
              |          CAST(sum(fp) AS BIGINT) AS sum_fp FROM sc GROUP BY doc_id)

@@ -204,11 +204,15 @@ object TextAnalysis2 {
              |   FROM documents) GROUP BY source, w),
              |m AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
              |  CAST(count(DISTINCT w) AS BIGINT) AS vocab,
-             |  CAST(SUM(c * (c - 1)) AS BIGINT) AS sc
+             |  SUM(CAST(c AS HUGEINT) * (c - 1)) AS sc
              |  FROM c GROUP BY source)
              |SELECT source, n, vocab,
-             |  CAST(sc AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS simpson,
-             |  1.0 / (CAST(sc AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS eff_vocab
+             |  CAST(CAST(sc AS VARCHAR) AS DOUBLE)
+             |    / CAST(CAST(CAST(n AS HUGEINT) * (n - 1) AS VARCHAR) AS DOUBLE)
+             |    AS simpson,
+             |  1.0 / (CAST(CAST(sc AS VARCHAR) AS DOUBLE)
+             |    / CAST(CAST(CAST(n AS HUGEINT) * (n - 1) AS VARCHAR) AS DOUBLE))
+             |    AS eff_vocab
              |FROM m ORDER BY source""".stripMargin)),
 
     // ── RAKE keyword extraction (degree/frequency over stopword-split

@@ -254,12 +254,14 @@ object Graph2 {
              |               FROM ee GROUP BY s) dg
              |         JOIN l3 ON l3.node = dg.node GROUP BY l3.lbl),
              |terms AS (SELECT d.comm,
-             |            4 * mm.m * COALESCE(i.e_in, 0) - d.d_sum * d.d_sum AS num
+             |            4 * CAST(mm.m AS HUGEINT) * COALESCE(i.e_in, 0)
+             |              - CAST(d.d_sum AS HUGEINT) * d.d_sum AS num
              |          FROM dsum d LEFT JOIN intra i ON i.comm = d.comm
              |          CROSS JOIN mm)
              |SELECT CAST(count(*) AS BIGINT) AS n_comms, mm.m AS m,
              |       CAST(SUM(num) AS BIGINT) AS num_sum,
-             |       CAST(SUM(num) AS BIGINT) * 1000000 // (4 * mm.m * mm.m) AS q_fp
+             |       CAST(SUM(num) * 1000000
+             |         // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT) AS q_fp
              |FROM terms CROSS JOIN mm GROUP BY mm.m""".stripMargin)),
 
     // ── HITS hubs & authorities (2 fixed iterations, pure integer) ──

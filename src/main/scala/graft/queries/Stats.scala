@@ -569,7 +569,8 @@ object Stats {
              |c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_u,
              |    CAST(SUM(vfp) AS BIGINT) AS s_u FROM e GROUP BY user_id)
              |SELECT user_id, n_u,
-             |  CAST(nn * s_u + 10 * ss AS DOUBLE)
+             |  CAST(CAST(CAST(nn AS HUGEINT) * s_u + CAST(10 AS HUGEINT) * ss
+             |      AS VARCHAR) AS DOUBLE)
              |    / CAST(nn * (n_u + 10) AS DOUBLE) / 10000.0 AS enc
              |FROM c CROSS JOIN g ORDER BY user_id""".stripMargin)),
 
