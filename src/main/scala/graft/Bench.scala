@@ -144,21 +144,34 @@ object Bench {
     // Measure it directly: the median wall time of 10 trivial
     // ONE-PARTITION jobs (one task, no shuffle, no parquet) is a
     // pure sample of the submit→schedule→execute→finish floor that
-    // every one of the ~270 sweep jobs pays per Spark job. Runs
-    // AFTER canarySettle (the JIT plateau is paid) and BEFORE pass 1
-    // so it characterizes the box the scored passes run on; emitted
-    // as floor_sec beside the canaries so the archive self-describes
-    // the floor axis (bench_diff.py prints the cross-run floor ratio
-    // next to the canary ratio).
+    // every one of the ~270 sweep jobs pays per Spark job. The first
+    // probe runs AFTER canarySettle (the JIT plateau is paid) and
+    // BEFORE pass 1; emitted as floor_sec beside the canaries so the
+    // archive self-describes the floor axis (bench_diff.py prints
+    // the cross-run floor ratio next to the canary ratio).
     def floorRun(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 1L, 1L, 1)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val floorSec =
-      try floorStat((1 to 10).map(_ => floorRun()))
-      catch { case _: Throwable => -1.0 }
+    // Per-PASS probes (round-16 triage): the axis drifts on
+    // tens-of-minutes timescales on this VM family (measured same-box,
+    // same-afternoon: 0.035 → 0.052 with zero CPU steal and zero PSI
+    // pressure, while q_wordcount stayed flat and the iterative graph
+    // family moved ×1.3–1.8 with it), so a single pre-sweep sample
+    // goes stale before the scored passes finish. One 10-job probe
+    // runs before pass 1 and after every pass (~0.5 s each, outside
+    // all query timings); floor_sec is the median of the per-probe
+    // medians and floor_probes preserves the trajectory so a diff
+    // reader can see WHEN the floor moved within the sweep.
+    val floorProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    def floorProbe(): Unit = {
+      val m = try floorStat((1 to 10).map(_ => floorRun()))
+              catch { case _: Throwable => -1.0 }
+      if (m >= 0) floorProbes += m
+    }
+    floorProbe()
 
     // SPARK_GRAFT_ONLY=q_a,q_b restricts to named queries — targeted
     // regression timing without the full 269-query sweep; the JSON
@@ -223,8 +236,10 @@ object Bench {
       val r = order.map(n => n -> runFull(n)).toMap
       if (p == 1 && iters > 1)
         canaryStart = try canarySample() catch { case _: Throwable => -1.0 }
+      floorProbe()
       r
     }
+    val floorSec = floorStat(floorProbes.toSeq)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -273,6 +288,7 @@ object Bench {
     val summaryFields =
       s""""canary_start_sec":${f3(canaryStart)},"canary_end_sec":${f3(canaryEnd)},""" +
       s""""floor_sec":${f3(floorSec)},""" +
+      s""""floor_probes":${floorProbes.map(f3).mkString("[", ",", "]")},""" +
       s""""failed":${failed.mkString("[", ",", "]")},"iters":$iters,""" +
       s""""pass_total_min":${f3(passTotals.min)},"pass_total_max":${f3(passTotals.max)},""" +
       s""""sf":"$sfDir""""

@@ -174,8 +174,19 @@ object Forecast {
             (size(col("ys")) - 1).cast("long").as("n_preds"),
             col("st.eh").as("abs_err_holt_fp"),
             col("st.en").as("abs_err_naive_fp"),
-            // ratio < 10⁶ ⇔ Holt beats naive on this series
-            expr("st.eh * 1000000L div greatest(st.en, 1L)").as("ratio_fp"))
+            // ratio < 10⁶ ⇔ Holt beats naive on this series.
+            // eh·10⁶ runs DECIMAL(38,0) (round-16 audit): the r14 row
+            // bounded the ACCUMULATOR (Σ floor(|err|·10⁶) ≈ 2e16 at
+            // 3e9-events/day design, ~450×) but missed this ratio
+            // clearing — eh·10⁶ ≈ 2e22 passes 2^63, an ANSI
+            // ArithmeticException in all-long form. One decimal
+            // multiply on the per-event-type row (~5 rows); `div`
+            // returns BIGINT so ratio_fp keeps its declared type
+            // (a naive-perfect en=0 series at design eh would top
+            // int64 in the quotient itself and fails overtly at the
+            // declared-type boundary — the q_decay_trend precedent).
+            expr("(cast(st.eh as decimal(38,0)) * 1000000L) " +
+              "div greatest(st.en, 1L)").as("ratio_fp"))
           .orderBy("event_type")
       },
       Some("""WITH RECURSIVE d AS (
@@ -202,7 +213,8 @@ object Forecast {
              |fin AS (SELECT event_type, MAX(i) AS n FROM hw GROUP BY 1)
              |SELECT h.event_type, f.n - 1 AS n_preds,
              |       h.eh AS abs_err_holt_fp, h.en AS abs_err_naive_fp,
-             |       (h.eh * 1000000) // greatest(h.en, 1) AS ratio_fp
+             |       CAST((CAST(h.eh AS HUGEINT) * 1000000)
+             |      // greatest(h.en, 1) AS BIGINT) AS ratio_fp
              |FROM hw h JOIN fin f
              |  ON f.event_type = h.event_type AND h.i = f.n
              |ORDER BY h.event_type""".stripMargin)),

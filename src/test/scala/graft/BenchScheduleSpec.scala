@@ -103,6 +103,18 @@ class BenchScheduleSpec extends AnyFunSuite {
       "floor probe must run after canarySettle and before pass 1")
     assert(src.contains("\"floor_sec\":${f3(floorSec)}"),
       "summary fields must emit floor_sec")
+    // per-PASS probing (round-16 triage): the floor axis drifts on
+    // tens-of-minutes timescales, so a single pre-sweep sample goes
+    // stale — every pass must re-probe (first call before pass 1,
+    // second call inside the pass loop) and the trajectory must ship
+    val calls = "floorProbe()".r.findAllIn(src).size
+    assert(calls >= 3, // def site + pre-pass call + in-loop call
+      s"expected the floor probe before pass 1 AND per pass, found $calls mentions")
+    assert(src.indexOf("floorProbe()\n      r\n    }") > pass1 ||
+        src.substring(pass1).contains("floorProbe()"),
+      "the pass loop must re-probe the floor after each pass")
+    assert(src.contains("\"floor_probes\":"),
+      "summary fields must emit the floor_probes trajectory")
   }
 
   test("(b) registry force precedes the first Spark job in main() " +

@@ -281,6 +281,36 @@ class HeadroomSpec extends SparkSuite {
       s"modularity cell algebra must match BigInt: $got vs $expected")
   }
 
+  test("q_holt_backtest ratio shape (round-16): decimal eh·10⁶ exact " +
+      "past 2^63; the all-long ratio clearing aborts") {
+    import spark.implicits._
+    // design point: eh = Σ floor(|err|·10⁶) ≈ 2e16 micro-units — the
+    // r14 row bounded the ACCUMULATOR (~450× headroom) but missed
+    // the ratio clearing eh·10⁶ ≈ 2e22, the exact
+    // sf-static-bound-in-the-comment escape the audit method warns
+    // about. The decimal product must match BigInt; the long form
+    // must fail loudly under ANSI, never wrap.
+    val eh = 20000000000000000L
+    val en = 17000000000000000L
+    val expected = BigInt(eh) * 1000000 / BigInt(en)
+    val got = Seq((eh, en)).toDF("eh", "en")
+      .select(expr(
+        "(cast(eh as decimal(38,0)) * 1000000L) div greatest(en, 1L)"))
+      .head().getLong(0)
+    assert(BigInt(got) == expected,
+      s"decimal ratio clearing must match BigInt: $got vs $expected")
+    val e = intercept[Exception] {
+      Seq((eh, en)).toDF("eh", "en")
+        .select(expr("eh * 1000000L div greatest(en, 1L)")).head()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[ArithmeticException] ||
+        c.getClass.getName.contains("Arithmetic") ||
+        String.valueOf(c.getMessage).toLowerCase.contains("overflow")),
+      s"long ratio overflow must surface as an arithmetic error, got: $e")
+  }
+
   test("q_ewma shape (round-16): the fold form runs past day 62 where " +
       "the old closed form's long weight topped out, and replays the " +
       "IEEE recursion bit-exactly") {
