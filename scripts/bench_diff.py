@@ -92,7 +92,9 @@ def load(path):
     cmin = min(s, e) if s and e and s > 0 and e > 0 else None
     f = d.get("floor_sec")
     floor = f if f and f > 0 else None
-    return q, s, e, cmin, floor
+    it = d.get("iter_sec")
+    ifloor = it if it and it > 0 else None
+    return q, s, e, cmin, floor, ifloor
 
 
 def canary_note(start, end):
@@ -115,19 +117,23 @@ def floor_note(prev_floor, cur_floor):
     Small-query movement that tracks the floor ratio is the box, not
     code; previously this had to be re-derived from q_wordcount's raw
     ratio by hand on every diff."""
-    if prev_floor and cur_floor:
-        return (f"floor: prev {prev_floor:.3f}s cur {cur_floor:.3f}s "
-                f"ratio {cur_floor / prev_floor:.2f}x")
-    if cur_floor:
-        return (f"floor: cur {cur_floor:.3f}s "
-                "(prev archive pre-dates floor_sec)")
-    if prev_floor:
+    return axis_note("floor", "floor_sec", prev_floor, cur_floor)
+
+
+def axis_note(label, field, prev_v, cur_v):
+    if prev_v and cur_v:
+        return (f"{label}: prev {prev_v:.3f}s cur {cur_v:.3f}s "
+                f"ratio {cur_v / prev_v:.2f}x")
+    if cur_v:
+        return (f"{label}: cur {cur_v:.3f}s "
+                f"(prev archive pre-dates {field})")
+    if prev_v:
         # a -1.0 sentinel means the CURRENT run's probe itself threw —
         # worth investigating, not an old file format (the canary_note
         # discipline)
-        return (f"floor: prev {prev_floor:.3f}s, CURRENT probe FAILED "
+        return (f"{label}: prev {prev_v:.3f}s, CURRENT probe FAILED "
                 "in-run")
-    return "floor: n/a"
+    return f"{label}: n/a"
 
 
 def accepted_section(scale_md):
@@ -165,10 +171,14 @@ def main():
             print("bench_diff: fewer than two archives — nothing to diff")
             return 0
         prev_p, cur_p = archives[-2], archives[-1]
-    prev, p_start, p_end, prev_cmin, prev_floor = load(prev_p)
-    cur, c_start, c_end, cur_cmin, cur_floor = load(cur_p)
+    prev, p_start, p_end, prev_cmin, prev_floor, prev_iter = load(prev_p)
+    cur, c_start, c_end, cur_cmin, cur_floor, cur_iter = load(cur_p)
     cnote = canary_note(c_start, c_end)
-    fnote = floor_note(prev_floor, cur_floor)
+    # two latency axes (round-16 triage): the one-partition job floor
+    # AND the shuffle+localCheckpoint per-round constant the iterative
+    # family rides — they move independently on this VM family
+    fnote = (floor_note(prev_floor, cur_floor) + "; " +
+             axis_note("iter-floor", "iter_sec", prev_iter, cur_iter))
     accepted = accepted_names(SCALE_MD)
 
     added = sorted(set(cur) - set(prev))

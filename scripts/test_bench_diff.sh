@@ -248,4 +248,28 @@ out=$(python3 "$HERE/bench_diff.py" "$TMP/prev_floor.json" "$TMP/cur_floor_faile
 echo "$out" | grep -q "floor: prev 0.050s, CURRENT probe FAILED in-run" \
   || fail "expected failed-current-probe floor attribution, got: $out"
 
+# ── round-16: second axis ──  archives carrying iter_sec (the
+# shuffle+localCheckpoint per-round constant) get the iter-floor note
+# beside the floor note; archives pre-dating it say so
+cat > "$TMP/prev_iter.json" <<'EOF'
+{"queries_p2min":{"q_a":1.0,"q_b":2.0,"q_c":1.5,"q_d":1.0,"q_e":1.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.31,
+ "floor_sec":0.050,"iter_sec":0.200}
+EOF
+cat > "$TMP/cur_iter.json" <<'EOF'
+{"queries_p2min":{"q_a":1.0,"q_b":2.0,"q_c":1.5,"q_d":1.0,"q_e":1.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.31,
+ "floor_sec":0.050,"iter_sec":0.500}
+EOF
+out=$(python3 "$HERE/bench_diff.py" "$TMP/prev_iter.json" "$TMP/cur_iter.json") \
+  || fail "iter-carrying self-diff must pass, got: $out"
+echo "$out" | grep -q "iter-floor: prev 0.200s cur 0.500s ratio 2.50x" \
+  || fail "expected cross-run iter-floor ratio, got: $out"
+echo "$out" | grep -q "floor: prev 0.050s cur 0.050s ratio 1.00x" \
+  || fail "floor note must still print beside iter-floor, got: $out"
+out=$(python3 "$HERE/bench_diff.py" "$TMP/prev_floor.json" "$TMP/cur_iter.json") \
+  || fail "pre-iter prev diff must pass, got: $out"
+echo "$out" | grep -q "iter-floor: cur 0.500s (prev archive pre-dates iter_sec)" \
+  || fail "expected one-sided iter-floor note, got: $out"
+
 echo "test_bench_diff: OK"

@@ -166,10 +166,43 @@ object Bench {
     // medians and floor_probes preserves the trajectory so a diff
     // reader can see WHEN the floor moved within the sweep.
     val floorProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    // ── family-shaped probe (round-16 triage, second finding) ──
+    // The one-partition floor does NOT span the whole latency space:
+    // a same-afternoon episode showed the iterative graph family
+    // (q_kcore 1.28→2.6, q_graph_cc 3.5→4.7–5.1 — ALSO on unchanged
+    // round-start code, so not a regression) elevated while
+    // floor_probes sat BELOW the clean-window value and q_wordcount
+    // was flat. What that family uniquely does per round is one
+    // keyed SHUFFLE + one eager localCheckpoint (BlockManager write)
+    // + a job submit — so this probe is shaped exactly like one such
+    // round, ×3 rounds on a 1000-row frame: when the family moves
+    // and iter_probes moves with it while floor_probes stays flat,
+    // the mover is the shuffle/checkpoint axis, not code.
+    def iterRun(): Double = {
+      val t0 = System.nanoTime()
+      var df = spark.range(0L, 1000L, 1L, 4)
+        .selectExpr("id % 97 as k", "id as v")
+      var r = 0
+      while (r < 3) {
+        df = df.groupBy("k")
+          .agg(org.apache.spark.sql.functions.sum("v").as("v"))
+          .selectExpr("k % 89 as k", "v")
+          .localCheckpoint(true)
+        r += 1
+      }
+      df.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropDeadCheckpoints() // probe blocks must not accumulate
+      dt
+    }
+    val iterProbes = scala.collection.mutable.ArrayBuffer[Double]()
     def floorProbe(): Unit = {
       val m = try floorStat((1 to 10).map(_ => floorRun()))
               catch { case _: Throwable => -1.0 }
       if (m >= 0) floorProbes += m
+      val im = try floorStat((1 to 3).map(_ => iterRun()))
+               catch { case _: Throwable => -1.0 }
+      if (im >= 0) iterProbes += im
     }
     floorProbe()
 
@@ -240,6 +273,7 @@ object Bench {
       r
     }
     val floorSec = floorStat(floorProbes.toSeq)
+    val iterSec = floorStat(iterProbes.toSeq)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -289,6 +323,8 @@ object Bench {
       s""""canary_start_sec":${f3(canaryStart)},"canary_end_sec":${f3(canaryEnd)},""" +
       s""""floor_sec":${f3(floorSec)},""" +
       s""""floor_probes":${floorProbes.map(f3).mkString("[", ",", "]")},""" +
+      s""""iter_sec":${f3(iterSec)},""" +
+      s""""iter_probes":${iterProbes.map(f3).mkString("[", ",", "]")},""" +
       s""""failed":${failed.mkString("[", ",", "]")},"iters":$iters,""" +
       s""""pass_total_min":${f3(passTotals.min)},"pass_total_max":${f3(passTotals.max)},""" +
       s""""sf":"$sfDir""""

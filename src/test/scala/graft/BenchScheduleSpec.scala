@@ -115,6 +115,20 @@ class BenchScheduleSpec extends AnyFunSuite {
       "the pass loop must re-probe the floor after each pass")
     assert(src.contains("\"floor_probes\":"),
       "summary fields must emit the floor_probes trajectory")
+    // the SECOND axis (round-16 triage): the iterative family's
+    // per-round shuffle+localCheckpoint constant moves independently
+    // of the one-partition floor — the probe must be family-shaped
+    // (a groupBy shuffle and an eager localCheckpoint per round) and
+    // its trajectory must ship beside the floor's
+    val iter = src.indexOf("def iterRun()")
+    assert(iter >= 0 && iter < pass1,
+      "family-shaped iter probe missing or after the pass loop")
+    assert(src.substring(iter, src.indexOf("val iterProbes"))
+        .contains("localCheckpoint(true)"),
+      "the iter probe must pay a localCheckpoint per round (the " +
+        "family's per-round constant)")
+    assert(src.contains("\"iter_sec\":") && src.contains("\"iter_probes\":"),
+      "summary fields must emit iter_sec and the iter_probes trajectory")
   }
 
   test("(b) registry force precedes the first Spark job in main() " +
