@@ -83,6 +83,23 @@ def round_no(path):
     return int(m.group(1)) if m else -1
 
 
+# Marker for "the archive carries the field but the probe itself
+# threw in-run" (Bench's -1.0 sentinel). Distinct from None, which
+# means the archive PRE-DATES the field — conflating the two made
+# axis_note print 'CURRENT probe FAILED in-run' when diffing a
+# new-format prev against an older-format cur (round-16 ADVICE).
+PROBE_FAILED = "probe-failed"
+
+
+def axis_value(d, field):
+    v = d.get(field)
+    if v is None:
+        return None
+    # only a NEGATIVE value is the failure sentinel; a probe that
+    # f3-rounds to 0.000 is a degenerate-but-real measurement
+    return PROBE_FAILED if v < 0 else float(v)
+
+
 def load(path):
     d = json.loads(Path(path).read_text())
     q = d.get("queries_p2min") or d.get("queries_min") or d.get("queries")
@@ -90,11 +107,8 @@ def load(path):
         sys.exit(f"bench_diff: {path} has no queries table")
     s, e = d.get("canary_start_sec"), d.get("canary_end_sec")
     cmin = min(s, e) if s and e and s > 0 and e > 0 else None
-    f = d.get("floor_sec")
-    floor = f if f and f > 0 else None
-    it = d.get("iter_sec")
-    ifloor = it if it and it > 0 else None
-    return q, s, e, cmin, floor, ifloor
+    return (q, s, e, cmin,
+            axis_value(d, "floor_sec"), axis_value(d, "iter_sec"))
 
 
 def canary_note(start, end):
@@ -121,19 +135,30 @@ def floor_note(prev_floor, cur_floor):
 
 
 def axis_note(label, field, prev_v, cur_v):
-    if prev_v and cur_v:
+    # each side is a non-negative float, PROBE_FAILED (the archive
+    # carries the field but that run's probe threw — the -1.0
+    # sentinel, worth investigating), or None (the archive pre-dates
+    # the field — a format gap, NOT a probe failure; round-16 ADVICE
+    # had load() conflating the two, so a new-format prev diffed
+    # against an older-format cur misprinted 'CURRENT probe FAILED')
+    if prev_v is None and cur_v is None:
+        return f"{label}: n/a"
+    if isinstance(prev_v, float) and isinstance(cur_v, float) and prev_v > 0:
         return (f"{label}: prev {prev_v:.3f}s cur {cur_v:.3f}s "
                 f"ratio {cur_v / prev_v:.2f}x")
-    if cur_v:
+    if prev_v is None and isinstance(cur_v, float):
         return (f"{label}: cur {cur_v:.3f}s "
                 f"(prev archive pre-dates {field})")
-    if prev_v:
-        # a -1.0 sentinel means the CURRENT run's probe itself threw —
-        # worth investigating, not an old file format (the canary_note
-        # discipline)
-        return (f"{label}: prev {prev_v:.3f}s, CURRENT probe FAILED "
-                "in-run")
-    return f"{label}: n/a"
+
+    def part(which, v):
+        if isinstance(v, float):
+            return f"{which} {v:.3f}s"
+        if v == PROBE_FAILED:
+            side = "CURRENT" if which == "cur" else "PREV"
+            return f"{side} probe FAILED in-run"
+        return f"{which} archive lacks {field}"
+    return f"{label}: " + ", ".join([part("prev", prev_v),
+                                     part("cur", cur_v)])
 
 
 def accepted_section(scale_md):

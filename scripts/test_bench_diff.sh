@@ -272,4 +272,24 @@ out=$(python3 "$HERE/bench_diff.py" "$TMP/prev_floor.json" "$TMP/cur_iter.json")
 echo "$out" | grep -q "iter-floor: cur 0.500s (prev archive pre-dates iter_sec)" \
   || fail "expected one-sided iter-floor note, got: $out"
 
+# ── round-17 (r16 ADVICE): key-absent vs -1.0 sentinel ──  a
+# NEW-format prev diffed against an OLDER-format cur is a format gap
+# on the cur side, not a probe failure — the note must say the cur
+# archive lacks the field and must NOT print the FAILED attribution
+out=$(python3 "$HERE/bench_diff.py" "$TMP/prev_iter.json" "$TMP/prev_floor.json") \
+  || fail "new-prev/old-cur diff must pass, got: $out"
+echo "$out" | grep -q "iter-floor: prev 0.200s, cur archive lacks iter_sec" \
+  || fail "expected format-gap attribution for old-format cur, got: $out"
+echo "$out" | grep -q "CURRENT probe FAILED" \
+  && fail "format gap must not be attributed as a probe failure: $out"
+# ...and a prev-side -1.0 sentinel names the PREV run's probe
+cat > "$TMP/prev_floor_failed.json" <<'EOF'
+{"queries_p2min":{"q_a":1.0,"q_b":2.0,"q_c":1.5,"q_d":1.0,"q_e":1.0},
+ "canary_start_sec":0.30,"canary_end_sec":0.31,"floor_sec":-1.0}
+EOF
+out=$(python3 "$HERE/bench_diff.py" "$TMP/prev_floor_failed.json" "$TMP/cur_floor.json") \
+  || fail "prev-failed-floor diff must pass, got: $out"
+echo "$out" | grep -q "floor: PREV probe FAILED in-run, cur 0.100s" \
+  || fail "expected failed-prev-probe floor attribution, got: $out"
+
 echo "test_bench_diff: OK"

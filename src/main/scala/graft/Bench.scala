@@ -196,13 +196,18 @@ object Bench {
       dt
     }
     val iterProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    // A failed probe appends the -1.0 sentinel rather than being
+    // skipped (round-17, r16 ADVICE): the trajectories' stated
+    // purpose is letting a diff reader see WHEN within the sweep an
+    // axis moved, so entry k must always be the probe taken after
+    // pass k — dropping a failure would shift every later entry left
+    // and desynchronize floor_probes from iter_probes. The summary
+    // floor_sec/iter_sec medians take only the non-negative entries.
     def floorProbe(): Unit = {
-      val m = try floorStat((1 to 10).map(_ => floorRun()))
-              catch { case _: Throwable => -1.0 }
-      if (m >= 0) floorProbes += m
-      val im = try floorStat((1 to 3).map(_ => iterRun()))
-               catch { case _: Throwable => -1.0 }
-      if (im >= 0) iterProbes += im
+      floorProbes += (try floorStat((1 to 10).map(_ => floorRun()))
+                      catch { case _: Throwable => -1.0 })
+      iterProbes += (try floorStat((1 to 3).map(_ => iterRun()))
+                     catch { case _: Throwable => -1.0 })
     }
     floorProbe()
 
@@ -272,8 +277,8 @@ object Bench {
       floorProbe()
       r
     }
-    val floorSec = floorStat(floorProbes.toSeq)
-    val iterSec = floorStat(iterProbes.toSeq)
+    val floorSec = floorStat(floorProbes.toSeq.filter(_ >= 0))
+    val iterSec = floorStat(iterProbes.toSeq.filter(_ >= 0))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2

@@ -83,21 +83,31 @@ object TextAnalysis2 {
     // do the k most frequent terms cover? Terms ranked by (count
     // desc, term) — the lexicographic tie-break makes the curve
     // deterministic; coverage = cum/total is one double division per
-    // emitted k. The window runs over the DICTIONARY (vocab-sized —
-    // bounded at any corpus scale), never the token stream; the one
-    // full pass is the term-count aggregate.
+    // emitted k. The one full pass is the term-count aggregate.
+    // Scale shape (round-17): the curve only emits k ≤ 31, so the
+    // rank window never touches the raw dictionary — vocab grows
+    // Heaps-law-sublinearly but is NOT corpus-independent, so the
+    // top-31 terms are first selected by a distributed
+    // orderBy().limit() (TakeOrderedAndProject: per-partition top-31,
+    // merged — no single-task vocab sort) and the window runs over
+    // exactly ≤31 rows. The strict (cnt DESC, w) total order makes
+    // the capped ranks identical to ranks over the full dictionary;
+    // total token mass comes from a separate map-side-combined
+    // aggregate, broadcast back — hash-identical to the uncapped
+    // form, which the DuckDB twin keeps as the independent oracle.
     Q("q_vocab_coverage",
       (s, dir) => {
         val freq = docs(s, dir)
           .select(explode(split(col("text"), " ")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val top = freq.orderBy(col("cnt").desc, col("w")).limit(31)
         val ord = Window.orderBy(col("cnt").desc, col("w"))
         val cum = Window.orderBy(col("cnt").desc, col("w"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        freq
+        top
           .withColumn("k", row_number().over(ord).cast("long"))
           .withColumn("cum", sum(col("cnt")).over(cum))
-          .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+          .crossJoin(broadcast(freq.agg(sum(col("cnt")).as("total"))))
           .filter(col("k").isin(1L, 2L, 4L, 8L, 16L, 31L))
           .select(col("k"), col("w"), col("cnt"), col("cum"),
             (col("cum").cast("double") / col("total").cast("double"))
@@ -124,8 +134,18 @@ object TextAnalysis2 {
     // = absent from that shard's top-10). The deterministic (count
     // desc, term) rank makes the drift table stable; downstream, the
     // NULL pattern IS the drift signal (Jaccard computes from it).
-    // Both rank windows run on vocab-sized tables; the parity split
-    // reuses one scan (conditional aggregation, not two scans).
+    // The parity split reuses one scan (conditional aggregation, not
+    // two scans). Scale shape (round-17): only ranks ≤ 10 survive,
+    // so neither rank window runs over the vocab-sized count table
+    // (Heaps-law sublinear, not corpus-independent) — each shard's
+    // top-10 is selected by a distributed orderBy().limit(10)
+    // (TakeOrderedAndProject) and ranked over its own ≤10-row frame;
+    // the strict (count DESC, term) total order makes the capped
+    // ranks identical to full-table ranks, and the full-outer join
+    // on the term reconstructs the union with NULLs exactly where
+    // the old rank>10 filter produced them. Hash-identical to the
+    // uncapped form, which the DuckDB twin keeps as the independent
+    // oracle of the rewrite.
     Q("q_topk_drift",
       (s, dir) => {
         val cnts = docs(s, dir)
@@ -134,16 +154,14 @@ object TextAnalysis2 {
           .groupBy("w")
           .agg(sum(when(col("even"), 1L).otherwise(0L)).as("ca"),
             sum(when(!col("even"), 1L).otherwise(0L)).as("cb"))
-        val ra = Window.orderBy(col("ca").desc, col("w"))
-        val rb = Window.orderBy(col("cb").desc, col("w"))
-        val ranked = cnts
-          .withColumn("rank_a", row_number().over(ra).cast("long"))
-          .withColumn("rank_b", row_number().over(rb).cast("long"))
-        ranked
-          .filter(col("rank_a") <= 10 || col("rank_b") <= 10)
-          .select(col("w"),
-            when(col("rank_a") <= 10, col("rank_a")).as("rank_a"),
-            when(col("rank_b") <= 10, col("rank_b")).as("rank_b"),
+        val ta = cnts.orderBy(col("ca").desc, col("w")).limit(10)
+          .withColumn("rank_a", row_number()
+            .over(Window.orderBy(col("ca").desc, col("w"))).cast("long"))
+        val tb = cnts.orderBy(col("cb").desc, col("w")).limit(10)
+          .withColumn("rank_b", row_number()
+            .over(Window.orderBy(col("cb").desc, col("w"))).cast("long"))
+        ta.join(tb, Seq("w", "ca", "cb"), "full_outer")
+          .select(col("w"), col("rank_a"), col("rank_b"),
             col("ca"), col("cb"))
           .orderBy("w")
       },

@@ -571,7 +571,8 @@ object Stats {
              |SELECT user_id, n_u,
              |  CAST(CAST(CAST(nn AS HUGEINT) * s_u + CAST(10 AS HUGEINT) * ss
              |      AS VARCHAR) AS DOUBLE)
-             |    / CAST(nn * (n_u + 10) AS DOUBLE) / 10000.0 AS enc
+             |    / CAST(CAST(CAST(nn AS HUGEINT) * (n_u + 10) AS VARCHAR)
+             |        AS DOUBLE) / 10000.0 AS enc
              |FROM c CROSS JOIN g ORDER BY user_id""".stripMargin)),
 
     // ── RFM segmentation (recency / frequency / monetary quintiles) ──

@@ -723,7 +723,13 @@ object Stats3 {
     // discipline: the envelope is IN the hash-checked result).
     // At 100 TB the two sketches are 64 rows each regardless of
     // corpus — the intersection estimate costs two sketch builds (one
-    // keyed top-k each) plus a 64-row join.
+    // keyed top-k each) plus a 64-row join. The bottom-64 selection
+    // is a distributed orderBy().limit(64) (TakeOrderedAndProject:
+    // per-partition bottom-64, merged), never a single-task
+    // row_number over all distinct buyers (round-17 window sweep) —
+    // the strict (hv, ck) total order makes the selected set
+    // identical, and the DuckDB twin keeps the naive rank form as
+    // the independent oracle.
     Q("q_sketch_intersect",
       (s, dir) => {
         val o = t(s, dir, "orders")
@@ -733,10 +739,8 @@ object Stats3 {
           .select(col("o_custkey").as("ck")).distinct()
           .withColumn("hv",
             expr(graft.functions.HashSample.sparkRaw("ck")))
-        def sketch(d: DataFrame): DataFrame = d
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("hv"), col("ck"))).cast("long"))
-          .filter(col("rn") <= 64)
+        def sketch(d: DataFrame): DataFrame =
+          d.orderBy(col("hv"), col("ck")).limit(64)
         val a = buyers("1995-01-01", "1996-01-01")
         val b = buyers("2000-01-01", "2001-01-01")
         val (ska, skb) = (sketch(a), sketch(b))

@@ -129,6 +129,17 @@ class BenchScheduleSpec extends AnyFunSuite {
         "family's per-round constant)")
     assert(src.contains("\"iter_sec\":") && src.contains("\"iter_probes\":"),
       "summary fields must emit iter_sec and the iter_probes trajectory")
+    // positional alignment (round-17, r16 ADVICE): a failed probe
+    // appends the -1.0 sentinel rather than being skipped — entry k
+    // is always the probe after pass k, and the two trajectories can
+    // never desynchronize; the summary medians must then take only
+    // the non-negative entries
+    assert(!src.contains("if (m >= 0) floorProbes") &&
+        !src.contains("if (im >= 0) iterProbes"),
+      "a failed probe must append the -1.0 sentinel, not be skipped")
+    assert(src.contains("floorProbes.toSeq.filter(_ >= 0)") &&
+        src.contains("iterProbes.toSeq.filter(_ >= 0)"),
+      "floor_sec/iter_sec must be medians of the non-negative entries")
   }
 
   test("(b) registry force precedes the first Spark job in main() " +

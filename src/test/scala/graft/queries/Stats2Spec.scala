@@ -155,6 +155,40 @@ class Stats2Spec extends SparkSuite {
     }
   }
 
+  test("ewmaLinear: the O(n) crossover form is bit-equal to the " +
+      "declared window fold, and to a 10^4-day JVM reference fold") {
+    import spark.implicits._
+    // (a) against the declared query on real data: feed the declared
+    // result's own (d, x) back through the linear pass — every ewma
+    // must be bit-identical (same IEEE ops in the same order)
+    val declared = q("q_ewma").collect()
+    val daily = declared.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("d", "x")
+    val linear = Stats2.ewmaLinear(daily).orderBy("d").collect()
+    assert(linear.length == declared.length)
+    declared.zip(linear).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+      assert(a.getDouble(2) == b.getDouble(2),
+        s"day ${a.getLong(0)}: window ${a.getDouble(2)} != " +
+          s"linear ${b.getDouble(2)}")
+    }
+    // (b) past the documented crossover (n = 10^4 days, where the
+    // window form's prefix arrays reach ~400 MB): the linear pass
+    // runs it directly and matches the JVM scanLeft bit-for-bit at
+    // the 100 TB daily-count magnitude
+    val n = 10000
+    val xs = (0 until n).map(i => 3070000000L + i * 997L)
+    val big = xs.zipWithIndex.map { case (x, d) => (d.toLong, x) }
+      .toDF("d", "x")
+    val got = Stats2.ewmaLinear(big).orderBy("d").collect()
+      .map(_.getDouble(2))
+    val ref = xs.tail.scanLeft(xs.head.toDouble)((s, x) => (s + x) / 2.0)
+    assert(got.length == n)
+    got.zip(ref).zipWithIndex.foreach { case ((g, r), i) =>
+      assert(g == r, s"day $i: linear $g != JVM fold $r")
+    }
+  }
+
   test("q_cusum: telescoping zero at the last day, exactly one peak set") {
     val rows = q("q_cusum").collect()
     // n*C_n = n*S - n*S = 0 by construction
