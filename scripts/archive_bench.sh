@@ -95,12 +95,15 @@ if [ -z "$MATCH" ]; then
     # a bench re-run within the same round: the new numbers become the
     # round's archive (they measure the round's final code), but the
     # earlier record must not be silently clobbered (round-11 ADVICE) —
-    # rotate it to a name OUTSIDE the BENCH_LOCAL_r*.json glob so the
-    # diff tooling never picks it up
+    # rotate it into bench_archive/ (round-17, r16 verdict item 5:
+    # superseded records live OUTSIDE the repo root AND outside the
+    # BENCH_LOCAL_r*.json glob so the diff tooling never picks them up)
+    mkdir -p "$(dirname "$DEST")/bench_archive"
+    SUPERS="$(dirname "$DEST")/bench_archive/$(basename "$DEST")"
     i=1
-    while [ -e "$DEST.superseded.$i" ]; do i=$((i+1)); done
-    mv "$DEST" "$DEST.superseded.$i"
-    echo "[archive_bench] same-round re-run: kept old archive as $DEST.superseded.$i"
+    while [ -e "$SUPERS.superseded.$i" ]; do i=$((i+1)); done
+    mv "$DEST" "$SUPERS.superseded.$i"
+    echo "[archive_bench] same-round re-run: kept old archive as $SUPERS.superseded.$i"
   fi
   cp bench_last.json "$DEST"
   echo "[archive_bench] archived bench_last.json -> $DEST"

@@ -40,17 +40,20 @@ echo "$out" | grep -q "FATAL: bench_last.json matches OLDER archive BENCH_LOCAL_
 [ ! -e "$TMP/BENCH_LOCAL_r03.json" ] || fail "stale bench was relabeled"
 
 # 4. same-round re-run with DIFFERENT content -> old archive rotated
-#    aside (outside the r*.json glob), new numbers become the round's
-#    archive (round-11 ADVICE: no silent clobber)
+#    aside (into bench_archive/, outside the repo root AND the
+#    r*.json glob — round-17, r16 verdict item 5), new numbers become
+#    the round's archive (round-11 ADVICE: no silent clobber)
 rm "$TMP/CORRECTNESS_r02.json"   # back to round 2 being current
 echo '{"pass_total_min": 90.0}' > "$TMP/bench_last.json"
 out=$(bash "$HERE/archive_bench.sh" "$TMP")
-echo "$out" | grep -q "kept old archive as BENCH_LOCAL_r02.json.superseded.1" \
+echo "$out" | grep -q "kept old archive as .*bench_archive/BENCH_LOCAL_r02.json.superseded.1" \
   || fail "expected supersede branch, got: $out"
 cmp -s "$TMP/bench_last.json" "$TMP/BENCH_LOCAL_r02.json" \
   || fail "re-archived content differs"
-grep -q '95.0' "$TMP/BENCH_LOCAL_r02.json.superseded.1" \
+grep -q '95.0' "$TMP/bench_archive/BENCH_LOCAL_r02.json.superseded.1" \
   || fail "superseded archive lost the old numbers"
+[ ! -e "$TMP/BENCH_LOCAL_r02.json.superseded.1" ] \
+  || fail "superseded file must not stay in the root"
 
 # 5. round numbers >= 100 must order numerically. The regression case
 #    is r11 vs r100: lexicographically "r100" < "r11" (char '0' < '1'),

@@ -298,12 +298,17 @@ object Behavior {
           .agg(min(col("pu")).as("first_pu"))
           .select(when(col("first_pu").isNotNull,
             expr("(first_pu - su) div 86400000000L")).as("day"))
-        val all = Window.partitionBy()
+        // The cohort size n is a 1-row aggregate broadcast back, NOT
+        // an empty-partition window over the USER-grain gaps table
+        // (round-17 sweep of the Window.partitionBy() sibling class:
+        // an unpartitioned window funnels every signup through ONE
+        // WindowExec task at corpus scale; the aggregate reduces
+        // map-side). Same value, same hash.
         gaps
-          .withColumn("n", count(lit(1)).over(all))
           .filter(col("day").isNotNull)
-          .groupBy(col("day"), col("n"))
+          .groupBy(col("day"))
           .agg(count(lit(1)).as("conv"))
+          .crossJoin(broadcast(gaps.agg(count(lit(1)).as("n"))))
           .withColumn("cum", sum(col("conv")).over(Window.orderBy("day")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .select(col("day"), col("conv"),
@@ -451,7 +456,8 @@ object Behavior {
     // profile: count, EXACT lower-median (rank-picked under the
     // (latency, user_id) total order — no sketch), and truncated mean
     // in micro-units. Two stage joins on user_id (the funnel shape),
-    // then per-transition windows over user-grain rows. The two
+    // then per-transition GridRank medians over user-grain rows (the
+    // calendar-bounded latency grid — see profile()). The two
     // branches union as one declared plan; every latency is an exact
     // int64 difference of event-time micros.
     Q("q_funnel_time",
@@ -473,10 +479,19 @@ object Behavior {
           val lat = df.select(col("user_id"),
             (expr(s"unix_micros($to)") - expr(s"unix_micros($from)"))
               .as("lat"))
-          val w = Window.orderBy("lat", "user_id")
-          val med = lat
-            .withColumn("rn", row_number().over(w).cast("long"))
-            .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+          // Exact lower-median via the GridRank decomposition
+          // (round-17 window sweep — converters GROW with the
+          // corpus, so the old unpartitioned rank window serialized
+          // a user-grain sort into one task). Bucket = lat div 10⁹
+          // (1000 s bands): a latency is bounded by the CALENDAR
+          // horizon (~2.6e12 µs for the month — corpus-independent),
+          // so the bucket table stays ≤ ~2.6e3 rows per transition
+          // at any scale. Hash-identical rank under the strict
+          // (lat, user_id) order; the twin keeps the naive
+          // rank-picked form as the independent oracle.
+          val med = graft.engine.GridRank.rowNumber(lat,
+              expr("lat div 1000000000"), bucketAsc = true,
+              Seq(col("lat").asc, col("user_id").asc), "rn", "nn")
             // Column./ is DOUBLE division even on longs — integer div
             .filter(col("rn") === expr("(nn + 1) div 2"))
             .select(col("lat").as("median_us"))

@@ -300,19 +300,16 @@ object MlEval {
     // one unpartitioned window over the event-grain base (that
     // serializes the corpus into one task — the only site the r16
     // window sweep's "bounded pre-aggregated table" claim did not
-    // hold for). Instead it is decomposed exactly, the q_ks_2samp
-    // binning discipline applied to ranking: rank = (exclusive
-    // prefix count of strictly-higher score buckets) + (row_number
-    // within the bucket). The v = floor(value·10⁴) fixed-point grid
-    // bounds the bucket table (≤ value-domain·10⁴ rows regardless of
-    // corpus), so the single-task prefix walk runs there; the
-    // within-bucket row_number distributes across buckets (each
-    // partition ~N/10⁴ rows); the offsets come back via a broadcast
-    // join. Identical rn for every row — (v DESC, event_id) is a
-    // strict total order — so the result is hash-identical to the
-    // naive global window, and the DuckDB twin keeps the naive form
-    // as the independent oracle of the decomposition. Then a 10-row
-    // cum walk.
+    // hold for). It rides the GridRank decomposition (this query is
+    // where the primitive was born — engine/GridRank.scala): bucket
+    // = the v = floor(value·10⁴) fixed-point grid itself, so the
+    // only unpartitioned walk runs on the ≤10⁴-row bucket table and
+    // the within-bucket row_number distributes (each partition
+    // ~N/10⁴ rows). Identical rn for every row — (v DESC, event_id)
+    // is a strict total order — so the result is hash-identical to
+    // the naive global window, and the DuckDB twin keeps the naive
+    // form as the independent oracle of the decomposition. Then a
+    // 10-row cum walk.
     // Near-chance on synthetic scores BY DESIGN — the metric algebra,
     // not the model, is what the oracle certifies (q_auc's caveat).
     Q("q_gains",
@@ -321,16 +318,9 @@ object MlEval {
           .select((col("event_type") === "purchase").cast("long").as("y"),
             floor(col("value") * 10000).cast("long").as("v"),
             col("event_id"))
-        val bkt = sc.groupBy("v").agg(count(lit(1)).as("cnt"))
-        val wOff = Window.orderBy(col("v").desc)
-          .rowsBetween(Window.unboundedPreceding, -1L)
-        val off = bkt
-          .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-          .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
-          .select("v", "off", "n")
-        val wIn = Window.partitionBy("v").orderBy("event_id")
-        val dec = sc.join(broadcast(off), Seq("v"))
-          .withColumn("rn", col("off") + row_number().over(wIn).cast("long"))
+        val dec = graft.engine.GridRank.rowNumber(sc, col("v"),
+            bucketAsc = false,
+            Seq(col("v").desc, col("event_id").asc), "rn", "n")
           .withColumn("decile", expr("((rn - 1) * 10) div n"))
           .groupBy("decile")
           .agg(count(lit(1)).as("dn"), sum(col("y")).as("dpos"))

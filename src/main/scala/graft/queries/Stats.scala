@@ -579,13 +579,19 @@ object Stats {
     // The classic customer-value segmentation: per customer, days
     // since last order (vs the corpus anchor 1998-08-01), order
     // count, and decimal-exact total spend, each cut into quintiles
-    // by ntile(5) with the unique custkey as the tie-break (the cut
-    // is deterministic, so the segment string hash-matches). The
-    // ntile windows are global BUT run over the customer-grain
-    // aggregate — O(customers), the q_skyline discipline — after the
-    // heavy per-order aggregation reduced map-side. At 100 TB the
-    // quintile boundaries would come from approx quantiles instead
-    // of a global sort; the exact cut is the oracle-checkable form.
+    // with the unique custkey as the tie-break (the cut is
+    // deterministic, so the segment string hash-matches).
+    // Scale shape (round-17 window sweep): customers GROW with the
+    // corpus, so the old unpartitioned ntile windows serialized
+    // three dimension-sized sorts into one task each. Each quintile
+    // now rides the GridRank decomposition — exact global row_number
+    // from a domain-bounded bucket grid (recency: calendar days,
+    // ≤ ~2.6e3; frequency: orders per customer, behavior-bounded;
+    // monetary: $100 bands over the per-customer spend domain,
+    // ≤ ~2.4e4 — all corpus-independent) — and the closed-form
+    // ntileFromRowNumber, which GridRankSpec pins to Spark's ntile
+    // semantics exactly. Hash-identical to the naive windows; the
+    // DuckDB twin keeps naive ntile as the independent oracle.
     Q("q_rfm",
       (s, dir) => {
         val base = t(s, dir, "orders")
@@ -596,14 +602,25 @@ object Stats {
             count(lit(1)).as("frequency"),
             sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double")
               .as("monetary"))
-        def tile(c: String, asc: Boolean) = ntile(5).over(
-          if (asc) Window.orderBy(col(c).asc, col("o_custkey").asc)
-          else Window.orderBy(col(c).desc, col("o_custkey").asc))
-          .cast("bigint")
-        base
-          .withColumn("r_bin", tile("recency_days", asc = true))
-          .withColumn("f_bin", tile("frequency", asc = false))
-          .withColumn("m_bin", tile("monetary", asc = false))
+        val gr = graft.engine.GridRank
+        val ranked = gr.rowNumber(
+          gr.rowNumber(
+            gr.rowNumber(base,
+              col("recency_days"), bucketAsc = true,
+              Seq(col("recency_days").asc, col("o_custkey").asc),
+              "ri", "nr"),
+            col("frequency"), bucketAsc = false,
+            Seq(col("frequency").desc, col("o_custkey").asc), "fi", "nf"),
+          expr("cast(floor(monetary / 100.0) as bigint)"),
+          bucketAsc = false,
+          Seq(col("monetary").desc, col("o_custkey").asc), "mi", "nm")
+        ranked
+          .withColumn("r_bin",
+            gr.ntileFromRowNumber(col("ri"), col("nr"), 5))
+          .withColumn("f_bin",
+            gr.ntileFromRowNumber(col("fi"), col("nf"), 5))
+          .withColumn("m_bin",
+            gr.ntileFromRowNumber(col("mi"), col("nm"), 5))
           .withColumn("segment",
             concat(col("r_bin"), lit("-"), col("f_bin"), lit("-"), col("m_bin")))
           .select("o_custkey", "recency_days", "frequency", "monetary",

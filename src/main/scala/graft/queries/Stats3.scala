@@ -142,20 +142,27 @@ object Stats3 {
     // Customers ranked ascending by exact-cents revenue; decile d of
     // customer i is ((i−1)·10) div n + 1, and the curve point is the
     // cumulative revenue share at each decile boundary. The companion
-    // curve to q_gini (G = 1 − 2·∫Lorenz). The rank window runs on
-    // the CUSTOMER-GRAIN aggregate (dimension-sized — the fact scan
-    // is the only full pass); decile rollup is 10 rows.
+    // curve to q_gini (G = 1 − 2·∫Lorenz). The fact scan is the only
+    // full pass; the customer-grain rank then rides the GridRank
+    // decomposition (round-17 window sweep — customers GROW with the
+    // corpus, so the old unpartitioned rank window serialized a
+    // dimension-sized sort into one task): bucket = rev div 10⁴
+    // ($100 bands; per-customer revenue is bounded by customer
+    // BEHAVIOR — order count × price domain, ~2.4e8 cents under the
+    // TPC-H generators — not by corpus size, so the bucket table is
+    // ≤ ~2.4e4 rows at any scale and the within-bucket rank
+    // distributes). Hash-identical to the naive rank under the
+    // strict (rev, custkey) order; the DuckDB twin keeps the naive
+    // form as the independent oracle. Decile rollup is 10 rows.
     Q("q_lorenz",
       (s, dir) => {
         val rev = t(s, dir, "orders")
           .select(col("o_custkey"),
             floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
           .groupBy("o_custkey").agg(sum(col("cents")).as("rev"))
-        val rk = Window.orderBy(col("rev"), col("o_custkey"))
-        val all = Window.partitionBy()
-        rev
-          .withColumn("i", row_number().over(rk).cast("long"))
-          .withColumn("n", count(lit(1)).over(all))
+        graft.engine.GridRank.rowNumber(rev, expr("rev div 10000"),
+            bucketAsc = true,
+            Seq(col("rev").asc, col("o_custkey").asc), "i", "n")
           .withColumn("d", expr("((i - 1) * 10) div n + 1"))
           .groupBy("d")
           .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("d_rev"))
@@ -664,8 +671,6 @@ object Stats3 {
           .agg(sum(expr(
             "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
             .as("rev"))
-        val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // The cleared threshold compares (cum·100 vs tot·80) and the
         // ppm scaling multiply corpus-total cents (round-15 audit): at
         // 100 TB tot ≈ 2.3e18, so cum·100 ≈ 2.3e20 and Σrev·10⁶ ≈
@@ -674,11 +679,21 @@ object Stats3 {
         // decimal returns BIGINT, ppm ≤ 10⁶, so the output schema is
         // unchanged). cum/tot themselves hold at ~4× with the ANSI
         // loud-failure backstop.
+        // The cumulative walk rides the GridRank decomposition
+        // (round-17 window sweep — parts GROW with the corpus, so
+        // the old unpartitioned cum window serialized a part-grain
+        // sort into one task): bucket = rev div 10⁴; per-PART
+        // revenue is bounded by part behavior (~30 lineitems/part
+        // under the TPC-H generators × the price domain, ≲3e8
+        // cents), not corpus size, so the bucket table stays ≤ ~3e4
+        // rows at any scale. Hash-identical under the strict
+        // (rev DESC, partkey) order; the twin keeps the naive form.
         val dd = (c: org.apache.spark.sql.Column) =>
           c.cast(DecimalType(38, 0))
-        rev
-          .withColumn("cum", sum(col("rev")).over(wCum))
-          .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
+        graft.engine.GridRank.runningSum(rev, expr("rev div 10000"),
+            bucketAsc = false,
+            Seq(col("rev").desc, col("l_partkey").asc), col("rev"),
+            "cum", "tot")
           .withColumn("cls",
             when(dd(col("cum")) * 100 <= dd(col("tot")) * 80, "A")
               .when(dd(col("cum")) * 100 <= dd(col("tot")) * 95, "B")
