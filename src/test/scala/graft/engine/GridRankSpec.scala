@@ -62,6 +62,28 @@ class GridRankSpec extends SparkSuite {
     assert(grid.select("tot").distinct().as[Long].head() == tot)
   }
 
+  test("rowNumber is exact on SIGNED keys (div truncates toward " +
+      "zero, not floor — a coarser bucket at the sign boundary, " +
+      "still monotone)") {
+    // keys straddle zero so `key div 8` maps (-7..7) -> 0: the sign
+    // boundary's bucket is twice as wide as floor-division would
+    // give, which is exactly why the contract demands only
+    // MONOTONICITY of the coarsening, not equal widths. -1000
+    // inflated to dominate its bucket.
+    val sdf = ((-40 to 40).map(i => (i * 7 % 50).toLong) ++
+        Seq.fill(60)(-1000L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("key", "id")
+    val naive = sdf.withColumn("rn",
+      row_number().over(Window.orderBy(col("key").asc, col("id").asc))
+        .cast("long"))
+    val grid = GridRank.rowNumber(sdf, expr("key div 8"),
+      bucketAsc = true, Seq(col("key").asc, col("id").asc), "rn", "n")
+    assert(grid.select("id", "rn").except(
+      naive.select("id", "rn")).isEmpty)
+    assert(grid.select("n").distinct().as[Long].head() == 141L)
+  }
+
   test("ntileFromRowNumber matches the built-in ntile for every " +
       "n in 1..23 and k in {4, 5, 10}, including n < k") {
     for (n <- 1 to 23; k <- Seq(4, 5, 10)) {
