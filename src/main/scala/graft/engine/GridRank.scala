@@ -91,6 +91,135 @@ object GridRank {
       .drop("_gr_b", "_gr_off", "_gr_v")
   }
 
+  /** Distributed EXACT interpolated percentile(s) — the bounded-state
+    * replacement for Spark's `percentile` aggregate when the group is
+    * the whole (corpus-growing) relation: the built-in buffers every
+    * distinct value of the group in ONE unspillable OpenHashMap
+    * (round-17 group-array sweep), which is corpus-fatal for a
+    * continuous score column and √(2N)-sized even for integer counts.
+    * Decomposition: a distributed bucket histogram, a prefix walk on
+    * the domain-bounded bucket table (the only single-task stage)
+    * that pinpoints WHICH bucket holds each straddling order
+    * statistic, a broadcast semi-filter so the corpus-side sort
+    * touches only those ≤ 2·|ps| buckets' rows (never a full-corpus
+    * sort), and an interpolation that replays Spark's
+    * `Percentile.getPercentile` EXACTLY, early returns and operand
+    * order included (PercentileContSpec pins bit-equality against
+    * the built-in on adversarial data):
+    *
+    *   pos    = p · (n − 1)                 (double, n < 2⁵³ exact)
+    *   lower  = floor(pos), higher = ceil(pos)
+    *   result = lowerVal                     if higher == lower
+    *          = lowerVal                     if lowerVal == higherVal
+    *          = (higher−pos)·lowerVal + (pos−lower)·higherVal
+    *
+    * `bucketExpr` needs only VALUE-monotonicity (ties share a value,
+    * so tie order inside `rowNumber` cannot change which DOUBLE each
+    * rank selects — the strict-total-order contract relaxes to
+    * value-determinism for order-statistic selection). Returns ONE
+    * row with one column per `(p, name)`. Empty input returns one
+    * all-null row (the built-in returns null too).
+    */
+  def percentileCont(df: DataFrame, value: Column,
+      bucketOf: Column => Column,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val v = value.cast("double")
+    val vals = df.select(v.as("_pc_v"))
+      .withColumn("_pc_b", bucketOf(col("_pc_v")))
+    // distributed bucket histogram; the ONLY single-task walk runs
+    // here, on the domain-bounded bucket table
+    val wOff = Window.orderBy(col("_pc_b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val off = vals.groupBy("_pc_b").agg(count(lit(1)).as("_pc_c"))
+      .withColumn("_pc_off",
+        coalesce(sum(col("_pc_c")).over(wOff), lit(0L)))
+      .withColumn("_pc_n",
+        sum(col("_pc_c")).over(Window.partitionBy()))
+    // Needed global ranks (1-based): lower+1 and higher+1 per p. Each
+    // becomes at most one (bucket, local-rank, tag) target row — so
+    // the corpus-side work below touches ONLY the ≤ 2·|ps| buckets
+    // holding a requested order statistic, never a full-corpus sort.
+    val targetStructs = ps.flatMap { case (p, name) =>
+      val pos = lit(p) * (col("_pc_n") - lit(1L)).cast("double")
+      Seq(
+        struct((floor(pos) + lit(1L)).as("k"), lit(s"lo_$name").as("tag")),
+        struct((ceil(pos) + lit(1L)).as("k"), lit(s"hi_$name").as("tag")))
+    }
+    val targets = off
+      .select(col("_pc_b"), col("_pc_off"), col("_pc_c"), col("_pc_n"),
+        explode(array(targetStructs: _*)).as("t"))
+      .filter(col("t.k") > col("_pc_off") &&
+        col("t.k") <= col("_pc_off") + col("_pc_c"))
+      .select(col("_pc_b"), (col("t.k") - col("_pc_off")).as("_pc_lk"),
+        col("t.tag").as("_pc_tag"), col("_pc_n"))
+    // broadcast join = map-side elimination of every non-target
+    // bucket; the per-target window sorts one bucket's rows only
+    val wIn = Window.partitionBy("_pc_b", "_pc_tag")
+      .orderBy(col("_pc_v").asc)
+    val picked = vals.join(broadcast(targets), Seq("_pc_b"))
+      .withColumn("_pc_lrn", row_number().over(wIn).cast("long"))
+      .filter(col("_pc_lrn") === col("_pc_lk"))
+    val aggs =
+      ps.flatMap { case (_, name) =>
+        Seq(
+          max(when(col("_pc_tag") === s"lo_$name", col("_pc_v")))
+            .as(s"_lo_$name"),
+          max(when(col("_pc_tag") === s"hi_$name", col("_pc_v")))
+            .as(s"_hi_$name"))
+      } :+ max(col("_pc_n")).as("_pc_n")
+    picked.agg(aggs.head, aggs.tail: _*).select(interpOuts(ps): _*)
+  }
+
+  /** The interpolation columns over a 1-row frame carrying
+    * `_lo_<name>` / `_hi_<name>` / `_pc_n` — Spark's
+    * `Percentile.getPercentile` replayed exactly (see
+    * [[percentileCont]]'s scaladoc). */
+  private def interpOuts(ps: Seq[(Double, String)]): Seq[Column] =
+    ps.map { case (p, name) =>
+      val pos = lit(p) * (col("_pc_n") - lit(1L)).cast("double")
+      val lower = floor(pos)
+      val higher = ceil(pos)
+      val lo = col(s"_lo_$name")
+      val hi = col(s"_hi_$name")
+      when(higher === lower || lo === hi, lo)
+        .otherwise((higher.cast("double") - pos) * lo +
+          (pos - lower.cast("double")) * hi)
+        .as(name)
+    }
+
+  /** [[percentileCont]] specialized to the bucket == value case
+    * (exactly representable numerics — counts, cents, fixed-point
+    * scores): every tie collapses into one row of the value
+    * histogram, so the straddling order statistics read straight off
+    * the prefix-walked value table and the corpus is touched by
+    * nothing but the ONE distributed groupBy. For per-key counts the
+    * value table is ≤ √(2N) rows (distinct positive integers summing
+    * to N). Same bit-exact interpolation; PercentileContSpec pins
+    * this form too.
+    */
+  def percentileContByValue(df: DataFrame, value: Column,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val vals = df.select(value.cast("double").as("_pc_v"))
+    val wOff = Window.orderBy(col("_pc_v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val off = vals.groupBy("_pc_v").agg(count(lit(1)).as("_pc_c"))
+      .withColumn("_pc_off",
+        coalesce(sum(col("_pc_c")).over(wOff), lit(0L)))
+      .withColumn("_pc_n",
+        sum(col("_pc_c")).over(Window.partitionBy()))
+    val aggs = ps.flatMap { case (p, name) =>
+      val pos = lit(p) * (col("_pc_n") - lit(1L)).cast("double")
+      val kLo = floor(pos) + lit(1L)
+      val kHi = ceil(pos) + lit(1L)
+      val holds = (k: Column) =>
+        k > col("_pc_off") && k <= col("_pc_off") + col("_pc_c")
+      Seq(
+        max(when(holds(kLo), col("_pc_v"))).as(s"_lo_$name"),
+        max(when(holds(kHi), col("_pc_v"))).as(s"_hi_$name"))
+    } :+ max(col("_pc_n")).as("_pc_n")
+    off.agg(aggs.head, aggs.tail: _*).select(interpOuts(ps): _*)
+  }
+
   /** Exact long integer division for NON-NEGATIVE columns. Not
     * `Column./` (IEEE double division — at ~1e11 a quotient within
     * half-ulp of the next integer rounds UP and the truncating cast

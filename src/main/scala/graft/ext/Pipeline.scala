@@ -314,13 +314,23 @@ object Pipeline {
     // the exact p75 collapses to ONE driver scalar (the q_tfidf
     // bounded-fetch idiom — a 1-row crossJoin would plan the banned
     // BroadcastNestedLoopJoin), then a map-only filter against it.
-    // Same interpolation on both engines (percentile ↔ quantile_cont
-    // over identical doubles — the q_percentile parity), so the
-    // boundary compare is exact.
+    // Scale shape (round-17 group-array sweep): the built-in exact
+    // `percentile` buffers every distinct quality value of the WHOLE
+    // corpus in one unspillable aggregation map — quality is a
+    // continuous ratio, so that is corpus-scaled. The p75 now comes
+    // from GridRank.percentileCont: quality ∈ [0, 2.5] by
+    // construction (0 or 0.5 plus 2·stop_ratio), so the 1e-6
+    // fixed-point grid bounds the bucket table at ≤2.5e6+1 rows
+    // regardless of corpus, and the interpolation replays Spark's
+    // formula bit-for-bit (PercentileContSpec). Same interpolation on
+    // both engines (percentile ↔ quantile_cont over identical doubles
+    // — the q_percentile parity), so the boundary compare is exact.
     Q("q_quality_gate_rel",
       (s, dir) => {
         val scored = curationScored(t(s, dir, "documents"))
-        val p75 = scored.agg(expr("percentile(quality, 0.75)"))
+        val p75 = graft.engine.GridRank.percentileCont(scored,
+            col("quality"), v => floor(v * 1000000).cast("long"),
+            Seq(0.75 -> "p75"))
           .head().getDouble(0)
         scored.filter(col("quality") >= p75)
           .select(col("doc_id"), col("lang"), col("quality"))
@@ -1025,18 +1035,26 @@ object Pipeline {
     // key count, max, exact p50/p90/p99, and max/median skew ratio.
     // This is the measurement the saltedJoin policy (MapleJuice
     // hot-key-only salting) acts on — run it BEFORE burning a shuffle
-    // on salting everything. Two aggregates: the keyed count collapses
-    // the fact table to key-cardinality, the global profile runs over
-    // that (exact percentile is fine there — keys, not rows). Same
+    // on salting everything. The keyed count collapses the fact table
+    // to key-cardinality; the percentiles over that relation ride
+    // GridRank.percentileContByValue (round-17 group-array sweep:
+    // keys GROW with the corpus, and the built-in exact percentile
+    // would buffer every distinct count in one unspillable map —
+    // distinct positive integers summing to N number at most √(2N),
+    // so the prefix-walked value histogram is ≤ √(2N) ≈ 4.5e5 rows
+    // at N = 1e11, sublinear in corpus, and the corpus-side work is
+    // the one distributed groupBy). Interpolation replays Spark's
+    // formula bit-for-bit (PercentileContSpec); same
     // percentile↔quantile_cont parity as q_percentile.
     Q("q_skew_profile",
       (s, dir) => {
         val c = t(s, dir, "lineitem")
           .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
-        c.agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"),
-            expr("percentile(cnt, 0.5)").as("med_cnt"),
-            expr("percentile(cnt, 0.9)").as("p90_cnt"),
-            expr("percentile(cnt, 0.99)").as("p99_cnt"))
+        val pcts = graft.engine.GridRank.percentileContByValue(c,
+          col("cnt"),
+          Seq(0.5 -> "med_cnt", 0.9 -> "p90_cnt", 0.99 -> "p99_cnt"))
+        c.agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+          .crossJoin(broadcast(pcts))
           .select(col("n_keys"), col("max_cnt"), col("med_cnt"),
             col("p90_cnt"), col("p99_cnt"),
             (col("max_cnt").cast("double") / col("med_cnt")).as("skew_ratio"))

@@ -306,25 +306,36 @@ object TextAnalysis {
     // ── inverted index: token → document-frequency + sorted postings ──
     // The search-engine build step as one keyed shuffle: explode word
     // tokens, distinct (token, doc), group by token. Postings cap at 8
-    // ids per token (`slice`) — the full list is the real artifact, the
-    // cap keeps the oracle row bounded. 100 TB shape: the (token, doc)
-    // relation shuffles once on token (hot stopword tokens stay bounded
-    // because `collect_list` runs AFTER the per-token distinct, and a
-    // production build would shard tokens over (token, doc_id div B)
-    // exactly like capBuckets does for band buckets).
+    // ids per token — the full list is the real artifact, the cap
+    // keeps the oracle row bounded. 100 TB shape (round-17
+    // group-array sweep): the old form collect_list'ed a token's FULL
+    // postings before slicing — for a stopword token that is a
+    // corpus-document-count array in one unspillable aggregation
+    // buffer. The cap now happens BEFORE the collect: a per-token
+    // row_number window (WindowExec sorts spill to disk — a hot token
+    // costs I/O, never memory) marks the 8 smallest doc_ids, and
+    // collect_list gathers only those (null-skipping `when`), so the
+    // buffer is ≤8 elements for any token. df still counts the full
+    // postings. The window and the groupBy share the token hash
+    // partitioning — still one keyed shuffle.
     Q("q_inverted_index",
-      (s, dir) =>
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("token").orderBy("doc_id")
         docs(s, dir)
           .select(col("doc_id"),
             explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("token"))
           .distinct()
+          .withColumn("rn", row_number().over(w))
           .groupBy(col("token"))
           .agg(count(lit(1)).as("df"),
                // string-joined postings: the driver's compare (and
                // check.py) hashes scalar cells, not nested arrays
                concat_ws(",",
-                 slice(sort_array(collect_list(col("doc_id"))), 1, 8)).as("postings"))
-          .orderBy("token"),
+                 sort_array(collect_list(
+                   when(col("rn") <= 8, col("doc_id"))))).as("postings"))
+          .orderBy("token")
+      },
       Some("""WITH ex AS (SELECT doc_id,
              |  unnest(regexp_extract_all(text, '[a-z]+')) AS token FROM documents),
              |tok AS (SELECT DISTINCT doc_id, token FROM ex)

@@ -14,6 +14,50 @@ import graft.engine.{MapleJuice, Tables}
   */
 object Advanced {
 
+  /** q_event_pattern's bounded-state scan (round-17 group-array
+    * sweep): per-user regex `v[^e]*c[^e]*p` over the (ts, event_id)-
+    * ordered code stream WITHOUT materializing the history — chained
+    * window running-maxima replace the whole-history collect_list
+    * (see the query's comment for the equivalence argument).
+    * `coded` carries (user_id, ts, event_id, code); output is one row
+    * per user: (user_id, n_events, seq_head, converted_clean).
+    * EventPatternSpec fuzzes this against java.util.regex on random
+    * tapes, including whale-user and all-error edges.
+    */
+  private[graft] def eventPatternScan(coded: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1L)
+    val base = coded
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("last_v",
+        max(when(col("code") === "v", col("rn"))).over(prior))
+      .withColumn("last_e",
+        max(when(col("code") === "e", col("rn"))).over(prior))
+      .withColumn("armed_c",
+        col("code") === "c" &&
+          coalesce(col("last_v"), lit(0L)) >
+            coalesce(col("last_e"), lit(0L)))
+    val scored = base
+      .withColumn("last_ac",
+        max(when(col("armed_c"), col("rn"))).over(prior))
+      .withColumn("hit",
+        col("code") === "p" &&
+          coalesce(col("last_ac"), lit(0L)) >
+            coalesce(col("last_e"), lit(0L)))
+    scored
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("hit")).as("converted_clean"),
+        // order via the rn in the struct, not physical row order
+        concat_ws("", transform(
+          sort_array(collect_list(
+            when(col("rn") <= 40, struct(col("rn"), col("code"))))),
+          x => x.getField("code"))).as("seq_head"))
+      .select("user_id", "n_events", "seq_head", "converted_clean")
+      .orderBy("user_id")
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
@@ -629,36 +673,39 @@ object Advanced {
     // ── sequence pattern matching: the MATCH_RECOGNIZE analog ──
     // Order-sensitive behavior detection the funnel above can't
     // express: "a view, then a click, then a purchase, with NO error
-    // anywhere between" is a REGEX over each user's event-type
-    // sequence, not a conjunction of per-stage aggregates. Each user's
-    // history collapses to a code string once (one keyed shuffle;
-    // array_sort over (ts, event_id, code) structs makes the order
-    // total and engine-identical), then the pattern is a per-row
-    // regexp — new patterns are free plan-wise, they reuse the same
-    // sequence relation. The regex is anchored-free POSIX-safe
-    // (`v[^e]*c[^e]*p` — literals and a negated class only), so Java
-    // regex and DuckDB's RE2 agree. 100 TB shape: state per user is
-    // one bounded string (histories cap at events-per-user), the
-    // corpus shuffles once on user_id, and the match is map-side.
+    // anywhere between" is the regex `v[^e]*c[^e]*p` over each user's
+    // event-type sequence, not a conjunction of per-stage aggregates.
+    // Scale shape (round-17 group-array sweep): the old form
+    // collect_list'ed the user's ENTIRE history into one aggregation
+    // buffer before matching — by this repo's own whale assumption
+    // (the q_target_encode headroom row prices a user at n_u ≈ 9e7
+    // events) that is a GB-scale array in a single buffer, the one
+    // aggregation shape that cannot spill. The regex instead
+    // decomposes into chained running maxima over the user-ordered
+    // event stream — a match `v…c…p` with no 'e' inside exists iff
+    //   a 'c' at j is ARMED when last_v(<j) > last_e(<j)   (that v
+    //     has no e between itself and j), and
+    //   a 'p' at k CONVERTS when last_armed_c(<k) > last_e(<k)
+    // (each "last_x" a spillable per-user window running max; the
+    // equivalence is two-sided: the most-recent qualifying position
+    // witnesses a match, and any match forces the inequality).
+    // seq_head needs only the first 40 codes (rn-capped ≤41-element
+    // array) and n_events is a count, so per-user state is O(1): the
+    // corpus shuffles ONCE on user_id, both WindowExec passes and the
+    // final groupBy reuse that partitioning, and nothing buffers a
+    // whale. The DuckDB twin keeps the string_agg + regexp form as
+    // the independent oracle of the decomposition; EventPatternSpec
+    // fuzzes the automaton against java.util.regex on random tapes.
     Q("q_event_pattern",
       (s, dir) => {
         val code = expr(
           """CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
             |  WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
             |  ELSE 'e' END""".stripMargin)
-        t(s, dir, "events")
-          .select(col("user_id"), struct(col("ts"), col("event_id"),
-            code.as("code")).as("ev"))
-          .groupBy("user_id")
-          .agg(collect_list(col("ev")).as("evs"))
-          .withColumn("seq",
-            expr("array_join(transform(array_sort(evs), x -> x.code), '')"))
-          .withColumn("n_events", expr("size(evs)").cast("long"))
-          .withColumn("converted_clean",
-            expr("seq RLIKE 'v[^e]*c[^e]*p'"))
-          .withColumn("seq_head", expr("substring(seq, 1, 40)"))
-          .select("user_id", "n_events", "seq_head", "converted_clean")
-          .orderBy("user_id")
+        eventPatternScan(
+          t(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              code.as("code")))
       },
       Some("""WITH c AS (SELECT user_id, ts, event_id,
              |  CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
