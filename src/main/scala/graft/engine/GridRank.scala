@@ -42,6 +42,27 @@ import org.apache.spark.sql.functions._
   */
 object GridRank {
 
+  /** The shared prefix walk (round-17 review: this pattern appeared
+    * four times before extraction): aggregate `measure` per `bucket`
+    * (distributed), then on the bucket table — the ONLY place an
+    * unpartitioned window runs — compute the EXCLUSIVE running total
+    * in `offOut` and the grand total in `totOut`. Returns one row per
+    * bucket: [bucket, mOut, offOut, totOut]. NULL buckets, if
+    * present, sort first/last per `asc` like any orderBy; callers
+    * that must exclude them filter before calling.
+    */
+  private def prefixWalk(rows: DataFrame, bucket: String,
+      measure: Column, asc: Boolean,
+      mOut: String, offOut: String, totOut: String): DataFrame = {
+    val bOrd = if (asc) col(bucket).asc else col(bucket).desc
+    val wOff = Window.orderBy(bOrd)
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    rows.groupBy(bucket).agg(measure.as(mOut))
+      .withColumn(offOut,
+        coalesce(sum(col(mOut)).over(wOff), lit(0L)))
+      .withColumn(totOut, sum(col(mOut)).over(Window.partitionBy()))
+  }
+
   /** Adds `rnOut` = exact global 1-based row_number of each row under
     * (`order`) and `nOut` = the total row count. No unpartitioned
     * window ever touches `df` — only the bucket-count table.
@@ -49,13 +70,8 @@ object GridRank {
   def rowNumber(df: DataFrame, bucketExpr: Column, bucketAsc: Boolean,
       order: Seq[Column], rnOut: String, nOut: String): DataFrame = {
     val withB = df.withColumn("_gr_b", bucketExpr)
-    val bOrd = if (bucketAsc) col("_gr_b").asc else col("_gr_b").desc
-    val wOff = Window.orderBy(bOrd)
-      .rowsBetween(Window.unboundedPreceding, -1L)
-    val off = withB.groupBy("_gr_b").agg(count(lit(1)).as("_gr_cnt"))
-      .withColumn("_gr_off",
-        coalesce(sum(col("_gr_cnt")).over(wOff), lit(0L)))
-      .withColumn(nOut, sum(col("_gr_cnt")).over(Window.partitionBy()))
+    val off = prefixWalk(withB, "_gr_b", count(lit(1)), bucketAsc,
+        "_gr_cnt", "_gr_off", nOut)
       .select(col("_gr_b"), col("_gr_off"), col(nOut))
     val wIn = Window.partitionBy("_gr_b").orderBy(order: _*)
     withB.join(broadcast(off), Seq("_gr_b"))
@@ -76,13 +92,8 @@ object GridRank {
       cumOut: String, totOut: String): DataFrame = {
     val withB = df.withColumn("_gr_b", bucketExpr)
       .withColumn("_gr_v", value)
-    val bOrd = if (bucketAsc) col("_gr_b").asc else col("_gr_b").desc
-    val wOff = Window.orderBy(bOrd)
-      .rowsBetween(Window.unboundedPreceding, -1L)
-    val off = withB.groupBy("_gr_b").agg(sum(col("_gr_v")).as("_gr_s"))
-      .withColumn("_gr_off",
-        coalesce(sum(col("_gr_s")).over(wOff), lit(0L)))
-      .withColumn(totOut, sum(col("_gr_s")).over(Window.partitionBy()))
+    val off = prefixWalk(withB, "_gr_b", sum(col("_gr_v")), bucketAsc,
+        "_gr_s", "_gr_off", totOut)
       .select(col("_gr_b"), col("_gr_off"), col(totOut))
     val wIn = Window.partitionBy("_gr_b").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -113,28 +124,35 @@ object GridRank {
     *          = lowerVal                     if lowerVal == higherVal
     *          = (higher−pos)·lowerVal + (pos−lower)·higherVal
     *
-    * `bucketExpr` needs only VALUE-monotonicity (ties share a value,
-    * so tie order inside `rowNumber` cannot change which DOUBLE each
-    * rank selects — the strict-total-order contract relaxes to
-    * value-determinism for order-statistic selection). Returns ONE
-    * row with one column per `(p, name)`. Empty input returns one
-    * all-null row (the built-in returns null too).
+    * `bucketOf` needs only VALUE-monotonicity (ties share a value,
+    * so tie order inside the within-bucket window cannot change
+    * which DOUBLE each rank selects — the strict-total-order
+    * contract relaxes to value-determinism for order-statistic
+    * selection). Null/NaN contract (round-17 review): NULL values
+    * are filtered out up front, exactly like the built-in aggregate
+    * skips them; NaN routes to a reserved greatest bucket
+    * (Long.MaxValue — `bucketOf` must not map a real value there),
+    * matching the built-in's sort order where NaN ranks greatest;
+    * ±0.0 are normalized equal (Spark groupBy semantics — the
+    * built-in's boxed buffer keeps them distinct, an untestable
+    * sub-ulp corner since interpolating between them yields ±0.0
+    * either way). Returns ONE row with one column per `(p, name)`.
+    * Empty/all-null input returns one all-null row (the built-in
+    * returns null too).
     */
   def percentileCont(df: DataFrame, value: Column,
       bucketOf: Column => Column,
       ps: Seq[(Double, String)]): DataFrame = {
     val v = value.cast("double")
     val vals = df.select(v.as("_pc_v"))
-      .withColumn("_pc_b", bucketOf(col("_pc_v")))
+      .filter(col("_pc_v").isNotNull)
+      .withColumn("_pc_b",
+        when(isnan(col("_pc_v")), lit(Long.MaxValue))
+          .otherwise(bucketOf(col("_pc_v"))))
     // distributed bucket histogram; the ONLY single-task walk runs
     // here, on the domain-bounded bucket table
-    val wOff = Window.orderBy(col("_pc_b").asc)
-      .rowsBetween(Window.unboundedPreceding, -1L)
-    val off = vals.groupBy("_pc_b").agg(count(lit(1)).as("_pc_c"))
-      .withColumn("_pc_off",
-        coalesce(sum(col("_pc_c")).over(wOff), lit(0L)))
-      .withColumn("_pc_n",
-        sum(col("_pc_c")).over(Window.partitionBy()))
+    val off = prefixWalk(vals, "_pc_b", count(lit(1)), asc = true,
+      "_pc_c", "_pc_off", "_pc_n")
     // Needed global ranks (1-based): lower+1 and higher+1 per p. Each
     // becomes at most one (bucket, local-rank, tag) target row — so
     // the corpus-side work below touches ONLY the ≤ 2·|ps| buckets
@@ -194,20 +212,25 @@ object GridRank {
     * the prefix-walked value table and the corpus is touched by
     * nothing but the ONE distributed groupBy. For per-key counts the
     * value table is ≤ √(2N) rows (distinct positive integers summing
-    * to N). Same bit-exact interpolation; PercentileContSpec pins
-    * this form too.
+    * to N). Same bit-exact interpolation and null contract as
+    * [[percentileCont]] (NaN needs no guard here: the walk orders by
+    * the value itself and Spark sorts NaN greatest, matching the
+    * built-in); PercentileContSpec pins this form too.
+    *
+    * `nOut`/`maxOut` optionally emit the group's row count (long)
+    * and max value (cast long — counts/cents are exact) as extra
+    * columns, read off the SAME histogram so callers wanting
+    * count+max+percentiles don't aggregate the input twice (the
+    * q_skew_profile single-pass shape, round-17 review).
     */
   def percentileContByValue(df: DataFrame, value: Column,
-      ps: Seq[(Double, String)]): DataFrame = {
+      ps: Seq[(Double, String)], nOut: Option[String] = None,
+      maxOut: Option[String] = None): DataFrame = {
     val vals = df.select(value.cast("double").as("_pc_v"))
-    val wOff = Window.orderBy(col("_pc_v").asc)
-      .rowsBetween(Window.unboundedPreceding, -1L)
-    val off = vals.groupBy("_pc_v").agg(count(lit(1)).as("_pc_c"))
-      .withColumn("_pc_off",
-        coalesce(sum(col("_pc_c")).over(wOff), lit(0L)))
-      .withColumn("_pc_n",
-        sum(col("_pc_c")).over(Window.partitionBy()))
-    val aggs = ps.flatMap { case (p, name) =>
+      .filter(col("_pc_v").isNotNull)
+    val off = prefixWalk(vals, "_pc_v", count(lit(1)), asc = true,
+      "_pc_c", "_pc_off", "_pc_n")
+    val aggs = (ps.flatMap { case (p, name) =>
       val pos = lit(p) * (col("_pc_n") - lit(1L)).cast("double")
       val kLo = floor(pos) + lit(1L)
       val kHi = ceil(pos) + lit(1L)
@@ -216,8 +239,13 @@ object GridRank {
       Seq(
         max(when(holds(kLo), col("_pc_v"))).as(s"_lo_$name"),
         max(when(holds(kHi), col("_pc_v"))).as(s"_hi_$name"))
-    } :+ max(col("_pc_n")).as("_pc_n")
-    off.agg(aggs.head, aggs.tail: _*).select(interpOuts(ps): _*)
+    } :+ max(col("_pc_n")).as("_pc_n")) ++
+      maxOut.map(o => max(col("_pc_v")).cast("long").as(o))
+    val outs = interpOuts(ps) ++
+      // count semantics on empty input: 0, not null
+      nOut.map(o => coalesce(col("_pc_n"), lit(0L)).as(o)) ++
+      maxOut.map(col)
+    off.agg(aggs.head, aggs.tail: _*).select(outs: _*)
   }
 
   /** Exact long integer division for NON-NEGATIVE columns. Not

@@ -1050,11 +1050,12 @@ object Pipeline {
       (s, dir) => {
         val c = t(s, dir, "lineitem")
           .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
-        val pcts = graft.engine.GridRank.percentileContByValue(c,
-          col("cnt"),
-          Seq(0.5 -> "med_cnt", 0.9 -> "p90_cnt", 0.99 -> "p99_cnt"))
-        c.agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
-          .crossJoin(broadcast(pcts))
+        // n_keys and max_cnt read off the SAME value histogram as the
+        // percentiles (round-17 review: a separate c.agg re-ran the
+        // fact-table groupBy a second time)
+        graft.engine.GridRank.percentileContByValue(c, col("cnt"),
+            Seq(0.5 -> "med_cnt", 0.9 -> "p90_cnt", 0.99 -> "p99_cnt"),
+            nOut = Some("n_keys"), maxOut = Some("max_cnt"))
           .select(col("n_keys"), col("max_cnt"), col("med_cnt"),
             col("p90_cnt"), col("p99_cnt"),
             (col("max_cnt").cast("double") / col("med_cnt")).as("skew_ratio"))

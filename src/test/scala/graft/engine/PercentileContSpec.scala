@@ -59,4 +59,38 @@ class PercentileContSpec extends SparkSuite {
     check(Seq.fill(500)(3.25) ++ Seq(1.0, 9.0),
       v => (v * 4).cast("long"))
   }
+
+  test("null values are skipped and NaN ranks greatest, like the " +
+      "built-in (round-17 review)") {
+    val df = (Seq(3.0, 1.0, Double.NaN, 2.0).map(Option(_)) ++
+      Seq(None, None)).toDF("v")
+    val want = df.agg(
+      expr(s"percentile(v, array(${ps.map(_._1).mkString(",")}))"))
+      .head().getSeq[Double](0)
+    for (got <- Seq(
+        GridRank.percentileCont(df, col("v"),
+          v => floor(v * 10).cast("long"), ps).head(),
+        GridRank.percentileContByValue(df, col("v"), ps).head());
+      i <- ps.indices)
+      assert(java.lang.Double.doubleToRawLongBits(got.getDouble(i)) ==
+        java.lang.Double.doubleToRawLongBits(want(i)),
+        s"${ps(i)._2}: got ${got.getDouble(i)} want ${want(i)}")
+    // all-null input -> one all-null row, like the built-in's null
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+    val row = GridRank.percentileContByValue(allNull, col("v"), ps).head()
+    assert(ps.indices.forall(row.isNullAt))
+  }
+
+  test("nOut/maxOut extras read off the same histogram") {
+    val xs = Seq(5.0, 2.0, 2.0, 9.0, 1.0)
+    val r = GridRank.percentileContByValue(xs.toDF("v"), col("v"),
+      Seq(0.5 -> "p50"), nOut = Some("n"), maxOut = Some("mx")).head()
+    assert(r.getDouble(0) == 2.0 && r.getLong(1) == 5L &&
+      r.getLong(2) == 9L)
+    // empty input: count semantics (0), max/percentile null
+    val e = GridRank.percentileContByValue(
+      Seq.empty[Double].toDF("v"), col("v"),
+      Seq(0.5 -> "p50"), nOut = Some("n"), maxOut = Some("mx")).head()
+    assert(e.isNullAt(0) && e.getLong(1) == 0L && e.isNullAt(2))
+  }
 }
