@@ -270,17 +270,22 @@ def main():
             corroborated = (raw_med <= 1.0 or
                             cratio >= 1.0 + (raw_med - 1.0) / 2)
         else:
-            # name WHICH side lacks a usable canary: a pre-r11 prev
-            # archive simply predates the field, but a -1.0 sentinel
-            # means that run's canary itself threw — exactly the case
-            # worth investigating (round-12 ADVICE)
+            # name WHICH side lacks a usable canary: a pre-r11 archive
+            # simply predates the field, but a -1.0 sentinel means
+            # that run's canary itself threw — exactly the case worth
+            # investigating (round-12 ADVICE; round-17 review extended
+            # the distinction to the CUR side too — an explicit-path
+            # diff with an old artifact as cur is a format gap, not an
+            # in-run failure)
             sides = []
             if prev_cmin is None:
                 sides.append("prev archive pre-dates the canary"
                              if prev_pre_r11 else
                              "PREV canary FAILED in-run")
             if cur_cmin is None:
-                sides.append("CURRENT canary FAILED in-run")
+                sides.append("cur archive pre-dates the canary"
+                             if c_start is None or c_end is None else
+                             "CURRENT canary FAILED in-run")
             env = "no cross-run canary (" + "; ".join(sides) + ")"
             # only a pre-r11 prev is a legitimate reason to have
             # nothing to corroborate against (legacy comparison) —

@@ -72,12 +72,19 @@ object GridRank {
     val withB = df.withColumn("_gr_b", bucketExpr)
     val off = prefixWalk(withB, "_gr_b", count(lit(1)), bucketAsc,
         "_gr_cnt", "_gr_off", nOut)
-      .select(col("_gr_b"), col("_gr_off"), col(nOut))
+      .select(col("_gr_b").as("_gr_b2"), col("_gr_off"), col(nOut))
     val wIn = Window.partitionBy("_gr_b").orderBy(order: _*)
-    withB.join(broadcast(off), Seq("_gr_b"))
+    // null-SAFE join (round-17 review): a NULL bucket key — a null
+    // leading order column — forms its own group in the walk, and an
+    // inner equi-join would silently drop those rows while nOut still
+    // counted them. <=> keeps them, and the placement matches the
+    // naive window bit-for-bit: Spark windows order nulls FIRST on
+    // asc / LAST on desc, exactly where the walk's orderBy puts the
+    // null bucket. GridRankSpec pins the null-key case.
+    withB.join(broadcast(off), col("_gr_b") <=> col("_gr_b2"))
       .withColumn(rnOut,
         col("_gr_off") + row_number().over(wIn).cast("long"))
-      .drop("_gr_b", "_gr_off")
+      .drop("_gr_b", "_gr_b2", "_gr_off")
   }
 
   /** Adds `cumOut` = exact running sum of `value` (long) under
@@ -94,12 +101,13 @@ object GridRank {
       .withColumn("_gr_v", value)
     val off = prefixWalk(withB, "_gr_b", sum(col("_gr_v")), bucketAsc,
         "_gr_s", "_gr_off", totOut)
-      .select(col("_gr_b"), col("_gr_off"), col(totOut))
+      .select(col("_gr_b").as("_gr_b2"), col("_gr_off"), col(totOut))
     val wIn = Window.partitionBy("_gr_b").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withB.join(broadcast(off), Seq("_gr_b"))
+    // null-safe join for the same reason as [[rowNumber]]
+    withB.join(broadcast(off), col("_gr_b") <=> col("_gr_b2"))
       .withColumn(cumOut, col("_gr_off") + sum(col("_gr_v")).over(wIn))
-      .drop("_gr_b", "_gr_off", "_gr_v")
+      .drop("_gr_b", "_gr_b2", "_gr_off", "_gr_v")
   }
 
   /** Distributed EXACT interpolated percentile(s) — the bounded-state
@@ -131,7 +139,10 @@ object GridRank {
     * selection). Null/NaN contract (round-17 review): NULL values
     * are filtered out up front, exactly like the built-in aggregate
     * skips them; NaN routes to a reserved greatest bucket
-    * (Long.MaxValue — `bucketOf` must not map a real value there),
+    * (Long.MaxValue — `bucketOf` must not map a real value there
+    * and must return non-null for every non-null input; a saturating
+    * `cast("long")` maps ±Infinity to Long.MaxValue/MinValue, which
+    * stays monotone and orders correctly within the shared bucket),
     * matching the built-in's sort order where NaN ranks greatest;
     * ±0.0 are normalized equal (Spark groupBy semantics — the
     * built-in's boxed buffer keeps them distinct, an untestable

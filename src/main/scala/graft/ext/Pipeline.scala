@@ -328,6 +328,12 @@ object Pipeline {
     Q("q_quality_gate_rel",
       (s, dir) => {
         val scored = curationScored(t(s, dir, "documents"))
+        // scored is deliberately NOT checkpointed (round-17 review):
+        // it is DOCUMENT-grain, so the histogram pass, the target-
+        // bucket pass, and the final filter re-evaluate the scoring
+        // projection per scan — CPU paid ~3x, but each scan prunes
+        // columns and a corpus materialization (with text) would
+        // dwarf it at 100 TB
         val p75 = graft.engine.GridRank.percentileCont(scored,
             col("quality"), v => floor(v * 1000000).cast("long"),
             Seq(0.75 -> "p75"))

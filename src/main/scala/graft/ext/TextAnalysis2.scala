@@ -100,6 +100,11 @@ object TextAnalysis2 {
         val freq = docs(s, dir)
           .select(explode(split(col("text"), " ")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cnt"))
+          // pinned: the top-31 selection AND the total-mass aggregate
+          // both consume freq, and pruning defeats exchange reuse —
+          // one docs scan, vocab-grain materialization (round-17
+          // review)
+          .localCheckpoint()
         val top = freq.orderBy(col("cnt").desc, col("w")).limit(31)
         val ord = Window.orderBy(col("cnt").desc, col("w"))
         val cum = Window.orderBy(col("cnt").desc, col("w"))
@@ -154,6 +159,9 @@ object TextAnalysis2 {
           .groupBy("w")
           .agg(sum(when(col("even"), 1L).otherwise(0L)).as("ca"),
             sum(when(!col("even"), 1L).otherwise(0L)).as("cb"))
+          // pinned: both shard top-10s consume cnts — one docs scan,
+          // vocab-grain materialization (round-17 review)
+          .localCheckpoint()
         val ta = cnts.orderBy(col("ca").desc, col("w")).limit(10)
           .withColumn("rank_a", row_number()
             .over(Window.orderBy(col("ca").desc, col("w"))).cast("long"))

@@ -298,6 +298,10 @@ object Behavior {
           .agg(min(col("pu")).as("first_pu"))
           .select(when(col("first_pu").isNotNull,
             expr("(first_pu - su) div 86400000000L")).as("day"))
+          // pinned: the daily rollup AND the cohort-size aggregate
+          // both consume gaps — one pass over the two event
+          // aggregates, user-grain materialization (round-17 review)
+          .localCheckpoint()
         // The cohort size n is a 1-row aggregate broadcast back, NOT
         // an empty-partition window over the USER-grain gaps table
         // (round-17 sweep of the Window.partitionBy() sibling class:
@@ -489,6 +493,9 @@ object Behavior {
           // at any scale. Hash-identical rank under the strict
           // (lat, user_id) order; the twin keeps the naive
           // rank-picked form as the independent oracle.
+          // deliberately NOT checkpointed: lat is converter-grain
+          // (event-joined, corpus-scaled) — two scans beat a corpus
+          // materialization (the q_gains trade, round-17 review)
           val med = graft.engine.GridRank.rowNumber(lat,
               expr("lat div 1000000000"), bucketAsc = true,
               Seq(col("lat").asc, col("user_id").asc), "rn", "nn")

@@ -318,6 +318,11 @@ object MlEval {
           .select((col("event_type") === "purchase").cast("long").as("y"),
             floor(col("value") * 10000).cast("long").as("v"),
             col("event_id"))
+        // deliberately NOT checkpointed (round-17 review): sc is
+        // EVENT-grain, so GridRank's two consumers mean two corpus
+        // scans with map-side work — cheaper at 100 TB than
+        // materializing the corpus to executor disk; the dimension-
+        // grain adopters (q_rfm, q_lorenz, q_abc, …) pin instead
         val dec = graft.engine.GridRank.rowNumber(sc, col("v"),
             bucketAsc = false,
             Seq(col("v").desc, col("event_id").asc), "rn", "n")

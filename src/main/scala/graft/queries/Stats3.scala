@@ -160,6 +160,10 @@ object Stats3 {
           .select(col("o_custkey"),
             floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
           .groupBy("o_custkey").agg(sum(col("cents")).as("rev"))
+          // pinned: GridRank consumes rev twice (bucket agg + join
+          // side) and pruning defeats exchange reuse — one fact scan,
+          // customer-grain materialization (round-17 review)
+          .localCheckpoint()
         graft.engine.GridRank.rowNumber(rev, expr("rev div 10000"),
             bucketAsc = true,
             Seq(col("rev").asc, col("o_custkey").asc), "i", "n")
@@ -671,6 +675,9 @@ object Stats3 {
           .agg(sum(expr(
             "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
             .as("rev"))
+          // pinned: one lineitem scan feeds both GridRank consumers
+          // (part-grain materialization; round-17 review)
+          .localCheckpoint()
         // The cleared threshold compares (cum·100 vs tot·80) and the
         // ppm scaling multiply corpus-total cents (round-15 audit): at
         // 100 TB tot ≈ 2.3e18, so cum·100 ≈ 2.3e20 and Σrev·10⁶ ≈

@@ -29,14 +29,24 @@ class GridRankSpec extends SparkSuite {
     .zipWithIndex.map { case (k, i) => (k, i.toLong) }
     .toDF("key", "id")
 
+  // SYMMETRIC row-set equality plus a count check (round-17 review:
+  // a one-directional except() stays green when the grid side DROPS
+  // rows — precisely the null-bucket join failure mode)
+  private def assertSameRows(grid: org.apache.spark.sql.DataFrame,
+      naive: org.apache.spark.sql.DataFrame, cols: String*): Unit = {
+    val g = grid.select(cols.head, cols.tail: _*)
+    val n = naive.select(cols.head, cols.tail: _*)
+    assert(grid.count() == naive.count())
+    assert(g.except(n).isEmpty && n.except(g).isEmpty)
+  }
+
   test("rowNumber matches the naive global window, asc and desc") {
     val naiveAsc = df.withColumn("rn",
       row_number().over(Window.orderBy(col("key").asc, col("id").asc))
         .cast("long"))
     val gridAsc = GridRank.rowNumber(df, expr("key div 8"),
       bucketAsc = true, Seq(col("key").asc, col("id").asc), "rn", "n")
-    assert(gridAsc.select("id", "rn").except(
-      naiveAsc.select("id", "rn")).isEmpty)
+    assertSameRows(gridAsc, naiveAsc, "id", "rn")
     assert(gridAsc.select("n").distinct().as[Long].head() == 520L)
 
     val naiveDesc = df.withColumn("rn",
@@ -44,8 +54,25 @@ class GridRankSpec extends SparkSuite {
         .cast("long"))
     val gridDesc = GridRank.rowNumber(df, expr("key div 8"),
       bucketAsc = false, Seq(col("key").desc, col("id").asc), "rn", "n")
-    assert(gridDesc.select("id", "rn").except(
-      naiveDesc.select("id", "rn")).isEmpty)
+    assertSameRows(gridDesc, naiveDesc, "id", "rn")
+  }
+
+  test("rowNumber keeps NULL leading keys, placed exactly like the " +
+      "naive window (nulls first on asc, last on desc)") {
+    val sdf = (Seq[Option[Long]](None, Some(3L), None, Some(40L),
+        Some(3L), Some(11L)) ++ (0 until 50).map(i => Some(i.toLong % 7)))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("key", "id")
+    for (asc <- Seq(true, false)) {
+      val kOrd = if (asc) col("key").asc else col("key").desc
+      val naive = sdf.withColumn("rn",
+        row_number().over(Window.orderBy(kOrd, col("id").asc))
+          .cast("long"))
+      val grid = GridRank.rowNumber(sdf, expr("key div 8"),
+        bucketAsc = asc, Seq(kOrd, col("id").asc), "rn", "n")
+      assertSameRows(grid, naive, "id", "rn")
+      assert(grid.select("n").distinct().as[Long].head() == 56L)
+    }
   }
 
   test("runningSum matches the naive global cumulative window") {
@@ -56,8 +83,7 @@ class GridRankSpec extends SparkSuite {
     val grid = GridRank.runningSum(df, expr("key div 8"),
       bucketAsc = false, Seq(col("key").desc, col("id").asc), v,
       "cum", "tot")
-    assert(grid.select("id", "cum").except(
-      naive.select("id", "cum")).isEmpty)
+    assertSameRows(grid, naive, "id", "cum")
     val tot = df.select(sum(v)).as[Long].head()
     assert(grid.select("tot").distinct().as[Long].head() == tot)
   }
@@ -79,8 +105,7 @@ class GridRankSpec extends SparkSuite {
         .cast("long"))
     val grid = GridRank.rowNumber(sdf, expr("key div 8"),
       bucketAsc = true, Seq(col("key").asc, col("id").asc), "rn", "n")
-    assert(grid.select("id", "rn").except(
-      naive.select("id", "rn")).isEmpty)
+    assertSameRows(grid, naive, "id", "rn")
     assert(grid.select("n").distinct().as[Long].head() == 141L)
   }
 

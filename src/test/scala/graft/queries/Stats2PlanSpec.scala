@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
 import org.apache.spark.sql.execution.SparkPlan
 
 import graft.{SparkEntry, SparkSuite}
@@ -47,9 +47,18 @@ class Stats2PlanSpec extends SparkSuite {
       assert(windows.nonEmpty, s"$q expected a window")
       windows.foreach { w =>
         if (w.partitionSpec.isEmpty) {
-          assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
-            s"$q has a no-partition window over un-aggregated input:\n" +
-              w.treeString.take(1200))
+          // a GlobalLimit bounds the input even harder than an
+          // Aggregate — q_vocab_coverage's top-31 TakeOrdered frame
+          // rides a localCheckpoint (round-17 review), so the
+          // aggregate below it is hidden behind the LogicalRDD
+          // boundary and the limit IS the visible bound
+          val bounded = w.child.collect {
+            case a: Aggregate => a: LogicalPlan
+            case l: GlobalLimit => l: LogicalPlan
+          }
+          assert(bounded.nonEmpty,
+            s"$q has a no-partition window over un-aggregated, " +
+              s"un-limited input:\n" + w.treeString.take(1200))
         }
       }
     }
