@@ -234,7 +234,13 @@ object Graph {
     for (k <- 1 to hops) {
       val nxt = d.join(edges, d("node") === edges("src"))
         .select(col("dst").as("node"), lit(k.toLong).as("dist"))
+      // materialize the node-sized frontier per hop (round-17
+      // optimization): `d` is referenced twice per hop (union branch +
+      // edge join), so the lazy plan doubled per hop and hop 1's
+      // aggregate re-ran 4× inside the final job — the labelProp
+      // per-round checkpoint discipline applied to BFS
       d = d.unionByName(nxt).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
     }
     d.orderBy("node").localCheckpoint(true)
   }
@@ -368,7 +374,17 @@ object Graph {
     * degree aggregate — the active set only shrinks, so at 100 TB the
     * per-round cost is bounded by the first round's, and the edge
     * list never recomputes (localCheckpoint cuts the pairing out of
-    * every round's lineage). */
+    * every round's lineage).
+    *
+    * The active set is ALSO materialized per round (round-17
+    * optimization): `induced` references it twice (both semi-joins),
+    * so a lazy loop-carried frame doubles the plan tree per round —
+    * the 3-round declared query planned ~124 Exchange nodes (64 KB of
+    * physical plan) and re-derived round 1's degree aggregate up to
+    * 8×. Per-round eager checkpoints of the NODE-sized set keep the
+    * plan linear (one induced-degree round each) at the cost of one
+    * tiny job per round — the componentsOf/GridRank materialization
+    * discipline applied to the peeling loop. */
   private[graft] def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val und = edges.select(col("u").as("s"), col("v").as("d"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("d")))
@@ -381,6 +397,7 @@ object Graph {
       active = induced(active)
         .groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("node")
+        .localCheckpoint(true)
     }
     induced(active)
       .groupBy(col("s").as("node")).agg(count(lit(1)).as("core_deg"))
@@ -395,7 +412,17 @@ object Graph {
     * edge-hops/round; THIS form is the one-hop textbook variant kept
     * deliberately oracle-mirrorable with unrolled CTEs). Per round:
     * one edge⋈label join + one min-aggregate — label vector is
-    * node-sized, edges materialized once. */
+    * node-sized, edges materialized once.
+    *
+    * The label vector is materialized per round (round-17
+    * optimization): each round references `labels` twice (the
+    * neighbor join AND the self-label union branch), so the lazy
+    * loop-carried plan doubled per round — 3 rounds planned ~46
+    * Exchange nodes and re-ran round 1's aggregate 4× (the union
+    * branch carries no exchange, so exchange reuse can never dedupe
+    * it; measured as 2.7–3.6 s tail jobs replaying the lineage).
+    * Per-round eager checkpoints of the NODE-sized vector keep the
+    * plan linear — one join + one aggregate per round. */
   private[graft] def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
     val und = edges.select(col("u").as("s"), col("v").as("d"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("d")))
@@ -408,6 +435,7 @@ object Graph {
         .select(col("d").as("node"), col("lbl"))
       labels = labels.unionByName(fromNbrs)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
     }
     labels.orderBy("node")
   }
