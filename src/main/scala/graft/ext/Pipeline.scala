@@ -97,10 +97,16 @@ object Pipeline {
     * definition of the packing arithmetic, so a budget/chunk-formula
     * change can never drift between them. */
   private def packSequences(s: SparkSession, dir: String,
-      tokens: Column): DataFrame = {
+      tokens: Column, wide: Boolean = false): DataFrame = {
     val budget = 2048
     val w = Window.partitionBy("bucket").orderBy("doc_id")
-    t(s, dir, "documents")
+    // `wide = true` for the VocabTok variant only: the greedy-vocab
+    // regex count is the one token counter whose per-row cost dwarfs
+    // the fan-out exchange (q_pack_sequences_tok 1.22 → 0.73 s at
+    // sf0.1/32; the whitespace variant measured SLOWER fanned —
+    // OPTIMIZATION_r17.md has the A/B)
+    (if (wide) graft.engine.Tables.wide(s, dir, "documents")
+     else t(s, dir, "documents"))
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(32)).as("bucket"),
         tokens.cast("long").as("n_tokens"))
@@ -127,8 +133,12 @@ object Pipeline {
     * DECIMAL(28,0), exact integer total) for the whitespace and
     * tokenizer-faithful variants. */
   private def mixWeights(s: SparkSession, dir: String,
-      tokens: Column): DataFrame = {
-    val toks = t(s, dir, "documents")
+      tokens: Column, wide: Boolean = false): DataFrame = {
+    // same wide-only-for-VocabTok rationale as [[packSequences]]
+    // (q_mix_weights_tok 1.06 → 0.63 s; whitespace variant slower
+    // fanned)
+    val toks = (if (wide) graft.engine.Tables.wide(s, dir, "documents")
+                else t(s, dir, "documents"))
       .withColumn("n_tok", tokens.cast("long"))
       .groupBy(col("source"))
       .agg(sum(col("n_tok")).as("n_tokens"))
@@ -372,7 +382,7 @@ object Pipeline {
     // exact, so the oracle is full-fidelity.
     Q("q_pack_sequences_tok",
       (s, dir) => packSequences(s, dir, regexp_count(col("text"),
-        lit(graft.functions.VocabTok.sparkPattern))),
+        lit(graft.functions.VocabTok.sparkPattern)), wide = true),
       Some(duckPackSequences(graft.functions.VocabTok.duck("text")))),
 
     // ── deterministic stratified train/val/test split ──
@@ -763,7 +773,7 @@ object Pipeline {
     // tokenizer is cross-engine exact, see VocabTok).
     Q("q_mix_weights_tok",
       (s, dir) => mixWeights(s, dir, regexp_count(col("text"),
-        lit(graft.functions.VocabTok.sparkPattern))),
+        lit(graft.functions.VocabTok.sparkPattern)), wide = true),
       Some(duckMixWeights(graft.functions.VocabTok.duck("text")))),
 
     // ── the end-to-end curation funnel: corpus in, training set out ──

@@ -21,6 +21,16 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Fanned-out documents scan (Tables.wide) for the two queries whose
+    * per-row scan-stage work dwarfs one exchange — the greedy-vocab
+    * regex count (q_tok_vocab: 2.21 → 0.95 s at sf0.1/32 cores) and
+    * the 5-gram md5 walk (q_text_repetition: 1.09 → 0.74 s). The
+    * other text queries measured SLOWER under a blanket fan-out (the
+    * extra exchange costs more than their per-row work; full A/B in
+    * OPTIMIZATION_r17.md), so they keep the bare scan. */
+  private def wideDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.wide(s, dir, "documents")
+
   /** Occurrences of literal `pat` in `col` via the replace trick —
     * identical semantics in Spark and DuckDB. */
   private def occSql(c: String, pat: String): String =
@@ -221,7 +231,7 @@ object TextAnalysis {
     // under-count diagnostic: ~1 for en/de, ≫1 for zh.
     Q("q_tok_vocab",
       (s, dir) =>
-        docs(s, dir)
+        wideDocs(s, dir)
           .withColumn("ws_tokens", expr("size(split(text, ' '))").cast("long"))
           .withColumn("vocab_tokens",
             regexp_count(col("text"),
@@ -251,7 +261,7 @@ object TextAnalysis {
     Q("q_text_repetition",
       (s, dir) => {
         val ngSpark = graft.functions.NgramHash.spark("hw")
-        docs(s, dir)
+        wideDocs(s, dir)
           .withColumn("hw",
             expr(graft.functions.TokenHash.spark("split(text, ' ')")))
           .withColumn("n_grams",

@@ -529,6 +529,14 @@ object Advanced {
         val hourly = t(s, dir, "events")
           .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
           .agg(Core.dsum(col("value"), 6, "psum"))
+          // materialize once (r17): hourly feeds BOTH the grid bounds
+          // and the join probe; without the checkpoint the two
+          // subplans differ by their pushed null-filters, defeat
+          // exchange reuse, and the plan scans+aggregates events
+          // TWICE (plans/r17/q_gapfill_before.txt). hourly is
+          // users × own-active-hours — corpus-bounded, far smaller
+          // than events, safe to pin for the query's lifetime.
+          .localCheckpoint(true)
         val grid = hourly.groupBy(col("user_id"))
           .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
           .select(col("user_id"),
@@ -571,7 +579,12 @@ object Advanced {
     // engine-identical.
     Q("q_fuzzy_join",
       (s, dir) => {
-        val c = t(s, dir, "customer").select(col("c_custkey"),
+        // Fanned-out probe side (Tables.wide): supplier broadcasts, so
+        // the block join + levenshtein verify all run in customer's
+        // scan stage — single-task on a one-row-group file (measured
+        // 0.39× fanned at sf0.1/32 cores; join output is re-sorted by
+        // the final orderBy, so fan-out order is immaterial)
+        val c = Tables.wide(s, dir, "customer").select(col("c_custkey"),
           expr("substring(c_name, 10)").as("c_sfx"),
           expr("substring(c_name, 10, 6)").as("blk"))
         val sup = t(s, dir, "supplier").select(col("s_suppkey"),

@@ -51,7 +51,12 @@ object Quality {
             max(col(c)).as(s"${c}_max"),
             sum(col(c).cast(DecimalType(18, 6))).as(s"${c}_sum"))
         }
-        val one = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+        // Fanned-out scan (Tables.wide): the Expand(4×)+partial-agg
+        // runs in the scan stage, so a one-row-group file serializes
+        // the whole profile into ONE task (measured 0.60× fanned at
+        // sf0.1/32 cores; aggregation is order-insensitive by
+        // construction — decimal sums, counts, min/max)
+        val one = Tables.wide(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
         val rows = cols.map { c =>
           s"'$c', n, ${c}_nn, ${c}_nd, ${c}_min, ${c}_max, " +
             s"CAST(${c}_sum AS DOUBLE) / CAST(n - ${c}_nn AS DOUBLE)"
